@@ -1,0 +1,71 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with a noop sink (full computation, no
+driver collect, no disk write) — the fair way to time a distributed plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from stockpy_spark.registry import QUERIES
+from stockpy_spark.session import get_spark
+
+# Representative, scale-sensitive subset: scan+filter, hash agg, shuffle
+# join, window, dedup, sessionize, top-k, and (when present) the extension
+# headliners.
+HEADLINE = [
+    "flagship_event_enrichment",
+    "a1_group_agg",
+    "j3_inner_join_agg",
+    "j2_agg_backjoin",
+    "a4_dedup_first",
+    "w4_running_sum",
+    "w5_sessionize",
+    "o1_topk",
+    "a9_cube",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("stockpy_spark_bench")
+    names = [n for n in HEADLINE if n in QUERIES]
+
+    # warm the JVM/catalyst once (not timed)
+    QUERIES["a2_count_star"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        df = QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

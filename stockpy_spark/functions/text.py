@@ -1,0 +1,136 @@
+"""Text-analysis column functions for LLM data pipelines.
+
+All builtin-expression implementations (split/regexp/aggregate/transform)
+— no Python UDFs — so they run JVM-side inside codegen and scale linearly
+with executors. Each has an exact ANSI-SQL twin used as the DuckDB oracle
+(see __spark_entry__.oracle_sql), which pins the semantics:
+
+- tokens = regexp-split on whitespace of the trimmed text
+- quality score = hand-rolled length/punct/stopword feature blend
+- language-ID = argmax of per-language stopword hit counts
+- fingerprint = md5 of whitespace-normalized lowercased text (md5 is
+  bit-identical across engines, unlike murmur3-based F.hash)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language
+# heuristic. Deliberately small + hard-coded: the heuristic must be
+# deterministic and SQL-expressible for the oracle.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "is", "in", "that"),
+    "es": ("el", "la", "de", "que", "y", "los", "en", "un"),
+    "fr": ("le", "la", "les", "de", "et", "un", "une", "que"),
+    "de": ("der", "die", "das", "und", "ein", "zu", "ist", "nicht"),
+    "zh": ("的", "了", "是", "我", "不", "在", "他", "有"),
+}
+
+ENGLISH_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokenize(col: Column | str) -> Column:
+    """array<string> of whitespace-delimited tokens of the trimmed text.
+    Empty/NULL text -> empty array."""
+    c = _c(col)
+    return F.when(
+        c.isNull() | (F.trim(c) == ""), F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(c), r"\s+"))
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (the cheap proxy for LLM token budgeting;
+    multiply by ~1.3 for a BPE estimate)."""
+    return F.size(tokenize(col))
+
+
+def char_ngrams(col: Column | str, n: int = 3) -> Column:
+    """array<string> of character n-grams (shingles) of the normalized
+    text — the input unit for MinHash/SimHash near-dup."""
+    c = F.regexp_replace(F.trim(F.lower(_c(col))), r"\s+", " ")
+    # sequence 1..len-n+1, substring at each offset
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - F.lit(n - 1), F.lit(0))),
+        lambda i: c.substr(i, F.lit(n)),
+    )
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Document-quality features: n_chars, n_tokens, mean token length,
+    punctuation ratio, stopword ratio, uppercase ratio."""
+    c = _c(col)
+    toks = tokenize(c)
+    n_chars = F.length(F.coalesce(c, F.lit("")))
+    n_tokens = F.size(toks)
+    stop_hits = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(*ENGLISH_STOPWORDS))
+    )
+    punct_chars = n_chars - F.length(
+        F.regexp_replace(F.coalesce(c, F.lit("")), r"[^\w\s]", "")
+    )
+    upper_chars = n_chars - F.length(
+        F.regexp_replace(F.coalesce(c, F.lit("")), r"[A-Z]", "")
+    )
+    safe_tokens = F.greatest(n_tokens, F.lit(1)).cast("double")
+    safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
+    return {
+        "n_chars": n_chars.cast("bigint"),
+        "n_tokens": n_tokens.cast("bigint"),
+        "mean_token_len": (n_chars - (n_tokens - 1)) / safe_tokens,
+        "punct_ratio": punct_chars / safe_chars,
+        "stopword_ratio": stop_hits / safe_tokens,
+        "upper_ratio": upper_chars / safe_chars,
+    }
+
+
+def quality_score(col: Column | str) -> Column:
+    """Scalar quality score in [0,1]: rewards reasonable length and
+    stopword presence, penalizes punctuation soup. Deterministic blend —
+    the exact formula matters less than it being stable and cheap."""
+    f = quality_features(col)
+    length_term = F.least(f["n_tokens"].cast("double") / F.lit(50.0), F.lit(1.0))
+    stop_term = F.least(f["stopword_ratio"] * F.lit(5.0), F.lit(1.0))
+    punct_term = F.greatest(F.lit(1.0) - f["punct_ratio"] * F.lit(4.0), F.lit(0.0))
+    return F.round(
+        length_term * F.lit(0.4) + stop_term * F.lit(0.3) + punct_term * F.lit(0.3), 6
+    )
+
+
+def language_id(col: Column | str) -> Column:
+    """Stopword-hit language heuristic: tokenize, count hits per language
+    list, argmax (ties broken by language code order); 'und' if no hits."""
+    toks = tokenize(col)
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in sorted(LANG_STOPWORDS):
+        hits = F.size(F.filter(toks, lambda t, l=lang: F.lower(t).isin(*LANG_STOPWORDS[l])))
+        better = hits > best_hits
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(better, hits).otherwise(best_hits)
+    return best_lang
+
+
+def fingerprint_md5(col: Column | str) -> Column:
+    """Document fingerprint: md5 of normalized text. Engine-portable
+    (identical in DuckDB/Trino/Spark), unlike murmur3 F.hash."""
+    c = F.regexp_replace(F.trim(F.lower(_c(col))), r"\s+", " ")
+    return F.md5(c)
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity of two array<numeric> columns, computed in
+    double. Builtin zip_with/aggregate — JVM-side, no UDF."""
+    ca = F.transform(_c(a), lambda x: x.cast("double"))
+    cb = F.transform(_c(b), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(ca, cb, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate(ca, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(cb, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)

@@ -1,0 +1,72 @@
+"""Aggregation-family operators (SURVEY.md §2.4 A1-A5 + same-family
+extensions: count-distinct, rollup/cube/pivot).
+
+All of these plan as partial (map-side) + final HashAggregate — the
+partial combine is what keeps the shuffle small at 100 TB. ``group_summary``
+takes aggregate Columns, so any builtin (sum/avg/min/max/stddev/
+approx_count_distinct/percentile_approx) rides the same operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def group_summary(df: DataFrame, keys: list[str], aggs: dict[str, F.Column]) -> DataFrame:
+    """A1 — grouped hash aggregate (reference: per-sector avg(close) +
+    sum(volume), transform_stocks_job.py:177-180). ``aggs`` maps output
+    name -> aggregate Column; aliasing here keeps Spark/oracle column
+    names in lockstep."""
+    return df.groupBy(*keys).agg(*[c.alias(n) for n, c in aggs.items()])
+
+
+def distinct_rows(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """A3 — exact full-row (or projected) distinct (reference:
+    dropDuplicates(), transform_news_job.py:121)."""
+    return (df.select(*subset) if subset else df).distinct()
+
+
+def dedup_by_key_any(df: DataFrame, keys: list[str]) -> DataFrame:
+    """A4, reference semantics — one row per key, arbitrary survivor
+    (reference: dropDuplicates(["link"]), transform_news_job.py:124).
+    Nondeterministic across runs/partitionings; prefer
+    :func:`dedup_by_key_first` in pipelines."""
+    return df.dropDuplicates(keys)
+
+
+def dedup_by_key_first(
+    df: DataFrame, keys: list[str], order_by: list, descending: bool = False
+) -> DataFrame:
+    """A4, deterministic variant — one row per key, survivor = first by
+    ``order_by`` (row_number()=1). ``order_by`` must be a total order
+    within each key for full determinism."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    if descending:
+        cols = [c.desc() for c in cols]
+    w = Window.partitionBy(*keys).orderBy(*cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def rollup_summary(df: DataFrame, keys: list[str], aggs: dict[str, F.Column]) -> DataFrame:
+    """Hierarchical subtotals (GROUP BY ROLLUP)."""
+    return df.rollup(*keys).agg(*[c.alias(n) for n, c in aggs.items()])
+
+
+def cube_summary(df: DataFrame, keys: list[str], aggs: dict[str, F.Column]) -> DataFrame:
+    """All grouping-set combinations (GROUP BY CUBE)."""
+    return df.cube(*keys).agg(*[c.alias(n) for n, c in aggs.items()])
+
+
+def pivot_summary(
+    df: DataFrame, keys: list[str], pivot_col: str, pivot_values: list[str], agg: F.Column
+) -> DataFrame:
+    """Pivot with explicit value list (explicit values avoid the extra
+    distinct-values job AND keep output schema static — mandatory at
+    scale)."""
+    return df.groupBy(*keys).pivot(pivot_col, pivot_values).agg(agg)

@@ -1,0 +1,121 @@
+"""Join-family operators (SURVEY.md §2.3 J1/J2 + semi/anti + as-of).
+
+Scale notes baked into each operator:
+
+- Dimension enrichment broadcasts the small side explicitly (J1's 10-row
+  dimension must never shuffle a 100 TB fact table; Catalyst would usually
+  pick broadcast on its own under autoBroadcastJoinThreshold, the hint
+  makes it deterministic).
+- The "attach group totals to every row" pattern ships in two shapes: the
+  reference's agg+back-join (J2, transform_stocks_job.py:181) and the
+  idiomatic window aggregate, which does ONE shuffle on the group key
+  instead of shuffle(agg) + shuffle(join). The window variant is the one
+  a 100 TB pipeline should use; both are exposed and oracle-tested equal.
+- As-of join (not in the reference; natural stock-vs-news alignment query)
+  is the union+window formulation: a single shuffle/sort on (key, time)
+  instead of a per-row range probe — O(n log n) distributed, no
+  nested-loop join, no driver collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def enrich_left_join(
+    fact: DataFrame, dim: DataFrame, on: str | list[str], how: str = "left"
+) -> DataFrame:
+    """J1 — enrich rows with a (small) dimension via broadcast equi-join
+    (reference: 10-row ticker/sector dim LEFT JOIN quotes,
+    extract_stocks_job.py:144)."""
+    return fact.join(F.broadcast(dim), on=on, how=how)
+
+
+def attach_group_stats(
+    df: DataFrame, keys: list[str], aggs: dict[str, F.Column]
+) -> DataFrame:
+    """J2 — per-group aggregate joined back to every row (reference:
+    transform_stocks_job.py:177-181). ``aggs`` maps output column name ->
+    aggregate Column. The agg side is tiny (one row per group) so it is
+    broadcast back onto the fact side.
+    """
+    agg_df = df.groupBy(*keys).agg(*[c.alias(n) for n, c in aggs.items()])
+    return df.join(F.broadcast(agg_df), on=keys, how="left")
+
+
+def attach_group_stats_window(
+    df: DataFrame, keys: list[str], aggs: dict[str, F.Column]
+) -> DataFrame:
+    """J2 idiomatic variant — same result as :func:`attach_group_stats`
+    with a single shuffle: ``agg OVER (PARTITION BY keys)``."""
+    w = Window.partitionBy(*keys)
+    return df.withColumns({n: c.over(w) for n, c in aggs.items()})
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: str | list[str]) -> DataFrame:
+    """EXISTS — rows of ``left`` with a match in ``right``."""
+    return left.join(right, on=on, how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: str | list[str]) -> DataFrame:
+    """NOT EXISTS — rows of ``left`` without a match in ``right``."""
+    return left.join(right, on=on, how="left_anti")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    strict: bool = False,
+) -> DataFrame:
+    """As-of join: for each left row, the most recent right row with
+    ``right_time <= left_time`` (``<`` if ``strict``) per join key.
+
+    Distributed formulation: union both sides tagged, one window sorted by
+    (key, time, side) and ``last(struct, ignoreNulls)`` carries the latest
+    right payload forward — the struct guarantees all value columns come
+    from the SAME right row. One shuffle + in-partition sort; no range
+    probe, no skew-prone theta join. Right side should be pre-deduplicated
+    per (key, time) for deterministic results.
+    """
+    lcols = left.columns
+    # side=0 sorts before side=1 at equal time for <= semantics;
+    # strict flips the tag so left rows at time t precede right rows at t.
+    right_tag, left_tag = (1, 0) if strict else (0, 1)
+    payload = F.struct(*[F.col(c) for c in value_cols]).alias("__asof_payload")
+
+    r = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_time).alias("__asof_t"),
+        F.lit(right_tag).alias("__side"),
+        payload,
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on],
+    )
+    l = left.select(
+        *[F.col(c) for c in on],
+        F.col(left_time).alias("__asof_t"),
+        F.lit(left_tag).alias("__side"),
+        F.lit(None).cast(r.schema["__asof_payload"].dataType).alias("__asof_payload"),
+        *[F.col(c) for c in lcols if c not in on],
+    )
+    combined = r.unionByName(l)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__asof_t"), F.col("__side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = combined.withColumn(
+        "__carried", F.last("__asof_payload", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("__side") == F.lit(left_tag))
+    return out.select(
+        *[F.col(c) for c in on],
+        F.col("__asof_t").alias(left_time),
+        *[F.col(c) for c in lcols if c not in on and c != left_time],
+        *[F.col(f"__carried.{c}").alias(c) for c in value_cols],
+    )

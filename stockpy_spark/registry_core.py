@@ -1,0 +1,635 @@
+"""Reference-parity query registry (SURVEY.md §2 inventory).
+
+Each entry pairs a PySpark implementation (built from the operator
+library) with the exact ANSI-SQL twin DuckDB runs as the oracle. Column
+names are aliased identically on both sides; double-typed aggregates are
+rounded (identically on both sides) so cross-engine float-summation-order
+noise cannot flip the value hash.
+
+The dict maps query name -> (spark_fn, oracle_sql_or_None). spark_fn
+signature: (spark, sf_dir) -> DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from stockpy_spark.operators import (
+    add_literal_column,
+    anti_join,
+    attach_group_stats,
+    attach_group_stats_window,
+    cast_columns,
+    cube_summary,
+    dedup_by_key_first,
+    distinct_rows,
+    drop_na_subset,
+    enrich_left_join,
+    filter_cross_column_equal,
+    filter_not_null_positive,
+    group_summary,
+    lag_delta,
+    pivot_summary,
+    rename_columns,
+    rolling_mean,
+    rollup_summary,
+    row_number_in_group,
+    running_sum,
+    select_with_conditional_cast,
+    semi_join,
+    sessionize,
+    top_k,
+    topk_per_group,
+    union_by_name,
+)
+from stockpy_spark.functions import strip_time_suffix
+from stockpy_spark.sources.testdata import read_events
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return read_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- flagship: the reference's richest query shape (transform_stocks
+# requirements A+B+C fused; transform_stocks_job.py:169-199) on events ---
+
+def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type avg/sum attached to every row (J2) + per-user lag delta
+    (W1/W2), the StockPy per-sector/per-ticker analytics re-expressed on
+    the events table."""
+    ev = _t(spark, sf_dir, "events")
+    ev = filter_not_null_positive(ev, not_null=["event_type"], positive=["value"])
+    ev = attach_group_stats(
+        ev,
+        ["event_type"],
+        {"avg_value_type": F.round(F.avg("value"), 4), "total_value_type": F.round(F.sum("value"), 2)},
+    )
+    ev = lag_delta(ev, "value", ["user_id"], ["ts", "event_id"], delta_name="value_delta")
+    return ev.select(
+        "event_id", "user_id", "event_type", "ts", "value",
+        "avg_value_type", "total_value_type", "value_delta",
+    )
+
+
+SQL_FLAGSHIP = """
+WITH base AS (
+    SELECT * FROM events WHERE event_type IS NOT NULL AND value > 0
+), stats AS (
+    SELECT event_type,
+           round(avg(value), 4) AS avg_value_type,
+           round(sum(value), 2) AS total_value_type
+    FROM base GROUP BY event_type
+)
+SELECT b.event_id, b.user_id, b.event_type, b.ts, b.value,
+       s.avg_value_type, s.total_value_type,
+       b.value - lag(b.value) OVER (PARTITION BY b.user_id ORDER BY b.ts, b.event_id)
+           AS value_delta
+FROM base b LEFT JOIN stats s USING (event_type)
+"""
+
+
+# --- projections / filters (P1-P9) ---
+
+def q_p1_conditional_cast(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = select_with_conditional_cast(
+        ev, {"value": T.DoubleType()}, keep=["event_id", "event_type"]
+    )
+    return out.withColumnRenamed("value", "value_clean")
+
+
+SQL_P1 = """
+SELECT event_id, event_type,
+       CASE WHEN value IS NOT NULL AND NOT isnan(value)
+            THEN CAST(value AS DOUBLE) END AS value_clean
+FROM events
+"""
+
+
+def q_p2_rename_literal(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    out = rename_columns(li, {"l_orderkey": "order_id", "l_linenumber": "line_no", "l_quantity": "qty"})
+    return add_literal_column(out, "dataproc", "20260813")
+
+
+SQL_P2 = """
+SELECT l_orderkey AS order_id, l_linenumber AS line_no, l_quantity AS qty,
+       '20260813' AS dataproc
+FROM lineitem
+"""
+
+
+def q_p6_filter_range(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    out = filter_not_null_positive(
+        li, not_null=["l_returnflag"], positive=["l_quantity"]
+    ).filter(F.col("l_extendedprice") > 30000)
+    return out.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+SQL_P6 = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_returnflag IS NOT NULL AND l_quantity > 0 AND l_extendedprice > 30000
+"""
+
+
+def q_p7_cross_column_equal(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    out = filter_cross_column_equal(li, "l_tax", "l_discount")
+    return out.select("l_orderkey", "l_linenumber", "l_tax", "l_discount")
+
+
+SQL_P7 = """
+SELECT l_orderkey, l_linenumber, l_tax, l_discount
+FROM lineitem
+WHERE l_tax IS NOT NULL AND l_discount IS NOT NULL AND l_tax = l_discount
+"""
+
+
+def q_p8_p9_dropna_cast(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = drop_na_subset(ev, ["props", "event_type"])
+    out = cast_columns(out, {"user_id": T.LongType(), "value": T.DoubleType()})
+    return out.select("event_id", "user_id", "event_type", "value", "props")
+
+
+SQL_P8 = """
+SELECT event_id, CAST(user_id AS BIGINT) AS user_id, event_type,
+       CAST(value AS DOUBLE) AS value, props
+FROM events
+WHERE props IS NOT NULL AND event_type IS NOT NULL
+"""
+
+
+# --- joins (J1/J2 + semi/anti/inner) ---
+
+def q_j1_broadcast_enrich(spark, sf_dir):
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").withColumnRenamed("r_name", "region_name")
+    out = enrich_left_join(
+        nation, region, on=nation["n_regionkey"] == region["r_regionkey"]
+    )
+    return out.select("n_nationkey", "n_name", "region_name")
+
+
+SQL_J1 = """
+SELECT n_nationkey, n_name, r.r_name AS region_name
+FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+"""
+
+
+def q_j2_agg_backjoin(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    out = attach_group_stats(
+        cust,
+        ["c_mktsegment"],
+        {"seg_avg_bal": F.round(F.avg("c_acctbal"), 4), "seg_count": F.count(F.lit(1))},
+    )
+    return out.select("c_custkey", "c_mktsegment", "seg_avg_bal", "seg_count")
+
+
+SQL_J2 = """
+WITH stats AS (
+    SELECT c_mktsegment, round(avg(c_acctbal), 4) AS seg_avg_bal,
+           count(*) AS seg_count
+    FROM customer GROUP BY c_mktsegment
+)
+SELECT c.c_custkey, c.c_mktsegment, s.seg_avg_bal, s.seg_count
+FROM customer c LEFT JOIN stats s USING (c_mktsegment)
+"""
+
+
+def q_j2w_window_stats(spark, sf_dir):
+    sup = _t(spark, sf_dir, "supplier")
+    out = attach_group_stats_window(
+        sup,
+        ["s_nationkey"],
+        {"nation_avg_bal": F.avg("s_acctbal"), "nation_max_bal": F.max("s_acctbal")},
+    )
+    return out.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.round("nation_avg_bal", 4).alias("nation_avg_bal"),
+        "nation_max_bal",
+    )
+
+
+SQL_J2W = """
+SELECT s_suppkey, s_nationkey,
+       round(avg(s_acctbal) OVER (PARTITION BY s_nationkey), 4) AS nation_avg_bal,
+       max(s_acctbal) OVER (PARTITION BY s_nationkey) AS nation_max_bal
+FROM supplier
+"""
+
+
+def q_j3_inner_join_agg(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    joined = orders.join(cust, orders["o_custkey"] == cust["c_custkey"], "inner")
+    return group_summary(
+        joined,
+        ["c_mktsegment"],
+        {"n_orders": F.count(F.lit(1)), "revenue": F.round(F.sum("o_totalprice"), 2)},
+    )
+
+
+SQL_J3 = """
+SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_j4_semi_join(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    return semi_join(cust, orders.select("c_custkey"), "c_custkey").select(
+        "c_custkey", "c_name"
+    )
+
+
+SQL_J4 = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_j5_anti_join(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    return anti_join(cust, orders.select("c_custkey"), "c_custkey").select(
+        "c_custkey", "c_name"
+    )
+
+
+SQL_J5 = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+# --- aggregations (A1-A7 + rollup/cube/pivot) ---
+
+def q_a1_group_agg(spark, sf_dir):
+    """TPC-H Q1 shape — the canonical grouped hash aggregate."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return group_summary(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": F.round(F.sum("l_quantity"), 2),
+            "sum_base_price": F.round(F.sum("l_extendedprice"), 2),
+            "sum_disc_price": F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ),
+            "avg_qty": F.round(F.avg("l_quantity"), 4),
+            "avg_price": F.round(F.avg("l_extendedprice"), 4),
+            "avg_disc": F.round(F.avg("l_discount"), 6),
+            "count_order": F.count(F.lit(1)),
+        },
+    )
+
+
+SQL_A1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_a2_count_star(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_A2 = "SELECT count(*) AS n FROM lineitem"
+
+
+def q_a3_distinct(spark, sf_dir):
+    return distinct_rows(
+        _t(spark, sf_dir, "lineitem"), ["l_returnflag", "l_linestatus"]
+    )
+
+
+SQL_A3 = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+def q_a4_dedup_first(spark, sf_dir):
+    """Deterministic keyed dedup: latest order per customer (reference A4
+    semantics made deterministic via row_number, SURVEY.md §2.4)."""
+    orders = _t(spark, sf_dir, "orders")
+    out = dedup_by_key_first(
+        orders, ["o_custkey"], ["o_orderdate", "o_orderkey"], descending=True
+    )
+    return out.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+
+
+SQL_A4 = """
+SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+FROM orders
+QUALIFY row_number() OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+) = 1
+"""
+
+
+def q_a6_count_distinct(spark, sf_dir):
+    return group_summary(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderpriority"],
+        {"n_customers": F.countDistinct("o_custkey"), "n_orders": F.count(F.lit(1))},
+    )
+
+
+SQL_A6 = """
+SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers,
+       count(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_a7_minmax_stddev(spark, sf_dir):
+    return group_summary(
+        _t(spark, sf_dir, "customer"),
+        ["c_mktsegment"],
+        {
+            "min_bal": F.min("c_acctbal"),
+            "max_bal": F.max("c_acctbal"),
+            "stddev_bal": F.round(F.stddev_samp("c_acctbal"), 4),
+        },
+    )
+
+
+SQL_A7 = """
+SELECT c_mktsegment, min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
+       round(stddev_samp(c_acctbal), 4) AS stddev_bal
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+def q_a8_rollup(spark, sf_dir):
+    return rollup_summary(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderstatus", "o_orderpriority"],
+        {"n": F.count(F.lit(1)), "total": F.round(F.sum("o_totalprice"), 2)},
+    )
+
+
+SQL_A8 = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_a9_cube(spark, sf_dir):
+    return cube_summary(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_returnflag", "l_linestatus"],
+        {"n": F.count(F.lit(1)), "sum_qty": F.round(F.sum("l_quantity"), 2)},
+    )
+
+
+SQL_A9 = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_a10_pivot(spark, sf_dir):
+    out = pivot_summary(
+        _t(spark, sf_dir, "lineitem"),
+        ["l_returnflag"],
+        "l_linestatus",
+        ["O", "F"],
+        F.round(F.sum("l_quantity"), 2),
+    )
+    return out
+
+
+SQL_A10 = """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O",
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F"
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- windows (W1-W5) ---
+
+def q_w1_lag_delta(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = lag_delta(ev, "value", ["user_id"], ["ts", "event_id"], delta_name="value_delta")
+    return out.select("event_id", "user_id", "ts", "value", "value_delta")
+
+
+SQL_W1 = """
+SELECT event_id, user_id, ts, value,
+       value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS value_delta
+FROM events
+"""
+
+
+def q_w2_rolling_mean(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = rolling_mean(ev, "value", ["user_id"], ["ts", "event_id"], 7, "rolling_avg")
+    return out.select(
+        "event_id", "user_id", "ts", F.round("rolling_avg", 4).alias("rolling_avg")
+    )
+
+
+SQL_W2 = """
+SELECT event_id, user_id, ts,
+       round(avg(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS rolling_avg
+FROM events
+"""
+
+
+def q_w3_topk_per_group(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    out = topk_per_group(
+        orders,
+        ["o_orderpriority"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        3,
+    )
+    return out.select("o_orderpriority", "o_orderkey", "o_totalprice")
+
+
+SQL_W3 = """
+SELECT o_orderpriority, o_orderkey, o_totalprice
+FROM orders
+QUALIFY row_number() OVER (
+    PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey
+) <= 3
+"""
+
+
+def q_w4_running_sum(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    out = running_sum(
+        li, "l_quantity", ["l_suppkey"], ["l_shipdate", "l_orderkey", "l_linenumber"],
+        "cum_qty",
+    )
+    return out.select("l_suppkey", "l_orderkey", "l_linenumber", "cum_qty")
+
+
+SQL_W4 = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       sum(l_quantity) OVER (
+           PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+           ROWS UNBOUNDED PRECEDING) AS cum_qty
+FROM lineitem
+"""
+
+
+def q_w5_sessionize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = sessionize(
+        ev, ["user_id"], "ts", 1800, "session_id", order_by=["ts", "event_id"]
+    )
+    return out.select("event_id", "user_id", "ts", "session_id")
+
+
+SQL_W5 = """
+WITH g AS (
+    SELECT event_id, user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR CAST(floor(epoch(ts)) AS BIGINT)
+                        - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id, ts,
+       sum(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING) AS session_id
+FROM g
+"""
+
+
+# --- sort / limit / set ops / scalar functions ---
+
+def q_o1_topk(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    out = top_k(orders, ["o_totalprice", "o_orderkey"], 10, descending=True)
+    return out.select("o_orderkey", "o_totalprice", "o_orderpriority")
+
+
+SQL_O1 = """
+SELECT o_orderkey, o_totalprice, o_orderpriority
+FROM orders ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 10
+"""
+
+
+def q_set1_union_by_name(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.lit("customer").alias("side"),
+    )
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("id"),
+        F.col("s_name").alias("name"),
+        F.lit("supplier").alias("side"),
+    )
+    return union_by_name(cust, sup)
+
+
+SQL_SET1 = """
+SELECT c_custkey AS id, c_name AS name, 'customer' AS side FROM customer
+UNION ALL
+SELECT s_suppkey AS id, s_name AS name, 'supplier' AS side FROM supplier
+"""
+
+
+def q_f1_regexp_date_json(spark, sf_dir):
+    """F1/F2 news-style normalization: format, strip time suffix, to_date;
+    plus JSON field extraction (reference regexp/date family,
+    transform_news_job.py:104-110)."""
+    ev = _t(spark, sf_dir, "events")
+    iso = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss")
+    day = strip_time_suffix(iso)
+    return ev.select(
+        "event_id",
+        F.to_date(day, "yyyy-MM-dd").alias("event_date"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+    )
+
+
+SQL_F1 = """
+SELECT event_id,
+       CAST(regexp_replace(strftime(ts, '%Y-%m-%dT%H:%M:%S'), 'T.*', '') AS DATE)
+           AS event_date,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int
+FROM events
+"""
+
+
+def q_f7_string_funcs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.upper("lang").alias("lang_upper"),
+        F.lower(F.trim("source")).alias("source_norm"),
+        F.length("text").alias("text_len"),
+        F.substring("text", 1, 10).alias("text_head"),
+    )
+
+
+SQL_F7 = """
+SELECT doc_id, upper(lang) AS lang_upper, lower(trim(source)) AS source_norm,
+       length(text) AS text_len, substr(text, 1, 10) AS text_head
+FROM documents
+"""
+
+
+CORE_QUERIES: dict[str, tuple] = {
+    "flagship_event_enrichment": (q_flagship, SQL_FLAGSHIP),
+    "p1_conditional_cast": (q_p1_conditional_cast, SQL_P1),
+    "p2_rename_literal": (q_p2_rename_literal, SQL_P2),
+    "p6_filter_range": (q_p6_filter_range, SQL_P6),
+    "p7_cross_column_equal": (q_p7_cross_column_equal, SQL_P7),
+    "p8_p9_dropna_cast": (q_p8_p9_dropna_cast, SQL_P8),
+    "j1_broadcast_enrich": (q_j1_broadcast_enrich, SQL_J1),
+    "j2_agg_backjoin": (q_j2_agg_backjoin, SQL_J2),
+    "j2w_window_stats": (q_j2w_window_stats, SQL_J2W),
+    "j3_inner_join_agg": (q_j3_inner_join_agg, SQL_J3),
+    "j4_semi_join": (q_j4_semi_join, SQL_J4),
+    "j5_anti_join": (q_j5_anti_join, SQL_J5),
+    "a1_group_agg": (q_a1_group_agg, SQL_A1),
+    "a2_count_star": (q_a2_count_star, SQL_A2),
+    "a3_distinct": (q_a3_distinct, SQL_A3),
+    "a4_dedup_first": (q_a4_dedup_first, SQL_A4),
+    "a6_count_distinct": (q_a6_count_distinct, SQL_A6),
+    "a7_minmax_stddev": (q_a7_minmax_stddev, SQL_A7),
+    "a8_rollup": (q_a8_rollup, SQL_A8),
+    "a9_cube": (q_a9_cube, SQL_A9),
+    "a10_pivot": (q_a10_pivot, SQL_A10),
+    "w1_lag_delta": (q_w1_lag_delta, SQL_W1),
+    "w2_rolling_mean": (q_w2_rolling_mean, SQL_W2),
+    "w3_topk_per_group": (q_w3_topk_per_group, SQL_W3),
+    "w4_running_sum": (q_w4_running_sum, SQL_W4),
+    "w5_sessionize": (q_w5_sessionize, SQL_W5),
+    "o1_topk": (q_o1_topk, SQL_O1),
+    "set1_union_by_name": (q_set1_union_by_name, SQL_SET1),
+    "f1_regexp_date_json": (q_f1_regexp_date_json, SQL_F1),
+    "f7_string_funcs": (q_f7_string_funcs, SQL_F7),
+}

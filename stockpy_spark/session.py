@@ -1,0 +1,68 @@
+"""SparkSession builder with scale-conscious defaults.
+
+The reference (scripts/extract_stocks_job.py:24-30 in /root/reference)
+takes whatever Spark conf AWS Glue hands it. We instead pin the handful of
+settings that matter both for local correctness testing and for a real
+multi-executor cluster:
+
+- AQE on (runtime coalescing of shuffle partitions + skew-join splitting)
+  so the same plan survives a 100x scale-up without re-tuning.
+- ``spark.sql.shuffle.partitions`` sized to the local core count for tests;
+  on a cluster AQE's coalescing makes the static number mostly moot.
+- Session timezone pinned to UTC — Spark timestamps are session-tz-relative
+  while parquet/DuckDB store UTC-naive micros; pinning makes results
+  byte-comparable against the DuckDB oracle and reproducible across hosts.
+- Arrow enabled for every pandas boundary (createDataFrame, toPandas,
+  pandas UDFs).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def spark_conf_defaults(cpus: int | None = None) -> dict[str, str]:
+    """Engine-default Spark conf as a plain dict (testable, composable)."""
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    return {
+        "spark.sql.shuffle.partitions": str(cpus),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.parquet.filterPushdown": "true",
+        # Idempotent partition-level reruns (fixes the reference's
+        # append-duplication bug, extract_stocks_job.py:375-393).
+        "spark.sql.sources.partitionOverwriteMode": "dynamic",
+        "spark.ui.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    }
+
+
+def get_spark(
+    app_name: str = "stockpy_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a real
+    cluster pass ``None`` after setting --master via spark-submit, or pass
+    an explicit master URL.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = spark_conf_defaults()
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,47 @@
+"""Scan operators (SURVEY.md §2.1 S1/S2 + partition-predicate reads).
+
+The reference prunes partitions by string-formatting the S3 path
+(transform_stocks_job.py:32 reads ``.../dataproc={PROCESS_DATE}/``). We
+instead read the table root and filter on the partition column so
+Catalyst's partition pruning (and dynamic partition pruning for joins)
+does the work — the same query then works across N partitions and the
+pruning shows up in the physical plan as ``PartitionFilters``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_parquet(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """S1 — parquet scan. Pass an explicit schema in pipelines (never
+    rely on inference in the engine core; reference cite
+    transform_stocks_job.py:107-119)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """S2 — catalog scan (reference: DynamicFrame catalog read,
+    transform_news_job.py:320-323; plain ``spark.table`` here)."""
+    return spark.table(table)
+
+
+def read_partition(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    partition_value: str,
+    schema: StructType | None = None,
+) -> DataFrame:
+    """Partition-pruned scan: predicate on the partition column instead of
+    path math, so Catalyst prunes at planning time (SURVEY.md §4.1)."""
+    return read_parquet(spark, path, schema).where(
+        F.col(partition_col) == F.lit(partition_value)
+    )

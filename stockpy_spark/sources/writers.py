@@ -1,0 +1,74 @@
+"""Sink operators (SURVEY.md §2.1 S6/S7 + small-file compaction).
+
+The reference appends snappy parquet partitioned by process date
+(extract_stocks_job.py:386-393) and merely *logs* that it should have
+replaced existing partitions (:375-384) — a rerun duplicates data. We fix
+that with dynamic partition overwrite: ``mode("overwrite")`` +
+``partitionOverwriteMode=dynamic`` replaces exactly the partitions present
+in the incoming frame, leaving the rest of the table intact. Idempotent
+reruns for free.
+
+At 100 TB the other sink killer is small files: a daily job writing one
+tiny file per (date, sector) partition produces millions of files a year.
+``compact_to_target_files`` repartitions to a target file count before the
+write; with AQE on, ``spark.sql.adaptive.coalescePartitions`` already
+merges post-shuffle partitions toward ``advisoryPartitionSizeInBytes``.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "append",
+    compression: str = "snappy",
+) -> None:
+    """S6 — Hive-partitioned parquet sink (reference semantics: append)."""
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_parquet_overwrite_partitions(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    compression: str = "snappy",
+) -> None:
+    """Idempotent partition-level replace (dynamic partition overwrite).
+
+    Requires ``spark.sql.sources.partitionOverwriteMode=dynamic`` (set by
+    :func:`stockpy_spark.session.get_spark`). Only the partitions present
+    in ``df`` are replaced; reruns of the same process date do not
+    duplicate rows (fixes reference bug at extract_stocks_job.py:375-393).
+    """
+    (
+        df.write.mode("overwrite")
+        .option("compression", compression)
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
+def compact_to_target_files(
+    df: DataFrame, target_file_bytes: int = 128 * 1024 * 1024, approx_row_bytes: int = 100
+) -> DataFrame:
+    """Repartition so output files land near ``target_file_bytes``.
+
+    Cheap heuristic (rows x approx bytes/row); callers with real size
+    stats should compute ``n`` themselves and call ``coalesce``. A
+    ``count()`` here is one extra job — acceptable in batch sinks, and at
+    scale the alternative (millions of KB-sized files) is far worse.
+    """
+    n_rows = df.count()
+    n_files = max(1, math.ceil(n_rows * approx_row_bytes / target_file_bytes))
+    if n_files < df.rdd.getNumPartitions():
+        return df.coalesce(n_files)
+    return df

@@ -1,0 +1,129 @@
+"""Unit tests for joins / aggregations / windows, incl. plan-shape checks
+(broadcast join chosen, top-k plans TakeOrderedAndProject)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stockpy_spark.operators import (
+    anti_join,
+    asof_join,
+    attach_group_stats,
+    attach_group_stats_window,
+    dedup_by_key_first,
+    enrich_left_join,
+    group_summary,
+    lag_delta,
+    semi_join,
+    sessionize,
+    top_k,
+    topk_per_group,
+    union_by_name,
+)
+
+
+def _quotes(spark):
+    return spark.createDataFrame(
+        [
+            ("ITUB4", "Banks", "2024-01-01", 10.0),
+            ("ITUB4", "Banks", "2024-01-02", 12.0),
+            ("ITUB4", "Banks", "2024-01-03", 11.0),
+            ("ELET3", "Energy", "2024-01-01", 40.0),
+        ],
+        "ticker string, sector string, date string, close double",
+    )
+
+
+def test_enrich_left_join_broadcasts(spark):
+    fact = _quotes(spark)
+    dim = spark.createDataFrame(
+        [("ITUB4", "Itau"), ("MISS", "Missing")], "ticker string, company string"
+    )
+    out = enrich_left_join(dim, fact, on="ticker")  # dim LEFT JOIN fact, J1 shape
+    assert out.count() == 4  # 3 ITUB4 rows + MISS with null quote
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_attach_group_stats_join_and_window_agree(spark):
+    df = _quotes(spark)
+    aggs = {"avg_close": F.avg("close"), "n": F.count(F.lit(1))}
+    a = attach_group_stats(df, ["sector"], aggs).select("ticker", "date", "avg_close", "n")
+    b = attach_group_stats_window(df, ["sector"], aggs).select("ticker", "date", "avg_close", "n")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_semi_anti_partition(spark):
+    left = spark.createDataFrame([(1,), (2,), (3,)], "k int")
+    right = spark.createDataFrame([(2,), (3,), (3,)], "k int")
+    assert semi_join(left, right, "k").count() == 2
+    assert anti_join(left, right, "k").count() == 1
+
+
+def test_group_summary_and_dedup(spark):
+    df = _quotes(spark)
+    g = group_summary(df, ["sector"], {"avg_close": F.avg("close"), "n": F.count(F.lit(1))})
+    banks = {r.sector: r for r in g.collect()}["Banks"]
+    assert banks.n == 3 and abs(banks.avg_close - 11.0) < 1e-9
+
+    d = dedup_by_key_first(df, ["ticker"], ["date"], descending=True)
+    rows = {r.ticker: r.date for r in d.collect()}
+    assert rows["ITUB4"] == "2024-01-03"  # deterministic latest-wins
+
+
+def test_lag_delta_first_row_null(spark):
+    out = lag_delta(_quotes(spark), "close", ["ticker"], ["date"], delta_name="chg")
+    rows = {(r.ticker, r.date): r.chg for r in out.collect()}
+    assert rows[("ITUB4", "2024-01-01")] is None  # W1 first-row NULL
+    assert rows[("ITUB4", "2024-01-02")] == 2.0
+    assert rows[("ELET3", "2024-01-01")] is None  # single-row ticker
+
+
+def test_topk_per_group_and_global(spark):
+    df = _quotes(spark)
+    t = topk_per_group(df, ["ticker"], [F.col("close").desc(), F.col("date")], 1)
+    assert {(r.ticker, r.close) for r in t.collect()} == {("ITUB4", 12.0), ("ELET3", 40.0)}
+
+    g = top_k(df, ["close", "date"], 2, descending=True)
+    assert [r.close for r in g.collect()] == [40.0, 12.0]
+    assert "TakeOrderedAndProject" in g._jdf.queryExecution().executedPlan().toString()
+
+
+def test_union_by_name_missing_cols(spark):
+    a = spark.createDataFrame([(1, "x")], "id int, name string")
+    b = spark.createDataFrame([(2,)], "id int")
+    out = union_by_name(a, b)
+    assert out.count() == 2
+    assert {r.name for r in out.collect()} == {"x", None}
+
+
+def test_sessionize_gap(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 1, "2024-01-01 00:00:00"),
+            (2, 1, "2024-01-01 00:10:00"),
+            (3, 1, "2024-01-01 02:00:00"),
+            (4, 2, "2024-01-01 00:00:00"),
+        ],
+        "event_id int, user_id int, ts_s string",
+    ).withColumn("ts", F.to_timestamp("ts_s"))
+    out = sessionize(df, ["user_id"], "ts", 1800, order_by=["ts", "event_id"])
+    sessions = {r.event_id: r.session_id for r in out.collect()}
+    assert sessions == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_asof_join(spark):
+    trades = spark.createDataFrame(
+        [("A", 10, "t1"), ("A", 25, "t2"), ("B", 5, "t3")],
+        "sym string, t int, trade_id string",
+    )
+    quotes = spark.createDataFrame(
+        [("A", 5, 100.0), ("A", 20, 101.0), ("A", 25, 102.0), ("B", 50, 99.0)],
+        "sym string, t int, px double",
+    )
+    out = asof_join(trades, quotes, ["sym"], "t", "t", ["px"])
+    rows = {r.trade_id: r.px for r in out.collect()}
+    assert rows == {"t1": 100.0, "t2": 102.0, "t3": None}  # <= semantics
+
+    strict = asof_join(trades, quotes, ["sym"], "t", "t", ["px"], strict=True)
+    rows = {r.trade_id: r.px for r in strict.collect()}
+    assert rows == {"t1": 100.0, "t2": 101.0, "t3": None}  # < semantics
