@@ -108,8 +108,14 @@ def language_id(col: Column | str) -> Column:
     toks = tokenize(col)
     best_lang = F.lit("und")
     best_hits = F.lit(0)
+
+    def _hit_filter(words: tuple[str, ...]):
+        # factory closure — a default-arg lambda would look like a
+        # two-arg (value, index) lambda to pyspark's HOF binder
+        return lambda t: F.lower(t).isin(*words)
+
     for lang in sorted(LANG_STOPWORDS):
-        hits = F.size(F.filter(toks, lambda t, l=lang: F.lower(t).isin(*LANG_STOPWORDS[l])))
+        hits = F.size(F.filter(toks, _hit_filter(LANG_STOPWORDS[lang])))
         better = hits > best_hits
         best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
         best_hits = F.when(better, hits).otherwise(best_hits)

@@ -1,0 +1,272 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Four tiers, all distributed, none driver-side:
+
+1. Exact: hash-groupBy on a normalized-text fingerprint (md5 — engine
+   portable, unlike murmur3 F.hash).
+2. Word-set Jaccard: exact pairwise similarity via token inverted index
+   (explode distinct tokens -> self-join on token -> count intersections).
+   O(sum over tokens of df(token)^2) pairs — correct but quadratic in
+   document frequency; use as the *verify* stage after LSH candidates at
+   scale, not as the discovery stage.
+3. MinHash + LSH banding: the 100 TB discovery path. Deterministic
+   md5-based minhash (portable across engines so the DuckDB oracle can
+   replicate it bit-for-bit), banded into buckets; only same-bucket pairs
+   are candidates. Shuffle cost ~ H x tokens, candidate count bounded by
+   band collisions instead of n^2.
+4. SimHash: 32-bit fingerprints + hamming-distance pairs (bit_count of
+   xor). Cheapest per-doc state of the lot.
+
+All outputs are deterministic (min-doc-id keeper, d1<d2 pair ordering).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stockpy_spark.functions.text import fingerprint_md5, tokenize
+
+
+def exact_dedup_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-fingerprint dup stats: fingerprint, surviving (min) id, count."""
+    return (
+        df.select(F.col(id_col), fingerprint_md5(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Drop exact (normalized) duplicates, keeping the lowest id per
+    fingerprint. Window-free formulation: min-id per fingerprint is an
+    aggregate, then a semi-join keeps the winners — two map-side-combined
+    shuffles on fp, no full row_number sort."""
+    with_fp = df.withColumn("__fp", fingerprint_md5(text_col))
+    keepers = with_fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return with_fp.join(keepers, ["__fp", id_col], "left_semi").drop("__fp")
+
+
+def _distinct_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Case-normalized distinct token set per document ('The' and 'the'
+    are the same evidence for near-dup purposes)."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(tokenize(F.lower(F.col(text_col))))).alias("tok"),
+    )
+
+
+def word_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact pairwise Jaccard over distinct word sets via inverted index.
+
+    Returns (d1, d2, jaccard) with d1 < d2 and jaccard >= threshold,
+    jaccard rounded to 6 decimals. The token self-join explodes on hot
+    tokens (stopwords everywhere -> df(token)=n -> n^2 rows); at scale
+    run this only on LSH candidates (see minhash_lsh_pairs) or drop
+    top-df tokens first.
+    """
+    toks = _distinct_tokens(df, text_col, id_col)
+    sizes = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("d1"), F.col("sz").alias("sz1"))
+    sb = sizes.select(F.col("doc").alias("d2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(F.broadcast(sa), "d1")
+        .join(F.broadcast(sb), "d2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 12
+) -> DataFrame:
+    """(doc, h, mh): md5-based minhash per (document, hash index).
+
+    mh = min over distinct tokens of md5('<h>|' || token). md5 instead of
+    murmur3 keeps the signature engine-portable (the DuckDB oracle
+    reproduces it exactly); at 100 TB swap in xxhash64 for speed — the
+    LSH structure is unchanged.
+    """
+    toks = _distinct_tokens(df, text_col, id_col)
+    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
+    exploded = toks.select("doc", "tok", F.explode(seeds).alias("h"))
+    return exploded.groupBy("doc", "h").agg(
+        F.min(F.md5(F.concat(F.col("h").cast("string"), F.lit("|"), F.col("tok")))).alias("mh")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 12,
+    bands: int = 6,
+) -> DataFrame:
+    """Candidate near-dup pairs via MinHash + LSH banding, with the
+    minhash-estimated Jaccard attached.
+
+    Pipeline: minhash signatures -> band signature per (doc, band) =
+    md5 of the band's ordered minhashes -> bucket-join docs sharing a
+    band signature -> distinct candidate pairs -> estimated jaccard =
+    fraction of the full signature agreeing.
+
+    Scale behavior: every stage is a hash shuffle on bounded keys; no
+    n^2 anywhere. Skewed buckets (boilerplate docs) are the one hazard —
+    AQE skew-join handles moderate skew; severe boilerplate should be
+    exact-deduped (cheap) before LSH.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes)
+    # order-stable band signature: zero-padded h prefix makes the
+    # lexicographic sort equal the numeric h order
+    tagged = sig.select(
+        "doc",
+        F.floor(F.col("h") / rows).cast("int").alias("band"),
+        F.concat(F.lpad(F.col("h").cast("string"), 4, "0"), F.lit(":"), F.col("mh")).alias("hmh"),
+    )
+    band_sigs = tagged.groupBy("doc", "band").agg(
+        F.md5(F.concat_ws(",", F.array_sort(F.collect_list("hmh")))).alias("bsig")
+    )
+    a, b = band_sigs.alias("a"), band_sigs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+        .distinct()
+    )
+    # estimated jaccard via per-doc signature ARRAYS: one row per doc,
+    # one zip_with per candidate pair — instead of re-joining H minhash
+    # rows per pair side (H x pairs rows through the shuffle)
+    sig_arr = sig.groupBy("doc").agg(
+        F.array_sort(F.collect_list(F.struct("h", "mh"))).alias("sig")
+    )
+    s1 = sig_arr.select(F.col("doc").alias("d1"), F.col("sig").alias("sig1"))
+    s2 = sig_arr.select(F.col("doc").alias("d2"), F.col("sig").alias("sig2"))
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("sig1"),
+            F.col("sig2"),
+            lambda a, b: F.when(a["mh"] == b["mh"], 1.0).otherwise(0.0),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # signature table is ~num_docs rows x ~50B/hash — broadcastable far
+    # beyond any realistic LSH corpus partition; the candidate-pair side
+    # is the big one and never reshuffles
+    return (
+        cand.join(F.broadcast(s1), "d1")
+        .join(F.broadcast(s2), "d2")
+        .select(
+            "d1", "d2", F.round(agree / F.lit(float(num_hashes)), 6).alias("est_jaccard")
+        )
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 32
+) -> DataFrame:
+    """(id, simhash): 32-bit SimHash over distinct tokens.
+
+    Token hash = first 8 hex chars of md5 (portable); fingerprint bit b
+    is the sign of sum over tokens of (+1 if token-hash bit b else -1).
+    """
+    toks = _distinct_tokens(df, text_col, id_col)
+    th = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    toks = toks.withColumn("th", th)
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy("doc").agg(*bit_sums)
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return agg.select(F.col("doc").alias(id_col), fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+
+    Blocked self-join: docs are bucketed by each of 4 simhash bytes; a
+    pair within hamming<=3 of a 32-bit hash must agree on >=1 of the 4
+    bytes (pigeonhole), so the join only compares same-byte-block pairs
+    instead of n^2.
+    """
+    fps = simhash_fingerprints(df, text_col, id_col)
+    blocks = fps.select(
+        F.col(id_col).alias("doc"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright(F.col("simhash"), i * 8).bitwiseAND(F.lit(255)).alias("bv"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("kb"),
+    ).select("doc", "simhash", F.col("kb.blk").alias("blk"), F.col("kb.bv").alias("bv"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("d1"),
+            F.col("b.doc").alias("d2"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame, vec_col: str, id_col: str, threshold: float
+) -> DataFrame:
+    """Embedding near-dup: pairs with cosine >= threshold (d1 < d2).
+
+    Brute-force O(n^2/2) pair scan — exact, fine to ~10^5 vectors per
+    executor-broadcast block. The scale path is LSH bucketing first
+    (similarity.ann_lsh_topk's hyperplane signatures) then this check
+    within buckets.
+    """
+    from stockpy_spark.functions.text import cosine_similarity
+
+    a = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("v1"))
+    b = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("v2"))
+    return (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .withColumn("cosine", F.round(cosine_similarity(F.col("v1"), F.col("v2")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+    )

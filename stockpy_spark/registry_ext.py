@@ -1,0 +1,376 @@
+"""Extension query registry: LLM-data-pipeline operators (dedup,
+similarity search, text analysis, multimodal, as-of join).
+
+Same contract as registry_core: name -> (spark_fn, oracle_sql_or_None).
+Oracle SQL replicates each operator's semantics exactly in DuckDB —
+including the md5-based minhash, so even LSH candidate generation is
+hash-checked. Rows-only entries (sql=None): simhash pairs (hex->int
+conversion isn't portable SQL), ANN-LSH (approximate by design), and
+approx_count_distinct (HLL sketches differ across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stockpy_spark.functions.text import (
+    ENGLISH_STOPWORDS,
+    LANG_STOPWORDS,
+    fingerprint_md5,
+    language_id,
+    quality_features,
+    quality_score,
+    token_count,
+)
+from stockpy_spark.operators.dedup import (
+    embedding_cosine_pairs,
+    exact_dedup,
+    exact_dedup_stats,
+    minhash_lsh_pairs,
+    simhash_pairs,
+    word_jaccard_pairs,
+)
+from stockpy_spark.operators.joins import asof_join
+from stockpy_spark.operators.aggregate import dedup_by_key_first
+from stockpy_spark.operators.multimodal import attach_binary_payload, extract_features
+from stockpy_spark.operators.similarity import ann_lsh_topk, brute_force_topk
+from stockpy_spark.sources.testdata import read_events
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return read_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS) + "]"
+_TOKENS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
+_TOKENS_LOWER_SQL = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+
+# --- text analysis ---
+
+def q_text_token_count(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", token_count("text").alias("n_tokens"))
+
+
+SQL_TOKEN_COUNT = f"""
+SELECT doc_id,
+       CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+            ELSE len({_TOKENS_SQL}) END AS n_tokens
+FROM documents
+"""
+
+
+def q_text_quality_score(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    f = quality_features("text")
+    return docs.select(
+        "doc_id",
+        f["n_tokens"].alias("n_tokens"),
+        F.round(f["stopword_ratio"], 6).alias("stopword_ratio"),
+        F.round(f["punct_ratio"], 6).alias("punct_ratio"),
+        quality_score("text").alias("quality"),
+    )
+
+
+SQL_QUALITY = f"""
+WITH f AS (
+    SELECT doc_id,
+           length(coalesce(text, '')) AS n_chars,
+           CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                ELSE len({_TOKENS_SQL}) END AS n_tokens,
+           CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                ELSE len(list_filter({_TOKENS_SQL},
+                         x -> list_contains({_STOP_SQL}, lower(x)))) END AS stop_hits,
+           length(coalesce(text, ''))
+               - length(regexp_replace(coalesce(text, ''), '[^\\w\\s]', '', 'g'))
+               AS punct_chars
+    FROM documents
+), r AS (
+    SELECT doc_id, n_tokens,
+           stop_hits / CAST(greatest(n_tokens, 1) AS DOUBLE) AS stop_ratio,
+           punct_chars / CAST(greatest(n_chars, 1) AS DOUBLE) AS p_ratio
+    FROM f
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(stop_ratio, 6) AS stopword_ratio,
+       round(p_ratio, 6) AS punct_ratio,
+       round(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+             + least(stop_ratio * 5.0, 1.0) * 0.3
+             + greatest(1.0 - p_ratio * 4.0, 0.0) * 0.3, 6) AS quality
+FROM r
+"""
+
+
+def q_text_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", language_id("text").alias("lang_guess"))
+
+
+def _lang_id_sql() -> str:
+    hit_cols = []
+    for lang in sorted(LANG_STOPWORDS):
+        words = "[" + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang]) + "]"
+        hit_cols.append(
+            f"CASE WHEN text IS NULL OR trim(text) = '' THEN 0 "
+            f"ELSE len(list_filter({_TOKENS_SQL}, x -> list_contains({words}, lower(x)))) "
+            f"END AS hits_{lang}"
+        )
+    # fold in sorted-lang order, strictly-greater wins (mirrors language_id)
+    sql = f"WITH h AS (SELECT doc_id, lang, {', '.join(hit_cols)} FROM documents)"
+    prev = "h"
+    langs = sorted(LANG_STOPWORDS)
+    for i, lang in enumerate(langs):
+        best_prev = "'und'" if i == 0 else f"best_{i - 1}"
+        bh_prev = "0" if i == 0 else f"bh_{i - 1}"
+        sql += (
+            f", s{i} AS (SELECT *, "
+            f"CASE WHEN hits_{lang} > {bh_prev} THEN '{lang}' ELSE {best_prev} END AS best_{i}, "
+            f"CASE WHEN hits_{lang} > {bh_prev} THEN hits_{lang} ELSE {bh_prev} END AS bh_{i} "
+            f"FROM {prev})"
+        )
+        prev = f"s{i}"
+    return sql + f" SELECT doc_id, lang, best_{len(langs) - 1} AS lang_guess FROM {prev}"
+
+
+SQL_LANG_ID = _lang_id_sql()
+
+
+def q_text_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_md5("text").alias("fp"))
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+FROM documents
+"""
+
+
+# --- dedup ---
+
+def q_dedup_exact_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup_stats(docs, "text", "doc_id")
+
+
+SQL_DEDUP_EXACT_STATS = """
+SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+       min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_exact_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id").select("doc_id", "lang", "n_chars")
+
+
+SQL_DEDUP_EXACT_DOCS = """
+SELECT doc_id, lang, n_chars FROM documents
+QUALIFY row_number() OVER (
+    PARTITION BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+    ORDER BY doc_id) = 1
+"""
+
+
+def q_dedup_word_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return word_jaccard_pairs(docs, "text", "doc_id", threshold=0.8)
+
+
+SQL_WORD_JACCARD = f"""
+WITH tok AS (
+    SELECT DISTINCT doc_id AS doc, unnest({_TOKENS_LOWER_SQL}) AS tok
+    FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+), sizes AS (
+    SELECT doc, count(*) AS sz FROM tok GROUP BY doc
+), inter AS (
+    SELECT a.doc AS d1, b.doc AS d2, count(*) AS i
+    FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc < b.doc
+    GROUP BY 1, 2
+)
+SELECT d1, d2,
+       round(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc = d1
+JOIN sizes sb ON sb.doc = d2
+WHERE round(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) >= 0.8
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=12, bands=2)
+
+
+SQL_MINHASH_LSH = f"""
+WITH tok AS (
+    SELECT DISTINCT doc_id AS doc, unnest({_TOKENS_LOWER_SQL}) AS tok
+    FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+), sig AS (
+    SELECT doc, g.h AS h,
+           min(md5(CAST(g.h AS VARCHAR) || '|' || tok)) AS mh
+    FROM tok CROSS JOIN generate_series(0, 11) AS g(h)
+    GROUP BY doc, g.h
+), bands AS (
+    SELECT doc, h // 6 AS band,
+           lpad(CAST(h AS VARCHAR), 4, '0') || ':' || mh AS hmh
+    FROM sig
+), bsig AS (
+    SELECT doc, band, md5(string_agg(hmh, ',' ORDER BY hmh)) AS bs
+    FROM bands GROUP BY doc, band
+), cand AS (
+    SELECT DISTINCT a.doc AS d1, b.doc AS d2
+    FROM bsig a JOIN bsig b ON a.band = b.band AND a.bs = b.bs AND a.doc < b.doc
+)
+SELECT d1, d2,
+       round(avg(CASE WHEN s1.mh = s2.mh THEN 1.0 ELSE 0.0 END), 6) AS est_jaccard
+FROM cand
+JOIN sig s1 ON s1.doc = d1
+JOIN sig s2 ON s2.doc = d2 AND s2.h = s1.h
+GROUP BY d1, d2
+"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "text", "doc_id", max_hamming=6)
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(emb, "embedding", "vec_id", threshold=0.4)
+
+
+SQL_EMB_COSINE = """
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+"""
+
+
+# --- similarity search ---
+
+def q_sim_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return brute_force_topk(emb, queries, "embedding", "vec_id", k=10)
+
+
+SQL_SIM_TOPK = """
+WITH q AS (
+    SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+    FROM embeddings WHERE vec_id < 5
+), scored AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), q.qv), 6)
+               AS cosine
+    FROM embeddings c CROSS JOIN q
+    WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rank
+FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+    FROM scored
+) WHERE rnk <= 10
+"""
+
+
+def q_sim_ann_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ann_lsh_topk(
+        emb, queries, "embedding", "vec_id", k=10, dim=64, n_planes=8, probe_hamming=3
+    )
+
+
+# --- as-of join ---
+
+def q_asof_purchase_view(spark, sf_dir):
+    """For each purchase event, the user's most recent prior (or same-
+    instant) view value — the stock-vs-news alignment shape from
+    SURVEY.md §2.3 on the events table."""
+    ev = _t(spark, sf_dir, "events")
+    views = dedup_by_key_first(
+        ev.filter(F.col("event_type") == "view"),
+        ["user_id", "ts"],
+        ["event_id"],
+        descending=True,
+    ).select("user_id", "ts", F.col("value").alias("view_value"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return asof_join(
+        purchases, views, ["user_id"], "ts", "ts", ["view_value"]
+    ).select("event_id", "user_id", "ts", "value", "view_value")
+
+
+SQL_ASOF = """
+WITH v AS (
+    SELECT user_id, ts, value AS view_value
+    FROM events WHERE event_type = 'view'
+    QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+), p AS (
+    SELECT event_id, user_id, ts, value
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts, p.value, v.view_value
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+# --- multimodal ---
+
+def q_mm_decode_features(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    assets = attach_binary_payload(docs, "text", "doc_id")
+    return extract_features(assets)
+
+
+SQL_MM_FEATURES = """
+SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CASE WHEN length(text) = 0 THEN -1 ELSE ascii(substr(text, 1, 1)) END
+           AS first_byte,
+       CAST(coalesce(list_sum(list_transform(range(1, length(text) + 1),
+                                             i -> ascii(substr(text, i, 1)))), 0)
+            % 1000003 AS BIGINT) AS byte_sum_mod,
+       'image/fake' AS media_type
+FROM documents
+"""
+
+
+# --- approximate aggregates (rows-only: HLL differs across engines) ---
+
+def q_approx_distinct_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("median_value_approx"),
+    )
+
+
+EXT_QUERIES: dict[str, tuple] = {
+    "text_token_count": (q_text_token_count, SQL_TOKEN_COUNT),
+    "text_quality_score": (q_text_quality_score, SQL_QUALITY),
+    "text_lang_id": (q_text_lang_id, SQL_LANG_ID),
+    "text_fingerprint": (q_text_fingerprint, SQL_FINGERPRINT),
+    "dedup_exact_stats": (q_dedup_exact_stats, SQL_DEDUP_EXACT_STATS),
+    "dedup_exact_docs": (q_dedup_exact_docs, SQL_DEDUP_EXACT_DOCS),
+    "dedup_word_jaccard": (q_dedup_word_jaccard, SQL_WORD_JACCARD),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_MINHASH_LSH),
+    "dedup_simhash": (q_dedup_simhash, None),
+    "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_EMB_COSINE),
+    "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_TOPK),
+    "sim_ann_lsh": (q_sim_ann_lsh, None),
+    "asof_purchase_view": (q_asof_purchase_view, SQL_ASOF),
+    "mm_decode_features": (q_mm_decode_features, SQL_MM_FEATURES),
+    "approx_distinct_users": (q_approx_distinct_users, None),
+}

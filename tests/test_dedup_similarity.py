@@ -1,0 +1,106 @@
+"""Tests for dedup + similarity extensions: semantics on hand-built
+frames (known duplicates, known neighbors) and ANN recall vs brute force
+on real testdata."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stockpy_spark.operators.dedup import (
+    embedding_cosine_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    simhash_fingerprints,
+    simhash_pairs,
+    word_jaccard_pairs,
+)
+from stockpy_spark.operators.similarity import ann_lsh_topk, brute_force_topk
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "The  quick brown fox jumps over the lazy dog "),  # ws/case dup of 1
+            (3, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+            (4, "completely different content about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup_normalized(spark):
+    out = exact_dedup(_docs(spark), "text", "doc_id")
+    assert {r.doc_id for r in out.collect()} == {1, 3, 4}  # 2 collapses into 1
+
+
+def test_word_jaccard_finds_near_dup(spark):
+    pairs = {(r.d1, r.d2): r.jaccard for r in
+             word_jaccard_pairs(_docs(spark), "text", "doc_id", 0.5).collect()}
+    assert pairs[(1, 2)] == 1.0  # identical token sets
+    assert 0.7 < pairs[(1, 3)] < 1.0  # 8/10 shared tokens
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_catches_exact_and_near(spark):
+    pairs = {(r.d1, r.d2): r.est_jaccard for r in
+             minhash_lsh_pairs(_docs(spark), "text", "doc_id", 12, 6).collect()}
+    assert pairs[(1, 2)] == 1.0  # identical sets -> identical signatures
+    assert (1, 3) in pairs  # near-dup collides in >=1 of 6 bands
+    assert (1, 4) not in pairs and (2, 4) not in pairs and (3, 4) not in pairs
+
+
+def test_simhash_near_dup_distance(spark):
+    fps = {r.doc_id: r.simhash for r in
+           simhash_fingerprints(_docs(spark), "text", "doc_id").collect()}
+    assert fps[1] == fps[2]  # identical token sets -> identical fingerprint
+    ham_13 = bin(fps[1] ^ fps[3]).count("1")
+    ham_14 = bin(fps[1] ^ fps[4]).count("1")
+    assert ham_13 < ham_14  # near-dup closer than unrelated
+
+    pairs = {(r.d1, r.d2) for r in
+             simhash_pairs(_docs(spark), "text", "doc_id", max_hamming=ham_13).collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs
+
+
+def test_embedding_cosine_pairs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0]),  # ~parallel to 1
+            (3, [0.0, 1.0, 0.0]),  # orthogonal
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = {(r.id1, r.id2) for r in
+             embedding_cosine_pairs(df, "embedding", "vec_id", 0.95).collect()}
+    assert pairs == {(1, 2)}
+
+
+def test_ann_recall_vs_brute_force(spark):
+    """ANN (8 planes, hamming-3 probe) must reach >=40% recall@10 on the
+    real sf0.001 embeddings. These vectors are WEAKLY clustered (best
+    cosine ~0.5 -> ~60deg angles -> ~1/3 bit-flip probability per plane),
+    which is the hard case for hyperplane LSH; on actual near-dup
+    embeddings (cosine>=0.9, flip prob ~0.14) the same config recalls
+    ~all. The tunables trade recall for candidate volume."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = brute_force_topk(emb, queries, "embedding", "vec_id", k=10)
+    approx = ann_lsh_topk(emb, queries, "embedding", "vec_id", k=10, dim=64,
+                          n_planes=8, probe_hamming=3)
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4, f"ANN recall too low: {recall}"
+
+
+def test_brute_force_topk_self_excluded_and_ranked(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = brute_force_topk(df, df.filter("vec_id = 1"), "embedding", "vec_id", k=2)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert [r.neighbor_id for r in rows] == [2, 3]
+    assert all(r.query_id == 1 for r in rows)

@@ -1,0 +1,156 @@
+"""Streaming twins, multimodal plumbing, and domain-pipeline golden tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stockpy_spark.operators.multimodal import (
+    attach_binary_payload,
+    extract_features,
+    sample_frames,
+)
+from stockpy_spark.pipelines import transform_news, transform_stocks
+from stockpy_spark.plans import Pipeline
+from stockpy_spark.streaming.ops import (
+    dedup_within_watermark,
+    file_stream,
+    run_to_memory,
+    session_agg,
+    windowed_agg,
+)
+
+
+# --- streaming ---
+
+def _write_stream_input(spark, tmp_path):
+    df = spark.createDataFrame(
+        [
+            (1, "u1", "click", 1.0, "2024-01-01 00:00:30"),
+            (2, "u1", "click", 2.0, "2024-01-01 00:01:10"),
+            (3, "u2", "view", 3.0, "2024-01-01 00:01:20"),
+            (1, "u1", "click", 1.0, "2024-01-01 00:02:30"),  # dup event_id
+            (4, "u1", "click", 5.0, "2024-01-01 02:00:00"),  # new session
+        ],
+        "event_id long, user string, etype string, value double, ts_s string",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    path = str(tmp_path / "stream_in")
+    df.coalesce(1).write.parquet(path)
+    return path, df.schema
+
+
+def test_streaming_windowed_agg(spark, tmp_path):
+    path, schema = _write_stream_input(spark, tmp_path)
+    stream = file_stream(spark, path, schema)
+    agg = windowed_agg(stream, "ts", ["etype"], "1 minute",
+                       {"n": F.count(F.lit(1)), "total": F.sum("value")})
+    run_to_memory(agg, "win_out")
+    rows = {(r.window_start.strftime("%H:%M"), r.etype): (r.n, r.total)
+            for r in spark.table("win_out").collect()}
+    assert rows[("00:00", "click")] == (1, 1.0)
+    assert rows[("00:01", "click")] == (1, 2.0)
+    assert rows[("00:01", "view")] == (1, 3.0)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    path, schema = _write_stream_input(spark, tmp_path)
+    stream = file_stream(spark, path, schema)
+    out = dedup_within_watermark(stream, ["event_id"], "ts", "1 hour")
+    run_to_memory(out, "dedup_out")
+    assert spark.table("dedup_out").count() == 4  # 5 rows, 1 dup dropped
+
+
+def test_streaming_session_agg(spark, tmp_path):
+    path, schema = _write_stream_input(spark, tmp_path)
+    stream = file_stream(spark, path, schema)
+    out = session_agg(stream, "ts", ["user"], "30 minutes",
+                      {"n": F.count(F.lit(1))})
+    run_to_memory(out, "sess_out")
+    rows = sorted((r.user, r.n) for r in spark.table("sess_out").collect())
+    # append mode emits only watermark-closed sessions: u1's 00:00-00:02
+    # session (3 events) and u2's. u1's 02:00 session is still open when
+    # the input ends (watermark = 02:00 - 10min) -> correctly withheld.
+    assert rows == [("u1", 3), ("u2", 1)]
+
+
+# --- multimodal ---
+
+def test_multimodal_payload_and_features(spark):
+    docs = spark.createDataFrame(
+        [(1, "abc"), (2, "")], "doc_id long, text string"
+    )
+    assets = attach_binary_payload(docs, "text", "doc_id")
+    schema = dict(assets.dtypes)
+    assert schema["payload"] == "binary"
+    feats = {r.doc_id: r for r in extract_features(assets).collect()}
+    assert feats[1].n_bytes == 3
+    assert feats[1].first_byte == ord("a")
+    assert feats[1].byte_sum_mod == ord("a") + ord("b") + ord("c")
+    assert feats[2].n_bytes == 0 and feats[2].first_byte == -1
+
+
+def test_multimodal_codec_stub_raises(spark):
+    docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    assets = attach_binary_payload(docs, "text", "doc_id")
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        extract_features(assets, use_codec=True).collect()
+
+
+def test_multimodal_frame_sampling(spark):
+    docs = spark.createDataFrame([(1, "x" * 200)], "doc_id long, text string")
+    assets = attach_binary_payload(docs, "text", "doc_id")
+    frames = sample_frames(assets, every_n_bytes=64).collect()
+    assert len(frames) == 3  # 200 bytes / 64 -> 3 frames
+    assert len(frames[0].frame_bytes) == 64
+
+
+# --- domain pipelines (golden semantics on FIXTURES.md-shaped inputs) ---
+
+def test_transform_stocks_golden(spark):
+    raw = spark.createDataFrame(
+        [
+            ("Banks", "ITUB4", "Itau", "2024-01-01", 10.0, 11.0, 9.0, 10.5, 100),
+            ("Banks", "ITUB4", "Itau", "2024-01-02", 12.0, 13.0, 11.0, 11.5, 200),
+            ("Banks", "BBDC4", "Bradesco", "2024-01-01", 20.0, 21.0, 19.0, 20.5, 300),
+            (None, "XXXX", "Ghost", "2024-01-01", 5.0, 5.0, 5.0, 5.0, 10),  # filtered
+            ("Energy", "ELET3", "Eletro", "2024-01-01", 0.0, 1.0, 0.5, 0.7, 50),  # close<=0
+        ],
+        "sector string, ticker string, company string, date string,"
+        "close double, high double, low double, open double, volume long",
+    )
+    out = transform_stocks(raw)
+    rows = {(r.codigoAcao, str(r.data)): r for r in out.collect()}
+    assert len(rows) == 3  # null-sector and close<=0 rows dropped
+    r = rows[("ITUB4", "2024-01-02")]
+    assert abs(r.mediaFechamento - 14.0) < 1e-9  # (10+12+20)/3 per-sector avg
+    assert r.totalVolume == 600
+    assert r.variacaoFechamento == 2.0  # 12 - lag(10)
+    assert rows[("BBDC4", "2024-01-01")].variacaoFechamento is None
+
+
+def test_transform_news_golden(spark):
+    raw = spark.createDataFrame(
+        [
+            ("ITUB4", "t1", "l1", "G1", "2024-01-05T10:00:00", "2024-01-05"),
+            ("ITUB4", "t1", "l1", "G1", "2024-01-05T10:00:00", "2024-01-05"),  # exact dup
+            ("ITUB4", "t0", "l1", "G1", "2024-01-05T11:00:00", "2024-01-05"),  # same link
+            ("BBDC4", "t2", "l2", "G1", "2024-01-04T10:00:00", "2024-01-05"),  # stale
+            ("BBDC4", None, "l3", "G1", "2024-01-05T10:00:00", "2024-01-05"),  # null title
+        ],
+        "ticker string, title string, link string, source string,"
+        "published_date string, extracted_date string",
+    )
+    out = transform_news(raw, "20240105")
+    rows = {r.link: r for r in out.collect()}
+    assert set(rows) == {"l1"}
+    assert rows["l1"].title == "t0"  # deterministic first-by-title survivor
+    assert rows["l1"].company is None  # aligned missing column
+    assert rows["l1"].dataproc == "20240105"
+
+
+def test_pipeline_runner_fail_fast():
+    p = Pipeline().add("a", lambda ctx: ctx.setdefault("x", 1))
+    p.add("boom", lambda ctx: 1 / 0).add("never", lambda ctx: ctx.update(y=2))
+    ctx, results = p.run()
+    assert [r.ok for r in results] == [True, False]
+    assert ctx == {"x": 1}  # third stage never ran
