@@ -25,6 +25,8 @@ from stockpy_spark.session import get_spark
 HEADLINE = [
     "flagship_event_enrichment",
     "a1_group_agg",
+    "q5_multi_join",
+    "q3_top_unshipped",
     "j3_inner_join_agg",
     "j2_agg_backjoin",
     "a4_dedup_first",
@@ -35,6 +37,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "sim_cosine_topk",
     "text_quality_score",
+    "asof_purchase_view",
 ]
 
 

@@ -63,6 +63,39 @@ def cube_summary(df: DataFrame, keys: list[str], aggs: dict[str, F.Column]) -> D
     return df.cube(*keys).agg(*[c.alias(n) for n, c in aggs.items()])
 
 
+def grouping_sets_summary(
+    df: DataFrame,
+    sets: list[list[str]],
+    all_keys: list[str],
+    agg_exprs: dict[str, str],
+) -> DataFrame:
+    """Explicit GROUP BY GROUPING SETS (rollup/cube are special cases).
+    Uses the SQL form — the DataFrame API has no direct grouping-sets
+    entry point; Catalyst plans an Expand + single aggregate either way.
+    ``agg_exprs`` maps output name -> aggregate SQL expression string."""
+    spark = df.sparkSession
+    view = f"__gs_{abs(hash(tuple(all_keys))) % 10**8}"
+    df.createOrReplaceTempView(view)
+    sets_sql = ", ".join("(" + ", ".join(s) + ")" for s in sets)
+    agg_sql = ", ".join(f"{expr} AS {n}" for n, expr in agg_exprs.items())
+    return spark.sql(
+        f"SELECT {', '.join(all_keys)}, {agg_sql} FROM {view} "
+        f"GROUP BY GROUPING SETS ({sets_sql})"
+    )
+
+
+def unpivot_measures(
+    df: DataFrame,
+    ids: list[str],
+    measures: list[str],
+    var_name: str = "measure",
+    value_name: str = "value",
+) -> DataFrame:
+    """Wide -> long (melt): one row per (id, measure). Plans as Expand —
+    a single pass, no shuffle."""
+    return df.unpivot(ids, measures, var_name, value_name)
+
+
 def pivot_summary(
     df: DataFrame, keys: list[str], pivot_col: str, pivot_values: list[str], agg: F.Column
 ) -> DataFrame:

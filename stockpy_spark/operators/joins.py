@@ -64,6 +64,34 @@ def anti_join(left: DataFrame, right: DataFrame, on: str | list[str]) -> DataFra
     return left.join(right, on=on, how="left_anti")
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Skew-resistant equi-join: the left (large, skewed) side is salted
+    into ``salt_buckets`` sub-keys; the right side is replicated once per
+    bucket. A hot key that would hammer one reducer spreads across
+    ``salt_buckets`` of them. Result is identical to ``left.join(right,
+    on, how)``.
+
+    AQE's skew-join splitting handles moderate skew automatically; use
+    explicit salting when one key dominates an entire stage (the
+    classic null-key / default-value hot spot). Deterministic salt
+    (hash of all left columns) keeps reruns stable.
+    """
+    salt = F.pmod(
+        F.hash(*[F.col(c) for c in left.columns]), F.lit(salt_buckets)
+    ).alias("__salt")
+    l = left.withColumn("__salt", salt)
+    r = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return l.join(r, [on, "__salt"], how).drop("__salt")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

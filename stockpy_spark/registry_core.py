@@ -16,6 +16,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from stockpy_spark.operators.joins import salted_join
+from stockpy_spark.operators.aggregate import grouping_sets_summary, unpivot_measures
 from stockpy_spark.operators import (
     add_literal_column,
     anti_join,
@@ -601,7 +603,269 @@ FROM documents
 """
 
 
+# --- multi-table analytics (TPC-H-style shapes; the scale stress tests) ---
+
+def q_q5_multi_join(spark, sf_dir):
+    """TPC-H Q5 shape: fact-fact join (lineitem x orders) + a chain of
+    broadcast dimension joins, grouped revenue per nation. The plan to
+    want at 100 TB: one big-side shuffle (or SMJ) for the fact join,
+    broadcasts for every dim, partial aggregation before the final
+    exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+    return group_summary(
+        joined.filter(F.col("o_orderstatus") == "F"),
+        ["r_name", "n_name"],
+        {
+            "revenue": F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ),
+            "n_items": F.count(F.lit(1)),
+        },
+    )
+
+
+SQL_Q5 = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderstatus = 'F'
+GROUP BY r_name, n_name
+"""
+
+
+def q_q3_top_unshipped(spark, sf_dir):
+    """TPC-H Q3 shape: join + group + top-k by aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    joined = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .filter(li["l_shipdate"] > "1995-03-15")
+    )
+    agg = group_summary(
+        joined,
+        ["o_orderkey", "o_orderdate", "o_orderpriority"],
+        {"revenue": F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)},
+    )
+    return top_k(agg, [F.col("revenue"), F.col("o_orderkey")], 10, descending=True)
+
+
+SQL_Q3 = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING' AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey DESC LIMIT 10
+"""
+
+
+def q_j6_salted_join(spark, sf_dir):
+    """Skew-resistant salted join — result must equal the plain join."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    out = salted_join(li, orders, "l_orderkey", salt_buckets=8)
+    return out.select("l_orderkey", "l_linenumber", "l_quantity", "o_orderpriority")
+
+
+SQL_J6 = """
+SELECT l_orderkey, l_linenumber, l_quantity, o_orderpriority
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""
+
+
+# --- second-wave aggregates / windows / reshaping ---
+
+def q_a11_percentiles(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return group_summary(
+        li,
+        ["l_returnflag"],
+        {
+            "median_qty": F.round(F.expr("percentile(l_quantity, 0.5)"), 4),
+            "p90_price": F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4),
+        },
+    )
+
+
+SQL_A11 = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_a12_grouping_sets(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return grouping_sets_summary(
+        orders,
+        sets=[["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+        all_keys=["o_orderstatus", "o_orderpriority"],
+        agg_exprs={"n": "count(*)", "total": "round(sum(o_totalprice), 2)"},
+    )
+
+
+SQL_A12 = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+"""
+
+
+def q_w6_rank_family(spark, sf_dir):
+    sup = _t(spark, sf_dir, "supplier")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey")
+    )
+    return sup.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+SQL_W6 = """
+SELECT s_suppkey, s_nationkey,
+       CAST(rank() OVER w AS INTEGER) AS rnk,
+       CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+"""
+
+
+def q_w7_range_frame(spark, sf_dir):
+    """Time-range window frame: per-user sum of value over the trailing
+    1 hour (RANGE frame on epoch seconds — the rolling-window family
+    from SURVEY.md §2.5 with a value-based frame instead of rows)."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum("value").over(w), 4).alias("hour_sum"),
+    )
+
+
+SQL_W7 = """
+SELECT event_id, user_id, ts,
+       round(sum(value) OVER (
+           PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4) AS hour_sum
+FROM events
+"""
+
+
+def q_p10_unpivot(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return unpivot_measures(
+        li,
+        ids=["l_orderkey", "l_linenumber"],
+        measures=["l_quantity", "l_extendedprice", "l_discount"],
+        var_name="measure",
+        value_name="val",
+    )
+
+
+SQL_P10 = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+"""
+
+
+def q_f8_math_funcs(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_qty"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("ln_price"),
+        F.ceil("l_discount").cast("long").alias("ceil_disc"),
+        F.floor(F.col("l_quantity") / 10).cast("long").alias("qty_decile"),
+        F.round(F.pow(F.lit(1.0) + F.col("l_tax"), 2), 6).alias("tax_sq"),
+    )
+
+
+SQL_F8 = """
+SELECT l_orderkey, l_linenumber,
+       round(sqrt(l_quantity), 6) AS sqrt_qty,
+       round(ln(l_extendedprice), 6) AS ln_price,
+       CAST(ceil(l_discount) AS BIGINT) AS ceil_disc,
+       CAST(floor(l_quantity / 10) AS BIGINT) AS qty_decile,
+       round(pow(1.0 + l_tax, 2), 6) AS tax_sq
+FROM lineitem
+"""
+
+
+def q_f9_posexplode_tokens(spark, sf_dir):
+    """Array ops: tokenize + positional explode (the UDTF-shaped surface,
+    built-in generator instead of a Python UDTF)."""
+    from stockpy_spark.functions.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.posexplode(tokenize("text")).alias("pos", "token")
+    )
+
+
+SQL_F9 = """
+SELECT doc_id,
+       unnest(range(0, len(regexp_split_to_array(trim(text), '\\s+')))) AS pos,
+       unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+FROM documents
+WHERE text IS NOT NULL AND trim(text) <> ''
+"""
+
+
 CORE_QUERIES: dict[str, tuple] = {
+    "q5_multi_join": (q_q5_multi_join, SQL_Q5),
+    "q3_top_unshipped": (q_q3_top_unshipped, SQL_Q3),
+    "j6_salted_join": (q_j6_salted_join, SQL_J6),
+    "a11_percentiles": (q_a11_percentiles, SQL_A11),
+    "a12_grouping_sets": (q_a12_grouping_sets, SQL_A12),
+    "w6_rank_family": (q_w6_rank_family, SQL_W6),
+    "w7_range_frame": (q_w7_range_frame, SQL_W7),
+    "p10_unpivot": (q_p10_unpivot, SQL_P10),
+    "f8_math_funcs": (q_f8_math_funcs, SQL_F8),
+    "f9_posexplode_tokens": (q_f9_posexplode_tokens, SQL_F9),
     "flagship_event_enrichment": (q_flagship, SQL_FLAGSHIP),
     "p1_conditional_cast": (q_p1_conditional_cast, SQL_P1),
     "p2_rename_literal": (q_p2_rename_literal, SQL_P2),

@@ -23,17 +23,26 @@ def create_external_table(
     location: str,
     partitioned_by: str | None = None,
 ) -> None:
-    """S9 — external parquet table DDL (reference:
-    transform_stocks_job.py:56-85). ``columns_ddl`` like
+    """S9 — external parquet table DDL (reference Hive-style DDL,
+    transform_stocks_job.py:56-85; here the Spark-native datasource form,
+    which works against any catalog implementation — in-memory, Hive
+    metastore, or Glue Catalog alike). ``columns_ddl`` like
     ``"id BIGINT, name STRING"``; ``partitioned_by`` like
-    ``"dataproc STRING"``.
+    ``"dataproc STRING"`` (partition columns are appended to the schema).
     """
-    part = f"PARTITIONED BY ({partitioned_by})" if partitioned_by else ""
+    if partitioned_by:
+        part_names = ", ".join(
+            c.strip().split()[0] for c in partitioned_by.split(",")
+        )
+        schema = f"{columns_ddl}, {partitioned_by}"
+        part = f"PARTITIONED BY ({part_names})"
+    else:
+        schema, part = columns_ddl, ""
     spark.sql(
         f"""
-        CREATE EXTERNAL TABLE IF NOT EXISTS {table} ({columns_ddl})
+        CREATE TABLE IF NOT EXISTS {table} ({schema})
+        USING PARQUET
         {part}
-        STORED AS PARQUET
         LOCATION '{location}'
         """
     )

@@ -1,0 +1,80 @@
+"""Catalog DDL round-trip, salted join equivalence, grouping sets,
+unpivot, multi-format IO."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stockpy_spark.operators.joins import salted_join
+from stockpy_spark.operators.aggregate import grouping_sets_summary, unpivot_measures
+from stockpy_spark.sources import (
+    create_database,
+    create_external_table,
+    repair_partitions,
+    table_exists,
+    write_parquet_partitioned,
+)
+
+
+def test_catalog_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, "a", "20240101"), (2, "b", "20240102")], "id int, v string, dataproc string"
+    )
+    write_parquet_partitioned(df, path, ["dataproc"], mode="overwrite")
+
+    create_database(spark, "cat_test")
+    assert not table_exists(spark, "cat_test.t1")
+    create_external_table(
+        spark, "cat_test.t1", "id INT, v STRING", path, partitioned_by="dataproc STRING"
+    )
+    assert table_exists(spark, "cat_test.t1")
+    repair_partitions(spark, "cat_test.t1")  # S10: discover the 2 partitions
+    out = spark.table("cat_test.t1")
+    assert out.count() == 2
+    # partition-pruned read: only one partition's rows
+    assert out.where(F.col("dataproc") == "20240101").count() == 1
+    spark.sql("DROP TABLE cat_test.t1")
+    spark.sql("DROP DATABASE cat_test")
+
+
+def test_salted_join_equals_plain_join(spark):
+    left = spark.createDataFrame(
+        [(k, i) for k in ("hot", "cold") for i in range(20 if k == "hot" else 2)],
+        "k string, i int",
+    )
+    right = spark.createDataFrame([("hot", "H"), ("cold", "C")], "k string, tag string")
+    plain = sorted(map(tuple, left.join(right, "k").collect()))
+    salted = sorted(map(tuple, salted_join(left, right, "k", salt_buckets=4).collect()))
+    assert plain == salted
+
+
+def test_grouping_sets(spark):
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 3.0)], "g1 string, g2 string, v double"
+    )
+    out = grouping_sets_summary(
+        df, sets=[["g1", "g2"], []], all_keys=["g1", "g2"], agg_exprs={"s": "sum(v)"}
+    )
+    rows = {(r.g1, r.g2): r.s for r in out.collect()}
+    assert rows[("a", "x")] == 1.0
+    assert rows[(None, None)] == 6.0  # grand total set
+    assert len(rows) == 4
+
+
+def test_unpivot(spark):
+    df = spark.createDataFrame([(1, 10.0, 20.0)], "id int, a double, b double")
+    out = unpivot_measures(df, ["id"], ["a", "b"], "m", "v")
+    assert sorted((r.m, r.v) for r in out.collect()) == [("a", 10.0), ("b", 20.0)]
+
+
+def test_csv_json_roundtrip(spark, tmp_path):
+    """Multi-format source/sink: same frame through csv and json."""
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id int, name string")
+    csv_path, json_path = str(tmp_path / "c"), str(tmp_path / "j")
+    df.write.mode("overwrite").option("header", True).csv(csv_path)
+    df.write.mode("overwrite").json(json_path)
+    back_csv = spark.read.schema("id int, name string").option("header", True).csv(csv_path)
+    back_json = spark.read.schema("id int, name string").json(json_path)
+    assert sorted(map(tuple, back_csv.collect())) == [(1, "x"), (2, "y")]
+    assert sorted(map(tuple, back_json.collect())) == [(1, "x"), (2, "y")]
