@@ -91,21 +91,72 @@ def word_jaccard_pairs(
     )
 
 
+def _minhash_wide(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int
+) -> DataFrame:
+    """(doc, mh0..mh{H-1}): md5-based minhash signature, one column per
+    hash index. mh_h = min over distinct tokens of md5('<h>|' || token).
+
+    All H minhashes are computed as aggregates of ONE groupBy(doc): the
+    token rows are never replicated H-fold through a shuffle, and partial
+    (map-side) aggregation reduces each partition to one row per doc
+    before the exchange — the shuffle carries ~n_docs x H short strings
+    regardless of corpus token count. md5 instead of murmur3 keeps the
+    signature engine-portable (the DuckDB oracle reproduces it
+    bit-for-bit); at 100 TB swap in xxhash64 for speed — the LSH
+    structure is unchanged.
+    """
+    toks = _distinct_tokens(df, text_col, id_col)
+    return toks.groupBy("doc").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{h}|"), F.col("tok")))).alias(f"mh{h}")
+            for h in range(num_hashes)
+        ]
+    )
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int = 12
 ) -> DataFrame:
-    """(doc, h, mh): md5-based minhash per (document, hash index).
+    """(doc, h, mh): long-form minhash signature (see _minhash_wide).
+    The explode happens AFTER the aggregate, so it is n_docs x H rows,
+    not n_tokens x H."""
+    wide = _minhash_wide(df, text_col, id_col, num_hashes)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(h).cast("int").alias("h"), F.col(f"mh{h}").alias("mh"))
+            for h in range(num_hashes)
+        ]
+    )
+    return wide.select("doc", F.explode(pairs).alias("kv")).select(
+        "doc", F.col("kv.h").alias("h"), F.col("kv.mh").alias("mh")
+    )
 
-    mh = min over distinct tokens of md5('<h>|' || token). md5 instead of
-    murmur3 keeps the signature engine-portable (the DuckDB oracle
-    reproduces it exactly); at 100 TB swap in xxhash64 for speed — the
-    LSH structure is unchanged.
-    """
-    toks = _distinct_tokens(df, text_col, id_col)
-    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
-    exploded = toks.select("doc", "tok", F.explode(seeds).alias("h"))
-    return exploded.groupBy("doc", "h").agg(
-        F.min(F.md5(F.concat(F.col("h").cast("string"), F.lit("|"), F.col("tok")))).alias("mh")
+
+def _band_signatures(wide: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc, band, bsig) from a wide minhash frame. Band signature = md5
+    of the band's minhashes in h order, each prefixed with a zero-padded
+    h (identical string to sorting 'hhhh:mh' entries lexicographically —
+    the oracle's formulation). Columnar explode of the aggregate — no
+    extra shuffle."""
+    rows = num_hashes // bands
+    band_structs = [
+        F.struct(
+            F.lit(b).cast("int").alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.concat(F.lit(f"{h:04d}:"), F.col(f"mh{h}"))
+                        for h in range(b * rows, (b + 1) * rows)
+                    ],
+                )
+            ).alias("bsig"),
+        )
+        for b in range(bands)
+    ]
+    return wide.select("doc", F.explode(F.array(*band_structs)).alias("kb")).select(
+        "doc", F.col("kb.band").alias("band"), F.col("kb.bsig").alias("bsig")
     )
 
 
@@ -124,23 +175,16 @@ def minhash_lsh_pairs(
     band signature -> distinct candidate pairs -> estimated jaccard =
     fraction of the full signature agreeing.
 
-    Scale behavior: every stage is a hash shuffle on bounded keys; no
-    n^2 anywhere. Skewed buckets (boilerplate docs) are the one hazard —
-    AQE skew-join handles moderate skew; severe boilerplate should be
-    exact-deduped (cheap) before LSH.
+    Scale behavior: ONE token shuffle (the groupBy(doc) minhash
+    aggregate, map-side combined); band signatures and the per-doc
+    signature array are columnar derivations of that single aggregate —
+    no further shuffles until the bounded bucket-join. Skewed buckets
+    (boilerplate docs) are the one hazard — AQE skew-join handles
+    moderate skew; severe boilerplate should be exact-deduped (cheap)
+    before LSH.
     """
-    rows = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes)
-    # order-stable band signature: zero-padded h prefix makes the
-    # lexicographic sort equal the numeric h order
-    tagged = sig.select(
-        "doc",
-        F.floor(F.col("h") / rows).cast("int").alias("band"),
-        F.concat(F.lpad(F.col("h").cast("string"), 4, "0"), F.lit(":"), F.col("mh")).alias("hmh"),
-    )
-    band_sigs = tagged.groupBy("doc", "band").agg(
-        F.md5(F.concat_ws(",", F.array_sort(F.collect_list("hmh")))).alias("bsig")
-    )
+    wide = _minhash_wide(df, text_col, id_col, num_hashes)
+    band_sigs = _band_signatures(wide, num_hashes, bands)
     a, b = band_sigs.alias("a"), band_sigs.alias("b")
     cand = (
         a.join(
@@ -155,8 +199,8 @@ def minhash_lsh_pairs(
     # estimated jaccard via per-doc signature ARRAYS: one row per doc,
     # one zip_with per candidate pair — instead of re-joining H minhash
     # rows per pair side (H x pairs rows through the shuffle)
-    sig_arr = sig.groupBy("doc").agg(
-        F.array_sort(F.collect_list(F.struct("h", "mh"))).alias("sig")
+    sig_arr = wide.select(
+        "doc", F.array(*[F.col(f"mh{h}") for h in range(num_hashes)]).alias("sig")
     )
     s1 = sig_arr.select(F.col("doc").alias("d1"), F.col("sig").alias("sig1"))
     s2 = sig_arr.select(F.col("doc").alias("d2"), F.col("sig").alias("sig2"))
@@ -164,7 +208,7 @@ def minhash_lsh_pairs(
         F.zip_with(
             F.col("sig1"),
             F.col("sig2"),
-            lambda a, b: F.when(a["mh"] == b["mh"], 1.0).otherwise(0.0),
+            lambda a, b: F.when(a == b, 1.0).otherwise(0.0),
         ),
         F.lit(0.0),
         lambda acc, x: acc + x,
@@ -178,6 +222,46 @@ def minhash_lsh_pairs(
         .select(
             "d1", "d2", F.round(agree / F.lit(float(num_hashes)), 6).alias("est_jaccard")
         )
+    )
+
+
+def minhash_dedup_assign(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 12,
+    bands: int = 6,
+    iterations: int = 1,
+) -> DataFrame:
+    """(doc_id, keeper_id, is_dup): map every document to a cluster
+    representative via LSH buckets — WITHOUT enumerating pairs.
+
+    This is the 100 TB dedup path. Pair enumeration (minhash_lsh_pairs)
+    is quadratic in duplicate-cluster size: a 1M-doc boilerplate cluster
+    is 5*10^11 pairs, all generated in the single join task that owns the
+    hot bucket key. Assignment is linear and skew-free: per bucket take
+    min(label) (a map-side-combined aggregate — hot buckets reduce on the
+    map side), then per doc take min over its buckets' minima. One
+    iteration = "keeper is the smallest doc sharing a bucket with me";
+    more iterations propagate labels across chained buckets toward
+    connected components (each iteration is 2 bounded hash shuffles).
+    """
+    wide = _minhash_wide(df, text_col, id_col, num_hashes)
+    band_sigs = _band_signatures(wide, num_hashes, bands)
+    labeled = band_sigs.withColumn("label", F.col("doc"))
+    labels = None
+    for _ in range(iterations):
+        bucket_min = labeled.groupBy("band", "bsig").agg(F.min("label").alias("bmin"))
+        labels = (
+            labeled.join(bucket_min, ["band", "bsig"])
+            .groupBy("doc")
+            .agg(F.min("bmin").alias("label"))
+        )
+        labeled = band_sigs.join(labels, "doc")
+    return labels.select(
+        F.col("doc").alias(id_col),
+        F.col("label").alias("keeper_id"),
+        (F.col("label") != F.col("doc")).alias("is_dup"),
     )
 
 

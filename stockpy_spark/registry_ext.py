@@ -27,6 +27,7 @@ from stockpy_spark.operators.dedup import (
     embedding_cosine_pairs,
     exact_dedup,
     exact_dedup_stats,
+    minhash_dedup_assign,
     minhash_lsh_pairs,
     simhash_pairs,
     word_jaccard_pairs,
@@ -236,6 +237,40 @@ GROUP BY d1, d2
 """
 
 
+def q_dedup_minhash_assign(spark, sf_dir):
+    """Scale path: doc -> cluster keeper, no pair enumeration (linear in
+    corpus size; a boilerplate cluster of any size costs O(cluster), not
+    O(cluster^2))."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup_assign(docs, "text", "doc_id", num_hashes=12, bands=2)
+
+
+SQL_MINHASH_ASSIGN = f"""
+WITH tok AS (
+    SELECT DISTINCT doc_id AS doc, unnest({_TOKENS_LOWER_SQL}) AS tok
+    FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+), sig AS (
+    SELECT doc, g.h AS h,
+           min(md5(CAST(g.h AS VARCHAR) || '|' || tok)) AS mh
+    FROM tok CROSS JOIN generate_series(0, 11) AS g(h)
+    GROUP BY doc, g.h
+), bands AS (
+    SELECT doc, h // 6 AS band,
+           lpad(CAST(h AS VARCHAR), 4, '0') || ':' || mh AS hmh
+    FROM sig
+), bsig AS (
+    SELECT doc, band, md5(string_agg(hmh, ',' ORDER BY hmh)) AS bs
+    FROM bands GROUP BY doc, band
+), bmin AS (
+    SELECT band, bs, min(doc) AS m FROM bsig GROUP BY band, bs
+)
+SELECT b.doc AS doc_id, min(m.m) AS keeper_id,
+       (min(m.m) <> b.doc) AS is_dup
+FROM bsig b JOIN bmin m ON b.band = m.band AND b.bs = m.bs
+GROUP BY b.doc
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return simhash_pairs(docs, "text", "doc_id", max_hamming=6)
@@ -366,6 +401,7 @@ EXT_QUERIES: dict[str, tuple] = {
     "dedup_exact_docs": (q_dedup_exact_docs, SQL_DEDUP_EXACT_DOCS),
     "dedup_word_jaccard": (q_dedup_word_jaccard, SQL_WORD_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_MINHASH_LSH),
+    "dedup_minhash_assign": (q_dedup_minhash_assign, SQL_MINHASH_ASSIGN),
     "dedup_simhash": (q_dedup_simhash, None),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_EMB_COSINE),
     "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_TOPK),

@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from stockpy_spark.operators.dedup import (
+    minhash_dedup_assign,
     embedding_cosine_pairs,
     exact_dedup,
     minhash_lsh_pairs,
@@ -104,3 +105,31 @@ def test_brute_force_topk_self_excluded_and_ranked(spark):
     rows = sorted(out.collect(), key=lambda r: r.rank)
     assert [r.neighbor_id for r in rows] == [2, 3]
     assert all(r.query_id == 1 for r in rows)
+
+
+def test_minhash_assign_keeper_and_propagation(spark):
+    out = {r.doc_id: (r.keeper_id, r.is_dup) for r in
+           minhash_dedup_assign(_docs(spark), "text", "doc_id", 12, 6).collect()}
+    assert out[1] == (1, False)  # cluster representative keeps itself
+    assert out[2] == (1, True)  # exact dup assigned to keeper 1
+    assert out[3] == (1, True)  # near-dup shares >=1 band with 1
+    assert out[4] == (4, False)  # unrelated doc is its own keeper
+
+
+def test_minhash_assign_iterations_converge_chain(spark):
+    # a->b and b->c near-dups but a,c unrelated enough to miss each other:
+    # one iteration leaves c labeled via b only if they share a bucket;
+    # a second iteration must pull the whole chain to min(label).
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),
+            (3, "alpha beta gamma delta epsilon zeta kappa iota"),
+        ],
+        "doc_id long, text string",
+    )
+    two = {r.doc_id: r.keeper_id for r in
+           minhash_dedup_assign(docs, "text", "doc_id", 12, 12, iterations=3).collect()}
+    # with per-hash bands (bands=12) any shared-minhash pair links, and
+    # 3 iterations propagate the chain to a single cluster
+    assert set(two.values()) == {1}
