@@ -49,8 +49,12 @@ def main() -> None:
     spark = get_spark("stockpy_spark_bench")
     names = [n for n in HEADLINE if n in QUERIES]
 
-    # warm the JVM/catalyst once (not timed)
+    # warm the JVM/catalyst once (not timed): a lineitem action plus the
+    # events first-touch (which resolves the nanos-timestamp fallback)
     QUERIES["a2_count_star"](spark, sf_dir).collect()
+    from stockpy_spark.sources.testdata import read_events
+
+    read_events(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in names:

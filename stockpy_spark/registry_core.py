@@ -855,7 +855,283 @@ WHERE text IS NOT NULL AND trim(text) <> ''
 """
 
 
+# --- third wave: set ops, function families, subquery shapes ---
+
+def q_set2_intersect(spark, sf_dir):
+    """INTERSECT (distinct): nations that have both customers and
+    suppliers."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("int").alias("nationkey")
+    )
+    sup = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("int").alias("nationkey")
+    )
+    return cust.intersect(sup)
+
+
+SQL_SET2 = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+"""
+
+
+def q_set3_except(spark, sf_dir):
+    """EXCEPT (distinct): order priorities never seen on 'F' orders."""
+    all_p = _t(spark, sf_dir, "orders").select("o_orderpriority")
+    f_p = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderpriority")
+    )
+    return all_p.subtract(f_p)
+
+
+SQL_SET3 = """
+SELECT o_orderpriority FROM orders
+EXCEPT
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+def q_f10_string_funcs(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_up"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type5"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("key_pad"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+        F.instr(F.col("p_type"), "a").cast("long").alias("a_pos"),
+        F.translate("p_brand", "#", "-").alias("brand_dash"),
+    )
+
+
+SQL_F10 = """
+SELECT p_partkey,
+       upper(p_brand) AS brand_up,
+       CAST(length(p_name) AS BIGINT) AS name_len,
+       substring(p_type, 1, 5) AS type5,
+       lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS key_pad,
+       concat_ws('/', p_brand, p_type) AS brand_type,
+       split_part(p_name, ' ', 1) AS first_word,
+       CAST(strpos(p_type, 'a') AS BIGINT) AS a_pos,
+       replace(p_brand, '#', '-') AS brand_dash
+FROM part
+"""
+
+
+def q_f11_date_funcs(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("int").alias("dom"),
+        (F.weekday("o_orderdate") + 1).cast("int").alias("isodow"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.datediff(F.lit("1996-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("long")
+        .alias("days_to_96"),
+    )
+
+
+SQL_F11 = """
+SELECT o_orderkey,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+       CAST(year(o_orderdate) AS INTEGER) AS yr,
+       CAST(month(o_orderdate) AS INTEGER) AS mo,
+       CAST(day(o_orderdate) AS INTEGER) AS dom,
+       CAST(isodow(o_orderdate) AS INTEGER) AS isodow,
+       CAST(o_orderdate AS DATE) + 30 AS due_date,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       date_diff('day', CAST(o_orderdate AS DATE), DATE '1996-01-01') AS days_to_96
+FROM orders
+"""
+
+
+def q_f12_conditional(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.coalesce(F.col("c_mktsegment"), F.lit("UNKNOWN")).alias("seg"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_nb"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_floor"),
+        F.least(F.col("c_acctbal"), F.lit(5000.0)).alias("bal_cap"),
+        F.when(F.col("c_acctbal") < 0, "overdrawn")
+        .when(F.col("c_acctbal") < 1000, "low")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("bal_tier"),
+    )
+
+
+SQL_F12 = """
+SELECT c_custkey,
+       coalesce(c_mktsegment, 'UNKNOWN') AS seg,
+       nullif(c_mktsegment, 'BUILDING') AS seg_nb,
+       greatest(c_acctbal, 0.0) AS bal_floor,
+       least(c_acctbal, 5000.0) AS bal_cap,
+       CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+            WHEN c_acctbal < 1000 THEN 'low'
+            WHEN c_acctbal < 5000 THEN 'mid'
+            ELSE 'high' END AS bal_tier
+FROM customer
+"""
+
+
+def q_q13_custdist(spark, sf_dir):
+    """TPC-H Q13 shape: LEFT OUTER join fact to dim, per-customer count
+    (zero included), then the distribution of those counts — a
+    two-level aggregation where losing the zero-order customers is the
+    classic correctness bug."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return group_summary(per_cust, ["c_count"], {"custdist": F.count(F.lit(1))})
+
+
+SQL_Q13 = """
+SELECT c_count, count(*) AS custdist
+FROM (
+    SELECT c_custkey, count(o_orderkey) AS c_count
+    FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+) t
+GROUP BY c_count
+"""
+
+
+def q_q17_small_qty(spark, sf_dir):
+    """TPC-H Q17 shape: correlated per-group threshold — lineitems below
+    half their part's average quantity. Decorrelated as per-part
+    aggregate + join (what a correlated scalar subquery plans to)."""
+    li = _t(spark, sf_dir, "lineitem")
+    avg_per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.round(F.avg("l_quantity") * 0.5, 6).alias("half_avg")
+    )
+    return (
+        li.join(F.broadcast(avg_per_part), li["l_partkey"] == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "half_avg")
+    )
+
+
+SQL_Q17 = """
+SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, half_avg
+FROM lineitem
+JOIN (
+    SELECT l_partkey AS pk, round(avg(l_quantity) * 0.5, 6) AS half_avg
+    FROM lineitem GROUP BY l_partkey
+) a ON l_partkey = pk
+WHERE l_quantity < half_avg
+"""
+
+
+def q_q15_scalar_subquery(spark, sf_dir):
+    """Scalar-subquery shape: rows at the global maximum (exact, so the
+    boundary is engine-stable). Decorrelated as a 1-row broadcast
+    cross join."""
+    li = _t(spark, sf_dir, "lineitem")
+    mx = li.agg(F.max("l_quantity").alias("max_qty"))
+    return (
+        li.crossJoin(F.broadcast(mx))
+        .filter(F.col("l_quantity") == F.col("max_qty"))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+SQL_Q15 = """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE l_quantity = (SELECT max(l_quantity) FROM lineitem)
+"""
+
+
+def q_w8_lead_first_last(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.first("event_type").over(wf).alias("first_type"),
+        F.last("event_type").over(wf).alias("last_type"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )
+
+
+SQL_W8 = """
+SELECT event_id, user_id,
+       lead(event_type) OVER w AS next_type,
+       first_value(event_type) OVER wf AS first_type,
+       last_value(event_type) OVER wf AS last_type,
+       round(percent_rank() OVER w, 6) AS pr
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+       wf AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def q_a13_conditional_agg(spark, sf_dir):
+    """Conditional aggregation (FILTER-clause family): one pass, several
+    predicated measures — the idiomatic replacement for N filtered
+    scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    return group_summary(
+        li,
+        ["l_linestatus"],
+        {
+            "n_returned": F.count(F.when(F.col("l_returnflag") == "R", 1)),
+            "ret_revenue": F.round(
+                F.sum(
+                    F.when(
+                        F.col("l_returnflag") == "R",
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                    ).otherwise(0.0)
+                ),
+                2,
+            ),
+            "avg_disc_hi": F.round(F.avg(F.when(F.col("l_quantity") > 25, F.col("l_discount"))), 6),
+        },
+    )
+
+
+SQL_A13 = """
+SELECT l_linestatus,
+       count(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
+       round(sum(CASE WHEN l_returnflag = 'R'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0.0 END), 2) AS ret_revenue,
+       round(avg(l_discount) FILTER (WHERE l_quantity > 25), 6) AS avg_disc_hi
+FROM lineitem
+GROUP BY l_linestatus
+"""
+
+
 CORE_QUERIES: dict[str, tuple] = {
+    "set2_intersect": (q_set2_intersect, SQL_SET2),
+    "set3_except": (q_set3_except, SQL_SET3),
+    "f10_string_funcs": (q_f10_string_funcs, SQL_F10),
+    "f11_date_funcs": (q_f11_date_funcs, SQL_F11),
+    "f12_conditional": (q_f12_conditional, SQL_F12),
+    "q13_custdist": (q_q13_custdist, SQL_Q13),
+    "q17_small_qty": (q_q17_small_qty, SQL_Q17),
+    "q15_scalar_subquery": (q_q15_scalar_subquery, SQL_Q15),
+    "w8_lead_first_last": (q_w8_lead_first_last, SQL_W8),
+    "a13_conditional_agg": (q_a13_conditional_agg, SQL_A13),
     "q5_multi_join": (q_q5_multi_join, SQL_Q5),
     "q3_top_unshipped": (q_q3_top_unshipped, SQL_Q3),
     "j6_salted_join": (q_j6_salted_join, SQL_J6),
