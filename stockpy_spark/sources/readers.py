@@ -33,6 +33,39 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """CSV scan with a REQUIRED explicit schema — inference reads the
+    data twice and guesses types, both wrong at scale."""
+    return (
+        spark.read.schema(schema)
+        .option("header", header)
+        .option("delimiter", delimiter)
+        .csv(path)
+    )
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
+    """Newline-delimited JSON scan, explicit schema (inference on JSON is
+    a full extra pass over 100 TB)."""
+    return spark.read.schema(schema).json(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """ORC scan — same pushdown/pruning properties as parquet."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
 def read_partition(
     spark: SparkSession,
     path: str,

@@ -57,6 +57,25 @@ def write_parquet_overwrite_partitions(
     )
 
 
+def write_format_partitioned(
+    df: DataFrame,
+    path: str,
+    fmt: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    **options: str,
+) -> None:
+    """Generic sink for csv/json/orc/parquet. CSV/JSON are interchange
+    formats — row-oriented, no column pruning or predicate pushdown on
+    read — so they belong at pipeline edges, never between stages."""
+    writer = df.write.mode(mode).format(fmt)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
 def compact_to_target_files(
     df: DataFrame, target_file_bytes: int = 128 * 1024 * 1024, approx_row_bytes: int = 100
 ) -> DataFrame:

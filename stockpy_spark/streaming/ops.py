@@ -71,6 +71,90 @@ def session_agg(
     )
 
 
+def stateful_running_stats(
+    stream: DataFrame,
+    key: str,
+    value: str,
+    ts: str,
+    watermark: str = "10 minutes",
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-key
+    running (count, sum, max) maintained across micro-batches, one
+    output row per key per batch.
+
+    This is the pattern for operators Structured Streaming lacks
+    natively (online quantile sketches, per-entity sessionless counters,
+    drift detectors): Arrow-batched pandas per group, explicit state
+    schema, and — for always-on queries — an ``idle_timeout_ms``
+    processing-time timeout that evicts idle keys so state stays bounded
+    by (active keys), not (all keys ever seen). Leave the timeout off
+    for ``availableNow`` backfills: with ProcessingTimeTimeout the
+    query schedules empty batches to fire timeouts and never reaches
+    the availableNow end-of-data mark.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+            StructField("running_max", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+            StructField("running_max", DoubleType()),
+        ]
+    )
+
+    def update(key_tuple, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            vals = pdf["__v"].dropna()
+            n += int(len(vals))
+            total += float(vals.sum()) if len(vals) else 0.0
+            if len(vals):
+                mx = max(mx, float(vals.max()))
+        state.update((n, total, mx))
+        if idle_timeout_ms:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            [{"key": key_tuple[0], "n": n, "total": total, "running_max": mx}]
+        )
+
+    prepared = stream.withWatermark(ts, watermark).select(
+        F.col(key).cast("string").alias("__k"), F.col(value).cast("double").alias("__v")
+    )
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms
+        else GroupStateTimeout.NoTimeout
+    )
+    return prepared.groupBy("__k").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=timeout_conf,
+    )
+
+
 def run_to_memory(result: DataFrame, name: str, output_mode: str = "append"):
     """Drive a streaming frame to completion into an in-memory table
     (test/smoke harness): returns the stopped query; read results with

@@ -154,3 +154,35 @@ def test_pipeline_runner_fail_fast():
     ctx, results = p.run()
     assert [r.ok for r in results] == [True, False]
     assert ctx == {"x": 1}  # third stage never ran
+
+
+def test_stateful_running_stats_apply_in_pandas_with_state(spark, tmp_path):
+    from stockpy_spark.streaming.ops import stateful_running_stats
+
+    path, schema = _write_stream_input(spark, tmp_path)
+    stream = file_stream(spark, path, schema)
+    out = stateful_running_stats(stream, "user", "value", "ts")
+    run_to_memory(out, "state_out", output_mode="update")
+    rows = {r.key: (r.n, r.total, r.running_max)
+            for r in spark.table("state_out").collect()}
+    # u1: 4 events (dup event_id still counts as input), sum 9.0, max 5.0
+    assert rows["u1"] == (4, 9.0, 5.0)
+    assert rows["u2"] == (1, 3.0, 3.0)
+
+
+def test_multi_format_round_trip(spark, tmp_path):
+    from stockpy_spark.sources.readers import read_csv, read_json, read_orc
+    from stockpy_spark.sources.writers import write_format_partitioned
+
+    src = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+    expected = sorted(tuple(r) for r in src.collect())
+
+    for fmt, reader in [
+        ("csv", lambda p: read_csv(spark, p, src.schema)),
+        ("json", lambda p: read_json(spark, p, src.schema)),
+        ("orc", lambda p: read_orc(spark, p, src.schema)),
+    ]:
+        dest = str(tmp_path / fmt)
+        write_format_partitioned(src, dest, fmt, **({"header": "true"} if fmt == "csv" else {}))
+        got = sorted(tuple(r) for r in reader(dest).collect())
+        assert got == expected, fmt
