@@ -52,12 +52,18 @@ def token_count(col: Column | str) -> Column:
 
 def char_ngrams(col: Column | str, n: int = 3) -> Column:
     """array<string> of character n-grams (shingles) of the normalized
-    text — the input unit for MinHash/SimHash near-dup."""
+    text — the input unit for MinHash/SimHash near-dup. Text shorter
+    than n (including empty/NULL) -> empty array; note Spark's
+    ``sequence(1, 0)`` counts DOWN to [1, 0], so the short case must be
+    guarded, not clamped."""
     c = F.regexp_replace(F.trim(F.lower(_c(col))), r"\s+", " ")
-    # sequence 1..len-n+1, substring at each offset
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(c) - F.lit(n - 1), F.lit(0))),
-        lambda i: c.substr(i, F.lit(n)),
+    return F.when(
+        c.isNull() | (F.length(c) < n), F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.length(c) - F.lit(n - 1)),
+            lambda i: c.substr(i, F.lit(n)),
+        )
     )
 
 

@@ -115,6 +115,41 @@ def _minhash_wide(
     )
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, n: int, threshold: float
+) -> DataFrame:
+    """Exact pairwise Jaccard over distinct character n-gram (shingle)
+    sets — the character-level twin of word_jaccard_pairs, robust to
+    tokenization differences (no-space scripts, punctuation-glued
+    words). Same inverted-index shape and the same scale caveat: use as
+    the verify stage on LSH candidates, not for discovery."""
+    from stockpy_spark.functions.text import char_ngrams
+
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(char_ngrams(F.col(text_col), n))).alias("tok"),
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("d1"), F.col("sz").alias("sz1"))
+    sb = sizes.select(F.col("doc").alias("d2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(F.broadcast(sa), "d1")
+        .join(F.broadcast(sb), "d2")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int = 12
 ) -> DataFrame:

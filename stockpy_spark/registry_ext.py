@@ -28,6 +28,7 @@ from stockpy_spark.operators.dedup import (
     exact_dedup,
     exact_dedup_stats,
     minhash_dedup_assign,
+    ngram_jaccard_pairs,
     minhash_lsh_pairs,
     simhash_pairs,
     word_jaccard_pairs,
@@ -200,6 +201,40 @@ FROM inter
 JOIN sizes sa ON sa.doc = d1
 JOIN sizes sb ON sb.doc = d2
 WHERE round(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) >= 0.8
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Character 8-gram shingle Jaccard on a doc subset — the inverted
+    index over shingles is quadratic in shingle document-frequency, so
+    the oracle-checked query runs on a 1-in-3 sample; at scale this op
+    verifies LSH candidates only."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    return ngram_jaccard_pairs(docs, "text", "doc_id", n=8, threshold=0.5)
+
+
+SQL_NGRAM_JACCARD = """
+WITH norm AS (
+    SELECT doc_id AS doc,
+           regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+    FROM documents WHERE doc_id % 3 = 0
+), sh AS (
+    SELECT DISTINCT doc,
+           unnest([substring(t, i, 8) for i in range(1, length(t) - 6)]) AS tok
+    FROM norm WHERE length(t) >= 8
+), sizes AS (
+    SELECT doc, count(*) AS sz FROM sh GROUP BY doc
+), inter AS (
+    SELECT a.doc AS d1, b.doc AS d2, count(*) AS i
+    FROM sh a JOIN sh b ON a.tok = b.tok AND a.doc < b.doc
+    GROUP BY 1, 2
+)
+SELECT d1, d2,
+       round(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc = d1
+JOIN sizes sb ON sb.doc = d2
+WHERE round(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) >= 0.5
 """
 
 
@@ -400,6 +435,7 @@ EXT_QUERIES: dict[str, tuple] = {
     "dedup_exact_stats": (q_dedup_exact_stats, SQL_DEDUP_EXACT_STATS),
     "dedup_exact_docs": (q_dedup_exact_docs, SQL_DEDUP_EXACT_DOCS),
     "dedup_word_jaccard": (q_dedup_word_jaccard, SQL_WORD_JACCARD),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_MINHASH_LSH),
     "dedup_minhash_assign": (q_dedup_minhash_assign, SQL_MINHASH_ASSIGN),
     "dedup_simhash": (q_dedup_simhash, None),

@@ -57,6 +57,28 @@ def write_parquet_overwrite_partitions(
     )
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (hash-clustered) managed table — the co-located-join
+    layout. Two tables bucketed on their join key with the same bucket
+    count join WITHOUT a shuffle: the exchange that dominates a
+    fact-fact join at 100 TB disappears because matching keys already
+    live in matching files. ``sort_cols`` additionally pre-sorts within
+    buckets so sort-merge join skips its sort. Bucketing requires
+    ``saveAsTable`` (the bucket spec lives in the catalog, not the
+    files)."""
+    writer = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def write_format_partitioned(
     df: DataFrame,
     path: str,

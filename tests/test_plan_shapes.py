@@ -112,3 +112,33 @@ def test_unpivot_is_single_pass_expand(spark):
     assert "Expand" in p
     assert "Exchange" not in p  # no shuffle for a reshape
     assert "Union" not in p  # not the N-scans formulation
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    from stockpy_spark.sources.writers import write_bucketed_table
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_bucketed_table(li, "li_b", ["l_orderkey"], 4, sort_cols=["l_orderkey"])
+    write_bucketed_table(orders, "ord_b", ["o_orderkey"], 4, sort_cols=["o_orderkey"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    try:
+        joined = spark.table("li_b").join(
+            spark.table("ord_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        p = plan(joined, mode="simple")
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p  # bucketing co-locates both sides
+        # same join over the raw (unbucketed) parquet shuffles both sides
+        raw = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        assert "Exchange" in plan(raw, mode="simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS ord_b")
