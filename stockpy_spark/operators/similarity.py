@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (array<float>).
 
-Two paths:
+Three paths:
 
 - brute_force_topk: exact cosine top-k. The query set is broadcast (it is
   small by construction); the corpus streams through executors once, each
@@ -15,6 +15,15 @@ Two paths:
   within `probe_hamming` of the query's; exact cosine re-ranks the
   candidates. Tunables trade recall for candidate count. At 100 TB the
   signature pass is one linear scan, the rerank touches only buckets.
+
+- ivf_topk: the other classic ANN layout — IVF (inverted-file) coarse
+  quantization. The corpus is partitioned into n_centroids Voronoi
+  cells; a query scans only its n_probe nearest cells, i.e. roughly
+  n_probe/n_centroids of the corpus. Centroid seeding and Lloyd
+  refinement are deterministic (lowest-id seeds), so results are
+  reproducible. Where LSH shines on hamming-friendly data, IVF wins
+  when the corpus has cluster structure — both reuse the same exact
+  cosine rerank.
 """
 
 from __future__ import annotations
@@ -114,6 +123,117 @@ def ann_lsh_topk(
         )
         <= probe_hamming,
     )
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = joined.withColumn(
+        "cosine", F.round(cosine_similarity(F.col("qv"), F.col("cv")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _assign_to_centroids(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Add `cid` = nearest (max-cosine) centroid for each vector row.
+    Centroids are broadcast; cost is one corpus scan."""
+    scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
+        "__sim", cosine_similarity(F.col("__vec"), F.col("__cvec"))
+    )
+    w = Window.partitionBy("__rid").orderBy(F.col("__sim").desc(), F.col("cid"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__sim", "__cvec")
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_centroids: int,
+    refine_iterations: int = 1,
+) -> DataFrame:
+    """(cid, __cvec): deterministic IVF codebook. Seeds = the
+    n_centroids lowest-id corpus vectors; each Lloyd iteration assigns
+    every vector to its nearest centroid (one broadcast scan) and
+    recomputes centroids as the element-wise mean (a posexplode +
+    groupBy over n_centroids x dim cells — tiny).
+
+    The codebook (n_centroids x dim floats — KBs) is materialized to
+    the driver after every iteration and re-emitted as a literal frame:
+    iterative lineage stays flat, and downstream consumers (cell
+    assignment, query probing) each trigger exactly one corpus scan
+    instead of re-running the whole training sub-plan. This is the
+    standard Spark k-means structure — the model is small, the data is
+    not."""
+    spark = corpus.sparkSession
+    seeds = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(vec_col).alias("__cvec"))
+        .withColumn("cid", F.row_number().over(Window.orderBy(F.lit(1))) - 1)
+    )
+    cent = seeds.select("cid", "__cvec")
+    vecs = corpus.select(
+        F.col(id_col).alias("__rid"), F.col(vec_col).alias("__vec")
+    )
+    for _ in range(refine_iterations):
+        assigned = _assign_to_centroids(vecs, cent)
+        cent = (
+            assigned.select("cid", F.posexplode("__vec").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"].cast("float"),
+                ).alias("__cvec")
+            )
+        )
+    rows = [(int(r["cid"]), list(r["__cvec"])) for r in cent.collect()]
+    return spark.createDataFrame(rows, "cid int, __cvec array<float>")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    refine_iterations: int = 1,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k via IVF: nearest-cell probing + exact cosine
+    rerank inside the probed cells. Returns (query_id, neighbor_id,
+    cosine, rank) like the exact path."""
+    cent = ivf_centroids(corpus, vec_col, id_col, n_centroids, refine_iterations)
+    corpus_cells = _assign_to_centroids(
+        corpus.select(F.col(id_col).alias("__rid"), F.col(vec_col).alias("__vec")),
+        cent,
+    ).select(
+        F.col("__rid").alias("neighbor_id"), F.col("__vec").alias("cv"), "cid"
+    )
+    # per query: its n_probe nearest centroids
+    q = queries.select(F.col(id_col).alias("__rid"), F.col(vec_col).alias("__vec"))
+    q_scored = q.crossJoin(F.broadcast(cent)).withColumn(
+        "__sim", cosine_similarity(F.col("__vec"), F.col("__cvec"))
+    )
+    wq = Window.partitionBy("__rid").orderBy(F.col("__sim").desc(), F.col("cid"))
+    q_probes = (
+        q_scored.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= n_probe)
+        .select(F.col("__rid").alias("query_id"), F.col("__vec").alias("qv"), "cid")
+    )
+    joined = corpus_cells.join(F.broadcast(q_probes), "cid")
     if exclude_self:
         joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
     scored = joined.withColumn(

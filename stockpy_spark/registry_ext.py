@@ -36,7 +36,7 @@ from stockpy_spark.operators.dedup import (
 from stockpy_spark.operators.joins import asof_join
 from stockpy_spark.operators.aggregate import dedup_by_key_first
 from stockpy_spark.operators.multimodal import attach_binary_payload, extract_features
-from stockpy_spark.operators.similarity import ann_lsh_topk, brute_force_topk
+from stockpy_spark.operators.similarity import ann_lsh_topk, brute_force_topk, ivf_topk
 from stockpy_spark.sources.testdata import read_events
 
 
@@ -354,6 +354,16 @@ FROM (
 """
 
 
+def q_sim_ivf_topk(spark, sf_dir):
+    """IVF ANN: 16 deterministic Voronoi cells, probe the 4 nearest
+    (~25% of the corpus scanned per query)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(
+        emb, queries, "embedding", "vec_id", k=10, n_centroids=16, n_probe=4
+    )
+
+
 def q_sim_ann_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
@@ -442,6 +452,7 @@ EXT_QUERIES: dict[str, tuple] = {
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_EMB_COSINE),
     "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_TOPK),
     "sim_ann_lsh": (q_sim_ann_lsh, None),
+    "sim_ivf_topk": (q_sim_ivf_topk, None),
     "asof_purchase_view": (q_asof_purchase_view, SQL_ASOF),
     "mm_decode_features": (q_mm_decode_features, SQL_MM_FEATURES),
     "approx_distinct_users": (q_approx_distinct_users, None),

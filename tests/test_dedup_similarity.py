@@ -133,3 +133,25 @@ def test_minhash_assign_iterations_converge_chain(spark):
     # with per-hash bands (bands=12) any shared-minhash pair links, and
     # 3 iterations propagate the chain to a single cluster
     assert set(two.values()) == {1}
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF (16 cells, probe 4) must beat random-scan recall by a wide
+    margin on real embeddings: probing 25% of the corpus should recover
+    well over 25% of true neighbors when clusters exist, and the
+    centroid/assignment path must be deterministic across runs."""
+    from stockpy_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, "embedding", "vec_id", k=10)
+    approx = ivf_topk(emb, queries, "embedding", "vec_id", k=10,
+                      n_centroids=16, n_probe=4)
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4, f"IVF recall too low: {recall}"
+    rerun = {(r.query_id, r.neighbor_id) for r in
+             ivf_topk(emb, queries, "embedding", "vec_id", k=10,
+                      n_centroids=16, n_probe=4).collect()}
+    assert rerun == approx_set  # deterministic
