@@ -369,15 +369,83 @@ def simhash_pairs(
     )
 
 
+def embedding_neardup_lsh(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    dim: int,
+    n_planes: int = 12,
+    bands: int = 3,
+) -> DataFrame:
+    """Embedding near-dup at scale: hyperplane-LSH blocking + exact
+    cosine verify within blocks. Returns (id1, id2, cosine), id1 < id2,
+    cosine >= threshold.
+
+    The n_planes-bit signature is split into ``bands`` sub-signatures;
+    vectors sharing ANY band sub-signature become a candidate pair
+    (same banding logic as MinHash-LSH, hyperplanes instead of
+    minhashes). One linear scan computes signatures; the self-join is
+    per-band on small keys; exact cosine runs only on candidates —
+    O(n^2) never materializes unless the data really is one cluster.
+    High-cosine pairs agree on most hyperplane signs, so P(all bands
+    differ) decays geometrically with bands.
+    """
+    from stockpy_spark.functions.text import cosine_similarity
+    from stockpy_spark.operators.similarity import _hyperplane_signature
+
+    width = n_planes // bands
+    sig = _hyperplane_signature(F.col(vec_col), dim, n_planes)
+    tagged = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig.alias("sig")
+    )
+    bexpr = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("sig"), b * width)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("bsig"),
+                )
+                for b in range(bands)
+            ]
+        )
+    )
+    blocks = tagged.select("id", "v", bexpr.alias("kb")).select(
+        "id", "v", F.col("kb.band").alias("band"), F.col("kb.bsig").alias("bsig")
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.col("a.v").alias("v1"),
+            F.col("b.v").alias("v2"),
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
+    return (
+        cand.withColumn("cosine", F.round(cosine_similarity("v1", "v2"), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id1", "id2", "cosine")
+    )
+
+
 def embedding_cosine_pairs(
     df: DataFrame, vec_col: str, id_col: str, threshold: float
 ) -> DataFrame:
     """Embedding near-dup: pairs with cosine >= threshold (d1 < d2).
 
     Brute-force O(n^2/2) pair scan — exact, fine to ~10^5 vectors per
-    executor-broadcast block. The scale path is LSH bucketing first
-    (similarity.ann_lsh_topk's hyperplane signatures) then this check
-    within buckets.
+    executor-broadcast block. The scale path is embedding_neardup_lsh
+    (hyperplane blocking, exact verify within blocks).
     """
     from stockpy_spark.functions.text import cosine_similarity
 

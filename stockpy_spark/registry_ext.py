@@ -25,6 +25,7 @@ from stockpy_spark.functions.text import (
 )
 from stockpy_spark.operators.dedup import (
     embedding_cosine_pairs,
+    embedding_neardup_lsh,
     exact_dedup,
     exact_dedup_stats,
     minhash_dedup_assign,
@@ -354,6 +355,43 @@ FROM (
 """
 
 
+def q_text_tfidf(spark, sf_dir):
+    """TF-IDF over a doc subset (full term table is |docs| x |vocab|-ish;
+    the subset keeps the oracle comparison quick while the operator is
+    corpus-general)."""
+    from stockpy_spark.operators.textstats import tfidf_terms
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return tfidf_terms(docs, "text", "doc_id")
+
+
+SQL_TFIDF = f"""
+WITH toks AS (
+    SELECT doc_id AS doc, unnest({_TOKENS_LOWER_SQL}) AS term
+    FROM documents
+    WHERE doc_id % 5 = 0 AND text IS NOT NULL AND trim(text) <> ''
+), tf AS (
+    SELECT doc, term, count(*) AS tf FROM toks GROUP BY doc, term
+), dfreq AS (
+    SELECT term, count(*) AS df FROM tf GROUP BY term
+), n AS (
+    SELECT count(DISTINCT doc) AS n FROM tf
+)
+SELECT doc, term, tf, df, round(tf * ln(n / CAST(df AS DOUBLE)), 6) AS tfidf
+FROM tf JOIN dfreq USING (term) CROSS JOIN n
+"""
+
+
+def q_dedup_embedding_lsh(spark, sf_dir):
+    """Scale path for embedding near-dup: hyperplane-LSH blocking +
+    exact cosine verify within blocks (rows-only: the md5 sign trick
+    is not portable SQL)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_lsh(
+        emb, "embedding", "vec_id", threshold=0.4, dim=64, n_planes=12, bands=3
+    )
+
+
 def q_sim_ivf_topk(spark, sf_dir):
     """IVF ANN: 16 deterministic Voronoi cells, probe the 4 nearest
     (~25% of the corpus scanned per query)."""
@@ -453,6 +491,8 @@ EXT_QUERIES: dict[str, tuple] = {
     "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_TOPK),
     "sim_ann_lsh": (q_sim_ann_lsh, None),
     "sim_ivf_topk": (q_sim_ivf_topk, None),
+    "text_tfidf": (q_text_tfidf, SQL_TFIDF),
+    "dedup_embedding_lsh": (q_dedup_embedding_lsh, None),
     "asof_purchase_view": (q_asof_purchase_view, SQL_ASOF),
     "mm_decode_features": (q_mm_decode_features, SQL_MM_FEATURES),
     "approx_distinct_users": (q_approx_distinct_users, None),

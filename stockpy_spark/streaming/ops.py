@@ -171,6 +171,39 @@ def run_to_memory(result: DataFrame, name: str, output_mode: str = "append"):
     return q
 
 
+def run_foreach_batch_to_parquet(
+    result: DataFrame,
+    path: str,
+    checkpoint: str,
+    partition_by: list[str],
+    output_mode: str = "append",
+):
+    """Stream -> partitioned-parquet bridge via foreachBatch: each
+    micro-batch is written with dynamic partition overwrite, so a batch
+    replayed after a failure rewrites ITS partitions instead of
+    appending duplicates — exactly-once at the partition level on top
+    of the checkpoint's at-least-once replay. Runs with availableNow
+    (process everything pending, then stop): the streaming twin of the
+    reference's daily incremental batch.
+    """
+    from stockpy_spark.sources.writers import write_parquet_overwrite_partitions
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_parquet_overwrite_partitions(batch_df, path, partition_by)
+
+    q = (
+        result.writeStream.outputMode(output_mode)
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def file_stream(spark: SparkSession, path: str, schema) -> DataFrame:
     """File-based streaming source (the local stand-in for Kafka; same
     DataFrame surface downstream)."""

@@ -155,3 +155,38 @@ def test_ivf_recall_vs_brute_force(spark):
              ivf_topk(emb, queries, "embedding", "vec_id", k=10,
                       n_centroids=16, n_probe=4).collect()}
     assert rerun == approx_set  # deterministic
+
+
+def test_embedding_lsh_neardup_matches_brute_force_high_threshold(spark):
+    """At cosine>=0.9 hyperplane blocking must recover most true pairs
+    (flip probability per plane ~ acos(0.9)/pi ~ 0.14; with 3 bands of
+    4 planes, P(miss) = (1-0.86^4)^3 ~ 0.1)."""
+    from stockpy_spark.operators.dedup import (
+        embedding_cosine_pairs,
+        embedding_neardup_lsh,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {(r.id1, r.id2) for r in
+             embedding_cosine_pairs(emb, "embedding", "vec_id", 0.9).collect()}
+    approx = {(r.id1, r.id2) for r in
+              embedding_neardup_lsh(emb, "embedding", "vec_id", 0.9, dim=64).collect()}
+    assert approx <= exact  # verify stage guarantees no false positives
+    if exact:
+        assert len(approx) / len(exact) >= 0.5
+
+
+def test_tfidf_textbook_values(spark):
+    from stockpy_spark.operators.textstats import tfidf_terms, top_terms_per_doc
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "cherry durian")],
+        "doc_id long, text string",
+    )
+    out = {(r.doc, r.term): (r.tf, r.df, r.tfidf) for r in
+           tfidf_terms(docs, "text", "doc_id").collect()}
+    assert out[(1, "apple")] == (2, 1, round(2 * math.log(3 / 1), 6))
+    assert out[(1, "banana")] == (1, 2, round(math.log(3 / 2), 6))
+    top = top_terms_per_doc(docs, "text", "doc_id", 1).collect()
+    assert {(r.doc, r.term) for r in top} == {(1, "apple"), (2, "banana"), (3, "durian")}

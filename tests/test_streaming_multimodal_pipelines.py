@@ -186,3 +186,29 @@ def test_multi_format_round_trip(spark, tmp_path):
         write_format_partitioned(src, dest, fmt, **({"header": "true"} if fmt == "csv" else {}))
         got = sorted(tuple(r) for r in reader(dest).collect())
         assert got == expected, fmt
+
+
+def test_foreach_batch_parquet_sink_idempotent(spark, tmp_path):
+    from stockpy_spark.streaming.ops import run_foreach_batch_to_parquet
+
+    path, schema = _write_stream_input(spark, tmp_path)
+    out_dir = str(tmp_path / "out")
+    stream = file_stream(spark, path, schema).withColumn(
+        "day", F.date_format("ts", "yyyyMMdd")
+    )
+    run_foreach_batch_to_parquet(
+        stream, out_dir, str(tmp_path / "ckpt1"), ["day"]
+    )
+    first = spark.read.parquet(out_dir).count()
+    assert first == 5
+    # a fresh checkpoint replays everything; dynamic partition overwrite
+    # must replace the day partitions, not append duplicates
+    run_foreach_batch_to_parquet(
+        file_stream(spark, path, schema).withColumn(
+            "day", F.date_format("ts", "yyyyMMdd")
+        ),
+        out_dir,
+        str(tmp_path / "ckpt2"),
+        ["day"],
+    )
+    assert spark.read.parquet(out_dir).count() == 5
