@@ -91,25 +91,40 @@ def word_jaccard_pairs(
     )
 
 
+# modulus for double-hashed minhash lanes: small prime so lane
+# arithmetic (h1 + i*h2) never overflows 64-bit in any engine
+_MINHASH_P = 1_000_000_007
+
+
 def _minhash_wide(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int
 ) -> DataFrame:
-    """(doc, mh0..mh{H-1}): md5-based minhash signature, one column per
-    hash index. mh_h = min over distinct tokens of md5('<h>|' || token).
+    """(doc, mh0..mh{H-1}): minhash signature, one BIGINT column per
+    hash lane. Double-hashing (Kirsch-Mitzenmacher): two md5-derived
+    base hashes per token, lane i = (h1 + i*h2) mod P — H lanes for the
+    price of 2 hash computations instead of H.
 
     All H minhashes are computed as aggregates of ONE groupBy(doc): the
     token rows are never replicated H-fold through a shuffle, and partial
     (map-side) aggregation reduces each partition to one row per doc
-    before the exchange — the shuffle carries ~n_docs x H short strings
-    regardless of corpus token count. md5 instead of murmur3 keeps the
-    signature engine-portable (the DuckDB oracle reproduces it
-    bit-for-bit); at 100 TB swap in xxhash64 for speed — the LSH
-    structure is unchanged.
+    before the exchange — the shuffle carries ~n_docs x H longs
+    regardless of corpus token count. The md5→hex→bigint derivation is
+    engine-portable (DuckDB reproduces every lane bit-for-bit); at
+    100 TB swap md5 for xxhash64 — the LSH structure is unchanged.
     """
     toks = _distinct_tokens(df, text_col, id_col)
-    return toks.groupBy("doc").agg(
+
+    def base(prefix: str) -> F.Column:
+        return (
+            F.conv(F.substring(F.md5(F.concat(F.lit(prefix), F.col("tok"))), 1, 15), 16, 10)
+            .cast("long")
+            % _MINHASH_P
+        )
+
+    hashed = toks.select("doc", base("1|").alias("h1"), base("2|").alias("h2"))
+    return hashed.groupBy("doc").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{h}|"), F.col("tok")))).alias(f"mh{h}")
+            F.min((F.col("h1") + F.lit(h) * F.col("h2")) % _MINHASH_P).alias(f"mh{h}")
             for h in range(num_hashes)
         ]
     )
@@ -182,7 +197,7 @@ def _band_signatures(wide: DataFrame, num_hashes: int, bands: int) -> DataFrame:
                 F.concat_ws(
                     ",",
                     *[
-                        F.concat(F.lit(f"{h:04d}:"), F.col(f"mh{h}"))
+                        F.concat(F.lit(f"{h:04d}:"), F.col(f"mh{h}").cast("string"))
                         for h in range(b * rows, (b + 1) * rows)
                     ],
                 )

@@ -248,14 +248,19 @@ SQL_MINHASH_LSH = f"""
 WITH tok AS (
     SELECT DISTINCT doc_id AS doc, unnest({_TOKENS_LOWER_SQL}) AS tok
     FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+), base AS (
+    SELECT doc,
+           CAST(concat('0x', substr(md5('1|' || tok), 1, 15)) AS BIGINT) % 1000000007 AS h1,
+           CAST(concat('0x', substr(md5('2|' || tok), 1, 15)) AS BIGINT) % 1000000007 AS h2
+    FROM tok
 ), sig AS (
     SELECT doc, g.h AS h,
-           min(md5(CAST(g.h AS VARCHAR) || '|' || tok)) AS mh
-    FROM tok CROSS JOIN generate_series(0, 11) AS g(h)
+           min((h1 + g.h * h2) % 1000000007) AS mh
+    FROM base CROSS JOIN generate_series(0, 11) AS g(h)
     GROUP BY doc, g.h
 ), bands AS (
     SELECT doc, h // 6 AS band,
-           lpad(CAST(h AS VARCHAR), 4, '0') || ':' || mh AS hmh
+           lpad(CAST(h AS VARCHAR), 4, '0') || ':' || CAST(mh AS VARCHAR) AS hmh
     FROM sig
 ), bsig AS (
     SELECT doc, band, md5(string_agg(hmh, ',' ORDER BY hmh)) AS bs
@@ -285,14 +290,19 @@ SQL_MINHASH_ASSIGN = f"""
 WITH tok AS (
     SELECT DISTINCT doc_id AS doc, unnest({_TOKENS_LOWER_SQL}) AS tok
     FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+), base AS (
+    SELECT doc,
+           CAST(concat('0x', substr(md5('1|' || tok), 1, 15)) AS BIGINT) % 1000000007 AS h1,
+           CAST(concat('0x', substr(md5('2|' || tok), 1, 15)) AS BIGINT) % 1000000007 AS h2
+    FROM tok
 ), sig AS (
     SELECT doc, g.h AS h,
-           min(md5(CAST(g.h AS VARCHAR) || '|' || tok)) AS mh
-    FROM tok CROSS JOIN generate_series(0, 11) AS g(h)
+           min((h1 + g.h * h2) % 1000000007) AS mh
+    FROM base CROSS JOIN generate_series(0, 11) AS g(h)
     GROUP BY doc, g.h
 ), bands AS (
     SELECT doc, h // 6 AS band,
-           lpad(CAST(h AS VARCHAR), 4, '0') || ':' || mh AS hmh
+           lpad(CAST(h AS VARCHAR), 4, '0') || ':' || CAST(mh AS VARCHAR) AS hmh
     FROM sig
 ), bsig AS (
     SELECT doc, band, md5(string_agg(hmh, ',' ORDER BY hmh)) AS bs
