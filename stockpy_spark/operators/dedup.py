@@ -104,29 +104,49 @@ def _minhash_wide(
     base hashes per token, lane i = (h1 + i*h2) mod P — H lanes for the
     price of 2 hash computations instead of H.
 
-    All H minhashes are computed as aggregates of ONE groupBy(doc): the
-    token rows are never replicated H-fold through a shuffle, and partial
-    (map-side) aggregation reduces each partition to one row per doc
-    before the exchange — the shuffle carries ~n_docs x H longs
-    regardless of corpus token count. The md5→hex→bigint derivation is
+    ZERO-shuffle formulation: the token set never leaves its row. The
+    distinct tokens are an array column, the two base hashes a
+    `transform` over it, and every lane an `array_min` over another
+    `transform` — all narrow, map-side, whole-row operations, so
+    signature computation costs no exchange at any corpus size; the
+    first shuffle in any minhash pipeline is the (tiny, n_docs-sized)
+    band bucket join downstream. The md5→hex→bigint derivation is
     engine-portable (DuckDB reproduces every lane bit-for-bit); at
     100 TB swap md5 for xxhash64 — the LSH structure is unchanged.
     """
-    toks = _distinct_tokens(df, text_col, id_col)
 
-    def base(prefix: str) -> F.Column:
+    def base(prefix: str, t: F.Column) -> F.Column:
         return (
-            F.conv(F.substring(F.md5(F.concat(F.lit(prefix), F.col("tok"))), 1, 15), 16, 10)
+            F.conv(F.substring(F.md5(F.concat(F.lit(prefix), t)), 1, 15), 16, 10)
             .cast("long")
             % _MINHASH_P
         )
 
-    hashed = toks.select("doc", base("1|").alias("h1"), base("2|").alias("h2"))
-    return hashed.groupBy("doc").agg(
+    # filter on the token array, NOT the hashed array: predicate pushdown
+    # substitutes the filtered alias's defining expression into the
+    # condition, so filtering on __hs would re-run the md5 transform per
+    # row just to test emptiness. size(NULL array) = -1, size(no tokens)
+    # = 0 — both match the oracle's "doc absent when tokenless".
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(tokenize(F.lower(F.col(text_col)))).alias("__toks"),
+    ).filter(F.size(F.col("__toks")) > 0)
+    hashed = F.transform(
+        F.col("__toks"),
+        lambda t: F.struct(base("1|", t).alias("h1"), base("2|", t).alias("h2")),
+    )
+    sigs = toks.select("doc", hashed.alias("__hs"))
+    return sigs.select(
+        "doc",
         *[
-            F.min((F.col("h1") + F.lit(h) * F.col("h2")) % _MINHASH_P).alias(f"mh{h}")
+            F.array_min(
+                F.transform(
+                    F.col("__hs"),
+                    lambda s: (s["h1"] + F.lit(h) * s["h2"]) % _MINHASH_P,
+                )
+            ).alias(f"mh{h}")
             for h in range(num_hashes)
-        ]
+        ],
     )
 
 

@@ -6,25 +6,48 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+def _ts_unit_is_nanos(path: str) -> bool | None:
+    """Sniff the parquet footer driver-side (pyarrow, ~ms) so we never
+    launch a Spark job that PARQUET_TYPE_ILLEGAL will abort. None =
+    could not determine (fall back to try/except on the Spark read)."""
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            parts = [p for p in os.listdir(path) if p.endswith(".parquet")]
+            if not parts:
+                return None
+            path = os.path.join(path, parts[0])
+        t = pq.read_schema(path).field("ts").type
+        return pa.types.is_timestamp(t) and t.unit == "ns"
+    except Exception:
+        return None
+
+
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read the events table robustly across parquet timestamp units.
 
     The driver-generated events.parquet stores ``ts`` as
     TIMESTAMP(NANOS), which Spark's vectorized reader rejects by default
-    (PARQUET_TYPE_ILLEGAL). Fall back to the legacy nanos-as-long read and
-    rebuild a micros timestamp (ns -> us floor division — the same
-    truncation DuckDB/Arrow apply when narrowing ns to us).
+    (PARQUET_TYPE_ILLEGAL). Detect that from the footer and read with
+    the legacy nanos-as-long mode, rebuilding a micros timestamp
+    (ns -> us floor division — the same truncation DuckDB/Arrow apply
+    when narrowing ns to us).
     """
     from pyspark.sql import functions as F
 
     path = f"{sf_dir}/events.parquet"
-    try:
-        df = spark.read.parquet(path)
-        df.schema  # force schema resolution
-        if dict(df.dtypes).get("ts") == "timestamp":
-            return df
-    except Exception:
-        pass
+    nanos = _ts_unit_is_nanos(path)
+    if nanos is None:
+        try:
+            df = spark.read.parquet(path)
+            if dict(df.dtypes).get("ts") == "timestamp":
+                return df
+        except Exception:
+            pass
+    elif not nanos:
+        return spark.read.parquet(path)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     # integer division — float division loses precision at ~1e18 ns
