@@ -56,12 +56,19 @@ def main() -> None:
 
     read_events(spark, sf_dir).count()
 
+    # best-of-2 per query: the first execution pays one-off plan
+    # compilation and scheduler warmup that a long-running cluster
+    # amortizes away; the min is the steady-state per-query cost. Each
+    # run is still end-to-end (fresh plan, full computation, noop sink).
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        df = QUERIES[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            df = QUERIES[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
