@@ -41,6 +41,9 @@ HEADLINE = [
     "sim_cosine_topk",
     "text_quality_score",
     "asof_purchase_view",
+    # the composed corpus-cleaning pipeline (quality gate -> exact dedup
+    # -> minhash near-dup removal) — the end-to-end training-data path
+    "pipeline_clean_corpus",
 ]
 
 

@@ -485,6 +485,93 @@ def q_approx_distinct_users(spark, sf_dir):
     )
 
 
+# --- end-to-end training-data pipeline ---
+
+def q_pipeline_clean_corpus(spark, sf_dir):
+    """The composed LLM-corpus cleaning pipeline: quality gate ->
+    exact dedup (min-id per md5 fingerprint) -> MinHash-LSH near-dup
+    removal (bucket-min assignment, no pair enumeration). Returns the
+    surviving documents with their quality score.
+
+    Every stage is an operator with its own oracle-checked query; this
+    entry checks their composition end-to-end. Scale shape: one narrow
+    quality scan, two map-side-combined fingerprint shuffles, zero-
+    shuffle minhash signatures, two bounded bucket shuffles.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "text", quality_score("text").alias("quality"))
+    qualified = scored.filter(F.col("quality") >= 0.5)
+    # persist the deduped survivors: three downstream consumers (two
+    # band-signature branches + the final semi-join) would otherwise
+    # each rescan and re-fingerprint the corpus. At real scale this
+    # barrier is a staged parquet write between pipeline phases.
+    uniq = exact_dedup(qualified, "text", "doc_id").persist()
+    assign = minhash_dedup_assign(uniq, "text", "doc_id", num_hashes=12, bands=2)
+    keep = assign.filter(~F.col("is_dup")).select("doc_id")
+    return uniq.join(keep, "doc_id", "left_semi").select("doc_id", "quality")
+
+
+SQL_PIPELINE_CLEAN = f"""
+WITH feat AS (
+    SELECT doc_id, text,
+           length(coalesce(text, '')) AS n_chars,
+           CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                ELSE len({_TOKENS_SQL}) END AS n_tokens,
+           CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                ELSE len(list_filter({_TOKENS_SQL},
+                         x -> list_contains({_STOP_SQL}, lower(x)))) END AS stop_hits,
+           length(coalesce(text, ''))
+               - length(regexp_replace(coalesce(text, ''), '[^\\w\\s]', '', 'g'))
+               AS punct_chars
+    FROM documents
+), scored AS (
+    SELECT doc_id, text,
+           round(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+                 + least(stop_hits / CAST(greatest(n_tokens, 1) AS DOUBLE) * 5.0, 1.0) * 0.3
+                 + greatest(1.0 - punct_chars / CAST(greatest(n_chars, 1) AS DOUBLE) * 4.0,
+                            0.0) * 0.3, 6) AS quality
+    FROM feat
+), qualified AS (
+    SELECT doc_id, text, quality,
+           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+    FROM scored WHERE quality >= 0.5
+), uniq AS (
+    SELECT q.doc_id, q.text, q.quality
+    FROM qualified q
+    JOIN (SELECT fp, min(doc_id) AS m FROM qualified GROUP BY fp) k
+      ON q.fp = k.fp AND q.doc_id = k.m
+), tok AS (
+    SELECT DISTINCT doc_id AS doc, unnest({_TOKENS_LOWER_SQL}) AS tok
+    FROM uniq WHERE text IS NOT NULL AND trim(text) <> ''
+), base AS (
+    SELECT doc,
+           CAST(concat('0x', substr(md5('1|' || tok), 1, 15)) AS BIGINT) % 1000000007 AS h1,
+           CAST(concat('0x', substr(md5('2|' || tok), 1, 15)) AS BIGINT) % 1000000007 AS h2
+    FROM tok
+), sig AS (
+    SELECT doc, g.h AS h,
+           min((h1 + g.h * h2) % 1000000007) AS mh
+    FROM base CROSS JOIN generate_series(0, 11) AS g(h)
+    GROUP BY doc, g.h
+), bands AS (
+    SELECT doc, h // 6 AS band,
+           lpad(CAST(h AS VARCHAR), 4, '0') || ':' || CAST(mh AS VARCHAR) AS hmh
+    FROM sig
+), bsig AS (
+    SELECT doc, band, md5(string_agg(hmh, ',' ORDER BY hmh)) AS bs
+    FROM bands GROUP BY doc, band
+), bmin AS (
+    SELECT band, bs, min(doc) AS m FROM bsig GROUP BY band, bs
+), assign AS (
+    SELECT b.doc, min(m.m) AS keeper
+    FROM bsig b JOIN bmin m ON b.band = m.band AND b.bs = m.bs
+    GROUP BY b.doc
+)
+SELECT u.doc_id, u.quality
+FROM uniq u JOIN assign a ON a.doc = u.doc_id AND a.keeper = u.doc_id
+"""
+
+
 EXT_QUERIES: dict[str, tuple] = {
     "text_token_count": (q_text_token_count, SQL_TOKEN_COUNT),
     "text_quality_score": (q_text_quality_score, SQL_QUALITY),
@@ -506,4 +593,5 @@ EXT_QUERIES: dict[str, tuple] = {
     "asof_purchase_view": (q_asof_purchase_view, SQL_ASOF),
     "mm_decode_features": (q_mm_decode_features, SQL_MM_FEATURES),
     "approx_distinct_users": (q_approx_distinct_users, None),
+    "pipeline_clean_corpus": (q_pipeline_clean_corpus, SQL_PIPELINE_CLEAN),
 }
