@@ -1121,7 +1121,77 @@ GROUP BY l_linestatus
 """
 
 
+def q_q4_priority_exists(spark, sf_dir):
+    """TPC-H Q4 shape: grouped count of orders in a date window that
+    have at least one matching lineitem (EXISTS). Decorrelated as a
+    left-semi join — Catalyst plans exactly this for the EXISTS form."""
+    from stockpy_spark.operators.joins import semi_join
+
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    returned = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return (
+        semi_join(orders, returned, "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+SQL_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
+def q_q22_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape: customers with above-average balance and no
+    RECENT orders — scalar aggregate subquery (1-row broadcast) + anti
+    join + grouped count/sum. (The date scope keeps the anti join
+    non-trivial: in this data every customer has *some* order.)"""
+    from stockpy_spark.operators.joins import anti_join
+
+    cust = _t(spark, sf_dir, "customer")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("ab"))
+    with_orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "1999-01-01")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        anti_join(rich, with_orders, "c_custkey")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+SQL_Q22 = """
+SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= DATE '1999-01-01')
+GROUP BY c_nationkey
+"""
+
+
 CORE_QUERIES: dict[str, tuple] = {
+    "q4_priority_exists": (q_q4_priority_exists, SQL_Q4),
+    "q22_idle_rich_customers": (q_q22_idle_rich_customers, SQL_Q22),
     "set2_intersect": (q_set2_intersect, SQL_SET2),
     "set3_except": (q_set3_except, SQL_SET3),
     "f10_string_funcs": (q_f10_string_funcs, SQL_F10),
