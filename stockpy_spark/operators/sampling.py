@@ -1,0 +1,99 @@
+"""Deterministic sampling, splitting, and sequence packing for
+training-data pipelines.
+
+Random sampling (``df.sample``/``sampleBy``) is seed- and
+partitioning-dependent: rerunning after a repartition yields a different
+corpus, and no other engine can reproduce the choice. At training-data
+scale the standard practice is HASH sampling — a pure function of a
+stable row id — which is reproducible across reruns, engines, and
+cluster layouts, and trivially auditable (the row's fate is decidable
+from the row alone). All operators here derive a bucket in [0, 10000)
+from md5(id) (same derivation as the minhash lanes in
+``operators.dedup``, so the DuckDB oracle replicates it bit-for-bit)
+and never shuffle: sampling and splitting are narrow maps; packing
+shuffles once on the shard key.
+
+Reference has no sampling surface (SURVEY.md §2.6 O2 is a bare
+``limit``); these are extension operators from the 100 TB north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_BUCKETS = 10_000
+
+
+def _hash_bucket(id_col: Column, salt: str) -> Column:
+    """Deterministic bucket in [0, 10000): md5 of the salted id, first
+    15 hex chars as a BIGINT (60 bits — fits int64 in any engine)."""
+    h = F.md5(F.concat(F.lit(salt + "|"), id_col.cast("string")))
+    return (
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % F.lit(_BUCKETS)
+    )
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = "sample"
+) -> DataFrame:
+    """Keep a deterministic ~``fraction`` of rows: bucket(id) <
+    fraction * 10000. Narrow (no shuffle), reproducible across reruns
+    and engines, stable under repartitioning — unlike ``df.sample``."""
+    return df.filter(
+        _hash_bucket(F.col(id_col), salt) < F.lit(int(round(fraction * _BUCKETS)))
+    )
+
+
+def train_test_split(
+    df: DataFrame, id_col: str, test_fraction: float, salt: str = "split"
+) -> DataFrame:
+    """Add a deterministic ``split`` column ('test' for ~test_fraction
+    of rows, else 'train'). A row's assignment is a pure function of its
+    id — no leakage across reruns, append-only ingest keeps old
+    assignments."""
+    thresh = int(round(test_fraction * _BUCKETS))
+    return df.withColumn(
+        "split",
+        F.when(
+            _hash_bucket(F.col(id_col), salt) < F.lit(thresh), F.lit("test")
+        ).otherwise(F.lit("train")),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    n_shards: int = 8,
+    salt: str = "pack",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget bins (context-window
+    packing for LLM pretraining). Returns the input plus ``shard``,
+    ``bin`` — consumers concatenate a bin's documents into one training
+    sequence.
+
+    Scale shape: documents are hash-sharded (deterministic, skew-free),
+    then packed WITHIN each shard by a running token sum over the
+    deterministic id order — one hash shuffle + per-shard sort, no
+    global ordering. bin = floor(start_offset / budget) where
+    start_offset is the tokens preceding the document in its shard's
+    stream: documents stay whole, a document that crosses a budget
+    boundary belongs to the bin where it starts, and oversize documents
+    occupy their own bin(s) rather than being dropped.
+    """
+    shard = (_hash_bucket(F.col(id_col), salt) % F.lit(n_shards)).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("shard", shard).withColumn(
+        "__cum", F.sum(F.col(token_col)).over(w)
+    )
+    return out.withColumn(
+        "bin",
+        ((F.col("__cum") - F.col(token_col)) / F.lit(budget)).cast("bigint"),
+    ).drop("__cum")

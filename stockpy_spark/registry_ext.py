@@ -35,6 +35,7 @@ from stockpy_spark.operators.dedup import (
     word_jaccard_pairs,
 )
 from stockpy_spark.operators.joins import asof_join
+from stockpy_spark.operators.sampling import hash_sample, pack_sequences, train_test_split
 from stockpy_spark.operators.aggregate import dedup_by_key_first
 from stockpy_spark.operators.multimodal import attach_binary_payload, extract_features
 from stockpy_spark.operators.similarity import ann_lsh_topk, brute_force_topk, ivf_topk
@@ -485,6 +486,70 @@ def q_approx_distinct_users(spark, sf_dir):
     )
 
 
+# --- deterministic sampling / splitting / packing ---
+
+_BUCKET_SQL = (
+    "CAST(concat('0x', substr(md5('{salt}|' || CAST(doc_id AS VARCHAR)), 1, 15)) "
+    "AS BIGINT) % 10000"
+)
+
+
+def q_sample_hash_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.1).select("doc_id", "lang")
+
+
+SQL_SAMPLE_HASH = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_BUCKET_SQL.format(salt='sample')} < 1000
+"""
+
+
+def q_split_train_test(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return train_test_split(docs, "doc_id", 0.2).select("doc_id", "split")
+
+
+SQL_SPLIT = f"""
+SELECT doc_id,
+       CASE WHEN {_BUCKET_SQL.format(salt='split')} < 2000
+            THEN 'test' ELSE 'train' END AS split
+FROM documents
+"""
+
+
+def q_pack_context_bins(spark, sf_dir):
+    """Context-window packing: hash-shard, per-shard running token sum,
+    budget-quantized bin assignment."""
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", F.col("text"), token_count("text").cast("long").alias("n_tokens")
+    )
+    return pack_sequences(sized, "doc_id", "n_tokens", budget=2048, n_shards=4).select(
+        "doc_id", "shard", "bin", "n_tokens"
+    )
+
+
+SQL_PACK = f"""
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                ELSE len({_TOKENS_SQL}) END AS n_tokens,
+           {_BUCKET_SQL.format(salt='pack')} % 4 AS shard
+    FROM documents
+), c AS (
+    SELECT doc_id, shard, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+    FROM t
+)
+SELECT doc_id, shard,
+       CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS bin,
+       CAST(n_tokens AS BIGINT) AS n_tokens
+FROM c
+"""
+
+
 # --- end-to-end training-data pipeline ---
 
 def q_pipeline_clean_corpus(spark, sf_dir):
@@ -594,4 +659,7 @@ EXT_QUERIES: dict[str, tuple] = {
     "mm_decode_features": (q_mm_decode_features, SQL_MM_FEATURES),
     "approx_distinct_users": (q_approx_distinct_users, None),
     "pipeline_clean_corpus": (q_pipeline_clean_corpus, SQL_PIPELINE_CLEAN),
+    "sample_hash_docs": (q_sample_hash_docs, SQL_SAMPLE_HASH),
+    "split_train_test": (q_split_train_test, SQL_SPLIT),
+    "pack_context_bins": (q_pack_context_bins, SQL_PACK),
 }

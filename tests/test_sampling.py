@@ -1,0 +1,72 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stockpy_spark.operators.sampling import (
+    hash_sample,
+    pack_sequences,
+    train_test_split,
+)
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_hash_sample_deterministic_and_stable_under_repartition(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    a = {r.doc_id for r in hash_sample(docs, "doc_id", 0.2).select("doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in hash_sample(docs.repartition(7), "doc_id", 0.2)
+        .select("doc_id")
+        .collect()
+    }
+    assert a == b
+    n = docs.count()
+    assert 0.1 * n < len(a) < 0.3 * n
+
+
+def test_hash_sample_nested_fractions(spark, sf_dir):
+    # same salt: a 10% sample is a subset of the 20% sample (bucket
+    # thresholding), which is what makes scaling a corpus down monotonic
+    docs = _docs(spark, sf_dir)
+    small = {r.doc_id for r in hash_sample(docs, "doc_id", 0.1).collect()}
+    big = {r.doc_id for r in hash_sample(docs, "doc_id", 0.2).collect()}
+    assert small <= big
+
+
+def test_train_test_split_partitions_every_row_once(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    out = train_test_split(docs, "doc_id", 0.25)
+    counts = dict(
+        out.groupBy("split").count().rdd.map(lambda r: (r["split"], r["count"])).collect()
+    )
+    assert set(counts) == {"train", "test"}
+    assert counts["train"] + counts["test"] == docs.count()
+    # deterministic: rerun assigns identically
+    again = train_test_split(docs, "doc_id", 0.25)
+    assert (
+        out.select("doc_id", "split")
+        .exceptAll(again.select("doc_id", "split"))
+        .count()
+        == 0
+    )
+
+
+def test_pack_sequences_bins_respect_start_offsets(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.length(F.coalesce("text", F.lit(""))).alias("n_tok")
+    )
+    budget = 500
+    out = pack_sequences(docs, "doc_id", "n_tok", budget=budget, n_shards=4)
+    rows = out.orderBy("shard", "doc_id").collect()
+    # recompute the running sum per shard and check every bin id
+    cum: dict[int, int] = {}
+    for r in rows:
+        start = cum.get(r.shard, 0)
+        assert r.bin == start // budget, (r.doc_id, r.shard, start, r.bin)
+        cum[r.shard] = start + r.n_tok
+    # all docs kept, no shard empty at this size
+    assert len(rows) == docs.count()
+    assert len(cum) == 4
