@@ -146,3 +146,25 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     na = F.sqrt(F.aggregate(ca, F.lit(0.0), lambda acc, x: acc + x * x))
     nb = F.sqrt(F.aggregate(cb, F.lit(0.0), lambda acc, x: acc + x * x))
     return dot / (na * nb)
+
+
+# PII redaction patterns, applied in order. Written in the common
+# Java-regex/RE2 subset ((?:...), \b, \d, {m,n}) so Spark and the
+# DuckDB oracle redact identically.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+)
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Redact common PII shapes (emails, NANP phone numbers, SSNs) with
+    typed placeholder tags — the standard scrub stage before corpus
+    release. Chained builtin regexp_replace: JVM-side, codegen, linear
+    scan; patterns are deliberately conservative (no catastrophic
+    backtracking, identical semantics in RE2 engines)."""
+    c = _c(col)
+    for pat, tag in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, tag)
+    return c

@@ -21,6 +21,7 @@ from stockpy_spark.functions.text import (
     language_id,
     quality_features,
     quality_score,
+    redact_pii,
     token_count,
 )
 from stockpy_spark.operators.dedup import (
@@ -550,6 +551,84 @@ FROM c
 """
 
 
+def q_text_redact_pii(spark, sf_dir):
+    """PII scrub parity check. The synthetic corpus contains no real
+    PII, so each row's text is salted with a doc_id-derived email,
+    phone, and SSN before redaction — every row exercises every
+    pattern, and the oracle must reproduce the redaction exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    salted = F.concat_ws(
+        " ",
+        F.col("text"),
+        F.concat(F.lit("user"), F.col("doc_id"), F.lit("@example.com")),
+        F.lit("555-867-5309"),
+        F.lit("123-45-6789"),
+    )
+    return docs.select(
+        "doc_id", F.md5(redact_pii(salted)).alias("redacted_md5")
+    )
+
+
+SQL_REDACT = """
+SELECT doc_id,
+       md5(regexp_replace(regexp_replace(regexp_replace(
+           concat_ws(' ', text, 'user' || CAST(doc_id AS VARCHAR) || '@example.com',
+                     '555-867-5309', '123-45-6789'),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', '<PHONE>', 'g'),
+           '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g')) AS redacted_md5
+FROM documents
+"""
+
+
+def q_pack_materialize(spark, sf_dir):
+    """Materialized packed sequences: per (shard, bin), the documents
+    concatenated in id order (md5 of the payload keeps result rows
+    small), with doc/token counts. groupBy collect_list is bounded by
+    the token budget per bin — state never exceeds ~budget tokens."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    sized = docs.select(
+        "doc_id", "text", token_count("text").cast("long").alias("n_tokens")
+    )
+    packed = pack_sequences(sized, "doc_id", "n_tokens", budget=2048, n_shards=4)
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+            lambda s: s["text"],
+        ),
+        "\n",
+    )
+    return packed.groupBy("shard", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.md5(seq).alias("payload_md5"),
+    )
+
+
+SQL_PACK_MAT = f"""
+WITH t AS (
+    SELECT doc_id, text,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len({_TOKENS_SQL}) END AS n_tokens,
+           {_BUCKET_SQL.format(salt='pack')} % 4 AS shard
+    FROM documents WHERE text IS NOT NULL
+), c AS (
+    SELECT doc_id, text, shard, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+    FROM t
+), b AS (
+    SELECT doc_id, text, shard, n_tokens,
+           CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS bin
+    FROM c
+)
+SELECT shard, bin, count(*) AS n_docs,
+       sum(n_tokens) AS bin_tokens,
+       md5(string_agg(text, chr(10) ORDER BY doc_id)) AS payload_md5
+FROM b GROUP BY shard, bin
+"""
+
+
 # --- end-to-end training-data pipeline ---
 
 def q_pipeline_clean_corpus(spark, sf_dir):
@@ -662,4 +741,6 @@ EXT_QUERIES: dict[str, tuple] = {
     "sample_hash_docs": (q_sample_hash_docs, SQL_SAMPLE_HASH),
     "split_train_test": (q_split_train_test, SQL_SPLIT),
     "pack_context_bins": (q_pack_context_bins, SQL_PACK),
+    "text_redact_pii": (q_text_redact_pii, SQL_REDACT),
+    "pack_materialize": (q_pack_materialize, SQL_PACK_MAT),
 }
