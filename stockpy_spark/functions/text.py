@@ -168,3 +168,24 @@ def redact_pii(col: Column | str) -> Column:
     for pat, tag in PII_PATTERNS:
         c = F.regexp_replace(c, pat, tag)
     return c
+
+
+def repetition_ratio(col: Column | str, n: int = 2) -> Column:
+    """Fraction of duplicated word n-grams in [0,1] — the classic
+    boilerplate/spam signal (high = the document repeats itself).
+    0 for texts with fewer than n tokens. Pure array expressions:
+    n-grams via transform over an index sequence, ratio via
+    array_distinct — no explode, no shuffle, no UDF."""
+    toks = tokenize(F.lower(_c(col)))
+    sz = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), sz - F.lit(n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
+        ),
+    )
+    return F.when(sz < n, F.lit(0.0)).otherwise(
+        F.lit(1.0)
+        - F.size(F.array_distinct(grams)).cast("double")
+        / F.size(grams).cast("double")
+    )

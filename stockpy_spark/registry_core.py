@@ -1189,9 +1189,55 @@ GROUP BY c_nationkey
 """
 
 
+def q_q10_returned_revenue(spark, sf_dir):
+    """TPC-H Q10 shape: revenue lost to returns per customer — 4-way
+    join, grouped revenue, top 20 (TakeOrderedAndProject). nation is
+    structurally tiny -> explicit broadcast; customer is NOT (it grows
+    with scale factor), so its join strategy is left to Catalyst/AQE —
+    broadcast at test scale, shuffle join at 100 TB."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(revenue, 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_Q10 = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
 CORE_QUERIES: dict[str, tuple] = {
     "q4_priority_exists": (q_q4_priority_exists, SQL_Q4),
     "q22_idle_rich_customers": (q_q22_idle_rich_customers, SQL_Q22),
+    "q10_returned_revenue": (q_q10_returned_revenue, SQL_Q10),
     "set2_intersect": (q_set2_intersect, SQL_SET2),
     "set3_except": (q_set3_except, SQL_SET3),
     "f10_string_funcs": (q_f10_string_funcs, SQL_F10),

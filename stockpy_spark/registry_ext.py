@@ -22,6 +22,7 @@ from stockpy_spark.functions.text import (
     quality_features,
     quality_score,
     redact_pii,
+    repetition_ratio,
     token_count,
 )
 from stockpy_spark.operators.dedup import (
@@ -487,6 +488,29 @@ def q_approx_distinct_users(spark, sf_dir):
     )
 
 
+def q_text_repetition(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(repetition_ratio("text"), 6).alias("rep_ratio")
+    )
+
+
+SQL_REPETITION = f"""
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN text IS NULL OR trim(text) = '' THEN CAST([] AS VARCHAR[])
+                ELSE {_TOKENS_LOWER_SQL} END AS toks
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN len(toks) < 2 THEN 0.0
+            ELSE round(1.0 - len(list_distinct(list_transform(
+                     range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])))
+                 / CAST(len(toks) - 1 AS DOUBLE), 6) END AS rep_ratio
+FROM t
+"""
+
+
 # --- deterministic sampling / splitting / packing ---
 
 _BUCKET_SQL = (
@@ -743,4 +767,5 @@ EXT_QUERIES: dict[str, tuple] = {
     "pack_context_bins": (q_pack_context_bins, SQL_PACK),
     "text_redact_pii": (q_text_redact_pii, SQL_REDACT),
     "pack_materialize": (q_pack_materialize, SQL_PACK_MAT),
+    "text_repetition": (q_text_repetition, SQL_REPETITION),
 }
