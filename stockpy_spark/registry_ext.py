@@ -4,9 +4,11 @@ similarity search, text analysis, multimodal, as-of join).
 Same contract as registry_core: name -> (spark_fn, oracle_sql_or_None).
 Oracle SQL replicates each operator's semantics exactly in DuckDB —
 including the md5-based minhash, so even LSH candidate generation is
-hash-checked. Rows-only entries (sql=None): simhash pairs (hex->int
-conversion isn't portable SQL), ANN-LSH (approximate by design), and
-approx_count_distinct (HLL sketches differ across engines).
+hash-checked — including minhash and simhash candidate generation
+(both blocked joins are lossless at their configured thresholds).
+Rows-only entries (sql=None): ANN-LSH / IVF / embedding-LSH
+(approximate by design) and approx_count_distinct (HLL sketches differ
+across engines).
 """
 
 from __future__ import annotations
@@ -321,8 +323,34 @@ GROUP BY b.doc
 
 
 def q_dedup_simhash(spark, sf_dir):
+    """max_hamming=3 keeps the 4-byte-block pigeonhole LOSSLESS (<=3
+    flipped bits cannot touch all 4 blocks), so the blocked join is
+    provably equal to the brute-force pair scan the oracle runs."""
     docs = _t(spark, sf_dir, "documents")
-    return simhash_pairs(docs, "text", "doc_id", max_hamming=6)
+    return simhash_pairs(docs, "text", "doc_id", max_hamming=3)
+
+
+SQL_SIMHASH = f"""
+WITH tok AS (
+    SELECT DISTINCT doc_id AS doc, unnest({_TOKENS_LOWER_SQL}) AS tok
+    FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+), th AS (
+    SELECT doc, CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS th
+    FROM tok
+), bitsum AS (
+    SELECT doc, g.b AS b,
+           sum(CASE WHEN (th >> g.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+    FROM th CROSS JOIN generate_series(0, 31) AS g(b)
+    GROUP BY doc, g.b
+), fp AS (
+    SELECT doc,
+           sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS fp
+    FROM bitsum GROUP BY doc
+)
+SELECT a.doc AS d1, b.doc AS d2, bit_count(xor(a.fp, b.fp)) AS hamming
+FROM fp a JOIN fp b ON a.doc < b.doc
+WHERE bit_count(xor(a.fp, b.fp)) <= 3
+"""
 
 
 def q_dedup_embedding_cosine(spark, sf_dir):
@@ -751,7 +779,7 @@ EXT_QUERIES: dict[str, tuple] = {
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_MINHASH_LSH),
     "dedup_minhash_assign": (q_dedup_minhash_assign, SQL_MINHASH_ASSIGN),
-    "dedup_simhash": (q_dedup_simhash, None),
+    "dedup_simhash": (q_dedup_simhash, SQL_SIMHASH),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_EMB_COSINE),
     "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_TOPK),
     "sim_ann_lsh": (q_sim_ann_lsh, None),
