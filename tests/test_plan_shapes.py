@@ -142,3 +142,41 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_hash_sample_is_narrow_no_exchange(spark):
+    # sampling must be a pure map over the scan — any Exchange means a
+    # 100 TB sample would shuffle 100 TB
+    from stockpy_spark.operators.sampling import hash_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(hash_sample(docs, "doc_id", 0.1))
+    assert "Exchange" not in p
+
+
+def test_pack_sequences_single_shard_shuffle(spark):
+    # packing = one hash exchange on the shard key + per-shard sort;
+    # a second exchange would mean a global ordering snuck in
+    from stockpy_spark.operators.sampling import pack_sequences
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", F.col("n_chars").alias("n_tok")
+    )
+    p = plan(pack_sequences(docs, "doc_id", "n_tok", budget=1000, n_shards=4), "simple")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "rangepartitioning" not in p
+
+
+def test_minhash_signatures_no_exchange(spark):
+    # the zero-shuffle claim in operators.dedup._minhash_wide
+    from stockpy_spark.operators.dedup import _minhash_wide
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(_minhash_wide(docs, "text", "doc_id", 12))
+    assert "Exchange" not in p
+
+
+def test_q10_topk_and_nation_broadcast(spark):
+    p = plan(QUERIES["q10_returned_revenue"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
