@@ -75,11 +75,13 @@ def word_jaccard_pairs(
         .groupBy(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # no broadcast hints: sizes has one row per doc and grows with the
+    # corpus; AQE broadcasts it while small, shuffles at scale
     sa = sizes.select(F.col("doc").alias("d1"), F.col("sz").alias("sz1"))
     sb = sizes.select(F.col("doc").alias("d2"), F.col("sz").alias("sz2"))
     return (
-        inter.join(F.broadcast(sa), "d1")
-        .join(F.broadcast(sb), "d2")
+        inter.join(sa, "d1")
+        .join(sb, "d2")
         .withColumn(
             "jaccard",
             F.round(
@@ -171,11 +173,13 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # no broadcast hints: sizes has one row per doc and grows with the
+    # corpus; AQE broadcasts it while small, shuffles at scale
     sa = sizes.select(F.col("doc").alias("d1"), F.col("sz").alias("sz1"))
     sb = sizes.select(F.col("doc").alias("d2"), F.col("sz").alias("sz2"))
     return (
-        inter.join(F.broadcast(sa), "d1")
-        .join(F.broadcast(sb), "d2")
+        inter.join(sa, "d1")
+        .join(sb, "d2")
         .withColumn(
             "jaccard",
             F.round(F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")), 6),
@@ -283,12 +287,12 @@ def minhash_lsh_pairs(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    # signature table is ~num_docs rows x ~50B/hash — broadcastable far
-    # beyond any realistic LSH corpus partition; the candidate-pair side
-    # is the big one and never reshuffles
+    # no broadcast hint: the signature table is one row per doc and
+    # grows with the corpus — AQE broadcasts it while it fits, falls
+    # back to a shuffle join beyond that
     return (
-        cand.join(F.broadcast(s1), "d1")
-        .join(F.broadcast(s2), "d2")
+        cand.join(s1, "d1")
+        .join(s2, "d2")
         .select(
             "d1", "d2", F.round(agree / F.lit(float(num_hashes)), 6).alias("est_jaccard")
         )

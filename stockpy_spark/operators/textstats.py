@@ -32,7 +32,7 @@ def tfidf_terms(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = tf.select(F.countDistinct("doc").alias("n"))
     return (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")  # vocabulary grows (Heaps' law): no hint
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc",

@@ -606,11 +606,13 @@ FROM documents
 # --- multi-table analytics (TPC-H-style shapes; the scale stress tests) ---
 
 def q_q5_multi_join(spark, sf_dir):
-    """TPC-H Q5 shape: fact-fact join (lineitem x orders) + a chain of
-    broadcast dimension joins, grouped revenue per nation. The plan to
-    want at 100 TB: one big-side shuffle (or SMJ) for the fact join,
-    broadcasts for every dim, partial aggregation before the final
-    exchange."""
+    """TPC-H Q5 shape: fact-fact join (lineitem x orders) + dimension
+    joins, grouped revenue per nation. The plan to want at 100 TB: one
+    big-side shuffle (or SMJ) for the fact join, broadcasts for the
+    structurally-tiny dims (nation/region), partial aggregation before
+    the final exchange. customer GROWS with scale factor, so its join
+    strategy is left to Catalyst/AQE — broadcast at test scale, shuffle
+    join on a real cluster."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
@@ -618,7 +620,7 @@ def q_q5_multi_join(spark, sf_dir):
     region = _t(spark, sf_dir, "region")
     joined = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
     )
@@ -1018,8 +1020,10 @@ def q_q17_small_qty(spark, sf_dir):
     avg_per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.round(F.avg("l_quantity") * 0.5, 6).alias("half_avg")
     )
+    # no broadcast hint: one row per part GROWS with scale factor;
+    # AQE broadcasts it at test scale, shuffles at 100 TB
     return (
-        li.join(F.broadcast(avg_per_part), li["l_partkey"] == F.col("pk"))
+        li.join(avg_per_part, li["l_partkey"] == F.col("pk"))
         .filter(F.col("l_quantity") < F.col("half_avg"))
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "half_avg")
     )
