@@ -34,15 +34,23 @@ def enrich_left_join(
 
 
 def attach_group_stats(
-    df: DataFrame, keys: list[str], aggs: dict[str, F.Column]
+    df: DataFrame, keys: list[str], aggs: dict[str, F.Column], broadcast: bool = True
 ) -> DataFrame:
     """J2 — per-group aggregate joined back to every row (reference:
     transform_stocks_job.py:177-181). ``aggs`` maps output column name ->
-    aggregate Column. The agg side is tiny (one row per group) so it is
-    broadcast back onto the fact side.
+    aggregate Column.
+
+    ``broadcast=True`` (the default) fits the reference's use — a
+    bounded group domain (sectors, event types) whose aggregate is a
+    handful of rows. Pass ``broadcast=False`` for high-cardinality keys
+    (per-user, per-url): the aggregate then grows with the data and a
+    forced broadcast would OOM — or use attach_group_stats_window,
+    which needs one shuffle total.
     """
     agg_df = df.groupBy(*keys).agg(*[c.alias(n) for n, c in aggs.items()])
-    return df.join(F.broadcast(agg_df), on=keys, how="left")
+    if broadcast:
+        agg_df = F.broadcast(agg_df)
+    return df.join(agg_df, on=keys, how="left")
 
 
 def attach_group_stats_window(
