@@ -681,6 +681,89 @@ ORDER BY revenue DESC, o_orderkey DESC LIMIT 10
 """
 
 
+def q_q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: the canonical scan-heavy aggregate. No join, no
+    skew — at 100 TB this is one pass over lineitem with map-side partial
+    aggregation into a 4-row result; the only shuffle moves a handful of
+    partial-agg rows. The filter and the 7-column projection both reach
+    the parquet scan (pushdown + pruning)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = group_summary(
+        li.filter(F.col("l_shipdate") <= "1998-09-02"),
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": F.round(F.sum("l_quantity"), 2),
+            "sum_base_price": F.round(F.sum("l_extendedprice"), 2),
+            "sum_disc_price": F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ),
+            "sum_charge": F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ),
+            "avg_qty": F.round(F.avg("l_quantity"), 4),
+            "avg_price": F.round(F.avg("l_extendedprice"), 4),
+            "avg_disc": F.round(F.avg("l_discount"), 4),
+            "count_order": F.count(F.lit(1)),
+        },
+    )
+    return out.orderBy("l_returnflag", "l_linestatus")
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure filter + global agg. The whole predicate is
+    parquet-pushdown-able; the scan reads 4 columns and the shuffle is a
+    single partial-sum row per task."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount").between(0.03, 0.09))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    return out
+
+
+SQL_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.09
+  AND l_quantity < 24
+"""
+
+
 def q_j6_salted_join(spark, sf_dir):
     """Skew-resistant salted join — result must equal the plain join."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
@@ -1254,6 +1337,8 @@ CORE_QUERIES: dict[str, tuple] = {
     "a13_conditional_agg": (q_a13_conditional_agg, SQL_A13),
     "q5_multi_join": (q_q5_multi_join, SQL_Q5),
     "q3_top_unshipped": (q_q3_top_unshipped, SQL_Q3),
+    "q1_pricing_summary": (q_q1_pricing_summary, SQL_Q1),
+    "q6_forecast_revenue": (q_q6_forecast_revenue, SQL_Q6),
     "j6_salted_join": (q_j6_salted_join, SQL_J6),
     "a11_percentiles": (q_a11_percentiles, SQL_A11),
     "a12_grouping_sets": (q_a12_grouping_sets, SQL_A12),
