@@ -180,3 +180,22 @@ def test_q10_topk_and_nation_broadcast(spark):
     p = plan(QUERIES["q10_returned_revenue"](spark, SF_DIR))
     assert "TakeOrderedAndProject" in p
     assert "BroadcastHashJoin" in p
+
+
+def test_q1_partial_agg_and_pruned_scan(spark):
+    # scan-heavy aggregate: map-side partial HashAggregate before the
+    # exchange, and the scan reads only the 7 referenced columns
+    p = plan(QUERIES["q1_pricing_summary"](spark, SF_DIR))
+    assert "HashAggregate" in p and "Exchange" in p
+    read_schema = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "l_quantity" in read_schema and "l_tax" in read_schema
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_q6_filters_push_to_scan(spark):
+    p = plan(QUERIES["q6_forecast_revenue"](spark, SF_DIR))
+    assert "PushedFilters" in p
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "LessThan(l_quantity,24" in p
+    read_schema = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "l_extendedprice" in read_schema and "l_returnflag" not in read_schema
