@@ -39,6 +39,9 @@ HEADLINE = [
     # data-dependent-quadratic, so it is not a headline timing.
     "dedup_minhash_assign",
     "sim_cosine_topk",
+    # multi-probe LSH ANN (hash-equi-join candidates) — in the headline
+    # set so a regression back to a nested-loop probe shows in timings
+    "sim_ann_lsh",
     "text_quality_score",
     "asof_purchase_view",
     # the composed corpus-cleaning pipeline (quality gate -> exact dedup

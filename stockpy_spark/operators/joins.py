@@ -83,15 +83,27 @@ def salted_join(
     into ``salt_buckets`` sub-keys; the right side is replicated once per
     bucket. A hot key that would hammer one reducer spreads across
     ``salt_buckets`` of them. Result is identical to ``left.join(right,
-    on, how)``.
+    on, how)`` for the SUPPORTED modes: inner, cross, left/left_outer,
+    left_semi, left_anti. Right/full outer would emit every unmatched
+    right row once per salt bucket (the right side is replicated), so
+    those modes are rejected.
 
     AQE's skew-join splitting handles moderate skew automatically; use
     explicit salting when one key dominates an entire stage (the
     classic null-key / default-value hot spot). Deterministic salt
-    (hash of all left columns) keeps reruns stable.
+    (hash of the join key + a monotonic row id) keeps reruns stable
+    without hashing every column of a wide fact row.
     """
+    normalized = how.lower().replace("_", "")
+    if normalized in {"right", "rightouter", "full", "fullouter", "outer"}:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the replicated "
+            "right side would duplicate unmatched right rows once per "
+            "salt bucket. Use a plain join (AQE skew handling) for "
+            "right/full outer."
+        )
     salt = F.pmod(
-        F.hash(*[F.col(c) for c in left.columns]), F.lit(salt_buckets)
+        F.hash(F.col(on), F.monotonically_increasing_id()), F.lit(salt_buckets)
     ).alias("__salt")
     l = left.withColumn("__salt", salt)
     r = right.withColumn(

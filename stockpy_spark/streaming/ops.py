@@ -177,6 +177,7 @@ def run_foreach_batch_to_parquet(
     checkpoint: str,
     partition_by: list[str],
     output_mode: str = "append",
+    on_cross_batch_partition: str = "error",
 ):
     """Stream -> partitioned-parquet bridge via foreachBatch: each
     micro-batch is written with dynamic partition overwrite, so a batch
@@ -185,13 +186,55 @@ def run_foreach_batch_to_parquet(
     of the checkpoint's at-least-once replay. Runs with availableNow
     (process everything pending, then stop): the streaming twin of the
     reference's daily incremental batch.
+
+    INVARIANT: the exactly-once claim holds only when each output
+    partition's rows arrive within a SINGLE micro-batch (e.g. the
+    partition key is the event day and the job runs once per day). If a
+    later batch touched a partition an earlier batch wrote, overwrite
+    would silently delete the earlier rows — so the sink keeps a
+    per-batch partition ledger under ``{checkpoint}/partition_ledger``
+    and raises before writing when a cross-batch collision is detected.
+    Replaying the SAME batch id over its own partitions stays allowed
+    (that is the idempotence being promised). Set
+    ``on_cross_batch_partition="allow"`` for explicit
+    last-writer-wins semantics. The ledger uses local-filesystem I/O —
+    on an object store, point ``checkpoint`` at a shared mount or use an
+    ACID table format (Delta/Iceberg MERGE) instead of this bridge.
     """
+    import json
+    from pathlib import Path
+
     from stockpy_spark.sources.writers import write_parquet_overwrite_partitions
+
+    ledger_dir = Path(checkpoint) / "partition_ledger"
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # distinct partition tuples in this batch (partition cardinality
+        # per batch is small by construction — this is metadata, not data)
+        parts = sorted(
+            tuple(str(v) for v in row)
+            for row in batch_df.select(*partition_by).distinct().collect()
+        )
+        if on_cross_batch_partition == "error" and ledger_dir.exists():
+            mine = set(parts)
+            for entry in ledger_dir.glob("batch-*.json"):
+                prior_id = int(entry.stem.split("-", 1)[1])
+                if prior_id == batch_id:
+                    continue  # replay of this very batch — idempotent
+                clash = mine & {tuple(p) for p in json.loads(entry.read_text())}
+                if clash:
+                    raise ValueError(
+                        f"batch {batch_id} would overwrite partition(s) "
+                        f"{sorted(clash)} already written by batch {prior_id}; "
+                        "rows for one output partition must arrive within a "
+                        "single micro-batch (or pass "
+                        "on_cross_batch_partition='allow')"
+                    )
         write_parquet_overwrite_partitions(batch_df, path, partition_by)
+        ledger_dir.mkdir(parents=True, exist_ok=True)
+        (ledger_dir / f"batch-{batch_id}.json").write_text(json.dumps(parts))
 
     q = (
         result.writeStream.outputMode(output_mode)

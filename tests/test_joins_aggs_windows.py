@@ -127,3 +127,20 @@ def test_asof_join(spark):
     strict = asof_join(trades, quotes, ["sym"], "t", "t", ["px"], strict=True)
     rows = {r.trade_id: r.px for r in strict.collect()}
     assert rows == {"t1": 100.0, "t2": 101.0, "t3": None}  # < semantics
+
+
+def test_salted_join_rejects_right_and_full_outer(spark):
+    import pytest
+
+    from stockpy_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame([(1, "a")], "k int, v string")
+    right = spark.createDataFrame([(1, "x")], "k int, w string")
+    for how in ["right", "right_outer", "full", "full_outer", "outer"]:
+        with pytest.raises(ValueError, match="salted_join does not support"):
+            salted_join(left, right, "k", how=how)
+    # supported modes still match the plain join
+    for how in ["inner", "left", "left_semi", "left_anti"]:
+        got = sorted(map(tuple, salted_join(left, right, "k", how=how).collect()))
+        want = sorted(map(tuple, left.join(right, "k", how).collect()))
+        assert got == want, how

@@ -176,6 +176,17 @@ def test_minhash_signatures_no_exchange(spark):
     assert "Exchange" not in p
 
 
+def test_ann_lsh_candidates_equi_join_not_nested_loop(spark):
+    # multi-probe LSH: queries explode into their hamming-ball probe
+    # signatures and equi-join on csig — a hash join. A
+    # BroadcastNestedLoopJoin here means the candidate stage regressed
+    # to O(corpus x queries) signature comparisons.
+    p = plan(QUERIES["sim_ann_lsh"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p or "ShuffledHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
 def test_q10_topk_and_nation_broadcast(spark):
     p = plan(QUERIES["q10_returned_revenue"](spark, SF_DIR))
     assert "TakeOrderedAndProject" in p

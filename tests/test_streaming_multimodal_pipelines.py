@@ -212,3 +212,40 @@ def test_foreach_batch_parquet_sink_idempotent(spark, tmp_path):
         ["day"],
     )
     assert spark.read.parquet(out_dir).count() == 5
+
+
+def test_foreach_batch_sink_detects_cross_batch_partition(spark, tmp_path):
+    """A later batch touching a partition an earlier batch wrote must
+    raise (partition-overwrite would silently drop the earlier rows) —
+    and 'allow' opts into last-writer-wins."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from stockpy_spark.streaming.ops import run_foreach_batch_to_parquet
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    schema = "id int, day string"
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 0: day=A; batch 1 (new file, same checkpoint): day=A again
+    spark.createDataFrame([(1, "A")], schema).write.parquet(str(in_dir / "f0"))
+    run_foreach_batch_to_parquet(
+        file_stream(spark, str(in_dir / "*"), schema), out_dir, ckpt, ["day"]
+    )
+    assert spark.read.parquet(out_dir).count() == 1
+    spark.createDataFrame([(2, "A")], schema).write.parquet(str(in_dir / "f1"))
+    with pytest.raises(StreamingQueryException, match="would overwrite partition"):
+        run_foreach_batch_to_parquet(
+            file_stream(spark, str(in_dir / "*"), schema), out_dir, ckpt, ["day"]
+        )
+    # same stream with allow: last writer wins, documented semantics
+    run_foreach_batch_to_parquet(
+        file_stream(spark, str(in_dir / "*"), schema),
+        out_dir,
+        ckpt,
+        ["day"],
+        on_cross_batch_partition="allow",
+    )
+    assert [tuple(r) for r in spark.read.parquet(out_dir).collect()] == [(2, "A")]
