@@ -49,15 +49,56 @@ def add_literal_column(df: DataFrame, name: str, value, dtype: DataType | None =
     return df.withColumn(name, col)
 
 
-def align_to_columns(df: DataFrame, expected: dict[str, DataType]) -> DataFrame:
-    """P4 — schema alignment: add expected-but-missing columns as typed
-    NULLs and project to exactly the expected column set, in order
-    (reference: transform_news_job.py:52-84 fuzzy schema-drift handler).
-    Makes frames union-compatible for :func:`union_by_name`.
+def _norm_name(name: str) -> str:
+    return name.strip().lower().replace(" ", "_")
+
+
+def align_to_columns(
+    df: DataFrame, expected: dict[str, DataType], fuzzy: bool = True
+) -> DataFrame:
+    """P4 — schema alignment: match each expected column against the
+    incoming frame, add the truly-missing ones as typed NULLs, and
+    project to exactly the expected column set, in order (reference:
+    transform_news_job.py:52-84 fuzzy schema-drift handler). Makes
+    frames union-compatible for :func:`union_by_name`.
+
+    Matching ladder per expected column (first hit wins, each source
+    column claimed at most once):
+
+    1. exact name;
+    2. normalized name — lower/strip/space->underscore — so drifted
+       headers like ``"Published Date"`` land on ``published_date``;
+    3. underscore-insensitive containment, mirroring the reference's
+       ``expected.replace("_","") in col.replace("_","")`` probe
+       (transform_news_job.py:66-74).
+
+    ``fuzzy=False`` restores strict exact-name matching.
     """
-    existing = set(df.columns)
+    used: set[str] = set()
+    mapping: dict[str, str] = {}
+    by_norm: dict[str, str] = {}
+    for c in df.columns:
+        by_norm.setdefault(_norm_name(c), c)
+    for target in expected:
+        if target in df.columns:
+            mapping[target] = target
+            used.add(target)
+            continue
+        if not fuzzy:
+            continue
+        cand = by_norm.get(_norm_name(target))
+        if cand is not None and cand not in used:
+            mapping[target] = cand
+            used.add(cand)
+            continue
+        tkey = _norm_name(target).replace("_", "")
+        for c in df.columns:
+            if c not in used and tkey in _norm_name(c).replace("_", ""):
+                mapping[target] = c
+                used.add(c)
+                break
     exprs = [
-        (F.col(c) if c in existing else F.lit(None).cast(t)).alias(c)
+        (F.col(mapping[c]) if c in mapping else F.lit(None).cast(t)).alias(c)
         for c, t in expected.items()
     ]
     return df.select(*exprs)

@@ -49,6 +49,8 @@ DRIVER_PRIORITY = [
     "split_train_test",
     "pack_context_bins",
     "pack_materialize",
+    # new this round — no driver row yet
+    "p4_fuzzy_align",
     # core queries with no driver row in r01
     "o1_topk",
     "set1_union_by_name",

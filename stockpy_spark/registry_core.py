@@ -125,6 +125,38 @@ FROM lineitem
 """
 
 
+def q_p4_fuzzy_align(spark, sf_dir):
+    """P4 with schema drift: incoming headers are cased/spaced/fused
+    variants of the expected names ("Doc ID" -> doc_id, " TEXT " ->
+    text, "nchars" -> n_chars); the fuzzy ladder in align_to_columns
+    must claim them and null-fill only the truly-missing column
+    (reference: transform_news_job.py:52-84)."""
+    from stockpy_spark.operators import align_to_columns
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("Doc ID"),
+        F.col("text").alias(" TEXT "),
+        F.col("lang").alias("Lang"),
+        F.col("n_chars").alias("nchars"),
+    )
+    return align_to_columns(
+        docs,
+        {
+            "doc_id": T.LongType(),
+            "text": T.StringType(),
+            "lang": T.StringType(),
+            "n_chars": T.LongType(),
+            "editor_note": T.StringType(),
+        },
+    )
+
+
+SQL_P4 = """
+SELECT doc_id, text, lang, n_chars, CAST(NULL AS VARCHAR) AS editor_note
+FROM documents
+"""
+
+
 def q_p6_filter_range(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     out = filter_not_null_positive(
@@ -1350,6 +1382,7 @@ CORE_QUERIES: dict[str, tuple] = {
     "flagship_event_enrichment": (q_flagship, SQL_FLAGSHIP),
     "p1_conditional_cast": (q_p1_conditional_cast, SQL_P1),
     "p2_rename_literal": (q_p2_rename_literal, SQL_P2),
+    "p4_fuzzy_align": (q_p4_fuzzy_align, SQL_P4),
     "p6_filter_range": (q_p6_filter_range, SQL_P6),
     "p7_cross_column_equal": (q_p7_cross_column_equal, SQL_P7),
     "p8_p9_dropna_cast": (q_p8_p9_dropna_cast, SQL_P8),

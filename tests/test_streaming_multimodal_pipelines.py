@@ -249,3 +249,36 @@ def test_foreach_batch_sink_detects_cross_batch_partition(spark, tmp_path):
         on_cross_batch_partition="allow",
     )
     assert [tuple(r) for r in spark.read.parquet(out_dir).collect()] == [(2, "A")]
+
+
+def test_transform_news_fuzzy_drifted_columns(spark):
+    """Schema drift: the scraper ships 'Published Date' / ' TITLE ' /
+    'extracteddate' headers; fuzzy alignment must land them on the
+    expected snake_case names instead of silently null-filling
+    (reference transform_news_job.py:52-84)."""
+    raw = spark.createDataFrame(
+        [
+            ("ITUB4", "t1", "l1", "G1", "2024-01-05T10:00:00", "2024-01-05"),
+            ("BBDC4", "t2", "l2", "G1", "2024-01-04T10:00:00", "2024-01-05"),  # stale
+        ],
+        "`Ticker` string, ` TITLE ` string, `LINK` string, `source` string,"
+        "`Published Date` string, `extracteddate` string",
+    )
+    out = transform_news(raw, "20240105")
+    rows = {r.link: r for r in out.collect()}
+    assert set(rows) == {"l1"}  # drifted date columns matched -> same-day filter worked
+    r = rows["l1"]
+    assert (r.ticker, r.title, r.source) == ("ITUB4", "t1", "G1")
+    assert r.company is None and r.sector is None  # truly missing -> typed nulls
+
+
+def test_align_to_columns_strict_mode_null_fills(spark):
+    from pyspark.sql import types as T
+
+    from stockpy_spark.operators import align_to_columns
+
+    df = spark.createDataFrame([("a",)], "`Doc ID` string")
+    strict = align_to_columns(df, {"doc_id": T.StringType()}, fuzzy=False)
+    assert strict.collect()[0].doc_id is None
+    fuzzy = align_to_columns(df, {"doc_id": T.StringType()})
+    assert fuzzy.collect()[0].doc_id == "a"
