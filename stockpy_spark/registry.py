@@ -51,6 +51,7 @@ DRIVER_PRIORITY = [
     "pack_materialize",
     # new this round — no driver row yet
     "p4_fuzzy_align",
+    "pipeline_extract_stocks",
     # core queries with no driver row in r01
     "o1_topk",
     "set1_union_by_name",

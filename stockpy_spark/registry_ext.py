@@ -681,6 +681,63 @@ FROM b GROUP BY shard, bin
 """
 
 
+# --- composed extract pipeline (connector seam) ---
+
+def q_pipeline_extract_stocks(spark, sf_dir):
+    """The extract_stocks composition (reference
+    extract_stocks_job.py:352-413) driven end-to-end over driver
+    testdata: a quotes frame derived from events plays the external
+    source behind a FrameConnector, the event_type dimension plays the
+    sector/ticker/company map, and the pipeline applies P1 NaN-scrub ->
+    J1 dimension-preserving left join -> P2 rename -> P3 dataproc
+    literal."""
+    from stockpy_spark.pipelines import FrameConnector, extract_stocks
+
+    ev = _t(spark, sf_dir, "events")
+    quotes = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("Date"),
+        F.col("event_type").alias("Ticker"),
+        F.col("value").alias("Close"),
+        (F.col("value") + 1.0).alias("High"),
+        (F.col("value") - 1.0).alias("Low"),
+        (F.col("value") + 0.5).alias("Open"),
+        F.col("event_id").cast("long").alias("Volume"),
+    )
+    dim = (
+        ev.select(F.col("event_type").alias("Ticker"))
+        .distinct()
+        .select(
+            F.concat(F.lit("S-"), F.col("Ticker")).alias("Sector"),
+            F.col("Ticker"),
+            F.concat(F.lit("C-"), F.col("Ticker")).alias("Company"),
+        )
+    )
+    return extract_stocks(spark, FrameConnector(quotes), dim, "20260813")
+
+
+SQL_EXTRACT_STOCKS = """
+WITH q AS (
+    SELECT strftime(ts, '%Y-%m-%d') AS d, event_type AS tk,
+           value AS c, value + 1.0 AS h, value - 1.0 AS l,
+           value + 0.5 AS o, CAST(event_id AS BIGINT) AS v
+    FROM events
+), m AS (
+    SELECT DISTINCT 'S-' || event_type AS s, event_type AS tk,
+           'C-' || event_type AS co
+    FROM events
+)
+SELECT m.s AS sector, m.tk AS ticker, m.co AS company,
+       q.d AS date,
+       CASE WHEN q.c IS NOT NULL AND NOT isnan(q.c) THEN CAST(q.c AS DOUBLE) END AS close,
+       CASE WHEN q.h IS NOT NULL AND NOT isnan(q.h) THEN CAST(q.h AS DOUBLE) END AS high,
+       CASE WHEN q.l IS NOT NULL AND NOT isnan(q.l) THEN CAST(q.l AS DOUBLE) END AS low,
+       CASE WHEN q.o IS NOT NULL AND NOT isnan(q.o) THEN CAST(q.o AS DOUBLE) END AS open,
+       q.v AS volume,
+       '20260813' AS dataproc
+FROM m LEFT JOIN q ON m.tk = q.tk
+"""
+
+
 # --- end-to-end training-data pipeline ---
 
 def q_pipeline_clean_corpus(spark, sf_dir):
@@ -790,6 +847,7 @@ EXT_QUERIES: dict[str, tuple] = {
     "mm_decode_features": (q_mm_decode_features, SQL_MM_FEATURES),
     "approx_distinct_users": (q_approx_distinct_users, None),
     "pipeline_clean_corpus": (q_pipeline_clean_corpus, SQL_PIPELINE_CLEAN),
+    "pipeline_extract_stocks": (q_pipeline_extract_stocks, SQL_EXTRACT_STOCKS),
     "sample_hash_docs": (q_sample_hash_docs, SQL_SAMPLE_HASH),
     "split_train_test": (q_split_train_test, SQL_SPLIT),
     "pack_context_bins": (q_pack_context_bins, SQL_PACK),
