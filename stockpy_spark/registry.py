@@ -52,6 +52,7 @@ DRIVER_PRIORITY = [
     # new this round — no driver row yet
     "p4_fuzzy_align",
     "pipeline_extract_stocks",
+    "mm_decode_pixels",
     # core queries with no driver row in r01
     "o1_topk",
     "set1_union_by_name",

@@ -41,7 +41,12 @@ from stockpy_spark.operators.dedup import (
 from stockpy_spark.operators.joins import asof_join
 from stockpy_spark.operators.sampling import hash_sample, pack_sequences, train_test_split
 from stockpy_spark.operators.aggregate import dedup_by_key_first
-from stockpy_spark.operators.multimodal import attach_binary_payload, extract_features
+from stockpy_spark.operators.multimodal import (
+    attach_binary_payload,
+    attach_bmp_payload,
+    extract_features,
+    extract_pixel_features,
+)
 from stockpy_spark.operators.similarity import ann_lsh_topk, brute_force_topk, ivf_topk
 from stockpy_spark.sources.testdata import read_events
 
@@ -494,15 +499,71 @@ def q_mm_decode_features(spark, sf_dir):
     return extract_features(assets)
 
 
+# Byte-accurate oracle: the Spark side sums UTF-8 bytes of the encoded
+# payload, so the SQL expands each code point into its UTF-8 byte sum
+# (1-4 bytes) instead of summing code points — the two agree on any
+# text, not just ASCII.
 SQL_MM_FEATURES = """
-SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       CASE WHEN length(text) = 0 THEN -1 ELSE ascii(substr(text, 1, 1)) END
-           AS first_byte,
-       CAST(coalesce(list_sum(list_transform(range(1, length(text) + 1),
-                                             i -> ascii(substr(text, i, 1)))), 0)
-            % 1000003 AS BIGINT) AS byte_sum_mod,
+WITH cps AS (
+    SELECT doc_id,
+           list_transform(range(1, length(text) + 1),
+                          i -> ascii(substr(text, i, 1))) AS cp
+    FROM documents
+), agg AS (
+    SELECT doc_id,
+           coalesce(list_sum(list_transform(cp, c ->
+               CASE WHEN c < 128 THEN c
+                    WHEN c < 2048 THEN 320 + (c >> 6) + (c & 63)
+                    WHEN c < 65536
+                        THEN 480 + (c >> 12) + ((c >> 6) & 63) + (c & 63)
+                    ELSE 624 + (c >> 18) + ((c >> 12) & 63)
+                         + ((c >> 6) & 63) + (c & 63)
+               END)), 0) AS bsum,
+           CASE WHEN len(cp) = 0 THEN -1
+                WHEN cp[1] < 128 THEN cp[1]
+                WHEN cp[1] < 2048 THEN 192 + (cp[1] >> 6)
+                WHEN cp[1] < 65536 THEN 224 + (cp[1] >> 12)
+                ELSE 240 + (cp[1] >> 18)
+           END AS first_byte
+    FROM cps
+)
+SELECT d.doc_id, CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+       a.first_byte, CAST(a.bsum % 1000003 AS BIGINT) AS byte_sum_mod,
        'image/fake' AS media_type
-FROM documents
+FROM documents d JOIN agg a USING (doc_id)
+"""
+
+
+def q_mm_decode_pixels(spark, sf_dir):
+    """The real-codec path: generate a 24-bit BMP per document
+    (deterministic pixels from doc_id), decode it back with the
+    pure-numpy BMP parser, and compute stats over the DECODED pixel
+    array. The pixel pattern is closed-form
+    ((doc_id*31 + y*17 + x*7 + c*5) % 256), so the oracle computes the
+    expected stats arithmetically — a hash match proves the
+    encode -> bytes -> decode roundtrip is bit-faithful."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    assets = attach_bmp_payload(docs, "doc_id")
+    return extract_pixel_features(assets)
+
+
+SQL_MM_PIXELS = """
+WITH dims AS (
+    SELECT doc_id, doc_id % 8 + 4 AS w, doc_id % 6 + 4 AS h FROM documents
+), px AS (
+    SELECT d.doc_id, d.w, d.h,
+           SUM((d.doc_id * 31 + y.y * 17 + x.x * 7 + c.c * 5) % 256) AS px_sum
+    FROM dims d
+    JOIN generate_series(0, 8) y(y) ON y.y < d.h
+    JOIN generate_series(0, 10) x(x) ON x.x < d.w
+    JOIN generate_series(0, 2) c(c) ON TRUE
+    GROUP BY d.doc_id, d.w, d.h
+)
+SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(px_sum AS BIGINT) AS px_sum,
+       CAST(px_sum AS DOUBLE) / CAST(w * h * 3 AS DOUBLE) AS mean_lum,
+       'image/bmp' AS media_type
+FROM px
 """
 
 
@@ -845,6 +906,7 @@ EXT_QUERIES: dict[str, tuple] = {
     "dedup_embedding_lsh": (q_dedup_embedding_lsh, None),
     "asof_purchase_view": (q_asof_purchase_view, SQL_ASOF),
     "mm_decode_features": (q_mm_decode_features, SQL_MM_FEATURES),
+    "mm_decode_pixels": (q_mm_decode_pixels, SQL_MM_PIXELS),
     "approx_distinct_users": (q_approx_distinct_users, None),
     "pipeline_clean_corpus": (q_pipeline_clean_corpus, SQL_PIPELINE_CLEAN),
     "pipeline_extract_stocks": (q_pipeline_extract_stocks, SQL_EXTRACT_STOCKS),

@@ -282,3 +282,47 @@ def test_align_to_columns_strict_mode_null_fills(spark):
     assert strict.collect()[0].doc_id is None
     fuzzy = align_to_columns(df, {"doc_id": T.StringType()})
     assert fuzzy.collect()[0].doc_id == "a"
+
+
+def test_bmp_encode_decode_roundtrip():
+    import numpy as np
+
+    from stockpy_spark.operators.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (3, 5), (4, 4), (7, 11)]:  # odd widths exercise padding
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_bmp(encode_bmp(px)), px), (h, w)
+
+
+def test_decode_pixels_dispatch_and_seam():
+    import numpy as np
+    import pytest
+
+    from stockpy_spark.operators.multimodal import _decode_pixels, encode_bmp
+
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    assert _decode_pixels(encode_bmp(px)).shape == (2, 2, 3)
+    with pytest.raises(NotImplementedError, match="non-BMP"):
+        _decode_pixels(b"\x89PNG fake header")
+
+
+def test_extract_pixel_features_via_real_decode(spark):
+    from stockpy_spark.operators.multimodal import (
+        _fake_pixels,
+        attach_bmp_payload,
+        extract_features,
+        extract_pixel_features,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in [0, 5, 13]], "doc_id long")
+    assets = attach_bmp_payload(docs, "doc_id")
+    feats = {r.doc_id: r for r in extract_pixel_features(assets).collect()}
+    for i in [0, 5, 13]:
+        px = _fake_pixels(i)
+        r = feats[i]
+        assert (r.width, r.height) == (px.shape[1], px.shape[0])
+        assert r.px_sum == int(px.sum(dtype="int64"))
+        assert r.media_type == "image/bmp"
+    # use_codec=True now runs the real decoder over every payload
+    assert extract_features(assets, use_codec=True).count() == 3
