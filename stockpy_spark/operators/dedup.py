@@ -408,6 +408,97 @@ def simhash_pairs(
     )
 
 
+def simhash64_fingerprints(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, sim_hi, sim_lo): 64-bit SimHash carried as two non-negative
+    32-bit halves (lo = bits 0-31 from md5 hex chars 1-8 of each token,
+    hi = bits 32-63 from chars 9-16).
+
+    Why halves instead of one long: the sign bit of a 64-bit value
+    needs two's-complement arithmetic that SQL engines check/overflow
+    differently, while two 32-bit halves are portable everywhere —
+    equality, XOR and bit_count compose identically. Why 64-bit at
+    all: a 2^32 fingerprint space saturates at large corpus scales
+    (birthday collisions flood the hamming<=3 blocks past ~10^5 docs);
+    2^64 keeps block buckets cold at 100 TB.
+    """
+    toks = _distinct_tokens(df, text_col, id_col)
+    toks = toks.withColumn(
+        "tlo", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    ).withColumn(
+        "thi", F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long")
+    )
+    sums = []
+    for half in ("lo", "hi"):
+        for b in range(32):
+            sums.append(
+                F.sum(
+                    F.when(
+                        F.shiftright(F.col(f"t{half}"), b).bitwiseAND(F.lit(1)) == 1, 1
+                    ).otherwise(-1)
+                ).alias(f"{half}{b}")
+            )
+    agg = toks.groupBy("doc").agg(*sums)
+
+    def fold(half: str) -> F.Column:
+        fp = F.lit(0).cast("long")
+        for b in range(32):
+            fp = fp + F.when(
+                F.col(f"{half}{b}") > 0, F.lit(2**b).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return fp
+
+    return agg.select(
+        F.col("doc").alias(id_col), fold("hi").alias("sim_hi"), fold("lo").alias("sim_lo")
+    )
+
+
+def simhash64_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by 64-bit SimHash hamming distance <= max_hamming.
+
+    8-byte-block pigeonhole: <= 3 flipped bits damage <= 3 of the 8
+    byte blocks, so any qualifying pair agrees on >= 5 blocks and is
+    found by single-block equality blocking — lossless vs the
+    brute-force scan, same argument as the 32-bit variant, at 2^64
+    fingerprint sparsity.
+    """
+    fps = simhash64_fingerprints(df, text_col, id_col)
+    block_structs = [
+        F.struct(
+            F.lit(i + 4 * h).alias("blk"),
+            F.shiftright(F.col(col), i * 8).bitwiseAND(F.lit(255)).alias("bv"),
+        )
+        for h, col in enumerate(("sim_lo", "sim_hi"))
+        for i in range(4)
+    ]
+    blocks = fps.select(
+        F.col(id_col).alias("doc"),
+        "sim_hi",
+        "sim_lo",
+        F.explode(F.array(*block_structs)).alias("kb"),
+    ).select("doc", "sim_hi", "sim_lo", F.col("kb.blk").alias("blk"), F.col("kb.bv").alias("bv"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    hamming = F.bit_count(
+        F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi"))
+    ) + F.bit_count(F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo")))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("d1"),
+            F.col("b.doc").alias("d2"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def embedding_neardup_lsh(
     df: DataFrame,
     vec_col: str,

@@ -29,6 +29,7 @@ DRIVER_PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_minhash_assign",
     "dedup_simhash",
+    "dedup_simhash64",
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
     "sim_cosine_topk",

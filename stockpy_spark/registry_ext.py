@@ -35,6 +35,7 @@ from stockpy_spark.operators.dedup import (
     minhash_dedup_assign,
     ngram_jaccard_pairs,
     minhash_lsh_pairs,
+    simhash64_pairs,
     simhash_pairs,
     word_jaccard_pairs,
 )
@@ -335,6 +336,15 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash_pairs(docs, "text", "doc_id", max_hamming=3)
 
 
+def q_dedup_simhash64(spark, sf_dir):
+    """64-bit variant (two portable 32-bit halves): 8-byte-block
+    pigeonhole stays lossless at hamming<=3, with 2^64 sparsity so
+    blocks stay cold at corpus sizes where 32-bit saturates. Oracle =
+    brute-force pair scan over the same half-fingerprints."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash64_pairs(docs, "text", "doc_id", max_hamming=3)
+
+
 SQL_SIMHASH = f"""
 WITH tok AS (
     SELECT DISTINCT doc_id AS doc, unnest({_TOKENS_LOWER_SQL}) AS tok
@@ -355,6 +365,34 @@ WITH tok AS (
 SELECT a.doc AS d1, b.doc AS d2, bit_count(xor(a.fp, b.fp)) AS hamming
 FROM fp a JOIN fp b ON a.doc < b.doc
 WHERE bit_count(xor(a.fp, b.fp)) <= 3
+"""
+
+
+SQL_SIMHASH64 = f"""
+WITH tok AS (
+    SELECT DISTINCT doc_id AS doc, unnest({_TOKENS_LOWER_SQL}) AS tok
+    FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+), th AS (
+    SELECT doc,
+           CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS tlo,
+           CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT) AS thi
+    FROM tok
+), bitsum AS (
+    SELECT doc, g.b AS b,
+           sum(CASE WHEN (tlo >> g.b) & 1 = 1 THEN 1 ELSE -1 END) AS slo,
+           sum(CASE WHEN (thi >> g.b) & 1 = 1 THEN 1 ELSE -1 END) AS shi
+    FROM th CROSS JOIN generate_series(0, 31) AS g(b)
+    GROUP BY doc, g.b
+), fp AS (
+    SELECT doc,
+           sum(CASE WHEN slo > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS lo,
+           sum(CASE WHEN shi > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS hi
+    FROM bitsum GROUP BY doc
+)
+SELECT a.doc AS d1, b.doc AS d2,
+       bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS hamming
+FROM fp a JOIN fp b ON a.doc < b.doc
+WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
 """
 
 
@@ -898,6 +936,7 @@ EXT_QUERIES: dict[str, tuple] = {
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_MINHASH_LSH),
     "dedup_minhash_assign": (q_dedup_minhash_assign, SQL_MINHASH_ASSIGN),
     "dedup_simhash": (q_dedup_simhash, SQL_SIMHASH),
+    "dedup_simhash64": (q_dedup_simhash64, SQL_SIMHASH64),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_EMB_COSINE),
     "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_TOPK),
     "sim_ann_lsh": (q_sim_ann_lsh, None),

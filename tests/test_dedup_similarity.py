@@ -190,3 +190,43 @@ def test_tfidf_textbook_values(spark):
     assert out[(1, "banana")] == (1, 2, round(math.log(3 / 2), 6))
     top = top_terms_per_doc(docs, "text", "doc_id", 1).collect()
     assert {(r.doc, r.term) for r in top} == {(1, "apple"), (2, "banana"), (3, "durian")}
+
+
+def test_simhash64_blocked_equals_bruteforce(spark):
+    """The 8-byte-block pigeonhole must be lossless at hamming<=3:
+    blocked pairs == brute-force pairs over the same fingerprints."""
+    from pyspark.sql import functions as F
+
+    from stockpy_spark.operators.dedup import (
+        simhash64_fingerprints,
+        simhash64_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    blocked = {
+        (r.d1, r.d2, r.hamming)
+        for r in simhash64_pairs(docs, "text", "doc_id", max_hamming=3).collect()
+    }
+    fps = simhash64_fingerprints(docs, "text", "doc_id")
+    a, b = fps.alias("a"), fps.alias("b")
+    ham = F.bit_count(
+        F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi"))
+    ) + F.bit_count(F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo")))
+    brute = {
+        (r.d1, r.d2, r.hamming)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert blocked == brute and len(blocked) > 0
+    # halves stay inside unsigned-32 range (portability invariant)
+    row = fps.agg(
+        F.max("sim_hi").alias("mh"), F.min("sim_hi").alias("nh"),
+        F.max("sim_lo").alias("ml"), F.min("sim_lo").alias("nl"),
+    ).collect()[0]
+    assert 0 <= row.nh and row.mh < 2**32 and 0 <= row.nl and row.ml < 2**32
