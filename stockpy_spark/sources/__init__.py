@@ -10,9 +10,12 @@ from stockpy_spark.sources.writers import (
     compact_to_target_files,
 )
 from stockpy_spark.sources.catalog import (
+    add_partition,
     create_database,
     create_external_table,
+    drop_partition,
     repair_partitions,
+    replace_external_table,
     table_exists,
 )
 from stockpy_spark.sources.testdata import load_tables, register_views
@@ -24,9 +27,12 @@ __all__ = [
     "write_parquet_partitioned",
     "write_parquet_overwrite_partitions",
     "compact_to_target_files",
+    "add_partition",
     "create_database",
     "create_external_table",
+    "drop_partition",
     "repair_partitions",
+    "replace_external_table",
     "table_exists",
     "load_tables",
     "register_views",

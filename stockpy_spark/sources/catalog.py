@@ -58,3 +58,60 @@ def table_exists(spark: SparkSession, table: str) -> bool:
     """S11 — existence probe (reference: DESCRIBE-in-try/except,
     transform_stocks_job.py:37-52)."""
     return spark.catalog.tableExists(table)
+
+
+def add_partition(
+    spark: SparkSession,
+    table: str,
+    spec: dict[str, str],
+    location: str | None = None,
+) -> None:
+    """S10 manual registration — the cheap 80% of the reference's
+    MSCK -> Athena -> boto3 create_partition fallback ladder
+    (transform_news_job.py:217-262, extract_stocks_job.py:275-316):
+    register ONE known partition with a metastore-only DDL instead of
+    listing the whole table root. At 100 TB this is the difference
+    between an O(1) metadata RPC after each incremental write and an
+    MSCK crawl over millions of directories.
+
+    ``spec`` maps partition column -> value, e.g.
+    ``{"dataproc": "20240105"}``; ``location`` overrides the default
+    ``<table location>/key=value/...`` layout.
+    """
+    spec_sql = ", ".join(f"{k} = '{v}'" for k, v in spec.items())
+    loc_sql = f" LOCATION '{location}'" if location else ""
+    spark.sql(
+        f"ALTER TABLE {table} ADD IF NOT EXISTS PARTITION ({spec_sql}){loc_sql}"
+    )
+
+
+def drop_partition(spark: SparkSession, table: str, spec: dict[str, str]) -> None:
+    """Metastore-only partition removal (files stay put on external
+    tables) — the inverse of :func:`add_partition`."""
+    spec_sql = ", ".join(f"{k} = '{v}'" for k, v in spec.items())
+    spark.sql(f"ALTER TABLE {table} DROP IF EXISTS PARTITION ({spec_sql})")
+
+
+def replace_external_table(
+    spark: SparkSession,
+    table: str,
+    columns_ddl: str,
+    location: str,
+    partitioned_by: str | None = None,
+    discover_partitions: bool = True,
+) -> None:
+    """Drop-and-recreate lifecycle (reference: extract_news_job.py:326,
+    extract_stocks_job.py:255 recreate catalog tables every run).
+
+    Dropping an EXTERNAL table is metadata-only — the parquet under
+    ``location`` survives — so this is safe for schema evolution where
+    in-place ALTERs would drift. Still, prefer ``create_external_table``
+    (IF NOT EXISTS) + :func:`add_partition` for steady-state daily runs:
+    recreating a partitioned table discards its registered partitions,
+    which then cost a discovery pass to restore (done here when
+    ``discover_partitions``).
+    """
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    create_external_table(spark, table, columns_ddl, location, partitioned_by)
+    if partitioned_by and discover_partitions:
+        repair_partitions(spark, table)

@@ -78,3 +78,58 @@ def test_csv_json_roundtrip(spark, tmp_path):
     back_json = spark.read.schema("id int, name string").json(json_path)
     assert sorted(map(tuple, back_csv.collect())) == [(1, "x"), (2, "y")]
     assert sorted(map(tuple, back_json.collect())) == [(1, "x"), (2, "y")]
+
+
+def test_add_drop_partition_manual_registration(spark, tmp_path):
+    """The O(1) alternative to MSCK: register exactly the partition an
+    incremental write produced (reference transform_news_job.py:217-262
+    fallback ladder)."""
+    from stockpy_spark.sources import add_partition, drop_partition
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, "a", "20240101"), (2, "b", "20240102")], "id int, v string, dataproc string"
+    )
+    write_parquet_partitioned(df, path, ["dataproc"], mode="overwrite")
+    create_database(spark, "cat_padd")
+    create_external_table(
+        spark, "cat_padd.t", "id INT, v STRING", path, partitioned_by="dataproc STRING"
+    )
+    assert spark.table("cat_padd.t").count() == 0  # nothing registered yet
+    add_partition(spark, "cat_padd.t", {"dataproc": "20240101"})
+    assert [r.dataproc for r in spark.table("cat_padd.t").collect()] == ["20240101"]
+    add_partition(spark, "cat_padd.t", {"dataproc": "20240101"})  # idempotent
+    add_partition(spark, "cat_padd.t", {"dataproc": "20240102"})
+    assert spark.table("cat_padd.t").count() == 2
+    drop_partition(spark, "cat_padd.t", {"dataproc": "20240101"})
+    assert spark.table("cat_padd.t").count() == 1
+    # external table: dropping the partition left the files on disk
+    assert spark.read.parquet(path).count() == 2
+    spark.sql("DROP TABLE cat_padd.t")
+    spark.sql("DROP DATABASE cat_padd")
+
+
+def test_replace_external_table_keeps_data(spark, tmp_path):
+    from stockpy_spark.sources import replace_external_table
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, "a", "20240101"), (2, "b", "20240102")], "id int, v string, dataproc string"
+    )
+    write_parquet_partitioned(df, path, ["dataproc"], mode="overwrite")
+    create_database(spark, "cat_repl")
+    replace_external_table(
+        spark, "cat_repl.t", "id INT, v STRING", path, partitioned_by="dataproc STRING"
+    )
+    assert spark.table("cat_repl.t").count() == 2  # partitions re-discovered
+    # recreate with an evolved schema: data survives the drop
+    replace_external_table(
+        spark,
+        "cat_repl.t",
+        "id INT, v STRING",
+        path,
+        partitioned_by="dataproc STRING",
+    )
+    assert spark.table("cat_repl.t").count() == 2
+    spark.sql("DROP TABLE cat_repl.t")
+    spark.sql("DROP DATABASE cat_repl")
