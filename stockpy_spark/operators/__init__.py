@@ -18,6 +18,7 @@ from stockpy_spark.operators.filters import (
     drop_na_subset,
 )
 from stockpy_spark.operators.joins import (
+    dim_preserving_enrich,
     enrich_left_join,
     attach_group_stats,
     attach_group_stats_window,
@@ -55,6 +56,7 @@ __all__ = [
     "filter_not_null_positive",
     "filter_cross_column_equal",
     "drop_na_subset",
+    "dim_preserving_enrich",
     "enrich_left_join",
     "attach_group_stats",
     "attach_group_stats_window",

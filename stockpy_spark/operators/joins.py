@@ -33,6 +33,49 @@ def enrich_left_join(
     return fact.join(F.broadcast(dim), on=on, how=how)
 
 
+def dim_preserving_enrich(
+    dim: DataFrame, fact: DataFrame, on: str | list[str]
+) -> DataFrame:
+    """``dim LEFT JOIN fact`` — keep every dimension row even when the
+    fact has no match (reference: df_map.join(df_data, "Ticker",
+    "left"), extract_stocks_job.py:144) — WITHOUT shuffling the fact.
+
+    A left-outer join that preserves the tiny side cannot broadcast in
+    Spark (the preserved side must stream, so the build side would be
+    the 100 TB fact): written directly, Catalyst plans a sort-merge
+    join that shuffles the whole fact on the join key. This
+    formulation keeps the fact unshuffled:
+
+    1. ``fact INNER JOIN broadcast(dim)`` — map-side hash join;
+    2. matched keys = map-side-combined distinct over the join key
+       (result is at most |dim| rows);
+    3. dim rows whose key is absent -> appended with NULL fact columns
+       (broadcast anti-join against the tiny matched-key set).
+
+    Two narrow passes over the fact instead of one full shuffle of it.
+    Result rows are identical to ``dim.join(fact, on, "left")``.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    matched = fact.join(F.broadcast(dim), on=keys, how="inner").select(
+        *keys,
+        *[F.col(c) for c in dim.columns if c not in keys],
+        *[F.col(c) for c in fact.columns if c not in keys],
+    )
+    # semi-filter against the dim keys BEFORE the distinct so the
+    # aggregate's state (and its broadcast result) is bounded by |dim|,
+    # not by the fact's key cardinality
+    matched_keys = (
+        fact.select(*keys)
+        .join(F.broadcast(dim.select(*keys)), on=keys, how="left_semi")
+        .distinct()
+    )
+    misses = dim.join(F.broadcast(matched_keys), on=keys, how="left_anti")
+    for c in fact.columns:
+        if c not in keys:
+            misses = misses.withColumn(c, F.lit(None).cast(fact.schema[c].dataType))
+    return matched.unionByName(misses.select(*matched.columns))
+
+
 def attach_group_stats(
     df: DataFrame, keys: list[str], aggs: dict[str, F.Column], broadcast: bool = True
 ) -> DataFrame:

@@ -23,6 +23,7 @@ from pyspark.sql import types as T
 
 from stockpy_spark.operators import (
     add_literal_column,
+    dim_preserving_enrich,
     rename_columns,
     select_with_conditional_cast,
 )
@@ -83,9 +84,12 @@ def extract_stocks(
     scrubbed = select_with_conditional_cast(
         fetched, QUOTE_CASTS, keep=["Ticker"]
     )
-    # dimension-preserving left join: tickers with no quotes survive with
-    # NULL quote columns (the reference's left-join-miss edge case)
-    joined = dim.join(scrubbed, on="Ticker", how="left")
+    # dimension-preserving left join: tickers with no quotes survive
+    # with NULL quote columns (the reference's left-join-miss edge
+    # case). The broadcast-friendly formulation keeps the quote side
+    # unshuffled — written as dim.join(quotes, "left"), the preserved
+    # tiny side forces a sort-merge shuffle of the fact.
+    joined = dim_preserving_enrich(dim, scrubbed, "Ticker")
     renamed = rename_columns(joined, RAW_RENAMES)
     out = add_literal_column(renamed, "dataproc", process_date, T.StringType())
     # column order: reference schema (FIXTURES.md A1)

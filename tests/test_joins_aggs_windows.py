@@ -144,3 +144,19 @@ def test_salted_join_rejects_right_and_full_outer(spark):
         got = sorted(map(tuple, salted_join(left, right, "k", how=how).collect()))
         want = sorted(map(tuple, left.join(right, "k", how).collect()))
         assert got == want, how
+
+
+def test_dim_preserving_enrich_equals_left_join(spark):
+    from stockpy_spark.operators import dim_preserving_enrich
+
+    dim = spark.createDataFrame(
+        [("A", "dim-a"), ("B", "dim-b"), ("MISS", "dim-miss")], "k string, d string"
+    )
+    fact = spark.createDataFrame(
+        [("A", 1), ("A", 2), ("B", 3), ("X", 9)], "k string, v int"
+    )
+    got = sorted(map(tuple, dim_preserving_enrich(dim, fact, "k").collect()))
+    want = sorted(map(tuple, dim.join(fact, "k", "left").collect()))
+    assert got == want
+    assert ("MISS", "dim-miss", None) in got  # unmatched dim preserved
+    assert not any(r[0] == "X" for r in got)  # fact-only keys excluded

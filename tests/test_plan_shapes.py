@@ -210,3 +210,21 @@ def test_q6_filters_push_to_scan(spark):
     assert "LessThan(l_quantity,24" in p
     read_schema = [l for l in p.splitlines() if "ReadSchema" in l][0]
     assert "l_extendedprice" in read_schema and "l_returnflag" not in read_schema
+
+
+def test_dim_preserving_enrich_never_shuffles_fact(spark):
+    # the dim-preserving outer join must not sort-merge-shuffle the fact:
+    # broadcast inner join + bounded-key anti fill only
+    from stockpy_spark.operators import dim_preserving_enrich
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    nation = spark.read.parquet(f"{SF_DIR}/nation.parquet").select(
+        F.col("n_nationkey").alias("l_suppkey"), "n_name"
+    )
+    p = plan(dim_preserving_enrich(nation, li, "l_suppkey"), mode="simple")
+    assert "SortMergeJoin" not in p
+    # the fact rows themselves never shuffle: the single permitted
+    # exchange is the distinct over the semi-filtered KEY column
+    # (<= |dim| values, map-side combined — metadata, not data)
+    assert p.count("Exchange hashpartitioning") <= 1
+    assert p.count("BroadcastHashJoin") >= 3  # inner enrich + semi + anti fill
