@@ -34,6 +34,8 @@ HEADLINE = [
     "w5_sessionize",
     "o1_topk",
     "a9_cube",
+    "q7_volume_shipping",
+    "q18_large_orders",
     # the scale-path dedup op (linear assignment). The pair-enumeration
     # variant (dedup_minhash_lsh) stays in the oracle gate but is
     # data-dependent-quadratic, so it is not a headline timing.

@@ -7,13 +7,14 @@ ORACLES maps name -> ANSI SQL for DuckDB (absent => rows-only check).
 from __future__ import annotations
 
 from stockpy_spark.registry_core import CORE_QUERIES
+from stockpy_spark.registry_tpch2 import TPCH2_QUERIES
 
 try:
     from stockpy_spark.registry_ext import EXT_QUERIES
 except ImportError:  # extensions land incrementally
     EXT_QUERIES = {}
 
-_ALL = {**CORE_QUERIES, **EXT_QUERIES}
+_ALL = {**CORE_QUERIES, **EXT_QUERIES, **TPCH2_QUERIES}
 
 # The driver's correctness gate checks the FIRST 50 queries in dict
 # insertion order (CORRECTNESS_r01.json == first 50 of CORE_QUERIES
@@ -54,6 +55,14 @@ DRIVER_PRIORITY = [
     "p4_fuzzy_align",
     "pipeline_extract_stocks",
     "mm_decode_pixels",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_late_shipments",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_disjunctive",
+    "q21_blame_supplier",
     # core queries with no driver row in r01
     "o1_topk",
     "set1_union_by_name",

@@ -228,3 +228,22 @@ def test_dim_preserving_enrich_never_shuffles_fact(spark):
     # (<= |dim| values, map-side combined — metadata, not data)
     assert p.count("Exchange hashpartitioning") <= 1
     assert p.count("BroadcastHashJoin") >= 3  # inner enrich + semi + anti fill
+
+
+def test_q7_broadcasts_nations_shuffles_facts_bounded(spark):
+    p = plan(QUERIES["q7_volume_shipping"](spark, SF_DIR))
+    assert p.count("BroadcastHashJoin") >= 2  # both nation dims broadcast
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_q18_having_agg_then_topk(spark):
+    p = plan(QUERIES["q18_large_orders"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p  # top-k, not a global sort
+    assert p.count("HashAggregate") >= 2  # partial+final on the having-agg
+    assert "Exchange rangepartitioning" not in p
+
+
+def test_q19_or_predicate_no_cartesian(spark):
+    p = plan(QUERIES["q19_disjunctive"](spark, SF_DIR))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p  # part stays a broadcast equi-join
