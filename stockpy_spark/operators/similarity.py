@@ -124,6 +124,7 @@ def ann_lsh_topk(
     n_planes: int = 12,
     probe_hamming: int = 2,
     exclude_self: bool = True,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k: hyperplane-LSH candidate generation + exact
     cosine rerank. Candidates = corpus rows whose signature hamming
@@ -133,7 +134,15 @@ def ann_lsh_topk(
     (query, candidate) pair matches exactly one probe mask (XOR is a
     bijection), so the equi-join emits no duplicates and returns the
     identical candidate set to a hamming-distance predicate — as a
-    hash join instead of a nested-loop scan."""
+    hash join instead of a nested-loop scan.
+
+    ``broadcast_queries=True`` fits the interactive case (a query
+    batch small enough to ship to every executor, even x79 probes).
+    For offline batch scoring where the query set itself is large,
+    pass ``False``: the equi-join then shuffles both sides on the
+    probe signature — still a hash join on a bounded key domain
+    (2^n_planes buckets), never a cross product, which is exactly why
+    the multi-probe formulation matters at that scale."""
     masks = _hamming_ball_masks(n_planes, probe_hamming)
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -149,7 +158,7 @@ def ann_lsh_topk(
         F.col(vec_col).alias("cv"),
         _hyperplane_signature(F.col(vec_col), dim, n_planes).alias("csig"),
     )
-    joined = c.join(F.broadcast(q), "csig")
+    joined = c.join(F.broadcast(q) if broadcast_queries else q, "csig")
     if exclude_self:
         joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
     scored = joined.withColumn(

@@ -11,6 +11,7 @@ from stockpy_spark.sources.writers import (
 )
 from stockpy_spark.sources.catalog import (
     add_partition,
+    analyze_table,
     create_database,
     create_external_table,
     drop_partition,
@@ -28,6 +29,7 @@ __all__ = [
     "write_parquet_overwrite_partitions",
     "compact_to_target_files",
     "add_partition",
+    "analyze_table",
     "create_database",
     "create_external_table",
     "drop_partition",

@@ -60,6 +60,22 @@ def table_exists(spark: SparkSession, table: str) -> bool:
     return spark.catalog.tableExists(table)
 
 
+def analyze_table(
+    spark: SparkSession,
+    table: str,
+    columns: list[str] | None = None,
+) -> None:
+    """Emit table (and optionally column) statistics for Catalyst's
+    cost-based optimizer (SURVEY.md §4.2: CBO join reordering needs
+    ANALYZE stats). Run after large writes; at scale, per-column NDV/
+    min/max stats are what let the optimizer pick build sides and
+    reorder multi-joins without guessing."""
+    spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+    if columns:
+        cols = ", ".join(columns)
+        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS {cols}")
+
+
 def add_partition(
     spark: SparkSession,
     table: str,

@@ -71,6 +71,45 @@ def session_agg(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    left_watermark: str,
+    right_watermark: str,
+    max_delay: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream equi-join with a time-range bound.
+
+    Both sides buffer state until the other side's matching rows can no
+    longer arrive; WITHOUT the time-range condition that buffer grows
+    forever, so the join requires (a) watermarks on both inputs and (b)
+    a bound tying the two event times together
+    (``right_ts`` in [``left_ts`` - max_delay, ``left_ts`` + max_delay]).
+    State is then evicted as the watermark passes — memory bounded by
+    (rate x (watermark + max_delay)), the only formulation that
+    survives an unbounded stream. Outer modes emit the unmatched side
+    after the watermark closes the join window (Spark requires the
+    range condition for them, same as here).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    l = left.withWatermark(left_ts, left_watermark)
+    r = right.withWatermark(right_ts, right_watermark)
+    cond = None
+    for k in keys:
+        eq = l[k] == r[k]
+        cond = eq if cond is None else cond & eq
+    cond = (
+        cond
+        & (r[right_ts] >= l[left_ts] - F.expr(f"INTERVAL {max_delay}"))
+        & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return l.join(r, cond, how)
+
+
 def stateful_running_stats(
     stream: DataFrame,
     key: str,

@@ -133,3 +133,24 @@ def test_replace_external_table_keeps_data(spark, tmp_path):
     assert spark.table("cat_repl.t").count() == 2
     spark.sql("DROP TABLE cat_repl.t")
     spark.sql("DROP DATABASE cat_repl")
+
+
+def test_analyze_table_feeds_cbo_stats(spark, tmp_path):
+    from stockpy_spark.sources import analyze_table
+
+    df = spark.range(1000).withColumn("v", F.col("id") % 7)
+    df.write.saveAsTable("cat_stats_t")
+    try:
+        analyze_table(spark, "cat_stats_t", columns=["id", "v"])
+        desc = {
+            r.col_name: r.data_type
+            for r in spark.sql("DESCRIBE TABLE EXTENDED cat_stats_t").collect()
+        }
+        assert "Statistics" in desc and "bytes" in desc["Statistics"]
+        col = {
+            r.info_name: r.info_value
+            for r in spark.sql("DESCRIBE EXTENDED cat_stats_t v").collect()
+        }
+        assert col.get("distinct_count") == "7"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cat_stats_t")

@@ -326,3 +326,36 @@ def test_extract_pixel_features_via_real_decode(spark):
         assert r.media_type == "image/bmp"
     # use_codec=True now runs the real decoder over every payload
     assert extract_features(assets, use_codec=True).count() == 3
+
+
+def test_stream_stream_join_watermarked(spark, tmp_path):
+    """Watermarked stream-stream join with a time-range bound: matches
+    inside the delay window join, matches outside it don't, and the
+    plan carries watermarks on both sides (bounded state)."""
+    from stockpy_spark.streaming.ops import stream_stream_join
+
+    schema = "k string, ts timestamp"
+    imp_dir, clk_dir = tmp_path / "imp", tmp_path / "clk"
+    spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00"), ("b", "2024-01-01 00:00:00")], "k string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts")).write.parquet(str(imp_dir))
+    spark.createDataFrame(
+        [("a", "2024-01-01 00:10:00"),   # within 1 hour of the impression
+         ("b", "2024-01-01 03:00:00")],  # too late — outside the range bound
+        "k string, ts string",
+    ).withColumn("ts", F.to_timestamp("ts")).write.parquet(str(clk_dir))
+
+    imps = file_stream(spark, str(imp_dir), schema).withColumnsRenamed(
+        {"ts": "imp_ts"}
+    )
+    clicks = file_stream(spark, str(clk_dir), schema).withColumnsRenamed(
+        {"ts": "click_ts"}
+    )
+    joined = stream_stream_join(
+        imps, clicks, "k", "imp_ts", "click_ts",
+        left_watermark="10 minutes", right_watermark="10 minutes",
+        max_delay="1 hour",
+    )
+    run_to_memory(joined.select(imps["k"].alias("k"), "imp_ts", "click_ts"), "ssj")
+    rows = spark.table("ssj").collect()
+    assert [r.k for r in rows] == ["a"]  # b's click fell outside the window
