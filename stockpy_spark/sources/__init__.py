@@ -8,6 +8,7 @@ from stockpy_spark.sources.writers import (
     write_parquet_partitioned,
     write_parquet_overwrite_partitions,
     compact_to_target_files,
+    write_sorted_for_pruning,
 )
 from stockpy_spark.sources.catalog import (
     add_partition,
@@ -28,6 +29,7 @@ __all__ = [
     "write_parquet_partitioned",
     "write_parquet_overwrite_partitions",
     "compact_to_target_files",
+    "write_sorted_for_pruning",
     "add_partition",
     "analyze_table",
     "create_database",

@@ -113,3 +113,35 @@ def compact_to_target_files(
     if n_files < df.rdd.getNumPartitions():
         return df.coalesce(n_files)
     return df
+
+
+def write_sorted_for_pruning(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    partition_by: list[str] | None = None,
+    n_files: int | None = None,
+    compression: str = "snappy",
+) -> None:
+    """Range-cluster the data on ``sort_cols`` before writing so parquet
+    row-group min/max statistics become selective.
+
+    An unsorted 100 TB table has every row group spanning the full value
+    range of a filtered column — min/max pruning skips nothing and every
+    query scans everything. ``repartitionByRange`` + ``sortWithinPartitions``
+    gives files (and row groups inside them) disjoint value ranges, so a
+    point or range predicate touches only the files that can match. This
+    is the poor-man's Z-order: one clustering dimension, zero extra
+    infrastructure, often a 10-100x scan reduction on the clustered
+    column.
+    """
+    parted = (
+        df.repartitionByRange(n_files, *sort_cols)
+        if n_files
+        else df.repartitionByRange(*sort_cols)
+    )
+    out = parted.sortWithinPartitions(*sort_cols)
+    writer = out.write.mode("overwrite").option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
