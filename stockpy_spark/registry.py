@@ -63,6 +63,8 @@ DRIVER_PRIORITY = [
     "q18_large_orders",
     "q19_disjunctive",
     "q21_blame_supplier",
+    "q16_supplier_variety",
+    "q20_heavy_shippers",
     # core queries with no driver row in r01
     "o1_topk",
     "set1_union_by_name",

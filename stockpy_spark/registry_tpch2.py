@@ -399,7 +399,70 @@ LIMIT 20
 """
 
 
+def q_q16_supplier_variety(spark, sf_dir):
+    """Q16 shape: how many distinct suppliers serve each (brand, type,
+    size) bucket, excluding one brand — a count-distinct AFTER a join,
+    which Spark executes as expand + two-phase aggregate (no partsupp
+    in the testdata; lineitem is the part-supplier link)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#5")
+    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    return group_summary(
+        joined,
+        ["p_brand", "p_type", "p_size"],
+        {"supplier_cnt": F.countDistinct("l_suppkey")},
+    )
+
+
+SQL_Q16 = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5'
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q_q20_heavy_shippers(spark, sf_dir):
+    """Q20 shape: suppliers that moved more than a threshold quantity
+    of a filtered part family — nested aggregation feeding a semi-join
+    (the original's NOT-IN/partsupp ladder collapses to the same
+    aggregate -> semi-join chain without partsupp)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").startswith("small"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    heavy = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 100)
+    )
+    out = semi_join(
+        supp.withColumnRenamed("s_suppkey", "l_suppkey"), heavy, "l_suppkey"
+    ).join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    return out.select(
+        F.col("l_suppkey").alias("s_suppkey"), "s_name", F.col("n_name").alias("nation")
+    )
+
+
+SQL_Q20 = """
+SELECT s_suppkey, s_name, n_name AS nation
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_name LIKE 'small%'
+    GROUP BY l_suppkey
+    HAVING sum(l_quantity) > 100
+)
+"""
+
+
 TPCH2_QUERIES = {
+    "q16_supplier_variety": (q_q16_supplier_variety, SQL_Q16),
+    "q20_heavy_shippers": (q_q20_heavy_shippers, SQL_Q20),
     "q7_volume_shipping": (q_q7_volume_shipping, SQL_Q7),
     "q8_market_share": (q_q8_market_share, SQL_Q8),
     "q9_product_profit": (q_q9_product_profit, SQL_Q9),
