@@ -65,6 +65,7 @@ DRIVER_PRIORITY = [
     "q21_blame_supplier",
     "q16_supplier_variety",
     "q20_heavy_shippers",
+    "f13_array_funcs",
     # core queries with no driver row in r01
     "o1_topk",
     "set1_union_by_name",

@@ -963,6 +963,51 @@ def q_f9_posexplode_tokens(spark, sf_dir):
     )
 
 
+def q_f13_array_funcs(spark, sf_dir):
+    """Higher-order array functions over the embedding column: slice,
+    transform, filter, aggregate (fold), array_sort + element_at — the
+    lambda-expression surface that keeps array math JVM-side instead of
+    in a Python UDF."""
+    emb = _t(spark, sf_dir, "embeddings")
+    head8 = F.slice(F.col("embedding"), 1, 8)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.aggregate(
+                head8, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            ),
+            6,
+        ).alias("head_sum"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_positive"),
+        F.round(
+            F.element_at(F.array_sort(head8), -1).cast("double"), 6
+        ).alias("head_max"),
+        F.round(
+            F.aggregate(
+                F.transform(head8, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("head_sq_sum"),
+    )
+
+
+SQL_F13 = """
+SELECT vec_id,
+       len(embedding) AS dim,
+       round(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))), 6)
+           AS head_sum,
+       len(list_filter(embedding, x -> x > 0)) AS n_positive,
+       round(CAST(list_max(embedding[1:8]) AS DOUBLE), 6) AS head_max,
+       round(list_sum(list_transform(embedding[1:8],
+                                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6)
+           AS head_sq_sum
+FROM embeddings
+"""
+
+
 SQL_F9 = """
 SELECT doc_id,
        unnest(range(0, len(regexp_split_to_array(trim(text), '\\s+')))) AS pos,
@@ -1379,6 +1424,7 @@ CORE_QUERIES: dict[str, tuple] = {
     "p10_unpivot": (q_p10_unpivot, SQL_P10),
     "f8_math_funcs": (q_f8_math_funcs, SQL_F8),
     "f9_posexplode_tokens": (q_f9_posexplode_tokens, SQL_F9),
+    "f13_array_funcs": (q_f13_array_funcs, SQL_F13),
     "flagship_event_enrichment": (q_flagship, SQL_FLAGSHIP),
     "p1_conditional_cast": (q_p1_conditional_cast, SQL_P1),
     "p2_rename_literal": (q_p2_rename_literal, SQL_P2),

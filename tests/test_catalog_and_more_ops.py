@@ -154,3 +154,21 @@ def test_analyze_table_feeds_cbo_stats(spark, tmp_path):
         assert col.get("distinct_count") == "7"
     finally:
         spark.sql("DROP TABLE IF EXISTS cat_stats_t")
+
+
+def test_session_defaults_scale_conscious(spark):
+    """The conf contract the 100 TB design relies on: AQE with skew-join
+    splitting and partition coalescing, dynamic partition overwrite,
+    parquet pushdown, UTC, Arrow."""
+    from stockpy_spark.session import spark_conf_defaults
+
+    conf = spark_conf_defaults()
+    assert conf["spark.sql.adaptive.enabled"] == "true"
+    assert conf["spark.sql.adaptive.skewJoin.enabled"] == "true"
+    assert conf["spark.sql.adaptive.coalescePartitions.enabled"] == "true"
+    assert conf["spark.sql.sources.partitionOverwriteMode"] == "dynamic"
+    assert conf["spark.sql.parquet.filterPushdown"] == "true"
+    assert conf["spark.sql.session.timeZone"] == "UTC"
+    # and the live test session actually carries them
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "dynamic"
