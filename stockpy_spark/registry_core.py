@@ -552,9 +552,9 @@ WITH g AS (
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT event_id, user_id, ts,
-       sum(is_new) OVER (
+       CAST(sum(is_new) OVER (
            PARTITION BY user_id ORDER BY ts, event_id
-           ROWS UNBOUNDED PRECEDING) AS session_id
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
 FROM g
 """
 

@@ -774,7 +774,7 @@ WITH t AS (
     FROM c
 )
 SELECT shard, bin, count(*) AS n_docs,
-       sum(n_tokens) AS bin_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
        md5(string_agg(text, chr(10) ORDER BY doc_id)) AS payload_md5
 FROM b GROUP BY shard, bin
 """

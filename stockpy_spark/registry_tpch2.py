@@ -46,22 +46,27 @@ def q_q7_volume_shipping(spark, sf_dir):
     )
     # 4k+ groups make a float-summation-order rounding tie likely
     # somewhere: sum exact decimals (order-independent) instead of
-    # rounding an order-dependent double sum
+    # rounding an order-dependent double sum. The FINAL output is cast
+    # to double on both engines — DuckDB types the decimal aggregate as
+    # DECIMAL(38,2), which driver hashers canonicalize differently from
+    # Spark's decimal(18,2) even when values are identical (round-2
+    # finding); a 2-dp value well under 2^53 converts to the same
+    # double bit pattern on both sides.
     rev_term = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(18,4)"
     )
     return group_summary(
         joined,
         ["supp_nation", "cust_nation", "l_year"],
-        {"revenue": F.sum(rev_term).cast("decimal(18,2)")},
+        {"revenue": F.round(F.sum(rev_term), 2).cast("double")},
     )
 
 
 SQL_Q7 = """
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        year(l_shipdate) AS l_year,
-       round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)
-           AS revenue
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders    ON l_orderkey = o_orderkey
 JOIN customer  ON o_custkey = c_custkey
@@ -158,18 +163,19 @@ def q_q9_product_profit(spark, sf_dir):
             profit.alias("amount"),
         )
     )
+    # final double cast on both engines — see q7 note on decimal hashing
     return group_summary(
         joined,
         ["nation", "o_year"],
-        {"sum_profit": F.sum("amount").cast("decimal(18,2)")},
+        {"sum_profit": F.round(F.sum("amount"), 2).cast("double")},
     )
 
 
 SQL_Q9 = """
 SELECT n_name AS nation, year(o_orderdate) AS o_year,
-       round(sum(CAST(l_extendedprice * (1 - l_discount)
-                      - p_retailprice * CAST(0.1 AS DOUBLE) * l_quantity
-                 AS DECIMAL(18,4))), 2) AS sum_profit
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                           - p_retailprice * CAST(0.1 AS DOUBLE) * l_quantity
+                      AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_profit
 FROM lineitem
 JOIN part     ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -208,10 +214,10 @@ def q_q12_late_shipments(spark, sf_dir):
 SQL_Q12 = """
 SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
             THEN 'LATE' ELSE 'ON_TIME' END AS ship_class,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1
 """

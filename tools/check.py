@@ -81,9 +81,27 @@ def main() -> int:
             print(f"ok*   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            rel = con.sql(oracles[name])
+            dcols = list(rel.columns)
+            # Guard (round-2 lesson): DuckDB HUGEINT (sum of ints) and
+            # DECIMAL aggregates hash differently from Spark's
+            # bigint/double at the driver even when values are
+            # bit-identical. Our str() canonicalization masks that, so
+            # reject the TYPES outright — oracles must emit
+            # BIGINT/DOUBLE/VARCHAR/DATE/TIMESTAMP-class columns only.
+            bad_types = [
+                f"{c}:{t}"
+                for c, t in zip(dcols, (str(t) for t in rel.types))
+                if "HUGEINT" in t or t.startswith("DECIMAL")
+            ]
+            if bad_types:
+                print(
+                    f"FAIL  {name}: oracle emits driver-hostile types "
+                    f"{bad_types} — CAST to BIGINT/DOUBLE in the SQL"
+                )
+                failures.append(name)
+                continue
+            drows = rel.fetchall()
         except Exception as ex:
             print(f"FAIL  {name}: duckdb error: {ex}")
             failures.append(name)
