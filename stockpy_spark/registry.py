@@ -17,12 +17,97 @@ except ImportError:  # extensions land incrementally
 _ALL = {**CORE_QUERIES, **EXT_QUERIES, **TPCH2_QUERIES}
 
 # The driver's correctness gate checks the FIRST 50 queries in dict
-# insertion order (CORRECTNESS_r01.json == first 50 of CORE_QUERIES
-# verbatim). Order the registry so the queries with no driver row yet —
-# every extension headliner plus five core stragglers — land inside that
-# window; already-green core queries fill the remaining slots.
+# insertion order. Round-3 rotation (oldest-green-first keeps every row
+# fresh within two rounds): the five round-2 hash-artifact queries whose
+# oracles were just retyped, the four new approximation-quality gates
+# (no driver row yet), then 41 of the 47 queries whose last driver row
+# is r01. The six stale queries that don't fit (trivial family siblings
+# with the strongest pytest/sibling coverage: a2_count_star,
+# a3_distinct, p2_rename_literal, p6_filter_range,
+# p7_cross_column_equal, f12_conditional) head the overflow so the next
+# rotation picks them up first.
 DRIVER_PRIORITY = [
-    # LLM-extension north-star operators (no driver row in r01)
+    # round-2 hash artifacts, oracles retyped this round — must re-check
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q12_late_shipments",
+    "w5_sessionize",
+    "pack_materialize",
+    # new approximation-quality gates — no driver row yet
+    "gate_ann_recall",
+    "gate_ivf_recall",
+    "gate_embedding_lsh_recall",
+    "gate_approx_distinct_err",
+    # stale: last driver row is r01
+    "q4_priority_exists",
+    "q22_idle_rich_customers",
+    "q10_returned_revenue",
+    "set2_intersect",
+    "set3_except",
+    "f10_string_funcs",
+    "f11_date_funcs",
+    "q13_custdist",
+    "q17_small_qty",
+    "q15_scalar_subquery",
+    "w8_lead_first_last",
+    "a13_conditional_agg",
+    "q5_multi_join",
+    "q6_forecast_revenue",
+    "j6_salted_join",
+    "a11_percentiles",
+    "a12_grouping_sets",
+    "w6_rank_family",
+    "w7_range_frame",
+    "p10_unpivot",
+    "f8_math_funcs",
+    "f9_posexplode_tokens",
+    "p1_conditional_cast",
+    "p8_p9_dropna_cast",
+    "j1_broadcast_enrich",
+    "j2_agg_backjoin",
+    "j2w_window_stats",
+    "j3_inner_join_agg",
+    "j4_semi_join",
+    "j5_anti_join",
+    "a1_group_agg",
+    "a4_dedup_first",
+    "a6_count_distinct",
+    "a7_minmax_stddev",
+    "a8_rollup",
+    "a9_cube",
+    "a10_pivot",
+    "w1_lag_delta",
+    "w2_rolling_mean",
+    "w3_topk_per_group",
+    "w4_running_sum",
+    # ---- first-50 window ends here ----
+    # stale overflow: next rotation's front of the line
+    "a2_count_star",
+    "a3_distinct",
+    "p2_rename_literal",
+    "p6_filter_range",
+    "p7_cross_column_equal",
+    "f12_conditional",
+    # r02-green, freshest last
+    "flagship_event_enrichment",
+    "q1_pricing_summary",
+    "q3_top_unshipped",
+    "o1_topk",
+    "set1_union_by_name",
+    "f1_regexp_date_json",
+    "f7_string_funcs",
+    "p4_fuzzy_align",
+    "pipeline_extract_stocks",
+    "mm_decode_pixels",
+    "mm_decode_features",
+    "q8_market_share",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_disjunctive",
+    "q21_blame_supplier",
+    "q16_supplier_variety",
+    "q20_heavy_shippers",
+    "f13_array_funcs",
     "dedup_exact_stats",
     "dedup_exact_docs",
     "dedup_word_jaccard",
@@ -44,48 +129,11 @@ DRIVER_PRIORITY = [
     "text_redact_pii",
     "text_repetition",
     "asof_purchase_view",
-    "mm_decode_features",
     "approx_distinct_users",
     "pipeline_clean_corpus",
     "sample_hash_docs",
     "split_train_test",
     "pack_context_bins",
-    "pack_materialize",
-    # new this round — no driver row yet
-    "p4_fuzzy_align",
-    "pipeline_extract_stocks",
-    "mm_decode_pixels",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q12_late_shipments",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q19_disjunctive",
-    "q21_blame_supplier",
-    "q16_supplier_variety",
-    "q20_heavy_shippers",
-    "f13_array_funcs",
-    # core queries with no driver row in r01
-    "o1_topk",
-    "set1_union_by_name",
-    "f1_regexp_date_json",
-    "f7_string_funcs",
-    "w5_sessionize",
-    # already-green headliners re-verified with the leftover slots
-    "flagship_event_enrichment",
-    "q1_pricing_summary",
-    "q3_top_unshipped",
-    "q5_multi_join",
-    "q6_forecast_revenue",
-    "a1_group_agg",
-    "a4_dedup_first",
-    "j1_broadcast_enrich",
-    "j2_agg_backjoin",
-    "j6_salted_join",
-    "w1_lag_delta",
-    "q13_custdist",
-    "q17_small_qty",
 ]
 
 _ORDERED = {name: _ALL[name] for name in DRIVER_PRIORITY if name in _ALL}

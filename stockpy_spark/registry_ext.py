@@ -615,6 +615,185 @@ def q_approx_distinct_users(spark, sf_dir):
     )
 
 
+# --- approximation quality gates ---------------------------------------
+#
+# The ANN / LSH / HLL operators are approximate by design, so their raw
+# outputs have no portable SQL oracle (md5 sign tricks, engine-specific
+# sketches) and would sit at rows-only checks forever. These companions
+# turn the *quality contract* into a hash-checked row set instead: Spark
+# computes the approximation AND its exact baseline, derives the quality
+# metric (recall@k, pair recall/precision, relative error), and emits
+# gate columns that are 1 iff the metric clears its floor. The DuckDB
+# oracle states the expected gate rows — computing the exact side
+# (query ids, exact pair count, exact distinct counts) with real SQL —
+# so a quality regression flips a gate to 0 and the driver row goes red.
+#
+# Every input is deterministic (md5 hyperplanes, lowest-id IVF seeds,
+# tie-broken rerank windows, Spark's fixed-seed HLL), so the gates are
+# stable across runs; floors sit well under the measured sf0.01 values
+# (ANN per-query recall >= 0.4 measured, floor 0.3; IVF >= 0.7, floor
+# 0.5; LSH pair recall 0.42, floor 0.3 with precision exactly 1.0; HLL
+# rel-err 0.0067, floor 0.05; approx-median rel-err <= 0.00085, floor
+# 0.01). The exact baselines are the O(n^2)/full-scan verify tier —
+# gate queries run at test SF, while the approximations they certify
+# are the 100 TB path.
+
+def q_gate_ann_recall(spark, sf_dir):
+    """Per-query recall@10 gate for hyperplane-LSH ANN vs the exact
+    brute-force baseline (same params as sim_ann_lsh). Emits one row
+    per query with recall_ok=1 iff recall@10 >= 0.3."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, "embedding", "vec_id", k=10)
+    approx = ann_lsh_topk(
+        emb, queries, "embedding", "vec_id", k=10, dim=64, n_planes=8,
+        probe_hamming=3,
+    )
+    return _recall_gate_rows(queries, exact, approx, k=10, floor=0.3)
+
+
+def q_gate_ivf_recall(spark, sf_dir):
+    """Per-query recall@10 gate for IVF ANN (16 cells, probe 4) vs the
+    brute-force baseline. recall_ok=1 iff recall@10 >= 0.5."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, queries, "embedding", "vec_id", k=10)
+    approx = ivf_topk(
+        emb, queries, "embedding", "vec_id", k=10, n_centroids=16, n_probe=4
+    )
+    return _recall_gate_rows(queries, exact, approx, k=10, floor=0.5)
+
+
+def _recall_gate_rows(queries, exact, approx, k: int, floor: float):
+    """(query_id, recall_ok): hits = |exact top-k ∩ approx top-k| per
+    query via a left-semi join; queries the approximation missed
+    entirely still emit a row (left join back to the query list), so a
+    catastrophic recall-0 regression cannot hide by dropping rows."""
+    hits = (
+        exact.select("query_id", "neighbor_id")
+        .join(
+            approx.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.when(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(k))
+                >= F.lit(floor),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("recall_ok"),
+        )
+    )
+
+
+SQL_GATE_ANN = """
+SELECT vec_id AS query_id, CAST(1 AS BIGINT) AS recall_ok
+FROM embeddings WHERE vec_id < 5
+"""
+
+
+def q_gate_embedding_lsh_recall(spark, sf_dir):
+    """Pair recall/precision gate for hyperplane-LSH near-dup blocking
+    vs the exact cosine pair set at the same threshold. Single row:
+    n_exact (pinned against the SQL-computed exact pair count),
+    precision_ok=1 iff every LSH pair is a true pair (the in-block
+    verify guarantees this — 0 means the verify broke), recall_ok=1
+    iff pair recall >= 0.3."""
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = embedding_cosine_pairs(emb, "embedding", "vec_id", threshold=0.4)
+    lsh = embedding_neardup_lsh(
+        emb, "embedding", "vec_id", threshold=0.4, dim=64, n_planes=12, bands=3
+    )
+    inter = lsh.select("id1", "id2").join(
+        exact.select("id1", "id2"), ["id1", "id2"], "left_semi"
+    )
+    # three bounded one-row aggregates cross-joined into one gate row
+    stats = (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(lsh.agg(F.count(F.lit(1)).alias("n_lsh")))
+        .crossJoin(inter.agg(F.count(F.lit(1)).alias("n_inter")))
+    )
+    return stats.select(
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.when(F.col("n_inter") == F.col("n_lsh"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("precision_ok"),
+        F.when(
+            F.col("n_inter") / F.col("n_exact") >= F.lit(0.3), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("recall_ok"),
+    )
+
+
+SQL_GATE_EMB_LSH = """
+SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(1 AS BIGINT) AS precision_ok,
+       CAST(1 AS BIGINT) AS recall_ok
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+"""
+
+
+def q_gate_approx_distinct_err(spark, sf_dir):
+    """Per-group sketch-error gate: approx_count_distinct (HLL++) must
+    land within 5% of the exact distinct count and percentile_approx
+    within 1% of the exact median. exact_users is pinned against the
+    SQL-computed exact side, so the gate also re-verifies the exact
+    aggregation path."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.percentile_approx("value", 0.5).alias("approx_median"),
+        F.expr("percentile(value, 0.5)").alias("exact_median"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("exact_users").cast("long").alias("exact_users"),
+        F.when(
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= F.lit(0.05),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("hll_ok"),
+        F.when(
+            F.abs(F.col("approx_median") - F.col("exact_median"))
+            / F.abs(F.col("exact_median"))
+            <= F.lit(0.01),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("median_ok"),
+    )
+
+
+SQL_GATE_HLL = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(1 AS BIGINT) AS hll_ok,
+       CAST(1 AS BIGINT) AS median_ok
+FROM events GROUP BY event_type
+"""
+
+
 def q_text_repetition(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -955,4 +1134,8 @@ EXT_QUERIES: dict[str, tuple] = {
     "text_redact_pii": (q_text_redact_pii, SQL_REDACT),
     "pack_materialize": (q_pack_materialize, SQL_PACK_MAT),
     "text_repetition": (q_text_repetition, SQL_REPETITION),
+    "gate_ann_recall": (q_gate_ann_recall, SQL_GATE_ANN),
+    "gate_ivf_recall": (q_gate_ivf_recall, SQL_GATE_ANN),
+    "gate_embedding_lsh_recall": (q_gate_embedding_lsh_recall, SQL_GATE_EMB_LSH),
+    "gate_approx_distinct_err": (q_gate_approx_distinct_err, SQL_GATE_HLL),
 }
