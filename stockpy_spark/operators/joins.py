@@ -121,6 +121,7 @@ def salted_join(
     on: str,
     how: str = "inner",
     salt_buckets: int = 8,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Skew-resistant equi-join: the left (large, skewed) side is salted
     into ``salt_buckets`` sub-keys; the right side is replicated once per
@@ -133,9 +134,15 @@ def salted_join(
 
     AQE's skew-join splitting handles moderate skew automatically; use
     explicit salting when one key dominates an entire stage (the
-    classic null-key / default-value hot spot). Deterministic salt
-    (hash of the join key + a monotonic row id) keeps reruns stable
-    without hashing every column of a wide fact row.
+    classic null-key / default-value hot spot).
+
+    The salt must be DETERMINISTIC per row content — a salt derived from
+    ``monotonically_increasing_id``/``rand`` changes when a task is
+    recomputed after a shuffle-fetch failure, the classic
+    nondeterministic-repartition-key hazard that duplicates or drops
+    rows mid-retry. Pass ``salt_cols`` (a few stable, high-cardinality
+    payload columns) to bound hashing cost on wide fact rows; by
+    default every left column is hashed.
     """
     normalized = how.lower().replace("_", "")
     if normalized in {"right", "rightouter", "full", "fullouter", "outer"}:
@@ -145,9 +152,8 @@ def salted_join(
             "salt bucket. Use a plain join (AQE skew handling) for "
             "right/full outer."
         )
-    salt = F.pmod(
-        F.hash(F.col(on), F.monotonically_increasing_id()), F.lit(salt_buckets)
-    ).alias("__salt")
+    salt_inputs = [F.col(c) for c in (salt_cols or left.columns)]
+    salt = F.pmod(F.hash(*salt_inputs), F.lit(salt_buckets)).alias("__salt")
     l = left.withColumn("__salt", salt)
     r = right.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))

@@ -62,8 +62,10 @@ def align_to_columns(
     transform_news_job.py:52-84 fuzzy schema-drift handler). Makes
     frames union-compatible for :func:`union_by_name`.
 
-    Matching ladder per expected column (first hit wins, each source
-    column claimed at most once):
+    Matching ladder (each rung runs as a FULL pass over the remaining
+    expected columns before the next, weaker rung — so an exact match
+    for a later expected column can never be stolen by an earlier
+    column's fuzzy probe; each source column is claimed at most once):
 
     1. exact name;
     2. normalized name — lower/strip/space->underscore — so drifted
@@ -83,20 +85,23 @@ def align_to_columns(
         if target in df.columns:
             mapping[target] = target
             used.add(target)
-            continue
-        if not fuzzy:
-            continue
-        cand = by_norm.get(_norm_name(target))
-        if cand is not None and cand not in used:
-            mapping[target] = cand
-            used.add(cand)
-            continue
-        tkey = _norm_name(target).replace("_", "")
-        for c in df.columns:
-            if c not in used and tkey in _norm_name(c).replace("_", ""):
-                mapping[target] = c
-                used.add(c)
-                break
+    if fuzzy:
+        for target in expected:
+            if target in mapping:
+                continue
+            cand = by_norm.get(_norm_name(target))
+            if cand is not None and cand not in used:
+                mapping[target] = cand
+                used.add(cand)
+        for target in expected:
+            if target in mapping:
+                continue
+            tkey = _norm_name(target).replace("_", "")
+            for c in df.columns:
+                if c not in used and tkey in _norm_name(c).replace("_", ""):
+                    mapping[target] = c
+                    used.add(c)
+                    break
     exprs = [
         (F.col(mapping[c]) if c in mapping else F.lit(None).cast(t)).alias(c)
         for c, t in expected.items()

@@ -94,8 +94,8 @@ def add_partition(
     ``{"dataproc": "20240105"}``; ``location`` overrides the default
     ``<table location>/key=value/...`` layout.
     """
-    spec_sql = ", ".join(f"{k} = '{v}'" for k, v in spec.items())
-    loc_sql = f" LOCATION '{location}'" if location else ""
+    spec_sql = _partition_spec_sql(spark, table, spec)
+    loc_sql = f" LOCATION '{_quote_sql_string(location)}'" if location else ""
     spark.sql(
         f"ALTER TABLE {table} ADD IF NOT EXISTS PARTITION ({spec_sql}){loc_sql}"
     )
@@ -104,8 +104,34 @@ def add_partition(
 def drop_partition(spark: SparkSession, table: str, spec: dict[str, str]) -> None:
     """Metastore-only partition removal (files stay put on external
     tables) — the inverse of :func:`add_partition`."""
-    spec_sql = ", ".join(f"{k} = '{v}'" for k, v in spec.items())
+    spec_sql = _partition_spec_sql(spark, table, spec)
     spark.sql(f"ALTER TABLE {table} DROP IF EXISTS PARTITION ({spec_sql})")
+
+
+def _quote_sql_string(value: str) -> str:
+    """Escape a value for embedding in a single-quoted SQL literal.
+    Partition values are often user-supplied (dates, tickers scraped
+    from feeds) — interpolating them raw is an injection surface."""
+    return str(value).replace("\\", "\\\\").replace("'", "''")
+
+
+def _partition_spec_sql(
+    spark: SparkSession, table: str, spec: dict[str, str]
+) -> str:
+    """Render ``col = 'value'`` pairs with values escaped and column
+    names validated against the table's actual partition columns (a
+    name is an identifier — it cannot be quoted away, so it must be
+    allowlisted)."""
+    part_cols = {
+        f.name for f in spark.catalog.listColumns(table) if f.isPartition
+    }
+    unknown = set(spec) - part_cols
+    if unknown:
+        raise ValueError(
+            f"not partition column(s) of {table}: {sorted(unknown)} "
+            f"(partition columns: {sorted(part_cols)})"
+        )
+    return ", ".join(f"{k} = '{_quote_sql_string(v)}'" for k, v in spec.items())
 
 
 def replace_external_table(

@@ -236,9 +236,22 @@ def run_foreach_batch_to_parquet(
     Replaying the SAME batch id over its own partitions stays allowed
     (that is the idempotence being promised). Set
     ``on_cross_batch_partition="allow"`` for explicit
-    last-writer-wins semantics. The ledger uses local-filesystem I/O —
-    on an object store, point ``checkpoint`` at a shared mount or use an
-    ACID table format (Delta/Iceberg MERGE) instead of this bridge.
+    last-writer-wins semantics.
+
+    The ledger is ONE cumulative write-ahead map
+    (``{checkpoint}/partition_ledger/ledger.json``:
+    partition-key -> {batch, state}), not a per-batch file: the
+    collision probe is a single O(#partitions) read per batch instead
+    of a glob over every batch ever written, and each batch records its
+    partitions as ``pending`` BEFORE the parquet write and flips them
+    to ``done`` after — a crash between write and ledger append leaves
+    ``pending`` markers, so the next non-replay batch touching those
+    partitions still errors instead of silently overwriting (the
+    data-loss window the ledger exists to close). Replays of the same
+    batch id see their own markers and proceed. The ledger uses
+    local-filesystem rename-atomic I/O — on an object store, point
+    ``checkpoint`` at a shared mount or use an ACID table format
+    (Delta/Iceberg MERGE) instead of this bridge.
     """
     import json
     from pathlib import Path
@@ -246,6 +259,19 @@ def run_foreach_batch_to_parquet(
     from stockpy_spark.sources.writers import write_parquet_overwrite_partitions
 
     ledger_dir = Path(checkpoint) / "partition_ledger"
+    ledger_file = ledger_dir / "ledger.json"
+    SEP = "\x1f"  # unit separator: never appears in partition values here
+
+    def _load() -> dict:
+        if ledger_file.exists():
+            return json.loads(ledger_file.read_text())
+        return {}
+
+    def _store(ledger: dict) -> None:
+        ledger_dir.mkdir(parents=True, exist_ok=True)
+        tmp = ledger_file.with_suffix(".tmp")
+        tmp.write_text(json.dumps(ledger, sort_keys=True))
+        tmp.replace(ledger_file)  # atomic on POSIX
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -253,27 +279,35 @@ def run_foreach_batch_to_parquet(
         # distinct partition tuples in this batch (partition cardinality
         # per batch is small by construction — this is metadata, not data)
         parts = sorted(
-            tuple(str(v) for v in row)
+            SEP.join(str(v) for v in row)
             for row in batch_df.select(*partition_by).distinct().collect()
         )
-        if on_cross_batch_partition == "error" and ledger_dir.exists():
-            mine = set(parts)
-            for entry in ledger_dir.glob("batch-*.json"):
-                prior_id = int(entry.stem.split("-", 1)[1])
-                if prior_id == batch_id:
-                    continue  # replay of this very batch — idempotent
-                clash = mine & {tuple(p) for p in json.loads(entry.read_text())}
-                if clash:
-                    raise ValueError(
-                        f"batch {batch_id} would overwrite partition(s) "
-                        f"{sorted(clash)} already written by batch {prior_id}; "
-                        "rows for one output partition must arrive within a "
-                        "single micro-batch (or pass "
-                        "on_cross_batch_partition='allow')"
-                    )
+        ledger = _load()
+        if on_cross_batch_partition == "error":
+            clash = {
+                p: ledger[p]
+                for p in parts
+                if p in ledger and ledger[p]["batch"] != batch_id
+            }
+            if clash:
+                detail = sorted(
+                    (p.split(SEP), e["batch"], e["state"]) for p, e in clash.items()
+                )
+                raise ValueError(
+                    f"batch {batch_id} would overwrite partition(s) {detail} "
+                    "already claimed by an earlier batch (state 'pending' "
+                    "means that batch crashed mid-write); rows for one "
+                    "output partition must arrive within a single "
+                    "micro-batch (or pass on_cross_batch_partition='allow')"
+                )
+        # write-ahead: claim the partitions BEFORE the data write
+        for p in parts:
+            ledger[p] = {"batch": batch_id, "state": "pending"}
+        _store(ledger)
         write_parquet_overwrite_partitions(batch_df, path, partition_by)
-        ledger_dir.mkdir(parents=True, exist_ok=True)
-        (ledger_dir / f"batch-{batch_id}.json").write_text(json.dumps(parts))
+        for p in parts:
+            ledger[p] = {"batch": batch_id, "state": "done"}
+        _store(ledger)
 
     q = (
         result.writeStream.outputMode(output_mode)

@@ -109,6 +109,35 @@ def test_add_drop_partition_manual_registration(spark, tmp_path):
     spark.sql("DROP DATABASE cat_padd")
 
 
+def test_partition_spec_escaped_and_validated(spark, tmp_path):
+    """Partition values are interpolated into DDL: a single quote must
+    be escaped (not break the statement / inject), and a column that is
+    not a partition column of the table must be rejected by name."""
+    import pytest
+
+    from stockpy_spark.sources import add_partition, drop_partition
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, "a", "o'brien")], "id int, v string, dataproc string"
+    )
+    write_parquet_partitioned(df, path, ["dataproc"], mode="overwrite")
+    create_database(spark, "cat_pesc")
+    create_external_table(
+        spark, "cat_pesc.t", "id INT, v STRING", path, partitioned_by="dataproc STRING"
+    )
+    add_partition(spark, "cat_pesc.t", {"dataproc": "o'brien"})
+    assert [r.dataproc for r in spark.table("cat_pesc.t").collect()] == ["o'brien"]
+    with pytest.raises(ValueError, match="not partition column"):
+        add_partition(spark, "cat_pesc.t", {"id": "1"})
+    with pytest.raises(ValueError, match="not partition column"):
+        drop_partition(spark, "cat_pesc.t", {"v": "x"})
+    drop_partition(spark, "cat_pesc.t", {"dataproc": "o'brien"})
+    assert spark.table("cat_pesc.t").count() == 0
+    spark.sql("DROP TABLE cat_pesc.t")
+    spark.sql("DROP DATABASE cat_pesc")
+
+
 def test_replace_external_table_keeps_data(spark, tmp_path):
     from stockpy_spark.sources import replace_external_table
 

@@ -42,6 +42,20 @@ def test_rename_and_align(spark):
     assert aligned.collect()[0].extra is None
 
 
+def test_align_exact_match_not_stolen_by_earlier_fuzzy(spark):
+    """An exact match for a LATER expected column must not be claimed by
+    an EARLIER column's fuzzy containment probe: expected {'id',
+    'doc_id'} over a frame with only 'doc_id' maps doc_id exactly and
+    NULL-fills id (previously both landed on doc_id)."""
+    df = spark.createDataFrame([(7, "x")], "doc_id int, text string")
+    out = align_to_columns(
+        df, {"id": T.IntegerType(), "doc_id": T.IntegerType()}
+    )
+    row = out.collect()[0]
+    assert row.id is None
+    assert row.doc_id == 7
+
+
 def test_cast_columns(spark):
     df = spark.createDataFrame([("1", "2.5")], "a string, b string")
     out = cast_columns(df, {"a": T.LongType(), "b": T.DoubleType()})

@@ -251,6 +251,37 @@ def test_foreach_batch_sink_detects_cross_batch_partition(spark, tmp_path):
     assert [tuple(r) for r in spark.read.parquet(out_dir).collect()] == [(2, "A")]
 
 
+def test_foreach_batch_pending_ledger_blocks_after_crash(spark, tmp_path):
+    """Write-ahead ledger: a batch that crashed between the parquet
+    write and its 'done' marker leaves partitions 'pending' — a LATER
+    batch touching them must still error (the silent-overwrite window
+    the ledger exists to close). Simulated by seeding a pending entry
+    for a foreign batch id."""
+    import json
+
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from stockpy_spark.streaming.ops import run_foreach_batch_to_parquet
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    schema = "id int, day string"
+    out_dir = str(tmp_path / "out")
+    ckpt = tmp_path / "ckpt"
+    ledger_dir = ckpt / "partition_ledger"
+    ledger_dir.mkdir(parents=True)
+    # batch id 999 claimed day=A and "crashed" before marking done
+    (ledger_dir / "ledger.json").write_text(
+        json.dumps({"A": {"batch": 999, "state": "pending"}})
+    )
+    spark.createDataFrame([(1, "A")], schema).write.parquet(str(in_dir / "f0"))
+    with pytest.raises(StreamingQueryException, match="pending"):
+        run_foreach_batch_to_parquet(
+            file_stream(spark, str(in_dir / "*"), schema), out_dir, str(ckpt), ["day"]
+        )
+
+
 def test_transform_news_fuzzy_drifted_columns(spark):
     """Schema drift: the scraper ships 'Published Date' / ' TITLE ' /
     'extracteddate' headers; fuzzy alignment must land them on the
