@@ -28,9 +28,43 @@ def write_parquet_partitioned(
     partition_by: list[str] | None = None,
     mode: str = "append",
     compression: str = "snappy",
+    dictionary: bool = True,
+    bloom_filter_cols: list[str] | None = None,
+    bloom_filter_ndv: dict[str, int] | None = None,
 ) -> None:
-    """S6 — Hive-partitioned parquet sink (reference semantics: append)."""
+    """S6 — Hive-partitioned parquet sink (reference semantics: append).
+
+    Physical-layout toggles (surface parity with the reference, which
+    writes ``parquet.enable.dictionary=false`` and
+    ``parquet.bloom.filter.enabled=false`` —
+    extract_stocks_job.py:233-236,388-390):
+
+    - ``dictionary=False`` disables dictionary encoding. The
+      reference's blanket 'off' is usually the WRONG call at scale —
+      low-cardinality columns (sector, ticker, flags) dictionary-encode
+      10-50x smaller, which is scan time saved on every later read —
+      so the default here stays on; the toggle exists for genuinely
+      high-cardinality columns where the dictionary just spills.
+    - ``bloom_filter_cols`` enables a per-column bloom filter
+      (``parquet.bloom.filter.enabled#col``) for point-lookup columns
+      that are NOT the sort/partition key — min/max pruning does
+      nothing for a high-cardinality column scattered across row
+      groups, a bloom filter skips whole row groups on equality
+      probes. Size the filter with ``bloom_filter_ndv`` (per-column
+      expected distinct count, ``parquet.bloom.filter.expected.ndv#col``)
+      — the default sizing is megabytes per row group, far too big for
+      most columns. Note parquet-mr silently drops the bloom filter for
+      a chunk that stayed fully dictionary-encoded (the dictionary page
+      already answers membership exactly), so blooms only materialize
+      on high-cardinality columns or with ``dictionary=False``.
+    """
     writer = df.write.mode(mode).option("compression", compression)
+    if not dictionary:
+        writer = writer.option("parquet.enable.dictionary", "false")
+    for c in bloom_filter_cols or []:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+    for c, ndv in (bloom_filter_ndv or {}).items():
+        writer = writer.option(f"parquet.bloom.filter.expected.ndv#{c}", str(ndv))
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)

@@ -51,6 +51,53 @@ def test_dynamic_partition_overwrite_idempotent(spark, tmp_path):
     assert out.filter("dataproc = '20240101'").count() == 2
 
 
+def test_parquet_physical_toggles_dictionary_and_bloom(spark, tmp_path):
+    """Footer-level verification of the physical-layout toggles the
+    reference sets (extract_stocks_job.py:233-236,388-390): with
+    dictionary=False no column chunk advertises a *_DICTIONARY
+    encoding; a bloom_filter_cols entry grows the file by the stored
+    bitset (pyarrow 16 exposes no bloom metadata, so size is the
+    observable). parquet-mr drops bloom filters on fully
+    dictionary-encoded chunks — the dictionary page is already an
+    exact membership structure — so the bloom case writes with
+    dictionary off, as the reference does globally."""
+    import glob as globmod
+
+    import pyarrow.parquet as pq
+
+    df = spark.createDataFrame(
+        [(i % 10, f"v{i % 10}") for i in range(1000)], "id int, v string"
+    ).coalesce(1)
+
+    plain = os.path.join(str(tmp_path), "plain")
+    nodict = os.path.join(str(tmp_path), "nodict")
+    bloom = os.path.join(str(tmp_path), "bloom")
+    write_parquet_partitioned(df, plain, mode="overwrite")
+    write_parquet_partitioned(df, nodict, mode="overwrite", dictionary=False)
+    write_parquet_partitioned(
+        df, bloom, mode="overwrite", dictionary=False,
+        bloom_filter_cols=["v"], bloom_filter_ndv={"v": 100},
+    )
+
+    def encodings(d):
+        f = globmod.glob(d + "/*.parquet")[0]
+        md = pq.ParquetFile(f).metadata
+        encs = set()
+        for rg in range(md.num_row_groups):
+            for c in range(md.num_columns):
+                encs |= set(md.row_group(rg).column(c).encodings)
+        return encs, os.path.getsize(f)
+
+    plain_encs, _ = encodings(plain)
+    nodict_encs, nodict_size = encodings(nodict)
+    _, bloom_size = encodings(bloom)
+    assert any("DICTIONARY" in e for e in plain_encs)
+    assert not any("DICTIONARY" in e for e in nodict_encs)
+    # the 100-NDV bitset adds a few hundred bytes over the same
+    # dictionary-free layout
+    assert bloom_size > nodict_size + 100
+
+
 def test_write_sorted_for_pruning_disjoint_row_groups(spark, tmp_path):
     """Range-clustered write must produce files with narrow, mostly
     disjoint min/max ranges on the sort column — the property parquet
