@@ -1,0 +1,161 @@
+"""Property-based tests (SURVEY.md §5.2): hypothesis-generated frames
+checking the algebraic invariants the engine's scale story relies on.
+
+Each property is the distributed-correctness contract behind an
+operator family:
+
+- aggregation must not care how rows are partitioned (map-side combine
+  + shuffle reduce is only correct for commutative-associative aggs);
+- dedup must be idempotent (a second pass is a no-op);
+- fuzzy schema alignment must undo a header-drift rename exactly;
+- salting must be a pure physical rewrite (identical result set to the
+  plain join on any skew).
+
+Examples are capped small: each draw runs real Spark jobs, and the
+invariants are about structure, not input magnitude. ``deadline=None``
+because JVM warm-up makes the first example slow; the session-scoped
+``spark`` fixture is intentional (one JVM for the whole suite), so the
+function-scoped-fixture health check is suppressed.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from stockpy_spark.operators import (
+    align_to_columns,
+    group_summary,
+    rename_columns,
+)
+from stockpy_spark.operators.dedup import exact_dedup
+from stockpy_spark.operators.joins import salted_join
+
+PROP = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# (key, value) rows: few keys so groups collide, values spanning sign
+# and zero to catch sum/avg edge cases
+kv_rows = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(-1000, 1000)),
+    min_size=1,
+    max_size=60,
+)
+
+
+@PROP
+@given(rows=kv_rows, n_parts=st.integers(1, 7))
+def test_grouped_agg_insensitive_to_partitioning(spark, rows, n_parts):
+    """sum/count/min/max per key must be identical under any
+    repartitioning — the invariant that makes map-side partial
+    aggregation legal at all."""
+    df = spark.createDataFrame(rows, "k int, v int")
+    aggs = {
+        "s": F.sum("v").cast("long"),
+        "n": F.count(F.lit(1)),
+        "lo": F.min("v"),
+        "hi": F.max("v"),
+    }
+    base = group_summary(df, ["k"], aggs)
+    shuffled = group_summary(df.repartition(n_parts, "v"), ["k"], aggs)
+    assert sorted(map(tuple, base.collect())) == sorted(
+        map(tuple, shuffled.collect())
+    )
+
+
+doc_rows = st.lists(
+    st.tuples(st.integers(0, 100), st.sampled_from(["a", "b", "ab", "c", ""])),
+    min_size=1,
+    max_size=40,
+    unique_by=lambda t: t[0],  # doc ids unique, texts collide heavily
+)
+
+
+@PROP
+@given(rows=doc_rows)
+def test_exact_dedup_idempotent(spark, rows):
+    """dedup(dedup(df)) == dedup(df), every surviving text is unique,
+    and the survivor of each text group is its minimum id — rerunning
+    a dedup stage (checkpoint replay, retried job) must be a no-op."""
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    once = exact_dedup(df, "text", "doc_id")
+    twice = exact_dedup(once, "text", "doc_id")
+    got_once = sorted(map(tuple, once.collect()))
+    assert got_once == sorted(map(tuple, twice.collect()))
+    texts = [t for _, t in got_once]
+    assert len(texts) == len(set(texts))
+    want = {}
+    for i, t in rows:
+        want[t] = min(want.get(t, i), i)
+    assert {t: i for i, t in got_once} == want
+
+
+_DRIFT = st.sampled_from(["{}", " {}", "{} ", "{}_", "X_{}"])
+
+
+@PROP
+@given(
+    base=st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+        min_size=1,
+        max_size=4,
+        unique=True,
+    ),
+    drifts=st.lists(_DRIFT, min_size=4, max_size=4),
+)
+def test_align_undoes_header_drift(spark, base, drifts):
+    """rename columns into drifted headers (case/whitespace/underscore
+    noise), then align back to the expected schema: every original
+    column must land on its own value, none NULL-filled or swapped."""
+    n = len(base)
+    df = spark.createDataFrame(
+        [tuple(range(n))], ", ".join(f"{c} int" for c in base)
+    )
+    drifted = rename_columns(
+        df, {c: d.format(c.upper()) for c, d in zip(base, drifts[:n])}
+    )
+    back = align_to_columns(drifted, {c: T.IntegerType() for c in base})
+    assert back.columns == base
+    assert tuple(back.collect()[0]) == tuple(range(n))
+
+
+@PROP
+@given(
+    # skewed left side: ~half the rows pile onto key 0
+    left=st.lists(
+        st.tuples(
+            st.one_of(st.just(0), st.integers(0, 4)), st.integers(-100, 100)
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 4), st.integers(-100, 100)),
+        min_size=0,
+        max_size=10,
+    ),
+    how=st.sampled_from(["inner", "left", "left_semi", "left_anti"]),
+    buckets=st.integers(2, 6),
+)
+def test_salted_join_equals_plain_join_under_skew(
+    spark, left, right, how, buckets
+):
+    """salted_join is a physical rewrite only: for every supported join
+    mode, any skew profile, and any bucket count, the result multiset
+    equals the plain join's."""
+    l = spark.createDataFrame(left, "k int, lv int")
+    r = (
+        spark.createDataFrame(right, "k int, rv int")
+        if right
+        else spark.createDataFrame([], "k int, rv int")
+    )
+    got = salted_join(l, r, "k", how=how, salt_buckets=buckets)
+    want = l.join(r, "k", how)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
