@@ -36,6 +36,13 @@ HEADLINE = [
     "a9_cube",
     "q7_volume_shipping",
     "q18_large_orders",
+    # the deepest join trees in the corpus — underrepresented before:
+    # q9 two fact-fact shuffles + broadcast part/nation, q16
+    # count-distinct after join (expand + two-phase agg), q20 nested
+    # agg feeding a semi-join
+    "q9_product_profit",
+    "q16_supplier_variety",
+    "q20_heavy_shippers",
     # the scale-path dedup op (linear assignment). The pair-enumeration
     # variant (dedup_minhash_lsh) stays in the oracle gate but is
     # data-dependent-quadratic, so it is not a headline timing.

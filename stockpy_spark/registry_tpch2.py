@@ -42,6 +42,11 @@ def q_q7_volume_shipping(spark, sf_dir):
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
+        # at lake scale l_year should come from the table's date
+        # partition column (year=.../month=...) rather than
+        # year(l_shipdate): the derivation is free AND a ship-year
+        # predicate then prunes partitions instead of scanning 100 TB.
+        # The driver testdata is unpartitioned, so derive it here.
         .withColumn("l_year", F.year("l_shipdate"))
     )
     # 4k+ groups make a float-summation-order rounding tie likely

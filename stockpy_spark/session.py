@@ -35,6 +35,10 @@ def spark_conf_defaults(cpus: int | None = None) -> dict[str, str]:
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.parquet.filterPushdown": "true",
+        # Write timestamps as TIMESTAMP(MICROS), not the deprecated
+        # INT96: INT96 defeats min/max pruning in some readers and is
+        # reported as nanos by Arrow, confusing unit sniffers.
+        "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
         # Idempotent partition-level reruns (fixes the reference's
         # append-duplication bug, extract_stocks_job.py:375-393).
         "spark.sql.sources.partitionOverwriteMode": "dynamic",
@@ -59,6 +63,17 @@ def get_spark(
         master = f"local[{cpus}]"
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = spark_conf_defaults()
+    if master.startswith("local"):
+        # Local mode inherits Spark's 1g driver default, which cannot
+        # build a 64MB-threshold broadcast relation (~10x in-memory as
+        # a hash relation) — found by the sf1 scale spot-check, where
+        # the planner's auto-broadcast of a filtered-but-growing side
+        # OOM'd the driver while the plan itself was fine. On a real
+        # cluster the driver is sized explicitly; do the same locally.
+        # Only effective for a fresh JVM (getOrCreate reuses existing).
+        conf["spark.driver.memory"] = os.environ.get(
+            "SPARK_GRAFT_DRIVER_MEM", "8g"
+        )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -50,6 +50,11 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.read.parquet(path)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
+    if dict(df.dtypes).get("ts") == "timestamp":
+        # INT96 columns: Arrow's footer schema reports them as nanos,
+        # but Spark decodes them as real timestamps (nanosAsLong only
+        # affects TIMESTAMP(NANOS) annotations) — nothing to rebuild.
+        return df
     # integer division — float division loses precision at ~1e18 ns
     return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 

@@ -1,0 +1,90 @@
+"""Synthesize a larger SF from the driver testdata by unioning key-shifted
+copies — for local scale spot-checks (BASELINE.md §3).
+
+Usage: python tools/scale_up.py [factor] [src_dir] [dst_dir]
+Defaults: 10 /root/testdata/sf0.1 /root/repo/.scratch_sf1
+
+Every copy i shifts each table's surrogate keys by i*OFFSET with the SAME
+offset on both sides of every foreign key, so join fan-outs and group
+cardinalities scale linearly like a real larger SF would: 10x orders join
+10x lineitem on shifted orderkeys, each user's event stream stays a
+single user's stream (user_id shifted), ANN query set stays fixed
+(vec_id < 5 exists only in copy 0) while the corpus grows 10x. Document
+texts get a per-copy suffix so dedup keeps an sf-like duplicate profile
+instead of every doc having exactly `factor` clones. Dims (nation,
+region) are copied once — they are fixed-size in TPC-H scaling too.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from stockpy_spark.session import get_spark
+from stockpy_spark.sources.testdata import read_events
+
+OFFSET = 100_000_000
+
+# table -> columns to shift by copy_index * OFFSET
+SHIFTS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+COPY_ONCE = ["nation", "region"]
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    dst = sys.argv[3] if len(sys.argv) > 3 else "/root/repo/.scratch_sf1"
+    spark = get_spark("scale_up")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(dst, exist_ok=True)
+
+    for name in COPY_ONCE:
+        out = f"{dst}/{name}.parquet"
+        shutil.rmtree(out, ignore_errors=True)
+        spark.read.parquet(f"{src}/{name}.parquet").write.mode(
+            "overwrite"
+        ).parquet(out)
+
+    for name, keys in SHIFTS.items():
+        base = (
+            read_events(spark, src)
+            if name == "events"
+            else spark.read.parquet(f"{src}/{name}.parquet")
+        )
+        copies = []
+        for i in range(factor):
+            c = base
+            for k in keys:
+                c = c.withColumn(k, (F.col(k) + F.lit(i * OFFSET)).cast("long"))
+            if name == "documents" and i > 0:
+                # keep a realistic dup profile: true dups stay dups
+                # within each copy, but copies aren't clones of each other
+                c = c.withColumn(
+                    "text", F.concat_ws(" ", F.col("text"), F.lit(f"c{i}"))
+                )
+            copies.append(c)
+        union = copies[0]
+        for c in copies[1:]:
+            union = union.unionByName(c)
+        out = f"{dst}/{name}.parquet"
+        shutil.rmtree(out, ignore_errors=True)
+        union.write.mode("overwrite").parquet(out)
+        print(f"{name}: {factor}x written")
+
+
+if __name__ == "__main__":
+    main()
