@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import MapType
 from pyspark.sql.window import Window
 
 
@@ -142,7 +143,16 @@ def salted_join(
     nondeterministic-repartition-key hazard that duplicates or drops
     rows mid-retry. Pass ``salt_cols`` (a few stable, high-cardinality
     payload columns) to bound hashing cost on wide fact rows; by
-    default every left column is hashed.
+    default every hashable left column is hashed (map-typed columns are
+    skipped — ``F.hash`` raises AnalysisException on maps).
+
+    CAVEAT: because the salt is content-derived, BYTE-IDENTICAL
+    duplicate rows all hash to the same bucket, so a hot spot made of
+    exact clones (e.g. a null-key default row repeated millions of
+    times) is NOT spread by the default salt. If your hot rows are
+    identical, pass ``salt_cols`` naming columns that DO distinguish
+    them, or deduplicate-and-count before the join.
+
     """
     normalized = how.lower().replace("_", "")
     if normalized in {"right", "rightouter", "full", "fullouter", "outer"}:
@@ -152,7 +162,13 @@ def salted_join(
             "salt bucket. Use a plain join (AQE skew handling) for "
             "right/full outer."
         )
-    salt_inputs = [F.col(c) for c in (salt_cols or left.columns)]
+    if salt_cols is None:
+        salt_cols = [
+            f.name
+            for f in left.schema.fields
+            if not isinstance(f.dataType, MapType)
+        ]
+    salt_inputs = [F.col(c) for c in salt_cols]
     salt = F.pmod(F.hash(*salt_inputs), F.lit(salt_buckets)).alias("__salt")
     l = left.withColumn("__salt", salt)
     r = right.withColumn(

@@ -775,7 +775,10 @@ def q_gate_approx_distinct_err(spark, sf_dir):
         .alias("hll_ok"),
         F.when(
             F.abs(F.col("approx_median") - F.col("exact_median"))
-            / F.abs(F.col("exact_median"))
+            # greatest(...) guards exact_median==0: non-ANSI division by
+            # zero yields NULL which would flip the gate red on data
+            # drift rather than a real quality regression.
+            / F.greatest(F.abs(F.col("exact_median")), F.lit(1e-12))
             <= F.lit(0.01),
             F.lit(1),
         )

@@ -10,9 +10,12 @@ cardinalities scale linearly like a real larger SF would: 10x orders join
 10x lineitem on shifted orderkeys, each user's event stream stays a
 single user's stream (user_id shifted), ANN query set stays fixed
 (vec_id < 5 exists only in copy 0) while the corpus grows 10x. Document
-texts get a per-copy suffix so dedup keeps an sf-like duplicate profile
-instead of every doc having exactly `factor` clones. Dims (nation,
-region) are copied once — they are fixed-size in TPC-H scaling too.
+texts get a per-copy suffix and embedding vectors a small deterministic
+per-copy jitter so dedup/similarity keep an sf-like duplicate/pair
+profile instead of every doc (or vector) having exactly `factor`
+cosine-1.0 clones — byte-identical copies would make pair counts grow
+~factor^2, not linearly. Dims (nation, region) are copied once — they
+are fixed-size in TPC-H scaling too.
 """
 
 from __future__ import annotations
@@ -75,6 +78,28 @@ def main() -> None:
                 # within each copy, but copies aren't clones of each other
                 c = c.withColumn(
                     "text", F.concat_ws(" ", F.col("text"), F.lit(f"c{i}"))
+                )
+            if name == "embeddings" and i > 0:
+                # same rationale for vectors: a byte-identical copy would
+                # give every vector factor-1 cosine-1.0 clones, making
+                # pair counts grow ~factor^2 instead of ~linearly like a
+                # real larger SF. Deterministic per-copy jitter (keyed on
+                # vec_id and element index) breaks the clones while
+                # keeping vectors close to their originals.
+                c = c.withColumn(
+                    "embedding",
+                    F.transform(
+                        "embedding",
+                        lambda x, j: (
+                            x
+                            + F.lit(0.05)
+                            * F.sin(
+                                (F.col("vec_id") % F.lit(997)).cast("double")
+                                * (j + F.lit(1)).cast("double")
+                                * F.lit(float(i))
+                            )
+                        ).cast("float"),
+                    ),
                 )
             copies.append(c)
         union = copies[0]
