@@ -7,6 +7,7 @@ ORACLES maps name -> ANSI SQL for DuckDB (absent => rows-only check).
 from __future__ import annotations
 
 from stockpy_spark.registry_core import CORE_QUERIES
+from stockpy_spark.registry_hive import HIVE_QUERIES
 from stockpy_spark.registry_tpch2 import TPCH2_QUERIES
 
 try:
@@ -14,31 +15,87 @@ try:
 except ImportError:  # extensions land incrementally
     EXT_QUERIES = {}
 
-_ALL = {**CORE_QUERIES, **EXT_QUERIES, **TPCH2_QUERIES}
+_ALL = {**CORE_QUERIES, **EXT_QUERIES, **TPCH2_QUERIES, **HIVE_QUERIES}
 
 # The driver's correctness gate checks the FIRST 50 queries in dict
-# insertion order. Round-3 rotation (oldest-green-first keeps every row
-# fresh within two rounds): the five round-2 hash-artifact queries whose
-# oracles were just retyped, the four new approximation-quality gates
-# (no driver row yet), then 41 of the 47 queries whose last driver row
-# is r01. The six stale queries that don't fit (trivial family siblings
-# with the strongest pytest/sibling coverage: a2_count_star,
-# a3_distinct, p2_rename_literal, p6_filter_range,
-# p7_cross_column_equal, f12_conditional) head the overflow so the next
-# rotation picks them up first.
+# insertion order. Round-4 rotation (oldest-green-first keeps every row
+# fresh within two rounds): the six r01-stale trivial queries the
+# round-3 window couldn't fit, the five brand-new queries (the Hive-
+# partitioned workload family + the PNG codec — no driver row yet),
+# then 39 of the 45 r02-green queries. The six r02 queries that don't
+# fit (closest sibling/pytest coverage: mm_decode_features,
+# text_fingerprint, text_repetition, sample_hash_docs,
+# split_train_test, pack_context_bins) head the overflow so round 5
+# picks them up first; the 50 r03-fresh rows close the list.
 DRIVER_PRIORITY = [
-    # round-2 hash artifacts, oracles retyped this round — must re-check
+    "a2_count_star",
+    "a3_distinct",
+    "p2_rename_literal",
+    "p6_filter_range",
+    "p7_cross_column_equal",
+    "f12_conditional",
+    "hive_prune_day",
+    "hive_partition_counts",
+    "hive_prune_range",
+    "hive_incremental_cycle",
+    "mm_decode_png",
+    "flagship_event_enrichment",
+    "q1_pricing_summary",
+    "q3_top_unshipped",
+    "o1_topk",
+    "set1_union_by_name",
+    "f1_regexp_date_json",
+    "f7_string_funcs",
+    "p4_fuzzy_align",
+    "pipeline_extract_stocks",
+    "mm_decode_pixels",
+    "q8_market_share",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_disjunctive",
+    "q21_blame_supplier",
+    "q16_supplier_variety",
+    "q20_heavy_shippers",
+    "f13_array_funcs",
+    "dedup_exact_stats",
+    "dedup_exact_docs",
+    "dedup_word_jaccard",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_minhash_assign",
+    "dedup_simhash",
+    "dedup_simhash64",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "sim_cosine_topk",
+    "sim_ann_lsh",
+    "sim_ivf_topk",
+    "text_token_count",
+    "text_quality_score",
+    "text_lang_id",
+    "text_tfidf",
+    "text_redact_pii",
+    "asof_purchase_view",
+    "approx_distinct_users",
+    "pipeline_clean_corpus",
+    # ---- first-50 window ends here ----
+    # r02-green overflow: next rotation's front of the line
+    "mm_decode_features",
+    "text_fingerprint",
+    "text_repetition",
+    "sample_hash_docs",
+    "split_train_test",
+    "pack_context_bins",
+    # r03-fresh, freshest last
     "q7_volume_shipping",
     "q9_product_profit",
     "q12_late_shipments",
     "w5_sessionize",
     "pack_materialize",
-    # new approximation-quality gates — no driver row yet
     "gate_ann_recall",
     "gate_ivf_recall",
     "gate_embedding_lsh_recall",
     "gate_approx_distinct_err",
-    # stale: last driver row is r01
     "q4_priority_exists",
     "q22_idle_rich_customers",
     "q10_returned_revenue",
@@ -80,60 +137,6 @@ DRIVER_PRIORITY = [
     "w2_rolling_mean",
     "w3_topk_per_group",
     "w4_running_sum",
-    # ---- first-50 window ends here ----
-    # stale overflow: next rotation's front of the line
-    "a2_count_star",
-    "a3_distinct",
-    "p2_rename_literal",
-    "p6_filter_range",
-    "p7_cross_column_equal",
-    "f12_conditional",
-    # r02-green, freshest last
-    "flagship_event_enrichment",
-    "q1_pricing_summary",
-    "q3_top_unshipped",
-    "o1_topk",
-    "set1_union_by_name",
-    "f1_regexp_date_json",
-    "f7_string_funcs",
-    "p4_fuzzy_align",
-    "pipeline_extract_stocks",
-    "mm_decode_pixels",
-    "mm_decode_features",
-    "q8_market_share",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q19_disjunctive",
-    "q21_blame_supplier",
-    "q16_supplier_variety",
-    "q20_heavy_shippers",
-    "f13_array_funcs",
-    "dedup_exact_stats",
-    "dedup_exact_docs",
-    "dedup_word_jaccard",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_minhash_assign",
-    "dedup_simhash",
-    "dedup_simhash64",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "sim_cosine_topk",
-    "sim_ann_lsh",
-    "sim_ivf_topk",
-    "text_token_count",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_tfidf",
-    "text_redact_pii",
-    "text_repetition",
-    "asof_purchase_view",
-    "approx_distinct_users",
-    "pipeline_clean_corpus",
-    "sample_hash_docs",
-    "split_train_test",
-    "pack_context_bins",
 ]
 
 _ORDERED = {name: _ALL[name] for name in DRIVER_PRIORITY if name in _ALL}

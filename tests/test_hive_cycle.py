@@ -1,0 +1,97 @@
+"""Hive-partitioned layout: pruning plan shape + incremental rerun
+idempotence (the reference's daily batch cycle,
+transform_stocks_job.py:32,211-213)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from stockpy_spark.registry_hive import (
+    q_hive_incremental_cycle,
+    q_hive_partition_counts,
+    q_hive_prune_day,
+)
+from stockpy_spark.sources.hive_fixture import (
+    ensure_events_by_day,
+    run_incremental_cycle,
+)
+from stockpy_spark.sources.testdata import read_events
+
+
+def _canon(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(str(r[c]) for c in cols) for r in df.collect())
+
+
+def test_prune_day_reads_exactly_one_partition_dir(spark, sf_dir):
+    path = ensure_events_by_day(spark, sf_dir)
+    df = spark.read.parquet(path).where(F.col("dataproc") == 20240115)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "dataproc" in plan.split(
+        "PartitionFilters: ["
+    )[1].split("]")[0], plan
+    # inputFiles() lists the whole relation pre-pruning; the executed
+    # scan is the truth — every file actually opened must come from the
+    # single matching directory.
+    files = [r[0] for r in df.select(F.input_file_name()).distinct().collect()]
+    assert files and all("dataproc=20240115" in f for f in files)
+
+
+def test_partitioned_roundtrip_matches_flat(spark, sf_dir):
+    got = q_hive_partition_counts(spark, sf_dir)
+    flat = (
+        read_events(spark, sf_dir)
+        .groupBy(F.date_format("ts", "yyyyMMdd").cast("long").alias("dataproc"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+    assert _canon(got) == _canon(flat)
+
+
+def test_prune_day_matches_flat(spark, sf_dir):
+    got = q_hive_prune_day(spark, sf_dir)
+    flat = (
+        read_events(spark, sf_dir)
+        .where(F.date_format("ts", "yyyyMMdd") == "20240115")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+    assert _canon(got) == _canon(flat)
+
+
+def test_incremental_rerun_is_idempotent(spark, sf_dir):
+    """Two full cycles — the second replays day 2 a THIRD time — must
+    produce byte-identical aggregate state: dynamic partition overwrite
+    replaces, never appends (the reference's append layout would double
+    day-2 counts on every rerun, extract_stocks_job.py:375-393)."""
+    days = ["20240101", "20240102", "20240103"]
+    first = _canon(
+        run_incremental_cycle(spark, sf_dir, days, rerun_day="20240102")
+        .groupBy("dataproc")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("v"))
+    )
+    second = _canon(
+        run_incremental_cycle(spark, sf_dir, days, rerun_day="20240102")
+        .groupBy("dataproc")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("v"))
+    )
+    assert first == second
+    flat = _canon(
+        read_events(spark, sf_dir)
+        .where(F.date_format("ts", "yyyyMMdd").isin(days))
+        .groupBy(F.date_format("ts", "yyyyMMdd").alias("dataproc"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("v"))
+    )
+    assert first == flat
+
+
+def test_incremental_cycle_query_shape(spark, sf_dir):
+    df = q_hive_incremental_cycle(spark, sf_dir)
+    assert df.columns == ["dataproc", "n_events", "n_users", "total_value"]
+    assert df.count() == 3
