@@ -6,19 +6,27 @@ length) into blob storage; decode / feature-extraction runs as
 Arrow-batched pandas functions over ``mapInPandas`` so each task touches
 one batch of payloads at a time and nothing ever lands on the driver.
 
-One real codec IS implemented dependency-free: 24-bit uncompressed BMP
-(encode + decode in pure numpy/struct — BITMAPFILEHEADER +
-BITMAPINFOHEADER, bottom-up BGR rows, 4-byte row padding), so the
-``use_codec=True`` path runs a genuine bytes -> pixels decode
-end-to-end. Formats that need external libraries (PNG/JPEG/audio)
-still raise NotImplementedError behind the clearly-marked seam;
-swapping in PIL / torchaudio later changes only ``_decode_pixels``'s
-dispatch.
+Two real codecs ARE implemented dependency-free:
+
+- 24-bit uncompressed BMP (encode + decode in pure numpy/struct —
+  BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up BGR rows, 4-byte row
+  padding);
+- 8-bit truecolor PNG (stdlib zlib + struct — chunk framing with CRC
+  verification, IDAT deflate, and a full scanline unfilter supporting
+  all five PNG filter types, so third-party-encoded truecolor PNGs
+  decode too, not just our own filter-0 output).
+
+So the ``use_codec=True`` path runs a genuine bytes -> pixels decode
+end-to-end for both container formats. Formats that need external
+libraries (JPEG/audio/video) still raise NotImplementedError behind the
+clearly-marked seam; swapping in PIL / torchaudio later changes only
+``_decode_pixels``'s dispatch.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -104,14 +112,128 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return px[:, :, ::-1].copy()  # BGR -> RGB
 
 
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray, compress_level: int = 6) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as an 8-bit truecolor PNG
+    (color type 2, no interlace, filter 0 scanlines). Stdlib zlib +
+    struct only — no image library."""
+    h, w, _ = pixels.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    rows = np.zeros((h, w * 3 + 1), dtype=np.uint8)  # leading filter byte 0
+    rows[:, 1:] = pixels.reshape(h, w * 3)
+    idat = zlib.compress(rows.tobytes(), compress_level)
+    return (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit truecolor (color type 2, non-interlaced) PNG into
+    an (h, w, 3) uint8 RGB array. Verifies chunk CRCs, concatenates
+    multiple IDAT chunks, and unfilters all five scanline filter types
+    (None/Sub/Up/Average/Paeth) — per-pixel recurrences run in small
+    Python loops, fine for the asset-thumbnail sizes this fixture path
+    handles; a production hot path would swap in a C codec at the same
+    dispatch seam. Raises ValueError on malformed or unsupported input.
+    """
+    if payload[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG payload")
+    pos, idat, dims = 8, [], None
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if crc != zlib.crc32(ctype + data) & 0xFFFFFFFF:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    "unsupported PNG variant (need 8-bit truecolor, "
+                    f"got depth={depth} color={color} interlace={interlace})"
+                )
+            dims = (h, w)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if dims is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    h, w = dims
+    stride = w * 3
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data has wrong length")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1
+        ).astype(np.int32)
+        if f == 0:
+            cur = line
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:  # Sub / Average / Paeth recurrences (bpp = 3)
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - 3] if x >= 3 else 0
+                b = prev[x]
+                c = prev[x - 3] if x >= 3 else 0
+                if f == 1:
+                    v = line[x] + a
+                elif f == 3:
+                    v = line[x] + (a + b) // 2
+                elif f == 4:
+                    v = line[x] + _paeth(a, b, c)
+                else:
+                    raise ValueError(f"bad PNG filter byte {f}")
+                cur[x] = v & 0xFF
+        out[y] = cur
+        prev = cur.astype(np.int32)
+    return out.reshape(h, w, 3)
+
+
 def _decode_pixels(payload: bytes) -> np.ndarray:
-    """Decode dispatch: BMP is handled natively; every other format is
-    the SEAM where a real codec (PIL.Image.open(io.BytesIO(payload)),
-    torchaudio, ...) plugs in — those libs are not in this container."""
+    """Decode dispatch: BMP and truecolor PNG are handled natively;
+    every other format is the SEAM where a real codec
+    (PIL.Image.open(io.BytesIO(payload)), torchaudio, ...) plugs in —
+    those libs are not in this container."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:8] == PNG_SIGNATURE:
+        return decode_png(payload)
     raise NotImplementedError(
-        "pixel decode for non-BMP payloads requires an image codec "
+        "pixel decode for non-BMP/PNG payloads requires an image codec "
         "(PIL/opencv) not present in this environment"
     )
 
@@ -130,11 +252,13 @@ def _fake_pixels(doc_id: int) -> np.ndarray:
     return ((int(doc_id) * 31 + y * 17 + x * 7 + c * 5) % 256).astype(np.uint8)
 
 
-def attach_bmp_payload(df: DataFrame, id_col: str) -> DataFrame:
-    """Generate a real 24-bit BMP payload per row (deterministic pixels
-    from the id) + typed metadata — the asset frame for exercising the
-    actual decode path. Arrow-batched via mapInPandas; payload bytes
-    never touch the driver."""
+def _attach_image_payload(
+    df: DataFrame, id_col: str, encoder, media_type: str
+) -> DataFrame:
+    """Generate a real image payload per row (deterministic pixels from
+    the id, containerized by ``encoder``) + typed metadata — the asset
+    frame for exercising the actual decode path. Arrow-batched via
+    mapInPandas; payload bytes never touch the driver."""
 
     gen_schema = T.StructType(
         [
@@ -150,12 +274,12 @@ def attach_bmp_payload(df: DataFrame, id_col: str) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf[id_col].astype("int64")
-            payloads = [encode_bmp(_fake_pixels(i)) for i in ids]
+            payloads = [encoder(_fake_pixels(i)) for i in ids]
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
                     "payload": payloads,
-                    "media_type": "image/bmp",
+                    "media_type": media_type,
                     "width": [i % 8 + 4 for i in ids],
                     "height": [i % 6 + 4 for i in ids],
                     "n_bytes": [len(p) for p in payloads],
@@ -170,6 +294,17 @@ def attach_bmp_payload(df: DataFrame, id_col: str) -> DataFrame:
             "media_type", "width", "height", "n_bytes"
         ).alias("meta"),
     )
+
+
+def attach_bmp_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Real 24-bit BMP payload per row (see :func:`_attach_image_payload`)."""
+    return _attach_image_payload(df, id_col, encode_bmp, "image/bmp")
+
+
+def attach_png_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Real 8-bit truecolor PNG payload per row (deflate-compressed,
+    CRC-framed — see :func:`_attach_image_payload`)."""
+    return _attach_image_payload(df, id_col, encode_png, "image/png")
 
 
 PIXEL_FEATURE_SCHEMA = T.StructType(

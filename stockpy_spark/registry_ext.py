@@ -45,6 +45,7 @@ from stockpy_spark.operators.aggregate import dedup_by_key_first
 from stockpy_spark.operators.multimodal import (
     attach_binary_payload,
     attach_bmp_payload,
+    attach_png_payload,
     extract_features,
     extract_pixel_features,
 )
@@ -605,6 +606,22 @@ FROM px
 """
 
 
+def q_mm_decode_png(spark, sf_dir):
+    """PNG twin of mm_decode_pixels: generate an 8-bit truecolor PNG per
+    document (same closed-form pixel pattern), decode it back through
+    the stdlib-zlib PNG parser (chunk CRCs, inflate, scanline
+    unfilter), and compute stats over the DECODED array. Same
+    arithmetic oracle — a hash match proves the deflate-containerized
+    roundtrip is bit-faithful too, so the codec seam now has two real
+    formats behind it (multimodal.py)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    assets = attach_png_payload(docs, "doc_id")
+    return extract_pixel_features(assets)
+
+
+SQL_MM_PNG = SQL_MM_PIXELS.replace("'image/bmp'", "'image/png'")
+
+
 # --- approximate aggregates (rows-only: HLL differs across engines) ---
 
 def q_approx_distinct_users(spark, sf_dir):
@@ -1128,6 +1145,7 @@ EXT_QUERIES: dict[str, tuple] = {
     "asof_purchase_view": (q_asof_purchase_view, SQL_ASOF),
     "mm_decode_features": (q_mm_decode_features, SQL_MM_FEATURES),
     "mm_decode_pixels": (q_mm_decode_pixels, SQL_MM_PIXELS),
+    "mm_decode_png": (q_mm_decode_png, SQL_MM_PNG),
     "approx_distinct_users": (q_approx_distinct_users, None),
     "pipeline_clean_corpus": (q_pipeline_clean_corpus, SQL_PIPELINE_CLEAN),
     "pipeline_extract_stocks": (q_pipeline_extract_stocks, SQL_EXTRACT_STOCKS),

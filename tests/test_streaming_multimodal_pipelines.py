@@ -330,12 +330,93 @@ def test_decode_pixels_dispatch_and_seam():
     import numpy as np
     import pytest
 
-    from stockpy_spark.operators.multimodal import _decode_pixels, encode_bmp
+    from stockpy_spark.operators.multimodal import (
+        _decode_pixels,
+        encode_bmp,
+        encode_png,
+    )
 
     px = np.zeros((2, 2, 3), dtype=np.uint8)
     assert _decode_pixels(encode_bmp(px)).shape == (2, 2, 3)
-    with pytest.raises(NotImplementedError, match="non-BMP"):
-        _decode_pixels(b"\x89PNG fake header")
+    assert _decode_pixels(encode_png(px)).shape == (2, 2, 3)
+    with pytest.raises(NotImplementedError, match="non-BMP/PNG"):
+        _decode_pixels(b"\xff\xd8\xff\xe0 jpeg header")
+
+
+def test_png_encode_decode_roundtrip():
+    import numpy as np
+
+    from stockpy_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (3, 5), (4, 4), (7, 11)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(px)), px), (h, w)
+
+
+def test_png_decoder_unfilters_all_five_filter_types():
+    """Build a PNG by hand with every scanline filter type (None, Sub,
+    Up, Average, Paeth — applied per the spec, bpp=3) and check the
+    decoder reconstructs the original pixels: proves the decoder handles
+    third-party-encoded truecolor PNGs, not just our filter-0 output."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from stockpy_spark.operators.multimodal import (
+        PNG_SIGNATURE,
+        _paeth,
+        _png_chunk,
+        decode_png,
+    )
+
+    rng = np.random.default_rng(13)
+    h, w = 5, 6
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    flat = px.reshape(h, w * 3).astype(np.int32)
+    raw = bytearray()
+    for y in range(h):
+        f = y % 5
+        prev = flat[y - 1] if y > 0 else np.zeros(w * 3, dtype=np.int32)
+        line = np.empty(w * 3, dtype=np.int32)
+        for x in range(w * 3):
+            a = flat[y][x - 3] if x >= 3 else 0
+            b = prev[x]
+            c = prev[x - 3] if x >= 3 else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) // 2
+            else:
+                pred = _paeth(a, b, c)
+            line[x] = (flat[y][x] - pred) % 256
+        raw.append(f)
+        raw.extend(line.astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(payload), px)
+
+
+def test_png_decoder_rejects_corruption():
+    import numpy as np
+    import pytest
+
+    from stockpy_spark.operators.multimodal import decode_png, encode_png
+
+    good = bytearray(encode_png(np.zeros((3, 3, 3), dtype=np.uint8)))
+    good[40] ^= 0xFF  # flip a byte inside a chunk body
+    with pytest.raises(ValueError):
+        decode_png(bytes(good))
 
 
 def test_extract_pixel_features_via_real_decode(spark):
