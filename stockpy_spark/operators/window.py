@@ -91,7 +91,13 @@ def sessionize(
     determinism under equal timestamps."""
     w = _w(keys, order_by or [ts])
     prev_ts = F.lag(ts).over(w)
-    gap = F.col(ts).cast("long") - prev_ts.cast("long")
+    # Cast through TIMESTAMP: parquet timestamps without a UTC flag read
+    # as TIMESTAMP_NTZ (Spark 4 default), which cannot cast straight to
+    # BIGINT. NTZ->TIMESTAMP uses the session tz (pinned UTC), and the
+    # gap is a difference so any fixed tz cancels out anyway.
+    gap = F.col(ts).cast("timestamp").cast("long") - prev_ts.cast(
+        "timestamp"
+    ).cast("long")
     is_new = F.when(prev_ts.isNull() | (gap > gap_seconds), 1).otherwise(0)
     return df.withColumn(
         session_name,

@@ -887,7 +887,7 @@ def q_w7_range_frame(spark, sf_dir):
 
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
+        .orderBy(F.col("ts").cast("timestamp").cast("long"))
         .rangeBetween(-3600, 0)
     )
     return ev.select(
