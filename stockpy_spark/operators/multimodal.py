@@ -6,7 +6,7 @@ length) into blob storage; decode / feature-extraction runs as
 Arrow-batched pandas functions over ``mapInPandas`` so each task touches
 one batch of payloads at a time and nothing ever lands on the driver.
 
-Two real codecs ARE implemented dependency-free:
+Three real codecs ARE implemented dependency-free:
 
 - 24-bit uncompressed BMP (encode + decode in pure numpy/struct —
   BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up BGR rows, 4-byte row
@@ -14,18 +14,24 @@ Two real codecs ARE implemented dependency-free:
 - 8-bit truecolor PNG (stdlib zlib + struct — chunk framing with CRC
   verification, IDAT deflate, and a full scanline unfilter supporting
   all five PNG filter types, so third-party-encoded truecolor PNGs
-  decode too, not just our own filter-0 output).
+  decode too, not just our own filter-0 output);
+- 16-bit mono PCM WAV (stdlib ``wave`` — RIFF container, real
+  bytes -> int16-sample decode), covering the audio modality.
 
 So the ``use_codec=True`` path runs a genuine bytes -> pixels decode
-end-to-end for both container formats. Formats that need external
-libraries (JPEG/audio/video) still raise NotImplementedError behind the
-clearly-marked seam; swapping in PIL / torchaudio later changes only
-``_decode_pixels``'s dispatch.
+end-to-end for both image container formats, and
+:func:`extract_audio_features` a genuine bytes -> samples decode for
+audio. Formats that need external libraries (JPEG/MP3/video) still
+raise NotImplementedError behind the clearly-marked seam; swapping in
+PIL / torchaudio later changes only ``_decode_pixels`` /
+``decode_wav``'s dispatch.
 """
 
 from __future__ import annotations
 
+import io
 import struct
+import wave
 import zlib
 from collections.abc import Iterator
 
@@ -380,6 +386,121 @@ def extract_features(assets: DataFrame, use_codec: bool = False) -> DataFrame:
             )
 
     return assets.mapInPandas(batch_features, FEATURE_SCHEMA)
+
+
+WAV_SAMPLE_RATE = 8000
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = WAV_SAMPLE_RATE) -> bytes:
+    """Encode an int16 1-D sample array as 16-bit mono PCM WAV via the
+    stdlib ``wave`` module (RIFF/WAVE container, no external codec)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a 16-bit mono PCM WAV payload into (int16 samples,
+    sample_rate). Raises ValueError on other widths/channel counts —
+    that (and compressed formats like MP3/FLAC) is the audio seam where
+    a real codec (torchaudio/soundfile) would plug in."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getnchannels() != 1 or w.getsampwidth() != 2:
+            raise ValueError(
+                "unsupported WAV variant (need 16-bit mono PCM, got "
+                f"{w.getnchannels()}ch x {w.getsampwidth()*8}-bit)"
+            )
+        raw = w.readframes(w.getnframes())
+        return np.frombuffer(raw, dtype="<i2"), w.getframerate()
+
+
+def _fake_samples(doc_id: int) -> np.ndarray:
+    """Deterministic test clip for doc_id: n = doc_id%32+16 samples,
+    sample[i] = (doc_id*7 + i*13) % 2048 - 1024. Closed-form like
+    :func:`_fake_pixels`, so the SQL oracle computes expected amplitude
+    stats arithmetically without running the codec."""
+    i = np.arange(int(doc_id) % 32 + 16, dtype=np.int64)
+    return ((int(doc_id) * 7 + i * 13) % 2048 - 1024).astype(np.int16)
+
+
+def attach_wav_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Real 16-bit mono PCM WAV payload per row (deterministic samples
+    from the id) + typed metadata. Same mapInPandas shape as the image
+    attachers; payload bytes never touch the driver."""
+
+    gen_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("media_type", T.StringType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [encode_wav(_fake_samples(i)) for i in ids]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "media_type": "audio/wav",
+                    "sample_rate": WAV_SAMPLE_RATE,
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    flat = df.select(id_col).mapInPandas(gen, gen_schema)
+    return flat.select(
+        "doc_id",
+        "payload",
+        F.struct("media_type", "sample_rate", "n_bytes").alias("meta"),
+    )
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("amp_sum", T.LongType()),
+        T.StructField("sq_sum", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+    ]
+)
+
+
+def extract_audio_features(assets: DataFrame) -> DataFrame:
+    """Decode each WAV payload and compute amplitude stats from the
+    DECODED int16 samples (not the container bytes): sample count, sum
+    of amplitudes, sum of squared amplitudes — the algebraic partials
+    from which mean/RMS derive exactly at query time."""
+
+    def batch_audio(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decode_wav(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_samples": [len(s) for s, _ in decoded],
+                    "sample_rate": [r for _, r in decoded],
+                    "amp_sum": [
+                        int(s.sum(dtype=np.int64)) for s, _ in decoded
+                    ],
+                    "sq_sum": [
+                        int((s.astype(np.int64) ** 2).sum()) for s, _ in decoded
+                    ],
+                    "media_type": pdf["meta"].map(lambda m: m["media_type"]),
+                }
+            )
+
+    return assets.mapInPandas(batch_audio, AUDIO_FEATURE_SCHEMA)
 
 
 def sample_frames(assets: DataFrame, every_n_bytes: int = 64) -> DataFrame:

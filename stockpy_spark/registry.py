@@ -9,25 +9,93 @@ from __future__ import annotations
 from stockpy_spark.registry_core import CORE_QUERIES
 from stockpy_spark.registry_hive import HIVE_QUERIES
 from stockpy_spark.registry_tpch2 import TPCH2_QUERIES
+from stockpy_spark.registry_ts import TS_QUERIES
 
 try:
     from stockpy_spark.registry_ext import EXT_QUERIES
 except ImportError:  # extensions land incrementally
     EXT_QUERIES = {}
 
-_ALL = {**CORE_QUERIES, **EXT_QUERIES, **TPCH2_QUERIES, **HIVE_QUERIES}
+_ALL = {**CORE_QUERIES, **EXT_QUERIES, **TPCH2_QUERIES, **HIVE_QUERIES, **TS_QUERIES}
 
 # The driver's correctness gate checks the FIRST 50 queries in dict
-# insertion order. Round-4 rotation (oldest-green-first keeps every row
-# fresh within two rounds): the six r01-stale trivial queries the
-# round-3 window couldn't fit, the five brand-new queries (the Hive-
-# partitioned workload family + the PNG codec — no driver row yet),
-# then 39 of the 45 r02-green queries. The six r02 queries that don't
-# fit (closest sibling/pytest coverage: mm_decode_features,
-# text_fingerprint, text_repetition, sample_hash_docs,
-# split_train_test, pack_context_bins) head the overflow so round 5
-# picks them up first; the 50 r03-fresh rows close the list.
+# insertion order. Round-5 rotation (oldest-green-first keeps every row
+# fresh within two rounds): the six r02-stale overflow queries round 4
+# couldn't fit, the six brand-new round-5 queries (range joins,
+# hypertable rollups, WAV codec — no driver row yet), then 38 of the 50
+# r03-green queries. The 12 r03 queries that don't fit (all with dense
+# pytest + sibling coverage: the trivial agg/window family) head the
+# overflow so round 6 picks them up first; the 50 r04-fresh rows close
+# the list.
 DRIVER_PRIORITY = [
+    # r02-stale overflow, first in line
+    "mm_decode_features",
+    "text_fingerprint",
+    "text_repetition",
+    "sample_hash_docs",
+    "split_train_test",
+    "pack_context_bins",
+    # brand-new round-5 family
+    "rj1_price_band",
+    "rj2_event_windows",
+    "rj3_promo_overlap",
+    "ts_bucket_rollup",
+    "ts_rollup_two_level",
+    "mm_decode_wav",
+    # r03-green, oldest rows that fit
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q12_late_shipments",
+    "w5_sessionize",
+    "pack_materialize",
+    "gate_ann_recall",
+    "gate_ivf_recall",
+    "gate_embedding_lsh_recall",
+    "gate_approx_distinct_err",
+    "q4_priority_exists",
+    "q22_idle_rich_customers",
+    "q10_returned_revenue",
+    "set2_intersect",
+    "set3_except",
+    "f10_string_funcs",
+    "f11_date_funcs",
+    "q13_custdist",
+    "q17_small_qty",
+    "q15_scalar_subquery",
+    "w8_lead_first_last",
+    "a13_conditional_agg",
+    "q5_multi_join",
+    "q6_forecast_revenue",
+    "j6_salted_join",
+    "a11_percentiles",
+    "a12_grouping_sets",
+    "w6_rank_family",
+    "w7_range_frame",
+    "p10_unpivot",
+    "f8_math_funcs",
+    "f9_posexplode_tokens",
+    "p1_conditional_cast",
+    "p8_p9_dropna_cast",
+    "j1_broadcast_enrich",
+    "j2_agg_backjoin",
+    "j2w_window_stats",
+    "j3_inner_join_agg",
+    "j4_semi_join",
+    # ---- first-50 window ends here ----
+    # r03 remainder: next rotation's front of the line
+    "j5_anti_join",
+    "a1_group_agg",
+    "a4_dedup_first",
+    "a6_count_distinct",
+    "a7_minmax_stddev",
+    "a8_rollup",
+    "a9_cube",
+    "a10_pivot",
+    "w1_lag_delta",
+    "w2_rolling_mean",
+    "w3_topk_per_group",
+    "w4_running_sum",
+    # r04-fresh, freshest last
     "a2_count_star",
     "a3_distinct",
     "p2_rename_literal",
@@ -78,65 +146,6 @@ DRIVER_PRIORITY = [
     "asof_purchase_view",
     "approx_distinct_users",
     "pipeline_clean_corpus",
-    # ---- first-50 window ends here ----
-    # r02-green overflow: next rotation's front of the line
-    "mm_decode_features",
-    "text_fingerprint",
-    "text_repetition",
-    "sample_hash_docs",
-    "split_train_test",
-    "pack_context_bins",
-    # r03-fresh, freshest last
-    "q7_volume_shipping",
-    "q9_product_profit",
-    "q12_late_shipments",
-    "w5_sessionize",
-    "pack_materialize",
-    "gate_ann_recall",
-    "gate_ivf_recall",
-    "gate_embedding_lsh_recall",
-    "gate_approx_distinct_err",
-    "q4_priority_exists",
-    "q22_idle_rich_customers",
-    "q10_returned_revenue",
-    "set2_intersect",
-    "set3_except",
-    "f10_string_funcs",
-    "f11_date_funcs",
-    "q13_custdist",
-    "q17_small_qty",
-    "q15_scalar_subquery",
-    "w8_lead_first_last",
-    "a13_conditional_agg",
-    "q5_multi_join",
-    "q6_forecast_revenue",
-    "j6_salted_join",
-    "a11_percentiles",
-    "a12_grouping_sets",
-    "w6_rank_family",
-    "w7_range_frame",
-    "p10_unpivot",
-    "f8_math_funcs",
-    "f9_posexplode_tokens",
-    "p1_conditional_cast",
-    "p8_p9_dropna_cast",
-    "j1_broadcast_enrich",
-    "j2_agg_backjoin",
-    "j2w_window_stats",
-    "j3_inner_join_agg",
-    "j4_semi_join",
-    "j5_anti_join",
-    "a1_group_agg",
-    "a4_dedup_first",
-    "a6_count_distinct",
-    "a7_minmax_stddev",
-    "a8_rollup",
-    "a9_cube",
-    "a10_pivot",
-    "w1_lag_delta",
-    "w2_rolling_mean",
-    "w3_topk_per_group",
-    "w4_running_sum",
 ]
 
 _ORDERED = {name: _ALL[name] for name in DRIVER_PRIORITY if name in _ALL}

@@ -1,0 +1,286 @@
+"""Range-join + time-bucket-rollup + audio query family (round 5).
+
+Extension surface beyond the reference's equi-join/day-partition world
+(its joins are all equi — transform_stocks_job.py:149-170; its only
+time grouping is the ``dataproc`` day): banding joins, event-in-window
+attribution, interval overlap, hypertable-style multi-resolution
+rollups, and the audio modality for the multimodal seam. Every query
+has a DuckDB oracle; the range joins' oracles are the NAIVE inequality
+joins, so a hash match proves the bucket decomposition loses / double-
+counts nothing vs the O(n*m) reference semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stockpy_spark.operators.multimodal import (
+    attach_wav_payload,
+    extract_audio_features,
+)
+from stockpy_spark.operators.rangejoin import (
+    bucketed_range_join,
+    interval_overlap_join,
+)
+from stockpy_spark.operators.timeseries import (
+    continuous_aggregate,
+    reaggregate,
+    time_bucket,
+)
+from stockpy_spark.sources.testdata import read_events
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return read_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- rj1: value-banding range join (price bands) ------------------------
+
+N_BANDS, BAND_W = 21, 5000.0
+
+
+def q_rj1_price_band(spark, sf_dir):
+    """Band every lineitem by price into fixed 5000-wide brackets via
+    the bucketed range join (operators/rangejoin.py) — NO nested-loop
+    join: the bands explode onto the same floor(price/5000) grid the
+    facts map to, so Catalyst plans a broadcast hash equi-join. The
+    oracle is the naive BETWEEN join."""
+    li = _t(spark, sf_dir, "lineitem")
+    bands = spark.range(N_BANDS).select(
+        F.col("id").alias("band"),
+        (F.col("id") * BAND_W).alias("lo"),
+        (F.col("id") * BAND_W + (BAND_W - 0.01)).alias("hi"),
+    )
+    joined = bucketed_range_join(
+        li, bands, "l_extendedprice", "lo", "hi", bucket_width=BAND_W
+    )
+    return joined.groupBy("band").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+    )
+
+
+SQL_RJ1 = """
+WITH bands AS (
+    SELECT CAST(range AS BIGINT) AS band,
+           range * 5000.0 AS lo,
+           range * 5000.0 + 4999.99 AS hi
+    FROM range(0, 21)
+)
+SELECT b.band, COUNT(*) AS n_items, ROUND(SUM(l.l_quantity), 4) AS sum_qty
+FROM lineitem l JOIN bands b ON l.l_extendedprice BETWEEN b.lo AND b.hi
+GROUP BY b.band
+"""
+
+
+# --- rj2: event-in-time-window attribution ------------------------------
+
+DAY_LO_S, DAY_HI_S = 9 * 3600, 17 * 3600  # business window, closed
+
+
+def q_rj2_event_windows(spark, sf_dir):
+    """Attribute events to per-day business windows (09:00-17:00 UTC,
+    closed on whole seconds) with the bucketed range join on epoch
+    seconds. The window frame derives from the events' own distinct
+    days, so the interval side is data-driven, not a literal table."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts_sec", F.col("ts").cast("timestamp").cast("long")
+    )
+    days = (
+        ev.select(F.to_date("ts").alias("d"))
+        .distinct()
+        .withColumn("day_start", F.col("d").cast("timestamp").cast("long"))
+        .select(
+            F.date_format("d", "yyyyMMdd").alias("day"),
+            (F.col("day_start") + DAY_LO_S).alias("lo"),
+            (F.col("day_start") + DAY_HI_S).alias("hi"),
+        )
+    )
+    joined = bucketed_range_join(
+        ev, days, "ts_sec", "lo", "hi", bucket_width=4 * 3600.0
+    )
+    return joined.groupBy("day").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+SQL_RJ2 = """
+WITH w AS (
+    SELECT DISTINCT strftime(CAST(ts AS DATE), '%Y%m%d') AS day,
+           CAST(epoch(CAST(CAST(ts AS DATE) AS TIMESTAMP)) AS BIGINT)
+               + 32400 AS lo,
+           CAST(epoch(CAST(CAST(ts AS DATE) AS TIMESTAMP)) AS BIGINT)
+               + 61200 AS hi
+    FROM events
+)
+SELECT w.day, COUNT(*) AS n_events, ROUND(SUM(e.value), 4) AS sum_value
+FROM events e
+JOIN w ON CAST(floor(epoch(e.ts)) AS BIGINT) BETWEEN w.lo AND w.hi
+GROUP BY w.day
+"""
+
+
+# --- rj3: interval x interval overlap -----------------------------------
+
+N_PROMOS, PROMO_STRIDE_D, PROMO_LEN_D, ORDER_LEN_D = 10, 220, 13, 6
+EPOCH_DATE = "1995-01-01"
+
+
+def q_rj3_promo_overlap(spark, sf_dir):
+    """Overlap-join order fulfillment windows [orderdate, +6d] against
+    ten 14-day promo windows, exactly once per overlapping pair via the
+    first-shared-bucket rule (operators/rangejoin.py). Day arithmetic is
+    integer days since 1995-01-01 on both engines."""
+    orders = _t(spark, sf_dir, "orders").select(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit(EPOCH_DATE).cast("date")
+        ).cast("long").alias("o_lo"),
+        "o_totalprice",
+    )
+    orders = orders.withColumn("o_hi", F.col("o_lo") + ORDER_LEN_D)
+    promos = spark.range(N_PROMOS).select(
+        F.col("id").alias("promo_id"),
+        (F.col("id") * PROMO_STRIDE_D).alias("p_lo"),
+        (F.col("id") * PROMO_STRIDE_D + PROMO_LEN_D).alias("p_hi"),
+    )
+    joined = interval_overlap_join(
+        orders, promos, "o_lo", "o_hi", "p_lo", "p_hi", bucket_width=16.0
+    )
+    return joined.groupBy("promo_id").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("promo_exposure"),
+    )
+
+
+SQL_RJ3 = """
+WITH promo AS (
+    SELECT CAST(range AS BIGINT) AS promo_id,
+           range * 220 AS p_lo, range * 220 + 13 AS p_hi
+    FROM range(0, 10)
+), o AS (
+    SELECT date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+               AS o_lo,
+           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) + 6
+               AS o_hi,
+           o_totalprice
+    FROM orders
+)
+SELECT promo_id, COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS promo_exposure
+FROM o JOIN promo ON o.o_lo <= promo.p_hi AND promo.p_lo <= o.o_hi
+GROUP BY promo_id
+"""
+
+
+# --- ts1/ts2: hypertable rollups ----------------------------------------
+
+FINE_W, COARSE_W = 6 * 3600, 24 * 3600
+
+
+def q_ts_bucket_rollup(spark, sf_dir):
+    """Continuous aggregate: events onto a 6-hour UTC grid per
+    event_type — one shuffle, decomposable partials, derived mean at
+    select time (operators/timeseries.py)."""
+    ev = _t(spark, sf_dir, "events")
+    agg = continuous_aggregate(ev, "ts", FINE_W, ["event_type"], "value")
+    return agg.select(
+        "bucket_start",
+        "event_type",
+        "n",
+        F.round("sum_v", 4).alias("sum_value"),
+        F.round("min_v", 4).alias("min_value"),
+        F.round("max_v", 4).alias("max_value"),
+    )
+
+
+SQL_TS1 = """
+SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS bucket_start,
+       event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 4) AS sum_value,
+       ROUND(MIN(value), 4) AS min_value,
+       ROUND(MAX(value), 4) AS max_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_ts_rollup_two_level(spark, sf_dir):
+    """The hypertable point: the DAILY rollup reaggregates the 6-hour
+    rollup (sum of sums, sum of counts, min of mins) — raw events are
+    scanned once, at the finest grid. The oracle computes the daily
+    stats straight from raw events, so a hash match proves the
+    reaggregation algebra is exact, not approximately right."""
+    ev = _t(spark, sf_dir, "events")
+    fine = continuous_aggregate(ev, "ts", FINE_W, ["event_type"], "value")
+    daily = reaggregate(fine, COARSE_W, ["event_type"])
+    return daily.select(
+        "bucket_start",
+        "event_type",
+        "n",
+        F.round("sum_v", 4).alias("sum_value"),
+        F.round("min_v", 4).alias("min_value"),
+        F.round("max_v", 4).alias("max_value"),
+    )
+
+
+SQL_TS2 = """
+SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket_start,
+       event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 4) AS sum_value,
+       ROUND(MIN(value), 4) AS min_value,
+       ROUND(MAX(value), 4) AS max_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --- mm: audio modality -------------------------------------------------
+
+
+def q_mm_decode_wav(spark, sf_dir):
+    """Audio twin of mm_decode_pixels: generate a real 16-bit mono PCM
+    WAV per document (deterministic samples from doc_id), decode it
+    back through the stdlib ``wave`` parser, and compute amplitude
+    stats over the DECODED int16 samples. The sample pattern is
+    closed-form ((doc_id*7 + i*13) % 2048 - 1024), so the oracle
+    computes expected stats arithmetically — a hash match proves the
+    encode -> RIFF bytes -> decode roundtrip is bit-faithful, giving
+    the multimodal seam a third format and a second modality
+    (operators/multimodal.py)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    assets = attach_wav_payload(docs, "doc_id")
+    return extract_audio_features(assets)
+
+
+SQL_MM_WAV = """
+WITH n AS (
+    SELECT doc_id, doc_id % 32 + 16 AS ns FROM documents
+), s AS (
+    SELECT n.doc_id, n.ns,
+           SUM((n.doc_id * 7 + i.i * 13) % 2048 - 1024) AS amp_sum,
+           SUM(((n.doc_id * 7 + i.i * 13) % 2048 - 1024)
+               * ((n.doc_id * 7 + i.i * 13) % 2048 - 1024)) AS sq_sum
+    FROM n JOIN generate_series(0, 47) i(i) ON i.i < n.ns
+    GROUP BY n.doc_id, n.ns
+)
+SELECT doc_id, CAST(ns AS INTEGER) AS n_samples, 8000 AS sample_rate,
+       CAST(amp_sum AS BIGINT) AS amp_sum, CAST(sq_sum AS BIGINT) AS sq_sum,
+       'audio/wav' AS media_type
+FROM s
+"""
+
+
+TS_QUERIES = {
+    "rj1_price_band": (q_rj1_price_band, SQL_RJ1),
+    "rj2_event_windows": (q_rj2_event_windows, SQL_RJ2),
+    "rj3_promo_overlap": (q_rj3_promo_overlap, SQL_RJ3),
+    "ts_bucket_rollup": (q_ts_bucket_rollup, SQL_TS1),
+    "ts_rollup_two_level": (q_ts_rollup_two_level, SQL_TS2),
+    "mm_decode_wav": (q_mm_decode_wav, SQL_MM_WAV),
+}

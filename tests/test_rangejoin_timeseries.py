@@ -1,0 +1,206 @@
+"""Range-join, time-bucket-rollup, and WAV-codec tests (round 5).
+
+The correctness twin of each query lives under the DuckDB oracle
+(tools/check.py, registry_ts.py); these tests pin the pieces the oracle
+cannot see: physical plan shape (the bucket decomposition must plan as
+a hash equi-join, never a BroadcastNestedLoopJoin), the exactly-once
+guarantee of the overlap join under adversarial bucket widths, the
+reaggregation algebra, and the WAV container roundtrip at the bytes
+level.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from stockpy_spark.operators.multimodal import (
+    decode_wav,
+    encode_wav,
+)
+from stockpy_spark.operators.rangejoin import (
+    bucketed_range_join,
+    interval_overlap_join,
+)
+from stockpy_spark.operators.timeseries import (
+    continuous_aggregate,
+    reaggregate,
+    time_bucket,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def _intervals(spark, rows):
+    return spark.createDataFrame(rows, "iv_id long, lo double, hi double")
+
+
+def _facts(spark, values):
+    return spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(values)], "f_id long, v double"
+    )
+
+
+def naive_range_join(facts, intervals):
+    return facts.join(
+        intervals,
+        (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi")),
+        "inner",
+    )
+
+
+def test_bucketed_range_join_matches_naive(spark):
+    """Overlapping, nested, empty and point intervals; facts on and off
+    every boundary; several bucket widths including pathologically small
+    and large — pair sets must equal the naive inequality join's."""
+    intervals = _intervals(
+        spark,
+        [
+            (1, 0.0, 10.0),
+            (2, 5.0, 15.0),     # overlaps 1
+            (3, 6.0, 8.0),      # nested in both
+            (4, 20.0, 20.0),    # point interval
+            (5, 30.0, 25.0),    # empty (hi < lo) -> no matches
+            (6, -7.5, -2.5),    # negative range
+        ],
+    )
+    facts = _facts(spark, [0.0, 5.0, 6.0, 8.0, 10.0, 15.0, 20.0, 25.0, -5.0, -2.5])
+    want = {
+        (r.f_id, r.iv_id)
+        for r in naive_range_join(facts, intervals).collect()
+    }
+    assert want  # non-degenerate fixture
+    for width in (0.7, 5.0, 1000.0):
+        got = {
+            (r.f_id, r.iv_id)
+            for r in bucketed_range_join(
+                facts, intervals, "v", "lo", "hi", bucket_width=width
+            ).collect()
+        }
+        assert got == want, f"width={width}"
+
+
+def test_bucketed_range_join_extra_keys(spark):
+    """extra_keys join tenant-style: a fact only matches intervals of
+    its own key even when value ranges collide across keys."""
+    intervals = spark.createDataFrame(
+        [(1, "a", 0.0, 10.0), (2, "b", 0.0, 10.0)],
+        "iv_id long, tenant string, lo double, hi double",
+    )
+    facts = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", 5.0), (3, "c", 5.0)],
+        "f_id long, tenant string, v double",
+    )
+    got = {
+        (r.f_id, r.iv_id)
+        for r in bucketed_range_join(
+            facts, intervals, "v", "lo", "hi", 4.0, extra_keys=["tenant"]
+        ).collect()
+    }
+    assert got == {(1, 1), (2, 2)}
+
+
+def test_interval_overlap_join_exactly_once(spark):
+    """Pairs sharing MANY buckets (long overlapping intervals, tiny
+    width) must still appear exactly once — the first-shared-bucket rule
+    under maximal duplication pressure."""
+    left = spark.createDataFrame(
+        [(1, 0.0, 100.0), (2, 50.0, 60.0), (3, 200.0, 300.0)],
+        "l_id long, l_lo double, l_hi double",
+    )
+    right = spark.createDataFrame(
+        [(10, 10.0, 90.0), (20, 55.0, 255.0), (30, 400.0, 500.0)],
+        "r_id long, r_lo double, r_hi double",
+    )
+    naive = left.join(
+        right,
+        (F.col("l_lo") <= F.col("r_hi")) & (F.col("r_lo") <= F.col("l_hi")),
+        "inner",
+    )
+    want = sorted((r.l_id, r.r_id) for r in naive.collect())
+    for width in (3.0, 64.0, 10000.0):
+        rows = interval_overlap_join(
+            left, right, "l_lo", "l_hi", "r_lo", "r_hi", bucket_width=width
+        ).collect()
+        got = sorted((r.l_id, r.r_id) for r in rows)
+        assert got == want, f"width={width} (duplicates or losses)"
+
+
+def test_range_join_plans_hash_join_not_nested_loop(spark):
+    """The whole point of the decomposition: the physical plan must be a
+    hash equi-join on the bucket column, never BroadcastNestedLoopJoin,
+    and the fact-side parquet scan must stay pruned to the columns the
+    query needs."""
+    from stockpy_spark.registry import QUERIES
+
+    for name in ("rj1_price_band", "rj2_event_windows", "rj3_promo_overlap"):
+        p = plan(QUERIES[name](spark, SF_DIR))
+        assert "BroadcastNestedLoopJoin" not in p, name
+        assert "CartesianProduct" not in p, name
+    p = plan(QUERIES["rj1_price_band"](spark, SF_DIR))
+    read_schema = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "l_extendedprice" in read_schema and "l_quantity" in read_schema
+    assert "l_shipdate" not in read_schema
+
+
+def test_time_bucket_grid(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 05:59:59",), ("2024-01-01 06:00:00",), ("2024-01-01 11:59:59",)],
+        "ts string",
+    ).select(F.col("ts").cast("timestamp").alias("ts"))
+    got = [r[0] for r in df.select(time_bucket("ts", 21600)).collect()]
+    base = 1704067200  # 2024-01-01 00:00:00 UTC
+    assert got == [base, base + 21600, base + 21600]
+
+
+def test_reaggregate_equals_direct_coarse_rollup(spark):
+    """Daily-from-6h must equal daily-from-raw exactly: counts and
+    min/max bit-identical, sums within float reassociation tolerance."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    fine = continuous_aggregate(ev, "ts", 21600, ["event_type"], "value")
+    via_fine = reaggregate(fine, 86400, ["event_type"])
+    direct = continuous_aggregate(ev, "ts", 86400, ["event_type"], "value")
+    a = {(r.bucket_start, r.event_type): r for r in via_fine.collect()}
+    b = {(r.bucket_start, r.event_type): r for r in direct.collect()}
+    assert a.keys() == b.keys() and a
+    for k in a:
+        assert a[k].n == b[k].n
+        assert a[k].min_v == b[k].min_v and a[k].max_v == b[k].max_v
+        assert a[k].sum_v == pytest.approx(b[k].sum_v, rel=1e-12)
+        assert a[k].sumsq_v == pytest.approx(b[k].sumsq_v, rel=1e-12)
+
+
+def test_wav_roundtrip_bytes_level():
+    rng = np.random.default_rng(7)
+    samples = rng.integers(-32768, 32767, size=441, dtype=np.int16)
+    payload = encode_wav(samples, 44100)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    decoded, rate = decode_wav(payload)
+    assert rate == 44100
+    assert np.array_equal(decoded, samples)
+
+
+def test_wav_decode_rejects_stereo():
+    import io as _io
+    import wave as _wave
+
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x00" * 32)
+    with pytest.raises(ValueError, match="16-bit mono"):
+        decode_wav(buf.getvalue())
