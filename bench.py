@@ -53,6 +53,10 @@ HEADLINE = [
     "sim_ann_lsh",
     "text_quality_score",
     "asof_purchase_view",
+    # round-5 family: bucketed range join (interval explode + hash
+    # equi-join) and the 6h continuous aggregate
+    "rj2_event_windows",
+    "ts_bucket_rollup",
     # the composed corpus-cleaning pipeline (quality gate -> exact dedup
     # -> minhash near-dup removal) — the end-to-end training-data path
     "pipeline_clean_corpus",

