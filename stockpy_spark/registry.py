@@ -9,6 +9,7 @@ from __future__ import annotations
 from stockpy_spark.registry_core import CORE_QUERIES
 from stockpy_spark.registry_hive import HIVE_QUERIES
 from stockpy_spark.registry_tpch2 import TPCH2_QUERIES
+from stockpy_spark.registry_graph import GRAPH_QUERIES
 from stockpy_spark.registry_ts import TS_QUERIES
 
 try:
@@ -16,7 +17,7 @@ try:
 except ImportError:  # extensions land incrementally
     EXT_QUERIES = {}
 
-_ALL = {**CORE_QUERIES, **EXT_QUERIES, **TPCH2_QUERIES, **HIVE_QUERIES, **TS_QUERIES}
+_ALL = {**CORE_QUERIES, **EXT_QUERIES, **TPCH2_QUERIES, **HIVE_QUERIES, **TS_QUERIES, **GRAPH_QUERIES}
 
 # The driver's correctness gate checks the FIRST 50 queries in dict
 # insertion order. Round-5 rotation (oldest-green-first keeps every row
@@ -42,6 +43,7 @@ DRIVER_PRIORITY = [
     "ts_bucket_rollup",
     "ts_rollup_two_level",
     "mm_decode_wav",
+    "graph_dedup_components",
     # r03-green, oldest rows that fit
     "q7_volume_shipping",
     "q9_product_profit",
@@ -80,9 +82,9 @@ DRIVER_PRIORITY = [
     "j2_agg_backjoin",
     "j2w_window_stats",
     "j3_inner_join_agg",
-    "j4_semi_join",
     # ---- first-50 window ends here ----
     # r03 remainder: next rotation's front of the line
+    "j4_semi_join",
     "j5_anti_join",
     "a1_group_agg",
     "a4_dedup_first",

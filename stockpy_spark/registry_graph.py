@@ -1,0 +1,50 @@
+"""Graph query family: connected-components dedup clustering.
+
+The oracle is exact transitive closure via DuckDB WITH RECURSIVE
+reachability over the SAME deterministic edge set the Spark side uses
+(the word-Jaccard >= 0.8 pair query, whose own oracle is hash-green),
+so a hash match proves the iterative min-label propagation converged to
+the true component assignment — a rare case of an iterative distributed
+algorithm under a full SQL hash gate rather than a rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stockpy_spark.operators.dedup import word_jaccard_pairs
+from stockpy_spark.operators.graph import dedup_components
+from stockpy_spark.registry_ext import SQL_WORD_JACCARD, _t
+
+
+def q_graph_dedup_components(spark, sf_dir):
+    """Transitive near-dup clusters over the documents table: edges =
+    word-Jaccard >= 0.8 pairs, components via min-label propagation
+    (operators/graph.py), one row per document with its component id
+    (min doc_id reachable) and the keep/drop representative flag."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = word_jaccard_pairs(docs, "text", "doc_id", threshold=0.8)
+    return dedup_components(docs.select("doc_id"), pairs)
+
+
+SQL_GRAPH_CC = f"""
+WITH RECURSIVE pairs AS (
+    SELECT d1, d2 FROM ({SQL_WORD_JACCARD})
+), und AS (
+    SELECT d1 AS a, d2 AS b FROM pairs
+    UNION ALL
+    SELECT d2 AS a, d1 AS b FROM pairs
+), walk(v, lbl) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT und.b, walk.lbl FROM walk JOIN und ON und.a = walk.v
+)
+SELECT v AS doc_id, MIN(lbl) AS component,
+       (v = MIN(lbl)) AS is_representative
+FROM walk GROUP BY v
+"""
+
+
+GRAPH_QUERIES = {
+    "graph_dedup_components": (q_graph_dedup_components, SQL_GRAPH_CC),
+}

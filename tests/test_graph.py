@@ -1,0 +1,60 @@
+"""Connected-components unit tests (the oracle twin is
+graph_dedup_components — exact recursive-CTE transitive closure; these
+cover shapes the 500-doc fixture graph may not contain)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stockpy_spark.operators.graph import connected_components, dedup_components
+
+
+def _graph(spark, n_vertices, edge_list):
+    vertices = spark.range(n_vertices).select(F.col("id").alias("v"))
+    edges = spark.createDataFrame(edge_list or [(0, 0)], "src long, dst long")
+    if not edge_list:
+        edges = edges.limit(0)
+    return vertices, edges
+
+
+def _cc(spark, n_vertices, edge_list, **kw):
+    vertices, edges = _graph(spark, n_vertices, edge_list)
+    rows = connected_components(vertices, edges, "v", "src", "dst", **kw).collect()
+    return {r.v: r.label for r in rows}
+
+
+def test_chain_clique_and_singletons(spark):
+    # 0-1-2-3 chain; 4-5-6 triangle; 7 isolated; 8-9 pair
+    got = _cc(spark, 10, [(0, 1), (1, 2), (2, 3), (4, 5), (5, 6), (4, 6), (8, 9)])
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 4, 7: 7, 8: 8, 9: 8}
+
+
+def test_edge_direction_ignored_and_long_chain(spark):
+    # reversed-direction 8-chain: diameter 8, needs several rounds
+    edges = [(i + 1, i) for i in range(8)]
+    got = _cc(spark, 9, edges)
+    assert set(got.values()) == {0}
+
+
+def test_empty_edges_all_singletons(spark):
+    got = _cc(spark, 5, [])
+    assert got == {v: v for v in range(5)}
+
+
+def test_max_iter_raises(spark):
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _cc(spark, 9, [(i + 1, i) for i in range(8)], max_iter=2)
+
+
+def test_dedup_components_representative_flag(spark):
+    docs = spark.range(4).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame([(0, 2), (2, 3)], "d1 long, d2 long")
+    rows = dedup_components(docs, pairs).collect()
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[0].component == 0 and by_id[0].is_representative
+    assert by_id[2].component == 0 and not by_id[2].is_representative
+    assert by_id[3].component == 0 and not by_id[3].is_representative
+    assert by_id[1].component == 1 and by_id[1].is_representative
+    kept = sorted(r.doc_id for r in rows if r.is_representative)
+    assert kept == [0, 1]
