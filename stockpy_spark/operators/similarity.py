@@ -287,3 +287,36 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def label_centroids(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Exact per-label centroid, one value per (label, dim) row.
+
+    posexplode + groupBy is the scalable formulation: the explode is a
+    narrow 64x row inflation that partial-aggregates map-side before
+    the single (label, dim)-keyed shuffle — versus collect_list per
+    label, which ships every vector to one reducer and caps group size
+    at executor memory. Long (label, dim, centroid) output composes
+    directly with further relational ops; reassemble arrays only at the
+    consumption edge (array_sort(collect_list(struct(dim, val)))) where
+    the group count is already small.
+
+    This is also the exact counterpart of ivf_centroids' k-means seed
+    step — same shape, supervised labels instead of learned assignment.
+    """
+    out = (
+        embeddings.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(F.col(vec_col)).alias("dim", "v"),
+        )
+        .groupBy("label", "dim")
+        .agg(F.avg("v").alias("centroid"))
+    )
+    if round_to is not None:
+        out = out.withColumn("centroid", F.round("centroid", round_to))
+    return out

@@ -44,6 +44,11 @@ DRIVER_PRIORITY = [
     "ts_rollup_two_level",
     "mm_decode_wav",
     "graph_dedup_components",
+    "fmt_csv_events",
+    "fmt_json_events",
+    "fmt_orc_events",
+    "emb_label_centroids",
+    "merge_incremental_upsert",
     # r03-green, oldest rows that fit
     "q7_volume_shipping",
     "q9_product_profit",
@@ -77,13 +82,13 @@ DRIVER_PRIORITY = [
     "f8_math_funcs",
     "f9_posexplode_tokens",
     "p1_conditional_cast",
+    # ---- first-50 window ends here ----
+    # r03 remainder: next rotation's front of the line
     "p8_p9_dropna_cast",
     "j1_broadcast_enrich",
     "j2_agg_backjoin",
     "j2w_window_stats",
     "j3_inner_join_agg",
-    # ---- first-50 window ends here ----
-    # r03 remainder: next rotation's front of the line
     "j4_semi_join",
     "j5_anti_join",
     "a1_group_agg",

@@ -28,6 +28,14 @@ from stockpy_spark.operators.timeseries import (
     reaggregate,
     time_bucket,
 )
+from stockpy_spark.operators.merge import merge_upsert
+from stockpy_spark.operators.similarity import label_centroids
+from stockpy_spark.sources.format_fixture import (
+    TS_FMT,
+    events_from_csv,
+    events_from_json,
+    events_from_orc,
+)
 from stockpy_spark.sources.testdata import read_events
 
 
@@ -276,6 +284,120 @@ FROM s
 """
 
 
+# --- fmt: text-format reader round-trips --------------------------------
+
+
+def _fmt_agg(ev):
+    return ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum(F.length("props")).cast("long").alias("props_chars"),
+        F.date_format(F.max("ts"), TS_FMT).alias("max_ts"),
+    )
+
+
+def q_fmt_csv_events(spark, sf_dir):
+    """events written as RFC-4180 CSV and read back through
+    readers.read_csv (explicit schema, quote-doubling) — the oracle
+    computes the same aggregate from the ORIGINAL parquet, so lost
+    timestamp micros, mangled doubles, or a quoting bug on the
+    comma-riddled props column flips the hash
+    (sources/format_fixture.py)."""
+    return _fmt_agg(events_from_csv(spark, sf_dir))
+
+
+def q_fmt_json_events(spark, sf_dir):
+    """Same round-trip through newline-delimited JSON
+    (readers.read_json, explicit schema — no inference pass)."""
+    return _fmt_agg(events_from_json(spark, sf_dir))
+
+
+SQL_FMT = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(LENGTH(props)) AS BIGINT) AS props_chars,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS max_ts
+FROM events GROUP BY event_type
+"""
+
+
+def q_fmt_orc_events(spark, sf_dir):
+    """Typed-columnar round-trip: timestamps travel natively through
+    ORC, no string leg (sources/format_fixture.py)."""
+    return _fmt_agg(events_from_orc(spark, sf_dir))
+
+
+# --- emb: exact per-label centroids -------------------------------------
+
+
+def q_emb_label_centroids(spark, sf_dir):
+    """Exact per-label embedding centroid in long (label, dim, value)
+    form — posexplode + map-side-combined groupBy, never a
+    collect_list-per-label (operators/similarity.py:label_centroids).
+    The supervised twin of ivf_centroids' seed step."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return label_centroids(emb, "embedding", "label", round_to=6).select(
+        F.col("label").cast("int").alias("label"),
+        F.col("dim").cast("int").alias("dim"),
+        "centroid",
+    )
+
+
+SQL_EMB_CENTROIDS = """
+SELECT CAST(label AS INTEGER) AS label,
+       CAST(i AS INTEGER) AS dim,
+       ROUND(AVG(embedding[i + 1]), 6) AS centroid
+FROM embeddings JOIN range(0, 64) t(i) ON TRUE
+GROUP BY label, i
+"""
+
+
+# --- merge: upsert emulation --------------------------------------------
+
+MERGE_BASE_END, MERGE_UPD_LO, MERGE_UPD_HI = "2024-01-20", "2024-01-15", "2024-01-25"
+
+
+def q_merge_incremental_upsert(spark, sf_dir):
+    """MERGE INTO emulated on plain parquet (operators/merge.py): base =
+    events through Jan 20; update feed = events Jan 15-25 with value
+    doubled. Colliding event_ids (Jan 15-20) must take the doubled
+    value, Jan 21-25 rows must appear once, Jan 1-14 rows must survive
+    — the post-merge aggregate hash catches double-counted collisions,
+    dropped inserts, and lost base rows alike."""
+    ev = _t(spark, sf_dir, "events")
+    d = F.to_date(F.col("ts"))
+    base = ev.where(d <= F.lit(MERGE_BASE_END))
+    updates = ev.where(
+        (d >= F.lit(MERGE_UPD_LO)) & (d <= F.lit(MERGE_UPD_HI))
+    ).withColumn("value", F.col("value") * 2)
+    merged = merge_upsert(base, updates, "event_id")
+    return merged.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+SQL_MERGE = """
+WITH base AS (
+    SELECT * FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-20'
+), upd AS (
+    SELECT event_id, ts, user_id, event_type, value * 2 AS value, props
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-15' AND DATE '2024-01-25'
+), merged AS (
+    SELECT * FROM base
+    WHERE event_id NOT IN (SELECT event_id FROM upd)
+    UNION ALL
+    SELECT * FROM upd
+)
+SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+FROM merged GROUP BY event_type
+"""
+
+
 TS_QUERIES = {
     "rj1_price_band": (q_rj1_price_band, SQL_RJ1),
     "rj2_event_windows": (q_rj2_event_windows, SQL_RJ2),
@@ -283,4 +405,9 @@ TS_QUERIES = {
     "ts_bucket_rollup": (q_ts_bucket_rollup, SQL_TS1),
     "ts_rollup_two_level": (q_ts_rollup_two_level, SQL_TS2),
     "mm_decode_wav": (q_mm_decode_wav, SQL_MM_WAV),
+    "fmt_csv_events": (q_fmt_csv_events, SQL_FMT),
+    "fmt_json_events": (q_fmt_json_events, SQL_FMT),
+    "fmt_orc_events": (q_fmt_orc_events, SQL_FMT),
+    "emb_label_centroids": (q_emb_label_centroids, SQL_EMB_CENTROIDS),
+    "merge_incremental_upsert": (q_merge_incremental_upsert, SQL_MERGE),
 }

@@ -39,13 +39,24 @@ def read_csv(
     schema: StructType,
     header: bool = True,
     delimiter: str = ",",
+    quote: str = '"',
+    escape: str = '"',
+    multiline: bool = False,
 ) -> DataFrame:
     """CSV scan with a REQUIRED explicit schema — inference reads the
-    data twice and guesses types, both wrong at scale."""
+    data twice and guesses types, both wrong at scale. Defaults to
+    RFC-4180 quoting (escape = doubled quote), which is what external
+    writers produce; Spark's own default (backslash escape) is the
+    minority dialect. ``multiline`` handles quoted embedded newlines
+    but makes files unsplittable (one task per file) — leave it off
+    unless the data needs it."""
     return (
         spark.read.schema(schema)
         .option("header", header)
         .option("delimiter", delimiter)
+        .option("quote", quote)
+        .option("escape", escape)
+        .option("multiLine", multiline)
         .csv(path)
     )
 
