@@ -97,3 +97,36 @@ def pack_sequences(
         "bin",
         ((F.col("__cum") - F.col(token_col)) / F.lit(budget)).cast("bigint"),
     ).drop("__cum")
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+    salt: str = "strata",
+) -> DataFrame:
+    """Exactly min(k, group size) rows per group, deterministically.
+
+    The selection order within each group is the md5 of (salt, id) — a
+    uniform pseudo-random permutation that is reproducible across
+    reruns, engines, and repartitioning, with the salt switching to an
+    independent draw. One window shuffle on ``group_col``; the md5
+    tiebreak on id makes the order total, so the picked set is unique
+    (``df.sampleBy`` gives only approximate per-stratum fractions and
+    changes under repartitioning — useless for training-corpus class
+    balancing, where reproducibility is the requirement).
+
+    Skew note: a window over a hot group funnels that group through one
+    task. For top-k-per-group with SMALL k that is still the right
+    plan (the task streams the partition, keeping k rows); if a single
+    group exceeds what one task should scan, pre-filter with
+    hash_sample to ~10x the target k first, then apply this exactly.
+    """
+    order = F.md5(F.concat_ws("\x1f", F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(order, F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -49,6 +49,8 @@ DRIVER_PRIORITY = [
     "fmt_orc_events",
     "emb_label_centroids",
     "merge_incremental_upsert",
+    "sample_stratified",
+    "pipeline_dedup_cc",
     # r03-green, oldest rows that fit
     "q7_volume_shipping",
     "q9_product_profit",

@@ -45,6 +45,49 @@ FROM walk GROUP BY v
 """
 
 
+def q_pipeline_dedup_cc(spark, sf_dir):
+    """End-to-end transitive dedup: near-dup pairs -> connected
+    components -> keep only min-id representatives -> per-language
+    corpus stats. The composition every production corpus dedup runs
+    (pair emitters alone under-remove: A~B, B~C keeps C unless the
+    closure is taken)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = word_jaccard_pairs(docs, "text", "doc_id", threshold=0.8)
+    comp = dedup_components(docs.select("doc_id"), pairs)
+    kept = docs.join(
+        comp.where(F.col("is_representative")).select("doc_id"),
+        "doc_id",
+        "inner",
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+SQL_PIPE_CC = f"""
+WITH RECURSIVE pairs AS (
+    SELECT d1, d2 FROM ({SQL_WORD_JACCARD})
+), und AS (
+    SELECT d1 AS a, d2 AS b FROM pairs
+    UNION ALL
+    SELECT d2 AS a, d1 AS b FROM pairs
+), walk(v, lbl) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT und.b, walk.lbl FROM walk JOIN und ON und.a = walk.v
+), comp AS (
+    SELECT v AS doc_id, MIN(lbl) AS component FROM walk GROUP BY v
+), kept AS (
+    SELECT d.* FROM documents d
+    JOIN comp c ON d.doc_id = c.doc_id AND c.doc_id = c.component
+)
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM kept GROUP BY lang
+"""
+
+
 GRAPH_QUERIES = {
     "graph_dedup_components": (q_graph_dedup_components, SQL_GRAPH_CC),
+    "pipeline_dedup_cc": (q_pipeline_dedup_cc, SQL_PIPE_CC),
 }

@@ -29,6 +29,7 @@ from stockpy_spark.operators.timeseries import (
     time_bucket,
 )
 from stockpy_spark.operators.merge import merge_upsert
+from stockpy_spark.operators.sampling import stratified_sample_exact
 from stockpy_spark.operators.similarity import label_centroids
 from stockpy_spark.sources.format_fixture import (
     TS_FMT,
@@ -398,6 +399,31 @@ FROM merged GROUP BY event_type
 """
 
 
+def q_sample_stratified(spark, sf_dir):
+    """Exactly 20 docs per language, deterministically (md5-permuted
+    within stratum, salt-switchable, rerun/engine/partition-stable) —
+    the class-balancing primitive df.sampleBy cannot provide
+    (operators/sampling.py:stratified_sample_exact)."""
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample_exact(docs, "lang", "doc_id", k=20).select(
+        "doc_id", "lang"
+    )
+
+
+SQL_STRATIFIED = """
+WITH ranked AS (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5('strata' || chr(31) || CAST(doc_id AS VARCHAR)),
+                        doc_id
+           ) AS rn
+    FROM documents
+)
+SELECT doc_id, lang FROM ranked WHERE rn <= 20
+"""
+
+
 TS_QUERIES = {
     "rj1_price_band": (q_rj1_price_band, SQL_RJ1),
     "rj2_event_windows": (q_rj2_event_windows, SQL_RJ2),
@@ -410,4 +436,5 @@ TS_QUERIES = {
     "fmt_orc_events": (q_fmt_orc_events, SQL_FMT),
     "emb_label_centroids": (q_emb_label_centroids, SQL_EMB_CENTROIDS),
     "merge_incremental_upsert": (q_merge_incremental_upsert, SQL_MERGE),
+    "sample_stratified": (q_sample_stratified, SQL_STRATIFIED),
 }
