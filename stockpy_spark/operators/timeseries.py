@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def time_bucket(ts_col: str | Column, width_seconds: int) -> Column:
@@ -86,3 +87,62 @@ def reaggregate(
         F.max("max_v").alias("max_v"),
         F.sum("sumsq_v").alias("sumsq_v"),
     )
+
+
+def gap_fill_locf(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    bucket_seconds: int = 86400,
+    bucket_name: str = "bucket_start",
+) -> DataFrame:
+    """Dense time grid per key with last-observation-carried-forward.
+
+    The hypertable gap-fill: every key gets a row for EVERY grid bucket
+    observed anywhere in the data; buckets with no observation carry
+    the key's most recent earlier value (NULL before the first). Three
+    stages, all relational:
+
+    1. last-per-bucket: one row per (key, bucket) — row_number over
+       (ts desc, tiebreak desc), keep rank 1. The tiebreak makes
+       same-timestamp observations deterministic.
+    2. grid: distinct keys x distinct observed buckets (a join against
+       two small distinct sets, NOT a per-key sequence explode — the
+       grid derives from data, so an empty stream stays empty).
+    3. fill: left-join observations onto the grid, then
+       ``last(value, ignorenulls=True)`` over the per-key
+       bucket-ordered window — one shuffle, streaming frame, no
+       driver-side loop.
+
+    Scale: stage 3's window partitions by key, so a 100 TB fill
+    parallelizes over keys; the grid's bucket set rides a broadcast
+    (thousands of buckets even for years of minutes).
+    """
+    bucket = time_bucket(ts_col, bucket_seconds)
+    ranked = (
+        df.withColumn(bucket_name, bucket)
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(key_col, bucket_name).orderBy(
+                    F.col(ts_col).desc(), F.col(tiebreak_col).desc()
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(key_col, bucket_name, value_col)
+    )
+    keys = df.select(key_col).distinct()
+    buckets = df.select(bucket.alias(bucket_name)).distinct()
+    grid = keys.join(F.broadcast(buckets), how="cross")
+    joined = grid.join(ranked, [key_col, bucket_name], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(bucket_name)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.withColumn(
+        "locf", F.last(value_col, ignorenulls=True).over(w)
+    ).drop(value_col)

@@ -51,6 +51,7 @@ DRIVER_PRIORITY = [
     "merge_incremental_upsert",
     "sample_stratified",
     "pipeline_dedup_cc",
+    "ts_gap_fill_locf",
     # r03-green, oldest rows that fit
     "q7_volume_shipping",
     "q9_product_profit",
@@ -81,11 +82,11 @@ DRIVER_PRIORITY = [
     "w6_rank_family",
     "w7_range_frame",
     "p10_unpivot",
+    # ---- first-50 window ends here ----
+    # r03 remainder: next rotation's front of the line
     "f8_math_funcs",
     "f9_posexplode_tokens",
     "p1_conditional_cast",
-    # ---- first-50 window ends here ----
-    # r03 remainder: next rotation's front of the line
     "p8_p9_dropna_cast",
     "j1_broadcast_enrich",
     "j2_agg_backjoin",

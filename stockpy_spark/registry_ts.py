@@ -25,6 +25,7 @@ from stockpy_spark.operators.rangejoin import (
 )
 from stockpy_spark.operators.timeseries import (
     continuous_aggregate,
+    gap_fill_locf,
     reaggregate,
     time_bucket,
 )
@@ -424,6 +425,47 @@ SELECT doc_id, lang FROM ranked WHERE rn <= 20
 """
 
 
+def q_ts_gap_fill_locf(spark, sf_dir):
+    """Dense per-user daily grid with last-observation-carried-forward
+    (operators/timeseries.py:gap_fill_locf): every user gets every
+    observed day; days without events carry the user's latest earlier
+    value, NULL before the first. Deterministic last-per-day via
+    (ts, event_id) tiebreak."""
+    ev = _t(spark, sf_dir, "events")
+    return gap_fill_locf(ev, "user_id", "ts", "value", "event_id")
+
+
+SQL_TS_LOCF = """
+WITH ranked AS (
+    SELECT user_id,
+           CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket_start,
+           value,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id,
+                            CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT)
+               ORDER BY ts DESC, event_id DESC
+           ) AS rn
+    FROM events
+), obs AS (
+    SELECT user_id, bucket_start, value FROM ranked WHERE rn = 1
+), grid AS (
+    SELECT u.user_id, b.bucket_start
+    FROM (SELECT DISTINCT user_id FROM events) u
+    CROSS JOIN (
+        SELECT DISTINCT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT)
+            AS bucket_start
+        FROM events
+    ) b
+)
+SELECT g.user_id, g.bucket_start,
+       last_value(o.value IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.bucket_start
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS locf
+FROM grid g LEFT JOIN obs o USING (user_id, bucket_start)
+"""
+
+
 TS_QUERIES = {
     "rj1_price_band": (q_rj1_price_band, SQL_RJ1),
     "rj2_event_windows": (q_rj2_event_windows, SQL_RJ2),
@@ -437,4 +479,5 @@ TS_QUERIES = {
     "emb_label_centroids": (q_emb_label_centroids, SQL_EMB_CENTROIDS),
     "merge_incremental_upsert": (q_merge_incremental_upsert, SQL_MERGE),
     "sample_stratified": (q_sample_stratified, SQL_STRATIFIED),
+    "ts_gap_fill_locf": (q_ts_gap_fill_locf, SQL_TS_LOCF),
 }

@@ -204,3 +204,31 @@ def test_wav_decode_rejects_stereo():
         w.writeframes(b"\x00\x00" * 32)
     with pytest.raises(ValueError, match="16-bit mono"):
         decode_wav(buf.getvalue())
+
+
+def test_gap_fill_locf_carries_and_leading_nulls(spark):
+    from stockpy_spark.operators.timeseries import gap_fill_locf
+
+    rows = [
+        # user 1: days 0 and 2 observed; day 1 must carry 10.0
+        (1, "2024-01-01 10:00:00", 1, 10.0),
+        (2, "2024-01-03 09:00:00", 1, 30.0),
+        # user 2: only day 1 observed -> day 0 NULL, day 2 carries
+        (3, "2024-01-02 12:00:00", 2, 99.0),
+        # same-timestamp tie on user 2 day 1: higher event_id wins
+        (4, "2024-01-02 12:00:00", 2, 77.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = gap_fill_locf(df, "user_id", "ts", "value", "event_id")
+    got = {(r.user_id, r.bucket_start): r.locf for r in out.collect()}
+    d0 = 1704067200  # 2024-01-01 UTC
+    day = 86400
+    assert got[(1, d0)] == 10.0
+    assert got[(1, d0 + day)] == 10.0      # gap carried
+    assert got[(1, d0 + 2 * day)] == 30.0
+    assert got[(2, d0)] is None            # before first observation
+    assert got[(2, d0 + day)] == 77.0      # tiebreak: event_id 4 wins
+    assert got[(2, d0 + 2 * day)] == 77.0
+    assert len(got) == 6                   # 2 users x 3 observed days
