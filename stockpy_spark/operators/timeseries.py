@@ -118,7 +118,12 @@ def gap_fill_locf(
 
     Scale: stage 3's window partitions by key, so a 100 TB fill
     parallelizes over keys; the grid's bucket set rides a broadcast
-    (thousands of buckets even for years of minutes).
+    (thousands of buckets even for years of minutes). The grid step
+    therefore SHOWS a ``BroadcastNestedLoopJoin Cross`` in the plan —
+    that is the intended shape (every key row fans out over the tiny
+    broadcast bucket list), not the unbounded-nested-loop antipattern
+    the range-join plan tests forbid: cost is |keys| x |buckets| output
+    rows, which is exactly the result size.
     """
     bucket = time_bucket(ts_col, bucket_seconds)
     ranked = (

@@ -159,3 +159,79 @@ def test_salted_join_equals_plain_join_under_skew(
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+# intervals as (lo, span>=0) so hi >= lo mostly, plus occasional
+# inverted pairs to exercise the empty-interval filter; facts include
+# exact boundary values
+iv_rows = st.lists(
+    st.tuples(
+        st.integers(-50, 50),
+        st.integers(-5, 30),  # negative span -> empty interval
+    ),
+    min_size=0,
+    max_size=12,
+)
+fact_vals = st.lists(st.integers(-60, 80), min_size=0, max_size=25)
+
+
+@PROP
+@given(ivs=iv_rows, vals=fact_vals, width=st.sampled_from([1.0, 3.0, 7.5, 100.0]))
+def test_bucketed_range_join_equals_naive_on_random_inputs(
+    spark, ivs, vals, width
+):
+    """The bucket decomposition is a pure physical rewrite: pair set ==
+    the naive inequality join's on ANY intervals (overlapping, nested,
+    empty, negative) and any bucket width."""
+    from stockpy_spark.operators.rangejoin import bucketed_range_join
+
+    intervals = spark.createDataFrame(
+        [(i, float(lo), float(lo + span)) for i, (lo, span) in enumerate(ivs)]
+        or [(0, 1.0, 0.0)],
+        "iv_id long, lo double, hi double",
+    )
+    facts = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)] or [(0, 0.5)],
+        "f_id long, v double",
+    )
+    naive = facts.join(
+        intervals,
+        (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi")),
+        "inner",
+    )
+    want = sorted((r.f_id, r.iv_id) for r in naive.collect())
+    got = sorted(
+        (r.f_id, r.iv_id)
+        for r in bucketed_range_join(
+            facts, intervals, "v", "lo", "hi", bucket_width=width
+        ).collect()
+    )
+    assert got == want
+
+
+@PROP
+@given(
+    groups=st.lists(st.integers(0, 3), min_size=0, max_size=30),
+    k=st.integers(1, 5),
+)
+def test_stratified_sample_exact_k_and_deterministic(spark, groups, k):
+    """Exactly min(k, group size) per group; the picked ID set is a
+    pure function of (ids, salt) — independent of partitioning."""
+    from stockpy_spark.operators.sampling import stratified_sample_exact
+
+    rows = [(i, f"g{g}") for i, g in enumerate(groups)]
+    if not rows:
+        rows = [(0, "g0")]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    out1 = stratified_sample_exact(df, "grp", "id", k)
+    picked1 = sorted((r.grp, r.id) for r in out1.collect())
+    sizes: dict[str, int] = {}
+    for _, g in rows:
+        sizes[g] = sizes.get(g, 0) + 1
+    from collections import Counter
+
+    per_group = Counter(g for g, _ in picked1)
+    for g, n in sizes.items():
+        assert per_group[g] == min(k, n), (g, n, k)
+    out2 = stratified_sample_exact(df.repartition(7), "grp", "id", k)
+    assert sorted((r.grp, r.id) for r in out2.collect()) == picked1
