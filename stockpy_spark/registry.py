@@ -52,6 +52,7 @@ DRIVER_PRIORITY = [
     "sample_stratified",
     "pipeline_dedup_cc",
     "ts_gap_fill_locf",
+    "mm_resize_pixels",
     # r03-green, oldest rows that fit
     "q7_volume_shipping",
     "q9_product_profit",
@@ -81,8 +82,8 @@ DRIVER_PRIORITY = [
     "a12_grouping_sets",
     "w6_rank_family",
     "w7_range_frame",
-    "p10_unpivot",
     # ---- first-50 window ends here ----
+    "p10_unpivot",
     # r03 remainder: next rotation's front of the line
     "f8_math_funcs",
     "f9_posexplode_tokens",

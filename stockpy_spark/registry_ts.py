@@ -16,8 +16,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stockpy_spark.operators.multimodal import (
+    attach_bmp_payload,
     attach_wav_payload,
     extract_audio_features,
+    extract_resized_features,
 )
 from stockpy_spark.operators.rangejoin import (
     bucketed_range_join,
@@ -466,6 +468,37 @@ FROM grid g LEFT JOIN obs o USING (user_id, bucket_start)
 """
 
 
+def q_mm_resize_pixels(spark, sf_dir):
+    """Decode -> nearest-neighbor resize to 4x4 -> stats over the
+    RESIZED thumbnail. The integer sample grid (src = dst*len//4) is
+    reproduced arithmetically by the oracle, so a hash match proves
+    decode AND resample are both exact
+    (operators/multimodal.py:resize_nearest)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    assets = attach_bmp_payload(docs, "doc_id")
+    return extract_resized_features(assets, 4, 4)
+
+
+SQL_MM_RESIZE = """
+WITH dims AS (
+    SELECT doc_id, doc_id % 8 + 4 AS w, doc_id % 6 + 4 AS h FROM documents
+), px AS (
+    SELECT d.doc_id,
+           SUM((d.doc_id * 31 + ((y2.y * d.h) // 4) * 17
+                + ((x2.x * d.w) // 4) * 7 + c.c * 5) % 256) AS px_sum
+    FROM dims d
+    JOIN generate_series(0, 3) y2(y) ON TRUE
+    JOIN generate_series(0, 3) x2(x) ON TRUE
+    JOIN generate_series(0, 2) c(c) ON TRUE
+    GROUP BY d.doc_id
+)
+SELECT doc_id, 4 AS width, 4 AS height, CAST(px_sum AS BIGINT) AS px_sum,
+       CAST(px_sum AS DOUBLE) / 48.0 AS mean_lum,
+       'image/bmp' AS media_type
+FROM px
+"""
+
+
 TS_QUERIES = {
     "rj1_price_band": (q_rj1_price_band, SQL_RJ1),
     "rj2_event_windows": (q_rj2_event_windows, SQL_RJ2),
@@ -480,4 +513,5 @@ TS_QUERIES = {
     "merge_incremental_upsert": (q_merge_incremental_upsert, SQL_MERGE),
     "sample_stratified": (q_sample_stratified, SQL_STRATIFIED),
     "ts_gap_fill_locf": (q_ts_gap_fill_locf, SQL_TS_LOCF),
+    "mm_resize_pixels": (q_mm_resize_pixels, SQL_MM_RESIZE),
 }
