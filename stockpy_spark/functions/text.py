@@ -189,3 +189,34 @@ def repetition_ratio(col: Column | str, n: int = 2) -> Column:
         - F.size(F.array_distinct(grams)).cast("double")
         / F.size(grams).cast("double")
     )
+
+
+ROLLING_B = 131
+ROLLING_P = 1_000_000_007
+
+
+def fingerprint_rolling(col: Column | str, max_chars: int = 256) -> Column:
+    """Polynomial rolling hash (Rabin-Karp) of the first ``max_chars``
+    codepoints: h = fold(acc * B + cp) mod P, B=131, P=1e9+7 — the
+    rolling-hash fingerprint the training-pipeline brief names, as a
+    complement to :func:`fingerprint_md5`. Pure builtin expressions
+    (substring -> codepoint array -> F.aggregate fold): JVM-side,
+    engine-portable (a SQL engine reproduces the fold bit-for-bit with
+    the same arithmetic), and — unlike md5 — INCREMENTAL: appending a
+    char is one multiply-add, which is what makes sliding-window
+    near-dup shingles cheap at scale (the per-shingle variant rides the
+    same fold).
+
+    The cap bounds per-row cost on pathological documents; rows shorter
+    than ``max_chars`` hash their full text. 64-bit safe: acc < P <
+    2^30 and B*P + cp < 2^38.
+    """
+    cps = F.transform(
+        F.split(F.substring(_c(col), 1, max_chars), ""),
+        lambda ch: F.ascii(ch).cast("long"),
+    )
+    return F.aggregate(
+        cps,
+        F.lit(0).cast("long"),
+        lambda acc, cp: (acc * ROLLING_B + cp) % ROLLING_P,
+    )

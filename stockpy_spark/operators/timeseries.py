@@ -151,3 +151,45 @@ def gap_fill_locf(
     return joined.withColumn(
         "locf", F.last(value_col, ignorenulls=True).over(w)
     ).drop(value_col)
+
+
+def hopping_window_rollup(
+    df: DataFrame,
+    ts_col: str,
+    window_seconds: int,
+    slide_seconds: int,
+    dims: list[str],
+    value_col: str,
+    bucket_name: str = "window_start",
+) -> DataFrame:
+    """Overlapping (hopping) windows in batch: every row contributes to
+    the ``window_seconds / slide_seconds`` windows that cover it —
+    explode over the covering window starts (a narrow, map-side
+    sequence; no self-join), then one grouped aggregation. The
+    Structured Streaming twin is ``F.window(ts, window, slide)``
+    (streaming/ops.py windowed_agg); identical window semantics:
+    ``w <= ts < w + window`` with ``w ≡ 0 (mod slide)``.
+
+    ``window_seconds`` must be a multiple of ``slide_seconds`` (the
+    fan-out factor is their ratio; a 6h window sliding by 2h costs 3x
+    rows into the aggregate's map-side combine, NOT 3 scans).
+    """
+    if window_seconds % slide_seconds:
+        raise ValueError("window_seconds must be a multiple of slide_seconds")
+    fanout = window_seconds // slide_seconds
+    anchor = time_bucket(ts_col, slide_seconds)
+    starts = F.sequence(
+        anchor - F.lit((fanout - 1) * slide_seconds),
+        anchor,
+        F.lit(slide_seconds),
+    )
+    return (
+        df.withColumn(bucket_name, F.explode(starts))
+        .groupBy(bucket_name, *dims)
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(value_col).alias("sum_v"),
+            F.min(value_col).alias("min_v"),
+            F.max(value_col).alias("max_v"),
+        )
+    )

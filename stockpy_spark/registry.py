@@ -53,6 +53,8 @@ DRIVER_PRIORITY = [
     "pipeline_dedup_cc",
     "ts_gap_fill_locf",
     "mm_resize_pixels",
+    "ts_hopping_rollup",
+    "text_rolling_fingerprint",
     # r03-green, oldest rows that fit
     "q7_volume_shipping",
     "q9_product_profit",
@@ -80,9 +82,9 @@ DRIVER_PRIORITY = [
     "j6_salted_join",
     "a11_percentiles",
     "a12_grouping_sets",
+    # ---- first-50 window ends here ----
     "w6_rank_family",
     "w7_range_frame",
-    # ---- first-50 window ends here ----
     "p10_unpivot",
     # r03 remainder: next rotation's front of the line
     "f8_math_funcs",

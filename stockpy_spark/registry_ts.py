@@ -28,9 +28,11 @@ from stockpy_spark.operators.rangejoin import (
 from stockpy_spark.operators.timeseries import (
     continuous_aggregate,
     gap_fill_locf,
+    hopping_window_rollup,
     reaggregate,
     time_bucket,
 )
+from stockpy_spark.functions.text import fingerprint_rolling
 from stockpy_spark.operators.merge import merge_upsert
 from stockpy_spark.operators.sampling import stratified_sample_exact
 from stockpy_spark.operators.similarity import label_centroids
@@ -499,6 +501,63 @@ FROM px
 """
 
 
+def q_ts_hopping_rollup(spark, sf_dir):
+    """Overlapping 6h windows sliding every 2h, per event_type — each
+    event fans out to its 3 covering windows map-side (no self-join),
+    one grouped agg (operators/timeseries.py:hopping_window_rollup;
+    streaming twin: F.window(ts, '6 hours', '2 hours'))."""
+    ev = _t(spark, sf_dir, "events")
+    agg = hopping_window_rollup(ev, "ts", 6 * 3600, 2 * 3600, ["event_type"], "value")
+    return agg.select(
+        "window_start",
+        "event_type",
+        "n",
+        F.round("sum_v", 4).alias("sum_value"),
+        F.round("min_v", 4).alias("min_value"),
+        F.round("max_v", 4).alias("max_value"),
+    )
+
+
+SQL_TS_HOP = """
+SELECT CAST(floor(epoch(ts) / 7200) * 7200 - i.i * 7200 AS BIGINT)
+           AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 4) AS sum_value,
+       ROUND(MIN(value), 4) AS min_value,
+       ROUND(MAX(value), 4) AS max_value
+FROM events JOIN generate_series(0, 2) i(i) ON TRUE
+GROUP BY 1, 2
+"""
+
+
+def q_text_rolling_fingerprint(spark, sf_dir):
+    """Rabin-Karp polynomial rolling hash of each document's first 256
+    chars (functions/text.py:fingerprint_rolling) — the incremental
+    fingerprint the brief names, reproduced bit-for-bit by the oracle's
+    list_reduce fold over the same codepoints."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", fingerprint_rolling("text").alias("rhash")
+    )
+
+
+SQL_TEXT_RHASH = """
+SELECT doc_id,
+       list_reduce(
+           list_prepend(
+               CAST(0 AS BIGINT),
+               list_transform(
+                   range(1, least(length(text), 256) + 1),
+                   i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)
+               )
+           ),
+           (acc, cp) -> (acc * 131 + cp) % 1000000007
+       ) AS rhash
+FROM documents
+"""
+
+
 TS_QUERIES = {
     "rj1_price_band": (q_rj1_price_band, SQL_RJ1),
     "rj2_event_windows": (q_rj2_event_windows, SQL_RJ2),
@@ -514,4 +573,6 @@ TS_QUERIES = {
     "sample_stratified": (q_sample_stratified, SQL_STRATIFIED),
     "ts_gap_fill_locf": (q_ts_gap_fill_locf, SQL_TS_LOCF),
     "mm_resize_pixels": (q_mm_resize_pixels, SQL_MM_RESIZE),
+    "ts_hopping_rollup": (q_ts_hopping_rollup, SQL_TS_HOP),
+    "text_rolling_fingerprint": (q_text_rolling_fingerprint, SQL_TEXT_RHASH),
 }

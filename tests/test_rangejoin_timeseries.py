@@ -232,3 +232,43 @@ def test_gap_fill_locf_carries_and_leading_nulls(spark):
     assert got[(2, d0 + day)] == 77.0      # tiebreak: event_id 4 wins
     assert got[(2, d0 + 2 * day)] == 77.0
     assert len(got) == 6                   # 2 users x 3 observed days
+
+
+def test_hopping_window_rollup_fanout_and_coverage(spark):
+    from stockpy_spark.operators.timeseries import hopping_window_rollup
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 05:00:00", 2.0)], "id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = hopping_window_rollup(df, "ts", 6 * 3600, 2 * 3600, [], "value")
+    rows = sorted(r.window_start for r in out.collect())
+    base = 1704067200  # 2024-01-01 00:00 UTC; event at 05:00 anchors to 04:00
+    # covering 6h windows sliding 2h: starts 00:00, 02:00, 04:00
+    assert rows == [base, base + 7200, base + 14400]
+    assert all(r.n == 1 and r.sum_v == 2.0 for r in out.collect())
+    with pytest.raises(ValueError, match="multiple"):
+        hopping_window_rollup(df, "ts", 6 * 3600, 2500, [], "value")
+
+
+def test_rolling_fingerprint_matches_pure_python(spark):
+    from stockpy_spark.functions.text import (
+        ROLLING_B,
+        ROLLING_P,
+        fingerprint_rolling,
+    )
+
+    texts = ["hello world", "", "a", "éàü unicode", "x" * 300]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    got = {
+        r.i: r.h
+        for r in df.select("i", fingerprint_rolling("t").alias("h")).collect()
+    }
+
+    def py_hash(s: str) -> int:
+        acc = 0
+        for ch in s[:256]:
+            acc = (acc * ROLLING_B + ord(ch)) % ROLLING_P
+        return acc
+
+    for i, t in enumerate(texts):
+        assert got[i] == py_hash(t), repr(t)
