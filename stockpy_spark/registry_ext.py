@@ -256,8 +256,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=12, bands=2)
 
 
-SQL_MINHASH_LSH = f"""
-WITH tok AS (
+SQL_MINHASH_BSIG_CTES = f"""tok AS (
     SELECT DISTINCT doc_id AS doc, unnest({_TOKENS_LOWER_SQL}) AS tok
     FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
 ), base AS (
@@ -277,7 +276,11 @@ WITH tok AS (
 ), bsig AS (
     SELECT doc, band, md5(string_agg(hmh, ',' ORDER BY hmh)) AS bs
     FROM bands GROUP BY doc, band
-), cand AS (
+)"""
+
+
+SQL_MINHASH_LSH = f"""
+WITH {SQL_MINHASH_BSIG_CTES}, cand AS (
     SELECT DISTINCT a.doc AS d1, b.doc AS d2
     FROM bsig a JOIN bsig b ON a.band = b.band AND a.bs = b.bs AND a.doc < b.doc
 )

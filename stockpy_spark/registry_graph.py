@@ -12,9 +12,9 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from stockpy_spark.operators.dedup import word_jaccard_pairs
+from stockpy_spark.operators.dedup import minhash_lsh_star_edges, word_jaccard_pairs
 from stockpy_spark.operators.graph import dedup_components
-from stockpy_spark.registry_ext import SQL_WORD_JACCARD, _t
+from stockpy_spark.registry_ext import SQL_MINHASH_BSIG_CTES, SQL_WORD_JACCARD, _t
 
 
 def q_graph_dedup_components(spark, sf_dir):
@@ -50,9 +50,21 @@ def q_pipeline_dedup_cc(spark, sf_dir):
     components -> keep only min-id representatives -> per-language
     corpus stats. The composition every production corpus dedup runs
     (pair emitters alone under-remove: A~B, B~C keeps C unless the
-    closure is taken)."""
+    closure is taken).
+
+    Edges come from the SCALE-path emitter: MinHash-LSH STAR edges
+    (dedup.py:minhash_lsh_star_edges — each bucket member connects to
+    the bucket's min doc, O(docs x bands) edges), NOT all-pairs bucket
+    enumeration and NOT the exact-Jaccard self-join
+    graph_dedup_components uses. Measured on the synthetic sf1: the
+    all-pairs emitter explodes to 224M candidate pairs (GC death on
+    8g); star edges stay ~n_docs and the pipeline runs. A bucket is a
+    clique in the candidate graph, so the star preserves its connected
+    components exactly; the md5-derived signatures keep the edge set
+    bit-for-bit SQL-reproducible, so the full scale-path composition
+    still sits under the exact recursive-CTE hash gate."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = word_jaccard_pairs(docs, "text", "doc_id", threshold=0.8)
+    pairs = minhash_lsh_star_edges(docs, "text", "doc_id", num_hashes=12, bands=2)
     comp = dedup_components(docs.select("doc_id"), pairs)
     kept = docs.join(
         comp.where(F.col("is_representative")).select("doc_id"),
@@ -66,8 +78,13 @@ def q_pipeline_dedup_cc(spark, sf_dir):
 
 
 SQL_PIPE_CC = f"""
-WITH RECURSIVE pairs AS (
-    SELECT d1, d2 FROM ({SQL_WORD_JACCARD})
+WITH RECURSIVE {SQL_MINHASH_BSIG_CTES}, bucket_min AS (
+    SELECT band, bs, MIN(doc) AS bmin FROM bsig GROUP BY band, bs
+), pairs AS (
+    SELECT DISTINCT b1.bmin AS d1, b.doc AS d2
+    FROM bsig b
+    JOIN bucket_min b1 ON b.band = b1.band AND b.bs = b1.bs
+    WHERE b.doc <> b1.bmin
 ), und AS (
     SELECT d1 AS a, d2 AS b FROM pairs
     UNION ALL

@@ -58,3 +58,29 @@ def test_dedup_components_representative_flag(spark):
     assert by_id[1].component == 1 and by_id[1].is_representative
     kept = sorted(r.doc_id for r in rows if r.is_representative)
     assert kept == [0, 1]
+
+
+def test_star_edges_give_same_components_as_all_pairs(spark):
+    """A bucket is a clique in the LSH candidate graph; the star on the
+    bucket's min preserves its connectivity, so components from
+    minhash_lsh_star_edges must equal components from the all-pairs
+    emitter on the same corpus."""
+    from stockpy_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_star_edges,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ids = docs.select("doc_id")
+    star = minhash_lsh_star_edges(docs, "text", "doc_id", num_hashes=12, bands=2)
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=12, bands=2)
+    cc_star = {
+        r.doc_id: r.label
+        for r in connected_components(ids, star, "doc_id", "d1", "d2").collect()
+    }
+    cc_pairs = {
+        r.doc_id: r.label
+        for r in connected_components(ids, pairs, "doc_id", "d1", "d2").collect()
+    }
+    assert cc_star == cc_pairs
+    assert any(v != k for k, v in cc_star.items())  # non-trivial clusters exist
