@@ -60,6 +60,9 @@ HEADLINE = [
     # the composed corpus-cleaning pipeline (quality gate -> exact dedup
     # -> minhash near-dup removal) — the end-to-end training-data path
     "pipeline_clean_corpus",
+    # transitive dedup via LSH star edges + connected components — the
+    # iterative-algorithm scale path (BASELINE.md §4 star-edge finding)
+    "pipeline_dedup_cc",
 ]
 
 

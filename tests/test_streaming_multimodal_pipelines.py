@@ -471,3 +471,39 @@ def test_stream_stream_join_watermarked(spark, tmp_path):
     run_to_memory(joined.select(imps["k"].alias("k"), "imp_ts", "click_ts"), "ssj")
     rows = spark.table("ssj").collect()
     assert [r.k for r in rows] == ["a"]  # b's click fell outside the window
+
+
+def test_batch_hopping_rollup_matches_streaming_sliding_window(spark, tmp_path):
+    """Batch/streaming parity for overlapping windows: the batch
+    hopping_window_rollup (explode over covering starts,
+    operators/timeseries.py) must produce the same (window, key, n,
+    sum) set as Structured Streaming's F.window(ts, window, slide) over
+    the same rows — same semantics, two execution models."""
+    from stockpy_spark.operators.timeseries import hopping_window_rollup
+
+    path, schema = _write_stream_input(spark, tmp_path)
+
+    stream = file_stream(spark, path, schema)
+    s_agg = windowed_agg(
+        stream,
+        "ts",
+        ["etype"],
+        "2 minutes",
+        {"n": F.count(F.lit(1)), "total": F.sum("value")},
+        slide="1 minute",
+    )
+    # update mode: append withholds windows the watermark hasn't closed
+    # (the final event's two windows would be missing at end-of-stream)
+    run_to_memory(s_agg, "hop_parity", output_mode="update")
+    streaming = {
+        (int(r.window_start.timestamp()), r.etype): (r.n, float(r.total))
+        for r in spark.table("hop_parity").collect()
+    }
+
+    batch_df = spark.read.schema(schema).parquet(path)
+    b_agg = hopping_window_rollup(batch_df, "ts", 120, 60, ["etype"], "value")
+    batch = {
+        (r.window_start, r.etype): (r.n, float(r.sum_v))
+        for r in b_agg.collect()
+    }
+    assert batch == streaming and len(batch) >= 4
