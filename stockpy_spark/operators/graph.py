@@ -49,7 +49,10 @@ def connected_components(
 
     Returns (``vertex_col``, component) where component = min vertex id
     reachable from the vertex (vertices absent from every edge keep
-    themselves — singleton components). Edge direction is ignored.
+    themselves — singleton components). Edge endpoints absent from
+    ``vertices`` still relay labels during propagation — components
+    bridged only through such a vertex merge correctly — but they are
+    excluded from the output. Edge direction is ignored.
     Raises RuntimeError if ``max_iter`` rounds don't converge (a dedup
     graph converging that slowly means the edge set is pathological —
     see the module docstring for the star-contraction alternative).
@@ -62,9 +65,15 @@ def connected_components(
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .localCheckpoint(eager=False)
     )
-    labels = vertices.select(
-        F.col(vertex_col).alias("v"), F.col(vertex_col).alias("label")
-    ).localCheckpoint(eager=False)
+    # Propagate over vertices ∪ edge endpoints: an endpoint missing from
+    # `vertices` must still RELAY labels, else two components bridged
+    # only through it would silently never merge. Endpoints not in
+    # `vertices` are dropped from the output at the end.
+    verts = vertices.select(F.col(vertex_col).alias("v"))
+    all_v = verts.union(und.select(F.col("a").alias("v"))).distinct()
+    labels = all_v.select("v", F.col("v").alias("label")).localCheckpoint(
+        eager=False
+    )
 
     for _ in range(max_iter):
         neighbor_min = (
@@ -87,7 +96,15 @@ def connected_components(
         ).isEmpty()
         labels = new_labels.drop("__old")
         if converged:
-            return labels.select(F.col("v").alias(vertex_col), "label")
+            # Restrict to the caller's vertices, then re-normalize each
+            # component's label to the min id among those vertices (the
+            # propagated min could be a relay endpoint's id, which must
+            # not surface as a component label).
+            final = labels.join(verts, "v", "semi")
+            rep = final.groupBy("label").agg(F.min("v").alias("__rep"))
+            return final.join(rep, "label").select(
+                F.col("v").alias(vertex_col), F.col("__rep").alias("label")
+            )
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "
         "the graph has extreme diameter — use star-contraction"

@@ -39,18 +39,53 @@ def _bucket(col: Column, width: float) -> Column:
     return F.floor(col / F.lit(width)).cast("long")
 
 
+def choose_bucket_width(
+    intervals: DataFrame, lo_col: str, hi_col: str, sample_rows: int = 100_000
+) -> float:
+    """Pick a bucket width ~ the median interval length.
+
+    A 100 TB user with an unknown interval-length distribution will
+    guess the width wrong; the docstring's linear degradation still
+    costs real money at scale. This samples up to ``sample_rows``
+    intervals (bounded driver cost regardless of table size) and takes
+    the approx-median of ``hi - lo`` — the width that keeps the explode
+    factor ~2 rows per interval for the typical interval. Degenerate
+    cases (empty frame, all point intervals) fall back to 1.0. The
+    returned width affects ONLY performance, never results, so the
+    sample being arbitrary is fine.
+    """
+    row = (
+        intervals.where(F.col(hi_col) >= F.col(lo_col))
+        .select(
+            (F.col(hi_col).cast("double") - F.col(lo_col).cast("double")).alias(
+                "__len"
+            )
+        )
+        .limit(sample_rows)
+        .agg(F.percentile_approx("__len", F.lit(0.5), F.lit(1000)).alias("m"))
+        .first()
+    )
+    m = row["m"] if row is not None else None
+    if m is None or m <= 0:
+        return 1.0
+    return float(m)
+
+
 def bucketed_range_join(
     facts: DataFrame,
     intervals: DataFrame,
     value_col: str,
     lo_col: str,
     hi_col: str,
-    bucket_width: float,
+    bucket_width: float | None = None,
     extra_keys: list[str] | None = None,
 ) -> DataFrame:
     """Inner-join ``facts`` to every interval row whose closed
     ``[lo, hi]`` contains ``facts[value_col]``, as an equi-join on
     coarse buckets.
+
+    ``bucket_width=None`` (default) auto-picks the width from a bounded
+    sample of interval lengths (see :func:`choose_bucket_width`).
 
     ``extra_keys``: additional equality keys joined alongside the bucket
     (e.g. a tenant/user id) — they shrink bucket collision groups and
@@ -62,6 +97,8 @@ def bucketed_range_join(
     free.
     """
     extra_keys = extra_keys or []
+    if bucket_width is None:
+        bucket_width = choose_bucket_width(intervals, lo_col, hi_col)
     iv = (
         intervals.where(F.col(hi_col) >= F.col(lo_col))
         .withColumn(
@@ -81,8 +118,12 @@ def bucketed_range_join(
     cond = F.col("__fc.__bucket") == F.col("__iv.__bucket")
     for k in extra_keys:
         cond = cond & (F.col(f"__fc.{k}") == F.col(f"__iv.{k}"))
+    # Qualify the exact-predicate columns: facts and intervals may share
+    # column names outside extra_keys, and unqualified refs would be
+    # ambiguous then.
+    val = F.col(f"__fc.{value_col}")
     out = fc.join(iv, cond, "inner").where(
-        (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) <= F.col(hi_col))
+        (val >= F.col(f"__iv.{lo_col}")) & (val <= F.col(f"__iv.{hi_col}"))
     )
     out = out.drop(F.col("__fc.__bucket")).drop(F.col("__iv.__bucket"))
     for k in extra_keys:
@@ -97,11 +138,14 @@ def interval_overlap_join(
     left_hi: str,
     right_lo: str,
     right_hi: str,
-    bucket_width: float,
+    bucket_width: float | None = None,
     extra_keys: list[str] | None = None,
 ) -> DataFrame:
     """Interval-x-interval overlap join (``l.lo <= r.hi AND r.lo <=
     l.hi``, closed intervals) via the same bucket decomposition.
+
+    ``bucket_width=None`` (default) auto-picks the width from a bounded
+    sample of BOTH sides' interval lengths.
 
     Both sides explode into covered buckets; an overlapping pair can
     meet in several shared buckets, so matches are kept only in the
@@ -111,6 +155,13 @@ def interval_overlap_join(
     interval's first bucket is covered by both).
     """
     extra_keys = extra_keys or []
+    if bucket_width is None:
+        lens = left.select(
+            F.col(left_lo).alias("lo"), F.col(left_hi).alias("hi")
+        ).union(
+            right.select(F.col(right_lo).alias("lo"), F.col(right_hi).alias("hi"))
+        )
+        bucket_width = choose_bucket_width(lens, "lo", "hi")
 
     def explode_side(df: DataFrame, lo: str, hi: str, name: str) -> DataFrame:
         return (
@@ -132,15 +183,18 @@ def interval_overlap_join(
     cond = F.col("__l.__bucket") == F.col("__r.__bucket")
     for k in extra_keys:
         cond = cond & (F.col(f"__l.{k}") == F.col(f"__r.{k}"))
+    # Qualified refs: the two sides may share bound column names
+    # outside extra_keys.
+    llo, lhi = F.col(f"__l.{left_lo}"), F.col(f"__l.{left_hi}")
+    rlo, rhi = F.col(f"__r.{right_lo}"), F.col(f"__r.{right_hi}")
     first_shared = F.greatest(
-        _bucket(F.col(left_lo), bucket_width),
-        _bucket(F.col(right_lo), bucket_width),
+        _bucket(llo, bucket_width), _bucket(rlo, bucket_width)
     )
     out = (
         le.join(re, cond, "inner")
         .where(
-            (F.col(left_lo) <= F.col(right_hi))
-            & (F.col(right_lo) <= F.col(left_hi))
+            (llo <= rhi)
+            & (rlo <= lhi)
             & (F.col("__l.__bucket") == first_shared)
         )
         .drop(F.col("__l.__bucket"))

@@ -71,14 +71,22 @@ def reaggregate(
     coarse_width_seconds: int,
     dims: list[str],
     bucket_name: str = "bucket_start",
+    fine_width_seconds: int | None = None,
 ) -> DataFrame:
     """Coarser rollup FROM a finer one — no raw-data scan.
 
-    Requires ``coarse_width`` to be a multiple of the finer grid width
-    (not checked: a non-multiple silently splits fine buckets across
-    coarse ones, which is a modeling error, not a code path).
+    Requires ``coarse_width`` to be a multiple of the finer grid width;
+    a non-multiple silently splits fine buckets across coarse ones — a
+    modeling error, not a code path. Pass ``fine_width_seconds`` to
+    have that invariant CHECKED (raises ValueError) instead of trusted.
     """
     w = int(coarse_width_seconds)
+    if fine_width_seconds is not None and w % int(fine_width_seconds) != 0:
+        raise ValueError(
+            f"coarse width {w}s is not a multiple of the fine grid "
+            f"{int(fine_width_seconds)}s — reaggregation would split "
+            "fine buckets across coarse ones"
+        )
     coarse = (F.floor(F.col(bucket_name) / F.lit(w)) * F.lit(w)).cast("long")
     return rollup.groupBy(coarse.alias(bucket_name), *dims).agg(
         F.sum("n").cast("long").alias("n"),

@@ -69,7 +69,7 @@ def q_rj1_price_band(spark, sf_dir):
         (F.col("id") * BAND_W + (BAND_W - 0.01)).alias("hi"),
     )
     joined = bucketed_range_join(
-        li, bands, "l_extendedprice", "lo", "hi", bucket_width=BAND_W
+        li, bands, "l_extendedprice", "lo", "hi"  # auto width ~ band width
     )
     return joined.groupBy("band").agg(
         F.count("*").cast("long").alias("n_items"),
@@ -114,7 +114,7 @@ def q_rj2_event_windows(spark, sf_dir):
         )
     )
     joined = bucketed_range_join(
-        ev, days, "ts_sec", "lo", "hi", bucket_width=4 * 3600.0
+        ev, days, "ts_sec", "lo", "hi"  # auto width ~ the 8h window
     )
     return joined.groupBy("day").agg(
         F.count("*").cast("long").alias("n_events"),
@@ -162,7 +162,7 @@ def q_rj3_promo_overlap(spark, sf_dir):
         (F.col("id") * PROMO_STRIDE_D + PROMO_LEN_D).alias("p_hi"),
     )
     joined = interval_overlap_join(
-        orders, promos, "o_lo", "o_hi", "p_lo", "p_hi", bucket_width=16.0
+        orders, promos, "o_lo", "o_hi", "p_lo", "p_hi"  # auto width
     )
     return joined.groupBy("promo_id").agg(
         F.count("*").cast("long").alias("n_orders"),
@@ -231,7 +231,7 @@ def q_ts_rollup_two_level(spark, sf_dir):
     reaggregation algebra is exact, not approximately right."""
     ev = _t(spark, sf_dir, "events")
     fine = continuous_aggregate(ev, "ts", FINE_W, ["event_type"], "value")
-    daily = reaggregate(fine, COARSE_W, ["event_type"])
+    daily = reaggregate(fine, COARSE_W, ["event_type"], fine_width_seconds=FINE_W)
     return daily.select(
         "bucket_start",
         "event_type",

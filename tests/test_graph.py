@@ -60,6 +60,20 @@ def test_dedup_components_representative_flag(spark):
     assert kept == [0, 1]
 
 
+def test_relay_endpoint_bridges_components(spark):
+    """An edge endpoint missing from `vertices` must still RELAY labels
+    (components bridged only through it merge) without surfacing in the
+    output or becoming a component label."""
+    # vertices 10, 20, 30; relay vertex 5 (absent) bridges 10-5-20;
+    # 5 < 10 so the naive propagated min would be the non-vertex 5.
+    vertices = spark.createDataFrame([(10,), (20,), (30,)], "v long")
+    edges = spark.createDataFrame([(10, 5), (5, 20)], "src long, dst long")
+    rows = connected_components(vertices, edges, "v", "src", "dst").collect()
+    got = {r.v: r.label for r in rows}
+    assert got == {10: 10, 20: 10, 30: 30}  # bridged, labeled by min VERTEX
+    assert set(got.keys()) == {10, 20, 30}  # relay vertex not in output
+
+
 def test_star_edges_give_same_components_as_all_pairs(spark):
     """A bucket is a clique in the LSH candidate graph; the star on the
     bucket's min preserves its connectivity, so components from

@@ -25,6 +25,7 @@ from stockpy_spark.operators.multimodal import (
 )
 from stockpy_spark.operators.rangejoin import (
     bucketed_range_join,
+    choose_bucket_width,
     interval_overlap_join,
 )
 from stockpy_spark.operators.timeseries import (
@@ -112,6 +113,59 @@ def test_bucketed_range_join_extra_keys(spark):
     assert got == {(1, 1), (2, 2)}
 
 
+def test_auto_bucket_width_adversarial_mixed_lengths(spark):
+    """The auto-width path (bucket_width=None) on an adversarial
+    mixed-length distribution — lots of tiny intervals plus a few huge
+    ones — must still produce exactly the naive join's pair set, and
+    the chosen width must track the MEDIAN length (robust to the huge
+    outliers that would wreck a mean-based choice)."""
+    rows = [(i, float(10 * i), float(10 * i) + 2.0) for i in range(40)]
+    rows += [(100 + i, 0.0, 5000.0) for i in range(3)]  # huge outliers
+    intervals = _intervals(spark, rows)
+    facts = _facts(spark, [1.0, 11.5, 101.0, 399.9, 4999.0, 6000.0])
+    want = {(r.f_id, r.iv_id) for r in naive_range_join(facts, intervals).collect()}
+    got = {
+        (r.f_id, r.iv_id)
+        for r in bucketed_range_join(facts, intervals, "v", "lo", "hi").collect()
+    }
+    assert got == want
+    w = choose_bucket_width(intervals, "lo", "hi")
+    assert 1.0 <= w <= 10.0  # median-ish, not dragged to 5000 by outliers
+
+
+def test_auto_bucket_width_degenerate_fallback(spark):
+    empty = _intervals(spark, []).limit(0)
+    assert choose_bucket_width(empty, "lo", "hi") == 1.0
+    points = _intervals(spark, [(1, 5.0, 5.0), (2, 9.0, 9.0)])
+    assert choose_bucket_width(points, "lo", "hi") == 1.0
+
+
+def test_range_join_shared_column_names(spark):
+    """Facts and intervals sharing a column name outside extra_keys must
+    not raise an ambiguous-reference error; predicate columns are
+    qualified to their own side."""
+    intervals = spark.createDataFrame(
+        [(1, 0.0, 10.0, "iv")], "iv_id long, lo double, hi double, tag string"
+    )
+    facts = spark.createDataFrame(
+        [(1, 5.0, "fc"), (2, 50.0, "fc")], "f_id long, v double, tag string"
+    )
+    got = {(r.f_id, r.iv_id) for r in
+           bucketed_range_join(facts, intervals, "v", "lo", "hi", 4.0).collect()}
+    assert got == {(1, 1)}
+    left = spark.createDataFrame(
+        [(1, 0.0, 10.0, "x")], "l_id long, l_lo double, l_hi double, tag string"
+    )
+    right = spark.createDataFrame(
+        [(9, 5.0, 15.0, "y"), (8, 20.0, 30.0, "y")],
+        "r_id long, r_lo double, r_hi double, tag string",
+    )
+    rows = interval_overlap_join(
+        left, right, "l_lo", "l_hi", "r_lo", "r_hi", bucket_width=4.0
+    ).collect()
+    assert {(r.l_id, r.r_id) for r in rows} == {(1, 9)}
+
+
 def test_interval_overlap_join_exactly_once(spark):
     """Pairs sharing MANY buckets (long overlapping intervals, tiny
     width) must still appear exactly once — the first-shared-bucket rule
@@ -180,6 +234,15 @@ def test_reaggregate_equals_direct_coarse_rollup(spark):
         assert a[k].min_v == b[k].min_v and a[k].max_v == b[k].max_v
         assert a[k].sum_v == pytest.approx(b[k].sum_v, rel=1e-12)
         assert a[k].sumsq_v == pytest.approx(b[k].sumsq_v, rel=1e-12)
+
+
+def test_reaggregate_non_multiple_grid_raises(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    fine = continuous_aggregate(ev, "ts", 21600, ["event_type"], "value")
+    with pytest.raises(ValueError, match="not a multiple"):
+        reaggregate(fine, 50000, ["event_type"], fine_width_seconds=21600)
+    # multiple passes through unchanged
+    reaggregate(fine, 86400, ["event_type"], fine_width_seconds=21600)
 
 
 def test_wav_roundtrip_bytes_level():
