@@ -10,6 +10,7 @@ from stockpy_spark.registry_core import CORE_QUERIES
 from stockpy_spark.registry_hive import HIVE_QUERIES
 from stockpy_spark.registry_tpch2 import TPCH2_QUERIES
 from stockpy_spark.registry_graph import GRAPH_QUERIES
+from stockpy_spark.registry_stream import STREAM_QUERIES
 from stockpy_spark.registry_ts import TS_QUERIES
 
 try:
@@ -17,76 +18,21 @@ try:
 except ImportError:  # extensions land incrementally
     EXT_QUERIES = {}
 
-_ALL = {**CORE_QUERIES, **EXT_QUERIES, **TPCH2_QUERIES, **HIVE_QUERIES, **TS_QUERIES, **GRAPH_QUERIES}
+_ALL = {**CORE_QUERIES, **EXT_QUERIES, **TPCH2_QUERIES, **HIVE_QUERIES, **TS_QUERIES, **GRAPH_QUERIES, **STREAM_QUERIES}
 
 # The driver's correctness gate checks the FIRST 50 queries in dict
-# insertion order. Round-5 rotation (oldest-green-first keeps every row
-# fresh within two rounds): the six r02-stale overflow queries round 4
-# couldn't fit, the six brand-new round-5 queries (range joins,
-# hypertable rollups, WAV codec — no driver row yet), then 38 of the 50
-# r03-green queries. The 12 r03 queries that don't fit (all with dense
-# pytest + sibling coverage: the trivial agg/window family) head the
-# overflow so round 6 picks them up first; the 50 r04-fresh rows close
-# the list.
+# insertion order. Round-6 rotation (oldest-green-first keeps every row
+# fresh within two rounds): the 24 r03-stale queries lead, then the new
+# round-6 rows (streaming gates, ...), then as many of the 50 r04-green
+# rows as fit the first-50 window; the 50 r05-fresh rows close the
+# list. New round-6 queries are inserted in the new-rows block, pushing
+# r04-green entries past the marker (they are next in line for round 7
+# anyway).
 DRIVER_PRIORITY = [
-    # r02-stale overflow, first in line
-    "mm_decode_features",
-    "text_fingerprint",
-    "text_repetition",
-    "sample_hash_docs",
-    "split_train_test",
-    "pack_context_bins",
-    # brand-new round-5 family
-    "rj1_price_band",
-    "rj2_event_windows",
-    "rj3_promo_overlap",
-    "ts_bucket_rollup",
-    "ts_rollup_two_level",
-    "mm_decode_wav",
-    "graph_dedup_components",
-    "fmt_csv_events",
-    "fmt_json_events",
-    "fmt_orc_events",
-    "emb_label_centroids",
-    "merge_incremental_upsert",
-    "sample_stratified",
-    "pipeline_dedup_cc",
-    "ts_gap_fill_locf",
-    "mm_resize_pixels",
-    "ts_hopping_rollup",
-    "text_rolling_fingerprint",
-    # r03-green, oldest rows that fit
-    "q7_volume_shipping",
-    "q9_product_profit",
-    "q12_late_shipments",
-    "w5_sessionize",
-    "pack_materialize",
-    "gate_ann_recall",
-    "gate_ivf_recall",
-    "gate_embedding_lsh_recall",
-    "gate_approx_distinct_err",
-    "q4_priority_exists",
-    "q22_idle_rich_customers",
-    "q10_returned_revenue",
-    "set2_intersect",
-    "set3_except",
-    "f10_string_funcs",
-    "f11_date_funcs",
-    "q13_custdist",
-    "q17_small_qty",
-    "q15_scalar_subquery",
-    "w8_lead_first_last",
-    "a13_conditional_agg",
-    "q5_multi_join",
-    "q6_forecast_revenue",
-    "j6_salted_join",
-    "a11_percentiles",
-    "a12_grouping_sets",
-    # ---- first-50 window ends here ----
+    # r03-stale, first in line (24)
     "w6_rank_family",
     "w7_range_frame",
     "p10_unpivot",
-    # r03 remainder: next rotation's front of the line
     "f8_math_funcs",
     "f9_posexplode_tokens",
     "p1_conditional_cast",
@@ -108,7 +54,10 @@ DRIVER_PRIORITY = [
     "w2_rolling_mean",
     "w3_topk_per_group",
     "w4_running_sum",
-    # r04-fresh, freshest last
+    # brand-new round-6 rows (no driver row yet)
+    "stream_hourly_agg",
+    "stream_hopping_agg",
+    # r04-green fill; first-50 window ends 24 rows into this block
     "a2_count_star",
     "a3_distinct",
     "p2_rename_literal",
@@ -159,6 +108,57 @@ DRIVER_PRIORITY = [
     "asof_purchase_view",
     "approx_distinct_users",
     "pipeline_clean_corpus",
+    # r05-fresh, freshest last
+    "mm_decode_features",
+    "text_fingerprint",
+    "text_repetition",
+    "sample_hash_docs",
+    "split_train_test",
+    "pack_context_bins",
+    "rj1_price_band",
+    "rj2_event_windows",
+    "rj3_promo_overlap",
+    "ts_bucket_rollup",
+    "ts_rollup_two_level",
+    "mm_decode_wav",
+    "graph_dedup_components",
+    "fmt_csv_events",
+    "fmt_json_events",
+    "fmt_orc_events",
+    "emb_label_centroids",
+    "merge_incremental_upsert",
+    "sample_stratified",
+    "pipeline_dedup_cc",
+    "ts_gap_fill_locf",
+    "mm_resize_pixels",
+    "ts_hopping_rollup",
+    "text_rolling_fingerprint",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q12_late_shipments",
+    "w5_sessionize",
+    "pack_materialize",
+    "gate_ann_recall",
+    "gate_ivf_recall",
+    "gate_embedding_lsh_recall",
+    "gate_approx_distinct_err",
+    "q4_priority_exists",
+    "q22_idle_rich_customers",
+    "q10_returned_revenue",
+    "set2_intersect",
+    "set3_except",
+    "f10_string_funcs",
+    "f11_date_funcs",
+    "q13_custdist",
+    "q17_small_qty",
+    "q15_scalar_subquery",
+    "w8_lead_first_last",
+    "a13_conditional_agg",
+    "q5_multi_join",
+    "q6_forecast_revenue",
+    "j6_salted_join",
+    "a11_percentiles",
+    "a12_grouping_sets",
 ]
 
 _ORDERED = {name: _ALL[name] for name in DRIVER_PRIORITY if name in _ALL}

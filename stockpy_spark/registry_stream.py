@@ -1,0 +1,155 @@
+"""Streaming queries under the DuckDB oracle gate.
+
+The streaming surface (streaming/ops.py) was pytest-only through round
+5 — the one family without a driver hash row. These queries close that
+gap: each one builds a FINITE file-source stream over the driver's
+events table, drives a real `writeStream` (micro-batch engine, state
+store, checkpoint) to completion with availableNow, materializes the
+sink, and returns the final sink state as a plain DataFrame the driver
+hashes against a DuckDB oracle computing the same windows from the raw
+events.
+
+Sink strategy — update-mode upsert log, resolved last-write-wins
+(streaming/ops.py run_update_upsert_log_to_parquet): exact under any
+micro-batch split. Append mode would *withhold* the trailing windows on
+a finite stream (the watermark never passes their end — the round-5
+batch-parity pytest documents this), so an append-mode gate would be
+wrong by construction; the upsert log is also the shape a production
+pipeline feeds a key-value serving store with. The generous watermark
+keeps every row on-time for the verification run; a production deploy
+sets it to the real lateness bound to get state eviction.
+
+Reference parity: none (the reference is batch-only Glue jobs); this is
+the Structured-Streaming extension surface of SURVEY.md §2.9.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stockpy_spark.sources.testdata import read_events
+from stockpy_spark.streaming.ops import (
+    read_upsert_log_final,
+    run_update_upsert_log_to_parquet,
+    windowed_agg,
+)
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table. The schema comes from
+    the batch reader (which owns the nanos/NTZ fallback logic), so the
+    stream sees the same ts dtype batch queries do."""
+    batch = read_events(spark, sf_dir)
+    # The file stream source requires a DIRECTORY; the testdata table is
+    # a single file. Symlink it into a temp dir (no data copy) — this is
+    # also where a real deployment would point the source at a landing
+    # directory receiving files over time.
+    src_dir = tempfile.mkdtemp(prefix="stockpy_stream_src_")
+    target = os.path.join(sf_dir, "events.parquet")
+    link = os.path.join(src_dir, "events.parquet")
+    try:
+        os.symlink(target, link)
+    except OSError:
+        import shutil
+
+        shutil.copy(target, link)
+    src = spark.readStream.schema(batch.schema).parquet(src_dir)
+    if dict(batch.dtypes).get("ts") != dict(src.dtypes).get("ts"):
+        # nanos fixture: mirror the batch rebuild (ns -> us floor)
+        src = src.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # withWatermark rejects TIMESTAMP_NTZ (EVENT_TIME_IS_NOT_ON_
+    # TIMESTAMP_TYPE); the session tz is pinned UTC so the cast is
+    # deterministic.
+    if dict(src.dtypes).get("ts") == "timestamp_ntz":
+        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    return src
+
+
+def _run_windowed(
+    spark: SparkSession,
+    sf_dir: str,
+    duration: str,
+    slide: str | None,
+) -> DataFrame:
+    src = _stream_events(spark, sf_dir)
+    agg = windowed_agg(
+        src,
+        "ts",
+        ["event_type"],
+        duration,
+        {
+            "n_events": F.count("*").cast("long"),
+            "sum_value": F.sum("value"),
+        },
+        watermark="36500 days",  # verification run: nothing is late
+        slide=slide,
+    )
+    out = tempfile.mkdtemp(prefix="stockpy_stream_gate_")
+    run_update_upsert_log_to_parquet(
+        agg, os.path.join(out, "sink"), os.path.join(out, "ckpt")
+    )
+    final = read_upsert_log_final(
+        spark, os.path.join(out, "sink"), ["window_start", "event_type"]
+    )
+    return final.select(
+        F.col("window_start")
+        .cast("timestamp")
+        .cast("long")
+        .alias("bucket_start"),
+        "event_type",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+def q_stream_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed count/sum per event_type, computed by
+    the streaming engine end-to-end (readStream -> withWatermark ->
+    window groupBy -> writeStream foreachBatch -> parquet) and resolved
+    to final sink state. Hash-equal to the batch hourly rollup."""
+    return _run_windowed(spark, sf_dir, "1 hour", None)
+
+
+SQL_STREAM_HOURLY = """
+SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_start,
+       event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_stream_hopping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (2-hour window, 1-hour hop) streaming aggregate — every
+    event lands in two windows, the streaming twin of the batch
+    hopping_window_rollup's explode fan-out. Same upsert-log sink."""
+    return _run_windowed(spark, sf_dir, "2 hours", "1 hour")
+
+
+SQL_STREAM_HOPPING = """
+WITH e AS (
+    SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS h,
+           event_type, value
+    FROM events
+), x AS (
+    SELECT h - 3600 AS bucket_start, event_type, value FROM e
+    UNION ALL
+    SELECT h AS bucket_start, event_type, value FROM e
+)
+SELECT bucket_start, event_type,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM x
+GROUP BY 1, 2
+"""
+
+
+STREAM_QUERIES = {
+    "stream_hourly_agg": (q_stream_hourly_agg, SQL_STREAM_HOURLY),
+    "stream_hopping_agg": (q_stream_hopping_agg, SQL_STREAM_HOPPING),
+}

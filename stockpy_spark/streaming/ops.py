@@ -320,6 +320,60 @@ def run_foreach_batch_to_parquet(
     return q
 
 
+def run_update_upsert_log_to_parquet(
+    result: DataFrame, path: str, checkpoint: str
+):
+    """Update-mode stream -> parquet *upsert log* bridge.
+
+    Each micro-batch appends its changed aggregate rows stamped with the
+    batch id; the FINAL state of any group is its row in the highest
+    batch that touched it (:func:`read_upsert_log_final`). This is exact
+    under ANY micro-batch split — unlike append mode, which withholds
+    windows the watermark never closes on a finite stream, and unlike
+    complete mode, which the file sink doesn't support. It is the same
+    shape a production pipeline uses to feed a key-value store: emit
+    upserts, let the reader take the latest per key. Runs with
+    availableNow (process everything pending, then stop).
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            batch_df.withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(path)
+        )
+
+    q = (
+        result.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def read_upsert_log_final(
+    spark: SparkSession, path: str, keys: list[str]
+) -> DataFrame:
+    """Resolve an upsert log written by
+    :func:`run_update_upsert_log_to_parquet` to its final state: the
+    last write per key (one window partitioned by key — parallel over
+    keys, no driver-side state)."""
+    from pyspark.sql.window import Window
+
+    df = spark.read.parquet(path)
+    w = Window.partitionBy(*keys).orderBy(F.col("__batch_id").desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__batch_id")
+    )
+
+
 def file_stream(spark: SparkSession, path: str, schema) -> DataFrame:
     """File-based streaming source (the local stand-in for Kafka; same
     DataFrame surface downstream)."""

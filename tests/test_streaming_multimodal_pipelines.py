@@ -52,6 +52,49 @@ def test_streaming_windowed_agg(spark, tmp_path):
     assert rows[("00:01", "view")] == (1, 3.0)
 
 
+def test_upsert_log_exact_across_micro_batches(spark, tmp_path):
+    """The property the stream_* driver gates rest on: an update-mode
+    upsert log resolved last-write-wins equals the batch aggregate even
+    when one group's rows SPAN micro-batches (forced here with
+    maxFilesPerTrigger=1 over two source files)."""
+    from stockpy_spark.streaming.ops import (
+        read_upsert_log_final,
+        run_update_upsert_log_to_parquet,
+    )
+
+    rows1 = [(1, "click", 1.0, "2024-01-01 00:10:00"),
+             (2, "view", 3.0, "2024-01-01 00:20:00")]
+    rows2 = [(3, "click", 5.0, "2024-01-01 00:40:00"),  # same hour+type as #1
+             (4, "click", 7.0, "2024-01-01 02:05:00")]
+    schema_s = "event_id long, etype string, value double, ts_s string"
+    src = str(tmp_path / "src")
+    for i, rows in enumerate((rows1, rows2)):
+        (spark.createDataFrame(rows, schema_s)
+         .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+         .coalesce(1).write.mode("append").parquet(src))
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = windowed_agg(
+        stream, "ts", ["etype"], "1 hour",
+        {"n": F.count(F.lit(1)).cast("long"), "total": F.sum("value")},
+        watermark="365 days",
+    )
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    run_update_upsert_log_to_parquet(agg, sink, ckpt)
+    raw = spark.read.parquet(sink)
+    assert raw.select("__batch_id").distinct().count() >= 2  # batches split
+    assert raw.count() > 3  # the spanning group was emitted twice
+    final = read_upsert_log_final(spark, sink, ["window_start", "etype"])
+    got = {(r.window_start.strftime("%H"), r.etype): (r.n, r.total)
+           for r in final.collect()}
+    assert got == {("00", "click"): (2, 6.0), ("00", "view"): (1, 3.0),
+                   ("02", "click"): (1, 7.0)}
+
+
 def test_streaming_dedup_within_watermark(spark, tmp_path):
     path, schema = _write_stream_input(spark, tmp_path)
     stream = file_stream(spark, path, schema)
