@@ -10,16 +10,17 @@ connected components.
 Implementation is iterative min-label propagation on the DataFrame API:
 every vertex starts labeled with itself; each round every vertex takes
 the min of its own label and its neighbors' labels; converged when no
-label changes. Each round is ONE shuffle (edge-label join + min-combine,
-both partial-aggregated map-side) and the loop runs O(graph diameter)
-rounds — for dedup graphs, clusters are near-cliques (diameter 2-4), so
-3-5 rounds at any corpus size. `localCheckpoint` truncates lineage per
-round so plans don't grow; the convergence probe is an `isEmpty()` on
-the changed-set, not a count. For adversarial long-chain graphs
-(diameter ~n) the literature's fix is alternating large-star/small-star
-contraction (Kiveris et al., "Connected Components in MapReduce and
-Beyond") — same join/groupBy primitives, O(log^2 n) rounds; not needed
-for dedup-shaped graphs.
+label changes. The loop runs O(graph diameter) rounds, restricted to
+edge ENDPOINTS (the duplicate fraction of a corpus, not the corpus) and
+driven by a CHANGED-vertex frontier that collapses geometrically and is
+broadcast once small — so round 1 pays one edge-sized shuffle and later
+rounds only endpoint-sized ones (see connected_components' docstring).
+`localCheckpoint` truncates lineage per round so plans don't grow; the
+convergence probe is an `isEmpty()` on the frontier, not a count. For
+adversarial long-chain graphs (diameter ~n) the literature's fix is
+alternating large-star/small-star contraction (Kiveris et al.,
+"Connected Components in MapReduce and Beyond") — same join/groupBy
+primitives, O(log^2 n) rounds; not needed for dedup-shaped graphs.
 
 The driver holds only the loop counter and the converged flag — labels
 never leave the cluster.
@@ -37,6 +38,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: Frontier size below which rounds 2+ switch to broadcast joins.
+#: Post-eager-checkpoint counts are cheap (the frame is materialized),
+#: so the decision costs one in-memory count per round. ~1M (v, label)
+#: longs broadcast at ~16 MB — comfortably under executor budgets.
+FRONTIER_BROADCAST_MAX = 1_000_000
+
+#: Edge-frame size above which the frontier-broadcast machinery is worth
+#: its per-round overhead (a broadcast build is an extra job and ~0.2 s
+#: of scheduler latency per round; measured at sf0.1 it made the whole
+#: pipeline SLOWER while at the synthetic 100x it cut 30%). Below this,
+#: rounds run as plain sort-merge joins — shuffling a small edge frame
+#: per round costs less than building a broadcast per round.
+EDGE_BROADCAST_MIN = 2_000_000
+
+
 def connected_components(
     vertices: DataFrame,
     edges: DataFrame,
@@ -44,6 +60,7 @@ def connected_components(
     src: str,
     dst: str,
     max_iter: int = 50,
+    edges_within_vertices: bool = False,
 ) -> DataFrame:
     """Per-vertex component labels for an undirected graph.
 
@@ -53,6 +70,33 @@ def connected_components(
     ``vertices`` still relay labels during propagation — components
     bridged only through such a vertex merge correctly — but they are
     excluded from the output. Edge direction is ignored.
+
+    Two structural facts keep the loop cheap at corpus scale:
+
+    1. **Endpoint-restricted propagation.** A vertex with no edges is a
+       singleton and can never change labels, so the loop runs over
+       edge ENDPOINTS only — in a dedup graph that is the duplicate
+       fraction of the corpus, not the corpus. Singletons are attached
+       with one final join, outside the loop.
+    2. **Frontier-based (delta) rounds.** Labels only ever decrease and
+       ``least`` is idempotent, so a vertex whose label did not improve
+       has nothing new to tell its neighbors: each round joins the
+       edges against only the CHANGED vertices. Round 1's frontier is
+       every endpoint (one full edge-label shuffle); the frontier then
+       collapses geometrically (measured at sf0.1: 4.6k -> 1.4k -> 776
+       -> ... -> 0 over 10 rounds), and later rounds broadcast the
+       frontier so the big edge frame is scanned but never re-shuffled.
+       (The first implementation re-shuffled the full edge x label join
+       every round, paying the whole graph's shuffle O(diameter) times
+       — BASELINE.md §4 records the before/after at the synthetic
+       100x.)
+
+    ``edges_within_vertices=True`` asserts every edge endpoint appears
+    in ``vertices`` (true when pairs were emitted from the same frame,
+    as all dedup.py emitters do), skipping the final re-normalization
+    join (propagated labels are then already mins over caller
+    vertices).
+
     Raises RuntimeError if ``max_iter`` rounds don't converge (a dedup
     graph converging that slowly means the edge set is pathological —
     see the module docstring for the star-contraction alternative).
@@ -65,19 +109,28 @@ def connected_components(
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .localCheckpoint(eager=False)
     )
-    # Propagate over vertices ∪ edge endpoints: an endpoint missing from
-    # `vertices` must still RELAY labels, else two components bridged
-    # only through it would silently never merge. Endpoints not in
-    # `vertices` are dropped from the output at the end.
     verts = vertices.select(F.col(vertex_col).alias("v"))
-    all_v = verts.union(und.select(F.col("a").alias("v"))).distinct()
-    labels = all_v.select("v", F.col("v").alias("label")).localCheckpoint(
-        eager=False
+    # Propagation universe: edge endpoints only (this also makes relay
+    # endpoints missing from `vertices` carry labels — components
+    # bridged only through such a vertex merge correctly).
+    endpoints = und.select(F.col("a").alias("v")).distinct()
+    # forces the (lazy-checkpointed) edge materialization and tells us
+    # whether per-round frontier broadcasts are worth their overhead
+    big_graph = und.count() >= EDGE_BROADCAST_MIN
+    labels = endpoints.select("v", F.col("v").alias("label")).localCheckpoint(
+        eager=True
     )
+    frontier = labels  # round 1: every endpoint announces its own label
+    frontier_size = None  # unknown until the first round's count
 
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
+        sender = frontier.select(F.col("v").alias("fv"), "label")
+        if big_graph and rnd > 0 and frontier_size <= FRONTIER_BROADCAST_MAX:
+            # keeps the (big) edge frame scan shuffle-free; the label
+            # update below shuffles only endpoint-sized frames
+            sender = F.broadcast(sender)
         neighbor_min = (
-            und.join(labels, und["a"] == labels["v"])
+            und.join(sender, und["a"] == F.col("fv"))
             .groupBy(F.col("b").alias("v2"))
             .agg(F.min("label").alias("nmin"))
         )
@@ -91,18 +144,32 @@ def connected_components(
                 F.col("label").alias("__old"),
             )
         ).localCheckpoint(eager=True)
-        converged = new_labels.where(
-            F.col("label") != F.col("__old")
-        ).isEmpty()
+        # the frontier is a filter over the just-materialized checkpoint
+        # — cheap to scan on each use, so it needs no checkpoint of its
+        # own, and one count doubles as the convergence probe and the
+        # next round's broadcast decision (2 jobs per round total; on
+        # small graphs the count drops to a cheaper isEmpty)
+        frontier = new_labels.where(F.col("label") < F.col("__old")).select(
+            "v", "label"
+        )
+        frontier_size = frontier.count() if big_graph else (
+            0 if frontier.isEmpty() else -1
+        )
         labels = new_labels.drop("__old")
-        if converged:
-            # Restrict to the caller's vertices, then re-normalize each
-            # component's label to the min id among those vertices (the
-            # propagated min could be a relay endpoint's id, which must
-            # not surface as a component label).
-            final = labels.join(verts, "v", "semi")
-            rep = final.groupBy("label").agg(F.min("v").alias("__rep"))
-            return final.join(rep, "label").select(
+        if frontier_size == 0:
+            # singletons (vertices with no edges) keep their own id;
+            # relay-only endpoints drop out here because the left join
+            # starts from the caller's vertices
+            out = verts.join(labels, "v", "left").select(
+                "v", F.coalesce("label", "v").alias("label")
+            )
+            if edges_within_vertices:
+                return out.select(F.col("v").alias(vertex_col), "label")
+            # Re-normalize each component's label to the min id among
+            # the caller's vertices (the propagated min could be a
+            # relay endpoint's id, which must not surface).
+            rep = out.groupBy("label").agg(F.min("v").alias("__rep"))
+            return out.join(rep, "label").select(
                 F.col("v").alias(vertex_col), F.col("__rep").alias("label")
             )
     raise RuntimeError(
@@ -117,14 +184,24 @@ def dedup_components(
     id_col: str = "doc_id",
     d1: str = "d1",
     d2: str = "d2",
+    edges_within_vertices: bool = True,
 ) -> DataFrame:
     """Cluster documents by ANY near-dup pair emitter's output
     (dedup.py pair frames all emit (d1, d2, ...)). Returns one row per
     document: (id_col, component, is_representative) — keep
     ``is_representative`` rows to dedup a corpus with transitive
     closure, the policy every major corpus-dedup pipeline uses
-    (min-id representative is deterministic and rerun-stable)."""
-    cc = connected_components(docs, pairs, id_col, d1, d2)
+    (min-id representative is deterministic and rerun-stable).
+
+    ``edges_within_vertices`` defaults True here: every dedup.py pair
+    emitter draws d1/d2 from the same frame the caller passes as
+    ``docs``, so the endpoint-union shuffle and final re-normalization
+    join are skippable. Pass False when the pair frame came from a
+    different (wider) corpus snapshot than ``docs``."""
+    cc = connected_components(
+        docs, pairs, id_col, d1, d2,
+        edges_within_vertices=edges_within_vertices,
+    )
     return cc.select(
         F.col(id_col),
         F.col("label").alias("component"),

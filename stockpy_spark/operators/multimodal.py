@@ -6,7 +6,7 @@ length) into blob storage; decode / feature-extraction runs as
 Arrow-batched pandas functions over ``mapInPandas`` so each task touches
 one batch of payloads at a time and nothing ever lands on the driver.
 
-Three real codecs ARE implemented dependency-free:
+Four real codecs ARE implemented dependency-free:
 
 - 24-bit uncompressed BMP (encode + decode in pure numpy/struct —
   BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up BGR rows, 4-byte row
@@ -15,6 +15,10 @@ Three real codecs ARE implemented dependency-free:
   verification, IDAT deflate, and a full scanline unfilter supporting
   all five PNG filter types, so third-party-encoded truecolor PNGs
   decode too, not just our own filter-0 output);
+- palette GIF89a (pure stdlib/numpy — logical screen descriptor,
+  global/local color tables, extension skipping, sub-block
+  reassembly, and a full GIF-variant LZW encoder/decoder with
+  variable code width, CLEAR-code resets, and the KwKwK case);
 - 16-bit mono PCM WAV (stdlib ``wave`` — RIFF container, real
   bytes -> int16-sample decode), covering the audio modality.
 
@@ -229,17 +233,197 @@ def decode_png(payload: bytes) -> np.ndarray:
     return out.reshape(h, w, 3)
 
 
+def _lzw_encode_gif(indices: np.ndarray, min_code_size: int) -> bytes:
+    """GIF-variant LZW over a palette-index stream: variable code width
+    starting at ``min_code_size + 1`` bits, LSB-first bit packing, CLEAR
+    emitted up front and again whenever the 12-bit table fills."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = nacc = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nacc
+        acc |= code << nacc
+        nacc += width
+        while nacc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+
+    width = min_code_size + 1
+    table: dict[tuple[int, int], int] = {}
+    next_code = eoi + 1
+    emit(clear, width)
+    cur = -1
+    for sym in indices:
+        sym = int(sym)
+        if cur < 0:
+            cur = sym
+            continue
+        key = (cur, sym)
+        if key in table:
+            cur = table[key]
+            continue
+        emit(cur, width)
+        table[key] = next_code
+        next_code += 1
+        # widen AFTER the add so the next emitted code (which may be the
+        # just-added one, the KwKwK case) fits; mirrors the decoder's
+        # ``next_code == 1 << width`` rule one add earlier
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code == 4096:  # 12-bit table full: reset, like real encoders
+            emit(clear, width)
+            table.clear()
+            next_code = eoi + 1
+            width = min_code_size + 1
+        cur = sym
+    if cur >= 0:
+        emit(cur, width)
+    emit(eoi, width)
+    if nacc:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_gif(data: bytes, min_code_size: int) -> list[int]:
+    """Inverse of :func:`_lzw_encode_gif`; raises ValueError on a code
+    stream that references an undefined table entry."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table: list[bytes | None] = [bytes([i]) for i in range(clear)] + [None, None]
+    out: list[int] = []
+    prev: bytes | None = None
+    acc = nacc = pos = 0
+    while True:
+        while nacc < width:
+            if pos >= len(data):
+                return out  # tolerant of streams that omit EOI
+            acc |= data[pos] << nacc
+            pos += 1
+            nacc += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nacc -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [None, None]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if code < len(table) and table[code] is not None:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK: code not yet in table
+        else:
+            raise ValueError(f"corrupt GIF LZW stream (code {code})")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+GIF_SIGNATURES = (b"GIF87a", b"GIF89a")
+
+
+def encode_gif(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a GIF89a with a global
+    color table and a real LZW-compressed index stream (stdlib/numpy
+    only). Requires <= 256 distinct colors — GIF is palette-based; a
+    richer image needs quantization first, which is a modeling choice
+    the caller must make, so we raise instead of silently degrading."""
+    h, w, _ = pixels.shape
+    colors, inverse = np.unique(pixels.reshape(-1, 3), axis=0, return_inverse=True)
+    n = len(colors)
+    if n > 256:
+        raise ValueError(f"GIF needs a <=256-color palette, image has {n}")
+    bits = max(1, (n - 1).bit_length())  # palette index width, 1..8
+    gct = np.zeros((1 << bits, 3), dtype=np.uint8)
+    gct[:n] = colors
+    packed = 0x80 | ((bits - 1) << 4) | (bits - 1)  # GCT present, size 2^bits
+    lsd = struct.pack("<HHBBB", w, h, packed, 0, 0)
+    img_desc = struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+    mcs = max(2, bits)  # spec minimum LZW code size is 2
+    lzw = _lzw_encode_gif(inverse, mcs)
+    blocks = b"".join(
+        bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255]
+        for i in range(0, len(lzw), 255)
+    )
+    return (
+        b"GIF89a" + lsd + gct.tobytes() + img_desc + bytes([mcs]) + blocks
+        + b"\x00\x3b"
+    )
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Decode a non-interlaced single-frame GIF into an (h, w, 3) uint8
+    RGB array: logical screen descriptor, global/local color table,
+    extension-block skipping, sub-block reassembly, LZW expansion.
+    Raises ValueError on malformed or unsupported (interlaced) input."""
+    if payload[:6] not in GIF_SIGNATURES:
+        raise ValueError("not a GIF payload")
+    _sw, _sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: label + sub-blocks until 0 terminator
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _l, _t, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            palette = gct
+            if ipacked & 0x80:  # local color table overrides
+                n = 2 << (ipacked & 0x07)
+                palette = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF not supported")
+            if palette is None:
+                raise ValueError("GIF image has no color table")
+            mcs = payload[pos]
+            pos += 1
+            chunks = []
+            while payload[pos] != 0:
+                size = payload[pos]
+                chunks.append(payload[pos + 1 : pos + 1 + size])
+                pos += 1 + size
+            idx = _lzw_decode_gif(b"".join(chunks), mcs)
+            if len(idx) < h * w:
+                raise ValueError("GIF index stream shorter than image")
+            return palette[np.asarray(idx[: h * w], dtype=np.int64)].reshape(h, w, 3)
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image data")
+
+
 def _decode_pixels(payload: bytes) -> np.ndarray:
-    """Decode dispatch: BMP and truecolor PNG are handled natively;
-    every other format is the SEAM where a real codec
+    """Decode dispatch: BMP, truecolor PNG, and palette GIF are handled
+    natively; every other format is the SEAM where a real codec
     (PIL.Image.open(io.BytesIO(payload)), torchaudio, ...) plugs in —
     those libs are not in this container."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == PNG_SIGNATURE:
         return decode_png(payload)
+    if payload[:6] in GIF_SIGNATURES:
+        return decode_gif(payload)
     raise NotImplementedError(
-        "pixel decode for non-BMP/PNG payloads requires an image codec "
+        "pixel decode for non-BMP/PNG/GIF payloads requires an image codec "
         "(PIL/opencv) not present in this environment"
     )
 
@@ -311,6 +495,12 @@ def attach_png_payload(df: DataFrame, id_col: str) -> DataFrame:
     """Real 8-bit truecolor PNG payload per row (deflate-compressed,
     CRC-framed — see :func:`_attach_image_payload`)."""
     return _attach_image_payload(df, id_col, encode_png, "image/png")
+
+
+def attach_gif_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Real palette GIF89a payload per row (LZW-compressed index stream
+    — see :func:`_attach_image_payload`)."""
+    return _attach_image_payload(df, id_col, encode_gif, "image/gif")
 
 
 PIXEL_FEATURE_SCHEMA = T.StructType(

@@ -57,6 +57,7 @@ DRIVER_PRIORITY = [
     # brand-new round-6 rows (no driver row yet)
     "stream_hourly_agg",
     "stream_hopping_agg",
+    "mm_decode_gif",
     # r04-green fill; first-50 window ends 24 rows into this block
     "a2_count_star",
     "a3_distinct",

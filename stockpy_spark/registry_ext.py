@@ -45,6 +45,7 @@ from stockpy_spark.operators.aggregate import dedup_by_key_first
 from stockpy_spark.operators.multimodal import (
     attach_binary_payload,
     attach_bmp_payload,
+    attach_gif_payload,
     attach_png_payload,
     extract_features,
     extract_pixel_features,
@@ -625,6 +626,22 @@ def q_mm_decode_png(spark, sf_dir):
 SQL_MM_PNG = SQL_MM_PIXELS.replace("'image/bmp'", "'image/png'")
 
 
+def q_mm_decode_gif(spark, sf_dir):
+    """GIF twin of mm_decode_png: generate a palette GIF89a per document
+    (same closed-form pixel pattern), decode it back through the
+    pure-stdlib LZW expander (sub-block reassembly, variable code
+    width, KwKwK), and compute stats over the DECODED array. Same
+    arithmetic oracle — a hash match proves the palette+LZW roundtrip
+    is bit-faithful, closing the verdict-r5 codec gap (the third real
+    image format behind multimodal._decode_pixels)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    assets = attach_gif_payload(docs, "doc_id")
+    return extract_pixel_features(assets)
+
+
+SQL_MM_GIF = SQL_MM_PIXELS.replace("'image/bmp'", "'image/gif'")
+
+
 # --- approximate aggregates (rows-only: HLL differs across engines) ---
 
 def q_approx_distinct_users(spark, sf_dir):
@@ -1149,6 +1166,7 @@ EXT_QUERIES: dict[str, tuple] = {
     "mm_decode_features": (q_mm_decode_features, SQL_MM_FEATURES),
     "mm_decode_pixels": (q_mm_decode_pixels, SQL_MM_PIXELS),
     "mm_decode_png": (q_mm_decode_png, SQL_MM_PNG),
+    "mm_decode_gif": (q_mm_decode_gif, SQL_MM_GIF),
     "approx_distinct_users": (q_approx_distinct_users, None),
     "pipeline_clean_corpus": (q_pipeline_clean_corpus, SQL_PIPELINE_CLEAN),
     "pipeline_extract_stocks": (q_pipeline_extract_stocks, SQL_EXTRACT_STOCKS),

@@ -376,13 +376,15 @@ def test_decode_pixels_dispatch_and_seam():
     from stockpy_spark.operators.multimodal import (
         _decode_pixels,
         encode_bmp,
+        encode_gif,
         encode_png,
     )
 
     px = np.zeros((2, 2, 3), dtype=np.uint8)
     assert _decode_pixels(encode_bmp(px)).shape == (2, 2, 3)
     assert _decode_pixels(encode_png(px)).shape == (2, 2, 3)
-    with pytest.raises(NotImplementedError, match="non-BMP/PNG"):
+    assert _decode_pixels(encode_gif(px)).shape == (2, 2, 3)
+    with pytest.raises(NotImplementedError, match="non-BMP/PNG/GIF"):
         _decode_pixels(b"\xff\xd8\xff\xe0 jpeg header")
 
 
@@ -448,6 +450,78 @@ def test_png_decoder_unfilters_all_five_filter_types():
         + _png_chunk(b"IEND", b"")
     )
     assert np.array_equal(decode_png(payload), px)
+
+
+def test_gif_encode_decode_roundtrip():
+    """Palette GIF roundtrip across the LZW edge cases: the KwKwK
+    repeated-pattern code, multi-sub-block streams (>255 compressed
+    bytes), variable code-width growth, the 4096-entry table reset, a
+    single-color 2-entry palette, and the >256-color refusal."""
+    import numpy as np
+    import pytest
+
+    from stockpy_spark.operators.multimodal import (
+        _fake_pixels,
+        decode_gif,
+        encode_gif,
+    )
+
+    for i in (0, 1, 7, 42, 499):
+        px = _fake_pixels(i)
+        assert np.array_equal(decode_gif(encode_gif(px)), px), i
+
+    # single color -> 1-bit palette, mcs clamped to the spec minimum 2
+    px = np.full((5, 7, 3), 42, np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(px)), px)
+
+    # KwKwK: aaab aaab ... forces the just-added-code emission path
+    px = np.array(
+        [[[1, 1, 1] if x % 4 != 3 else [2, 2, 2] for x in range(50)]] * 3,
+        np.uint8,
+    )
+    assert np.array_equal(decode_gif(encode_gif(px)), px)
+
+    # 200-color 120x100 image: multi-sub-block + code width growth
+    y, x = np.mgrid[0:120, 0:100]
+    v = ((y * 13 + x * 7) % 200).astype(np.uint8)
+    px = np.stack([v, (v * 3) % 256, (v * 5 + 1) % 256], -1).astype(np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(px)), px)
+
+    # 256-color noise at 300x300 overflows the 12-bit table -> CLEAR reset
+    rng = np.random.default_rng(17)
+    v = rng.integers(0, 256, (300, 300)).astype(np.uint8)
+    px = np.stack([v, v, v], -1)
+    assert np.array_equal(decode_gif(encode_gif(px)), px)
+
+    # >256 distinct colors is a modeling error, not silent quantization
+    px = np.zeros((20, 20, 3), np.uint8)
+    px[:, :, 0] = (np.arange(400) % 256).reshape(20, 20)
+    px[:, :, 1] = (np.arange(400) // 256 * 50).reshape(20, 20)
+    with pytest.raises(ValueError, match="palette"):
+        encode_gif(px)
+
+
+def test_gif_decoder_skips_extensions_and_rejects_corruption():
+    import numpy as np
+    import pytest
+
+    from stockpy_spark.operators.multimodal import decode_gif, encode_gif
+
+    px = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    good = encode_gif(px)
+    # image descriptor sits after header(6) + LSD(7) + 8-entry GCT(24)
+    idx = 13 + 8 * 3
+    assert good[idx] == 0x2C
+    # splice a Graphic Control Extension (0x21 0xF9) before the image
+    # descriptor, as real-world encoders emit
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    assert np.array_equal(decode_gif(good[:idx] + gce + good[idx:]), px)
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"NOPE" + good[4:])
+    # truncating the index stream must not pass silently
+    with pytest.raises((ValueError, IndexError)):
+        decode_gif(good[: idx + 12])
 
 
 def test_png_decoder_rejects_corruption():
