@@ -320,3 +320,127 @@ def label_centroids(
     if round_to is not None:
         out = out.withColumn("centroid", F.round("centroid", round_to))
     return out
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = 4,
+    k: int = 16,
+) -> DataFrame:
+    """(j, cid, __cvec): deterministic product-quantization codebooks —
+    the dim-D vector space split into ``m`` contiguous subspaces, each
+    with a ``k``-entry codebook. Seeds = the subvectors of the k
+    lowest-id corpus vectors (same determinism policy as
+    :func:`ivf_centroids`, which keeps the whole quantization under an
+    exact cross-engine SQL oracle; Lloyd refinement would plug in
+    exactly as it does there, traded here for oracle-exactness).
+    The codebook is m x k x (D/m) floats — KBs at any corpus size."""
+    sub = F.size(F.col("__v")) / m  # dim divisibility validated by caller
+    seeds = (
+        corpus.orderBy(id_col)
+        .limit(k)
+        .select(F.col(id_col).alias("__sid"), F.col(vec_col).alias("__v"))
+        .withColumn("cid", F.row_number().over(Window.orderBy("__sid")) - 1)
+    )
+    return seeds.select(
+        "cid",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.struct(
+                    j.alias("j"),
+                    F.slice(
+                        F.col("__v"), (j * sub + 1).cast("int"), sub.cast("int")
+                    ).alias("__cvec"),
+                ),
+            )
+        ).alias("__s"),
+    ).select(F.col("__s.j").alias("j"), "cid", F.col("__s.__cvec").alias("__cvec"))
+
+
+def pq_quantize(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = 4,
+    k: int = 16,
+) -> DataFrame:
+    """Product-quantization codes: compress each vector to ``m`` small
+    integers (one nearest-codebook-entry id per subspace, squared-L2,
+    ties to the lowest cid) plus the reconstruction error. At 64 dims /
+    m=4 / k=16 that is 64 floats -> 4 nibbles per vector — the ~100x
+    compression that makes billion-vector ANN memory-resident; search
+    over codes is the standard asymmetric-distance lookup this repo's
+    ANN operators would consume.
+
+    Plan shape: the codebook (KBs) is collected once and broadcast —
+    the only driver materialization, same policy as ivf_topk — then one
+    corpus scan: explode to (vector, subspace), broadcast-join the
+    codebook on subspace id, argmin via min_by aggregation per
+    (vector, subspace), and a pivot-free groupBy re-assembles codes in
+    subspace order. No shuffle touches raw vectors except the explode's
+    map-side fan-out; the groupBy keys are (id, j) then (id) — both
+    narrow rows.
+
+    Returns (``id_col``, codes STRING "c0,c1,...", recon_err DOUBLE
+    rounded to 6). Arithmetic is float32 inputs cast to double on both
+    engines, so the DuckDB oracle reproduces codes and error
+    bit-for-bit."""
+    spark = corpus.sparkSession
+    first = corpus.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("pq_quantize: empty corpus")
+    dim = first["d"]
+    if dim % m:
+        raise ValueError(f"vector dim {dim} is not divisible by m={m}")
+    sub = dim // m
+    cb_rows = [
+        (int(r["j"]), int(r["cid"]), [float(x) for x in r["__cvec"]])
+        for r in pq_codebooks(corpus, vec_col, id_col, m, k).collect()
+    ]
+    cb = spark.createDataFrame(cb_rows, "j int, cid int, __cvec array<float>")
+
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    subvecs = corpus.select(
+        F.col(id_col).alias("__rid"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.struct(
+                    j.alias("j"),
+                    F.slice(dvec, j * sub + 1, sub).alias("__sv"),
+                ),
+            )
+        ).alias("__s"),
+    ).select("__rid", F.col("__s.j").alias("j"), F.col("__s.__sv").alias("__sv"))
+
+    scored = subvecs.join(F.broadcast(cb), "j").withColumn(
+        "__dist",
+        F.aggregate(
+            F.zip_with(
+                F.col("__sv"),
+                F.transform(F.col("__cvec"), lambda x: x.cast("double")),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    best = scored.groupBy("__rid", "j").agg(
+        F.min_by(
+            F.col("cid"), F.struct(F.col("__dist"), F.col("cid"))
+        ).alias("code"),
+        F.min("__dist").alias("__d"),
+    )
+    return best.groupBy("__rid").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "code"))),
+                lambda s: s["code"].cast("string"),
+            ),
+        ).alias("codes"),
+        F.round(F.sum("__d"), 6).alias("recon_err"),
+    ).select(F.col("__rid").alias(id_col), "codes", "recon_err")

@@ -201,3 +201,57 @@ def hopping_window_rollup(
             F.max(value_col).alias("max_v"),
         )
     )
+
+
+def interval_concurrency(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    keys: list[str],
+) -> DataFrame:
+    """Sweep-line concurrency: for every boundary instant, how many
+    intervals are open per key group — the classic "max concurrent
+    sessions / overlapping jobs" analytic, O(n log n) instead of the
+    naive O(n^2) interval self-join.
+
+    Each interval [start, end) emits a +1 at start and a -1 at end;
+    same-instant deltas are summed FIRST (half-open semantics fall out:
+    an interval ending exactly when another starts nets to zero), then
+    a running sum ordered by instant per key gives the level active
+    during [instant, next instant). One explode (map-side fan-out x2),
+    one groupBy (map-side combined, shrinks to distinct boundary
+    instants), one window — the window's running sum is the only
+    sequential dependency, partitioned per key, so the 100 TB shape
+    holds as long as single keys stay reducer-sized (millions of
+    boundary instants), which "per user"/"per host" keys do.
+
+    Returns (keys..., at_ts, concurrent) — exactly one row per distinct
+    boundary instant per key. Max-over-key is a one-line groupBy for
+    the caller.
+    """
+    boundaries = df.select(
+        *keys,
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(start_col).alias("at_ts"), F.lit(1).alias("delta")
+                ),
+                F.struct(
+                    F.col(end_col).alias("at_ts"), F.lit(-1).alias("delta")
+                ),
+            )
+        ).alias("b"),
+    ).select(*keys, "b.at_ts", "b.delta")
+    net = boundaries.groupBy(*keys, "at_ts").agg(
+        F.sum("delta").alias("__net")
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("at_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return net.select(
+        *keys,
+        "at_ts",
+        F.sum("__net").over(w).cast("long").alias("concurrent"),
+    )

@@ -12,13 +12,14 @@ from stockpy_spark.registry_tpch2 import TPCH2_QUERIES
 from stockpy_spark.registry_graph import GRAPH_QUERIES
 from stockpy_spark.registry_stream import STREAM_QUERIES
 from stockpy_spark.registry_ts import TS_QUERIES
+from stockpy_spark.registry_r6 import R6_QUERIES
 
 try:
     from stockpy_spark.registry_ext import EXT_QUERIES
 except ImportError:  # extensions land incrementally
     EXT_QUERIES = {}
 
-_ALL = {**CORE_QUERIES, **EXT_QUERIES, **TPCH2_QUERIES, **HIVE_QUERIES, **TS_QUERIES, **GRAPH_QUERIES, **STREAM_QUERIES}
+_ALL = {**CORE_QUERIES, **EXT_QUERIES, **TPCH2_QUERIES, **HIVE_QUERIES, **TS_QUERIES, **GRAPH_QUERIES, **STREAM_QUERIES, **R6_QUERIES}
 
 # The driver's correctness gate checks the FIRST 50 queries in dict
 # insertion order. Round-6 rotation (oldest-green-first keeps every row
@@ -58,6 +59,10 @@ DRIVER_PRIORITY = [
     "stream_hourly_agg",
     "stream_hopping_agg",
     "mm_decode_gif",
+    "chunk_documents",
+    "ev_concurrency",
+    "gate_hll_rollup",
+    "emb_pq_codes",
     # r04-green fill; first-50 window ends 24 rows into this block
     "a2_count_star",
     "a3_distinct",

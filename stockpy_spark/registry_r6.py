@@ -1,0 +1,181 @@
+"""Round-6 query families: chunking, sweep-line concurrency, mergeable
+HLL rollups, product quantization.
+
+Each family is the Spark-first scale path for a workload the
+LLM-pipeline brief calls out (chunk long documents for training/RAG,
+distinct-count rollups without rescans, 100x embedding compression) or
+classic interval analytics (max concurrent sessions). Oracles are exact
+DuckDB SQL except the HLL family, which is gate-style like the ANN/LSH
+families (sketch binaries are engine-specific; the quality contract is
+what's hash-checked).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stockpy_spark.operators.chunking import chunk_documents
+from stockpy_spark.operators.sketches import hll_rollup_quality
+from stockpy_spark.operators.similarity import pq_quantize
+from stockpy_spark.operators.timeseries import interval_concurrency
+from stockpy_spark.registry_ext import _t
+
+
+# --- document chunking --------------------------------------------------
+
+def q_chunk_documents(spark, sf_dir):
+    """Overlapping 32-token windows (8-token overlap) over every
+    document — the corpus -> training-sample explosion, all builtin
+    expressions (operators/chunking.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, "text", "doc_id", chunk_tokens=32, overlap=8)
+
+
+# DuckDB: same grid. regexp_split_to_array on trimmed text; docs whose
+# trimmed text is empty produce no chunks; starts = 0, 24, 48, ... up to
+# the largest multiple of 24 strictly below n_tokens.
+SQL_CHUNKS = r"""
+WITH toks AS (
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+    FROM documents
+), grid AS (
+    SELECT doc_id, tk, len(tk) AS n,
+           unnest(generate_series(0, (len(tk) - 1) // 24 * 24, 24)) AS start_tok,
+           unnest(generate_series(0, (len(tk) - 1) // 24, 1)) AS chunk_id
+    FROM toks
+    WHERE len(tk) > 0
+)
+SELECT doc_id,
+       CAST(chunk_id AS INTEGER) AS chunk_id,
+       CAST(start_tok AS INTEGER) AS start_tok,
+       CAST(least(32, n - start_tok) AS INTEGER) AS n_tok,
+       array_to_string(tk[start_tok + 1 : start_tok + 32], ' ') AS chunk_text
+FROM grid
+"""
+
+
+# --- sweep-line interval concurrency ------------------------------------
+
+def q_ev_concurrency(spark, sf_dir):
+    """Concurrent open sessions per event_type: each event opens an
+    interval of ``value`` whole seconds (derived identically on both
+    engines via epoch arithmetic); sweep line gives the concurrency
+    level at every boundary instant (operators/timeseries.py)."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    # second-truncated instants (cast timestamp -> long floors) keep
+    # the boundary arithmetic integral and identical on both engines
+    sec = F.col("ts").cast("timestamp").cast("long")
+    iv = ev.select(
+        "event_type",
+        F.timestamp_seconds(sec).alias("start_ts"),
+        F.timestamp_seconds(
+            sec + F.floor(F.col("value")).cast("long")
+        ).alias("end_ts"),
+    )
+    out = interval_concurrency(iv, "start_ts", "end_ts", ["event_type"])
+    return out.select("event_type", "at_ts", "concurrent")
+
+
+SQL_CONCURRENCY = """
+WITH iv AS (
+    SELECT event_type,
+           to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)) AS start_ts,
+           to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)
+                        + CAST(floor(value) AS BIGINT)) AS end_ts
+    FROM events
+    WHERE ts IS NOT NULL AND value IS NOT NULL
+), b AS (
+    SELECT event_type, start_ts AS at_ts, 1 AS delta FROM iv
+    UNION ALL
+    SELECT event_type, end_ts AS at_ts, -1 AS delta FROM iv
+), net AS (
+    SELECT event_type, at_ts, SUM(delta) AS net
+    FROM b GROUP BY event_type, at_ts
+)
+SELECT event_type, at_ts,
+       CAST(SUM(net) OVER (PARTITION BY event_type ORDER BY at_ts
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS concurrent
+FROM net
+"""
+
+
+# --- mergeable HLL distinct rollup (gate-style oracle) ------------------
+
+def q_gate_hll_rollup(spark, sf_dir):
+    """Two-level distinct-user rollup: daily HLL sketches unioned to
+    weekly WITHOUT rescanning raw events (operators/sketches.py), gated
+    against the exact weekly distinct at 5% relative error. Spark's HLL
+    is seed-fixed, so the gate rows are deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    return hll_rollup_quality(
+        ev, "ts", "user_id",
+        fine_seconds=86_400, coarse_seconds=604_800, max_rel_err=0.05,
+    )
+
+
+SQL_GATE_HLL = """
+WITH wk AS (
+    SELECT to_timestamp(CAST(epoch(ts) AS BIGINT) // 604800 * 604800) AS bucket_start,
+           to_timestamp(CAST(epoch(ts) AS BIGINT) // 86400 * 86400)   AS day_start,
+           user_id
+    FROM events
+)
+SELECT bucket_start,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+       CAST(COUNT(DISTINCT day_start) AS BIGINT) AS n_fine_buckets,
+       1 AS gate_rel_err_ok
+FROM wk GROUP BY bucket_start
+"""
+
+
+# --- product quantization ----------------------------------------------
+
+def q_emb_pq_codes(spark, sf_dir):
+    """PQ-compress every embedding: 64 float dims -> 4 codebook ids
+    (16-entry codebooks per 16-dim subspace) + reconstruction error
+    (operators/similarity.py pq_quantize). Deterministic lowest-id
+    seeds keep the whole quantization under an exact SQL oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_quantize(emb, "embedding", "vec_id", m=4, k=16)
+
+
+# Mirror: seeds = 16 lowest vec_id rows; cid = rank - 1; per (vec, j)
+# the code is the argmin squared-L2 over the j-th 16-dim slices (ties
+# to lowest cid); float32 inputs cast to double before arithmetic on
+# both engines.
+SQL_PQ = """
+WITH seeds AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding
+    FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+), dists AS (
+    SELECT e.vec_id, j.j, s.cid,
+           (SELECT SUM(POW(CAST(e.embedding[j.j * 16 + i] AS DOUBLE)
+                           - CAST(s.embedding[j.j * 16 + i] AS DOUBLE), 2))
+            FROM generate_series(1, 16) g(i)) AS dist
+    FROM embeddings e
+    CROSS JOIN generate_series(0, 3) j(j)
+    CROSS JOIN seeds s
+), best AS (
+    SELECT vec_id, j, cid, dist,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                              ORDER BY dist, cid) AS rn
+    FROM dists
+)
+SELECT vec_id,
+       string_agg(CAST(cid AS VARCHAR), ',' ORDER BY j) AS codes,
+       round(SUM(dist), 6) AS recon_err
+FROM best WHERE rn = 1
+GROUP BY vec_id
+"""
+
+
+R6_QUERIES: dict[str, tuple] = {
+    "chunk_documents": (q_chunk_documents, SQL_CHUNKS),
+    "ev_concurrency": (q_ev_concurrency, SQL_CONCURRENCY),
+    "gate_hll_rollup": (q_gate_hll_rollup, SQL_GATE_HLL),
+    "emb_pq_codes": (q_emb_pq_codes, SQL_PQ),
+}

@@ -1,0 +1,119 @@
+"""Round-6 operator unit tests: chunking, sweep-line concurrency,
+HLL rollup quality, product quantization."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_chunk_documents_grid_and_edges(spark):
+    from stockpy_spark.operators.chunking import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 toks: 2 chunks
+            (2, "one two"),  # shorter than one chunk
+            (3, ""),  # empty -> no chunks
+            (4, "   "),  # whitespace-only -> no chunks
+            (5, " ".join(f"x{i}" for i in range(8))),  # exactly one step
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, "text", "doc_id", chunk_tokens=8, overlap=4)
+    rows = {
+        (r.doc_id, r.chunk_id): (r.start_tok, r.n_tok, r.chunk_text)
+        for r in out.collect()
+    }
+    # doc 1: starts 0, 4, 8 (last grid point < 10)
+    assert rows[(1, 0)] == (0, 8, " ".join(f"t{i}" for i in range(8)))
+    assert rows[(1, 1)] == (4, 6, " ".join(f"t{i}" for i in range(4, 10)))
+    assert rows[(1, 2)] == (8, 2, "t8 t9")
+    assert rows[(2, 0)] == (0, 2, "one two")
+    assert (3, 0) not in rows and (4, 0) not in rows
+    # 8 tokens: starts 0 and 4 (grid floor((8-1)/4)*4 = 4)
+    assert rows[(5, 1)][0] == 4 and rows[(5, 1)][1] == 4
+    assert len(rows) == 3 + 1 + 2
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, "text", "doc_id", chunk_tokens=8, overlap=8)
+
+
+def test_interval_concurrency_half_open_sweep(spark):
+    from stockpy_spark.operators.timeseries import interval_concurrency
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    iv = spark.createDataFrame(
+        [
+            ("a", t(0), t(10)),
+            ("a", t(5), t(15)),   # overlaps the first
+            ("a", t(10), t(20)),  # starts exactly when #1 ends: no overlap
+            ("a", t(10), t(12)),  # -> 3 concurrent during [10, 12)
+            ("b", t(0), t(1)),
+        ],
+        "k string, s timestamp, e timestamp",
+    )
+    out = interval_concurrency(iv, "s", "e", ["k"])
+    lvl = {(r.k, r.at_ts.second): r.concurrent for r in out.collect()}
+    assert lvl[("a", 0)] == 1
+    assert lvl[("a", 5)] == 2
+    # at t=10: one ends, two start -> net +1 on level 2's base of 1... the
+    # active set during [10, 12) is {#2, #3, #4} = 3
+    assert lvl[("a", 10)] == 3
+    assert lvl[("a", 12)] == 2
+    assert lvl[("a", 15)] == 1
+    assert lvl[("a", 20)] == 0
+    assert lvl[("b", 0)] == 1 and lvl[("b", 1)] == 0
+    # exactly one row per distinct boundary instant
+    assert out.groupBy("k", "at_ts").count().where("count > 1").isEmpty()
+
+
+def test_hll_rollup_quality_gate_and_grid(spark):
+    from stockpy_spark.operators.sketches import hll_rollup_quality
+
+    ev = spark.createDataFrame(
+        [
+            (datetime(2024, 1, 1 + d, h), (d * 37 + h * 11) % 50)
+            for d in range(7)
+            for h in range(6)
+        ],
+        "ts timestamp, user_id long",
+    )
+    out = hll_rollup_quality(
+        ev, "ts", "user_id", fine_seconds=86_400, coarse_seconds=604_800
+    ).collect()
+    assert all(r.gate_rel_err_ok == 1 for r in out)
+    # 7 days span at most 2 ISO weeks; fine bucket counts must sum to 7
+    assert sum(r.n_fine_buckets for r in out) == 7
+
+    with pytest.raises(ValueError, match="multiple"):
+        hll_rollup_quality(ev, "ts", "user_id", 86_400, 100_000)
+
+
+def test_pq_quantize_seeds_reconstruct_exactly(spark):
+    from stockpy_spark.operators.similarity import pq_quantize
+
+    vecs = spark.createDataFrame(
+        [
+            (i, [float((i * 31 + p * 7) % 97) for p in range(8)])
+            for i in range(40)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in pq_quantize(vecs, "embedding", "vec_id", m=2, k=16).collect()}
+    assert len(out) == 40
+    # each of the 16 seed vectors is its own nearest codebook entry in
+    # every subspace: codes "i,i" and zero reconstruction error
+    for i in range(16):
+        assert out[i].codes == f"{i},{i}", out[i]
+        assert out[i].recon_err == 0.0
+    # codes have m entries, all within [0, k)
+    for r in out.values():
+        parts = [int(c) for c in r.codes.split(",")]
+        assert len(parts) == 2 and all(0 <= c < 16 for c in parts)
+        assert r.recon_err >= 0.0
+
+    with pytest.raises(ValueError, match="divisible"):
+        pq_quantize(vecs, "embedding", "vec_id", m=3, k=4)
