@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from stockpy_spark.functions.text import fingerprint_md5, tokenize
 
@@ -619,4 +620,80 @@ def minhash_lsh_star_edges(
         .where(F.col("doc") != F.col("d1"))
         .select("d1", F.col("doc").alias("d2"))
         .distinct()
+    )
+
+
+def incremental_dedup_admit(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 12,
+    bands: int = 2,
+) -> DataFrame:
+    """Admission filter for incremental corpus ingestion: which rows of
+    a NEW ``batch`` may enter an EXISTING ``corpus``. The production
+    shape every continuously-ingesting training pipeline runs — the
+    corpus is never re-clustered; only the batch is screened, in three
+    stages, each a bounded hash join (no pair enumeration anywhere):
+
+    1. **Exact vs corpus + within batch**: md5(text) fingerprint
+       anti-join against the corpus, then keep the min-id row per
+       fingerprint within the batch.
+    2. **Near-dup vs corpus**: a batch doc sharing ANY LSH band bucket
+       with a corpus doc is rejected (bucket semi-join against the
+       corpus's distinct bucket keys — the corpus side reduces to its
+       bucket-key set, which an ingestion service would keep
+       materialized; at 100 TB that set is what you index, not the
+       text).
+    3. **Near-dup within batch**: linear LSH assignment over the
+       survivors (bucket-min label per doc, minhash_dedup_assign's
+       semantics) — only bucket-min keepers are admitted.
+
+    Token-less rows (empty text) have no LSH signature; they pass the
+    near-dup stages and are screened by stage 1 alone.
+
+    Returns the admitted batch rows (all original columns).
+    """
+    fp = F.md5(F.col(text_col))
+    corpus_fps = corpus.select(fp.alias("__fp")).distinct()
+    w_fp = Window.partitionBy("__fp")
+    s1 = (
+        batch.withColumn("__fp", fp)
+        .join(corpus_fps, "__fp", "anti")
+        .withColumn("__minid", F.min(id_col).over(w_fp))
+        .where(F.col(id_col) == F.col("__minid"))
+        .drop("__fp", "__minid")
+    )
+
+    corp_keys = _band_signatures(
+        _minhash_wide(corpus, text_col, id_col, num_hashes), num_hashes, bands
+    ).select("band", "bsig").distinct()
+    bs_b = _band_signatures(
+        _minhash_wide(s1, text_col, id_col, num_hashes), num_hashes, bands
+    )
+    near_corpus_docs = bs_b.join(corp_keys, ["band", "bsig"], "semi").select(
+        F.col("doc").alias(id_col)
+    ).distinct()
+    s2 = s1.join(near_corpus_docs, id_col, "anti")
+
+    bs2 = bs_b.join(
+        s2.select(F.col(id_col).alias("doc")), "doc", "semi"
+    )
+    bucket_min = bs2.groupBy("band", "bsig").agg(F.min("doc").alias("bmin"))
+    keeper = (
+        bs2.join(bucket_min, ["band", "bsig"])
+        .groupBy("doc")
+        .agg(F.min("bmin").alias("__keeper"))
+    )
+    return (
+        s2.join(
+            keeper.select(F.col("doc").alias(id_col), "__keeper"),
+            id_col,
+            "left",
+        )
+        .where(
+            F.col("__keeper").isNull() | (F.col("__keeper") == F.col(id_col))
+        )
+        .drop("__keeper")
     )

@@ -134,14 +134,33 @@ def connected_components(
             .groupBy(F.col("b").alias("v2"))
             .agg(F.min("label").alias("nmin"))
         )
+        stepped = labels.join(
+            neighbor_min, labels["v"] == F.col("v2"), "left"
+        ).select(
+            "v",
+            F.least(F.col("label"), F.coalesce("nmin", "label")).alias(
+                "label"
+            ),
+            F.col("label").alias("__old"),
+        )
+        # pointer-jump (label <- label of label): composes each round's
+        # one-hop step into doubling reach, so a diameter-d chain
+        # converges in O(log d) rounds instead of d. The jump reads the
+        # PREVIOUS round's materialized labels (not `stepped`, whose
+        # un-checkpointed plan would be evaluated twice by a self-join)
+        # — reach still doubles (2d+1 per round) and the join is
+        # endpoint-sized.
+        parents = labels.select(
+            F.col("v").alias("jv"), F.col("label").alias("jl")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels["v"] == F.col("v2"), "left")
+            stepped.join(parents, stepped["label"] == F.col("jv"), "left")
             .select(
                 "v",
-                F.least(F.col("label"), F.coalesce("nmin", "label")).alias(
-                    "label"
-                ),
-                F.col("label").alias("__old"),
+                F.least(
+                    F.col("label"), F.coalesce("jl", "label")
+                ).alias("label"),
+                "__old",
             )
         ).localCheckpoint(eager=True)
         # the frontier is a filter over the just-materialized checkpoint

@@ -130,3 +130,40 @@ def stratified_sample_exact(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): each row draws a uniform u from md5(salt, id) and
+    scores key = u^(1/w); the k largest keys are the sample. Inclusion
+    probability is proportional to weight, the draw is a pure function
+    of the row id (rerun- and engine-stable, like every sampler here),
+    and the plan is one narrow scan + a TakeOrderedAndProject top-k —
+    no shuffle of the full data, no per-partition reservoir state.
+    Rows with non-positive or null weights are excluded (a weight of 0
+    must never be sampled; A-ES's key is undefined there).
+
+    Returns the sampled rows with their ``__wkey`` (rounded, for
+    auditability); ties (md5-improbable) break by id for determinism.
+    """
+    # 13 hex digits = 52 bits: exactly representable as a double on any
+    # engine, so u is bit-identical cross-engine (15+ digits would round)
+    u = (
+        F.conv(F.substring(F.md5(
+            F.concat_ws("\x1f", F.lit(salt), F.col(id_col).cast("string"))
+        ), 1, 13), 16, 10).cast("double")
+        / F.lit(float(16 ** 13))
+    )
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    return (
+        df.where(F.col(weight_col).cast("double") > 0)
+        .withColumn("__wkey", F.round(key, 12))
+        .orderBy(F.col("__wkey").desc(), F.col(id_col))
+        .limit(k)
+    )

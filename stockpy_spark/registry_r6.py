@@ -15,10 +15,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from stockpy_spark.operators.chunking import chunk_documents
+from stockpy_spark.operators.dedup import incremental_dedup_admit
 from stockpy_spark.operators.sketches import hll_rollup_quality
 from stockpy_spark.operators.similarity import pq_quantize
 from stockpy_spark.operators.timeseries import interval_concurrency
-from stockpy_spark.registry_ext import _t
+from stockpy_spark.registry_ext import _TOKENS_LOWER_SQL, _t
 
 
 # --- document chunking --------------------------------------------------
@@ -173,9 +174,153 @@ GROUP BY vec_id
 """
 
 
+# --- incremental corpus ingestion dedup ---------------------------------
+
+def q_dedup_incremental(spark, sf_dir):
+    """Screen a new batch (doc_id % 5 == 0) against the standing corpus
+    (the rest): exact fingerprint anti-join, LSH-bucket rejection vs
+    the corpus, linear LSH assignment within the batch
+    (operators/dedup.py incremental_dedup_admit) — no pair enumeration,
+    no corpus re-clustering. Returns the admitted rows' identity."""
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 5 == 0)
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    admitted = incremental_dedup_admit(batch, corpus, "text", "doc_id")
+    return admitted.select("doc_id", "lang", "n_chars")
+
+
+def _bsig_ctes(suffix: str, src: str) -> str:
+    """The minhash band-signature CTE chain (registry_ext
+    SQL_MINHASH_BSIG_CTES) instantiated over an arbitrary source CTE
+    with suffixed names, bands=2 (6 rows per band)."""
+    return f"""tok{suffix} AS (
+    SELECT DISTINCT doc_id AS doc, unnest({_TOKENS_LOWER_SQL}) AS tok
+    FROM {src} WHERE text IS NOT NULL AND trim(text) <> ''
+), base{suffix} AS (
+    SELECT doc,
+           CAST(concat('0x', substr(md5('1|' || tok), 1, 15)) AS BIGINT) % 1000000007 AS h1,
+           CAST(concat('0x', substr(md5('2|' || tok), 1, 15)) AS BIGINT) % 1000000007 AS h2
+    FROM tok{suffix}
+), sig{suffix} AS (
+    SELECT doc, g.h AS h,
+           min((h1 + g.h * h2) % 1000000007) AS mh
+    FROM base{suffix} CROSS JOIN generate_series(0, 11) AS g(h)
+    GROUP BY doc, g.h
+), bands{suffix} AS (
+    SELECT doc, h // 6 AS band,
+           lpad(CAST(h AS VARCHAR), 4, '0') || ':' || CAST(mh AS VARCHAR) AS hmh
+    FROM sig{suffix}
+), bsig{suffix} AS (
+    SELECT doc, band, md5(string_agg(hmh, ',' ORDER BY hmh)) AS bs
+    FROM bands{suffix} GROUP BY doc, band
+)"""
+
+
+SQL_DEDUP_INCREMENTAL = f"""
+WITH corpus AS (
+    SELECT * FROM documents WHERE doc_id % 5 <> 0
+), batch AS (
+    SELECT * FROM documents WHERE doc_id % 5 = 0
+), s1 AS (
+    SELECT b.* FROM batch b
+    WHERE md5(b.text) NOT IN (SELECT md5(text) FROM corpus)
+      AND b.doc_id = (SELECT min(b2.doc_id) FROM batch b2
+                      WHERE md5(b2.text) = md5(b.text))
+), {_bsig_ctes('_c', 'corpus')}, {_bsig_ctes('_b', 's1')},
+corp_keys AS (
+    SELECT DISTINCT band, bs FROM bsig_c
+), s2 AS (
+    SELECT s1.* FROM s1
+    WHERE NOT EXISTS (
+        SELECT 1 FROM bsig_b bb
+        JOIN corp_keys ck ON bb.band = ck.band AND bb.bs = ck.bs
+        WHERE bb.doc = s1.doc_id)
+), bs2 AS (
+    SELECT bb.* FROM bsig_b bb JOIN s2 ON bb.doc = s2.doc_id
+), bucket_min AS (
+    SELECT band, bs, min(doc) AS bmin FROM bs2 GROUP BY band, bs
+), keeper AS (
+    SELECT bs2.doc, min(bm.bmin) AS k
+    FROM bs2 JOIN bucket_min bm ON bs2.band = bm.band AND bs2.bs = bm.bs
+    GROUP BY bs2.doc
+)
+SELECT s2.doc_id, s2.lang, s2.n_chars
+FROM s2 LEFT JOIN keeper ON keeper.doc = s2.doc_id
+WHERE keeper.k IS NULL OR keeper.k = s2.doc_id
+"""
+
+
+# --- weighted sampling ---------------------------------------------------
+
+def q_sample_weighted(spark, sf_dir):
+    """Length-weighted corpus sample (long documents proportionally
+    more likely): Efraimidis-Spirakis keys from md5-uniforms, top-50
+    (operators/sampling.py weighted_sample_topk). Deterministic, so the
+    exact key set sits under the hash gate."""
+    from stockpy_spark.operators.sampling import weighted_sample_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_sample_topk(
+        docs.select("doc_id", "lang", "n_chars"), "doc_id", "n_chars", k=50
+    )
+    return out.select("doc_id", "lang", "n_chars", "__wkey")
+
+
+SQL_SAMPLE_WEIGHTED = """
+WITH keyed AS (
+    SELECT doc_id, lang, n_chars,
+           round(pow(CAST(concat('0x', substr(md5('wsample' || chr(31)
+                         || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+                     / 4503599627370496.0,
+                     1.0 / CAST(n_chars AS DOUBLE)), 12) AS __wkey
+    FROM documents
+    WHERE CAST(n_chars AS DOUBLE) > 0
+)
+SELECT doc_id, lang, n_chars, __wkey
+FROM keyed ORDER BY __wkey DESC, doc_id LIMIT 50
+"""
+
+
+# --- heavy hitters (exact two-stage top-k terms) -------------------------
+
+def q_text_top_terms(spark, sf_dir):
+    """Exact corpus-wide top-20 terms by occurrence: explode + count +
+    TakeOrderedAndProject. The partial aggregation makes the count
+    map-side combined and the top-k never materializes the full sorted
+    term list — the exact-tier twin of sketch-based heavy hitters
+    (ties break on the term string, so the cut is deterministic)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.where(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    ).select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("term")
+    )
+    return (
+        toks.where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "term")
+        .limit(20)
+    )
+
+
+SQL_TOP_TERMS = r"""
+SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+    FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+)
+WHERE term <> ''
+GROUP BY term ORDER BY n DESC, term LIMIT 20
+"""
+
+
 R6_QUERIES: dict[str, tuple] = {
     "chunk_documents": (q_chunk_documents, SQL_CHUNKS),
     "ev_concurrency": (q_ev_concurrency, SQL_CONCURRENCY),
     "gate_hll_rollup": (q_gate_hll_rollup, SQL_GATE_HLL),
     "emb_pq_codes": (q_emb_pq_codes, SQL_PQ),
+    "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
+    "sample_weighted": (q_sample_weighted, SQL_SAMPLE_WEIGHTED),
+    "text_top_terms": (q_text_top_terms, SQL_TOP_TERMS),
 }

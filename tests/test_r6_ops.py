@@ -117,3 +117,77 @@ def test_pq_quantize_seeds_reconstruct_exactly(spark):
 
     with pytest.raises(ValueError, match="divisible"):
         pq_quantize(vecs, "embedding", "vec_id", m=3, k=4)
+
+
+def test_incremental_dedup_admit_stages(spark):
+    from stockpy_spark.operators.dedup import incremental_dedup_admit
+
+    mk = lambda i, t: (i, t)
+    corpus = spark.createDataFrame(
+        [
+            mk(1, "alpha beta gamma delta epsilon zeta"),
+            mk(2, "totally different corpus content here now"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            mk(10, "alpha beta gamma delta epsilon zeta"),  # exact corpus dup
+            mk(11, "fresh unseen wording nothing shared one"),
+            mk(12, "fresh unseen wording nothing shared one"),  # exact batch dup
+            mk(13, "completely novel text with own tokens two"),
+            mk(14, ""),  # token-less: passes LSH stages
+            mk(15, ""),  # exact dup of 14 -> rejected
+        ],
+        "doc_id long, text string",
+    )
+    admitted = sorted(
+        r.doc_id
+        for r in incremental_dedup_admit(batch, corpus, "text", "doc_id").collect()
+    )
+    # 10 exact-vs-corpus dropped; 12 exact-within-batch dropped; 15
+    # exact-dup of 14 dropped; 11, 13, 14 admitted
+    assert admitted == [11, 13, 14]
+
+
+def test_incremental_dedup_near_dup_bucket_rejection(spark):
+    from stockpy_spark.operators.dedup import incremental_dedup_admit
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(1, text)], "doc_id long, text string"
+    )
+    # same token SET as the corpus doc (minhash is over distinct
+    # tokens), different string -> not an exact dup, but every band
+    # bucket collides -> near-dup rejection
+    shuffled = "again and again the lazy dog jumps over the quick brown fox"
+    batch = spark.createDataFrame(
+        [(10, shuffled), (11, "unrelated totally distinct content")],
+        "doc_id long, text string",
+    )
+    admitted = [
+        r.doc_id
+        for r in incremental_dedup_admit(batch, corpus, "text", "doc_id").collect()
+    ]
+    assert admitted == [11]
+
+
+def test_weighted_sample_topk_properties(spark):
+    from stockpy_spark.operators.sampling import weighted_sample_topk
+
+    df = spark.createDataFrame(
+        [(i, float(1 + i % 10)) for i in range(200)], "id long, w double"
+    ).union(spark.createDataFrame([(999, 0.0), (998, None)], "id long, w double"))
+    out = weighted_sample_topk(df, "id", "w", k=30).collect()
+    assert len(out) == 30
+    ids = {r.id for r in out}
+    assert 999 not in ids and 998 not in ids  # non-positive/null excluded
+    # rerun-stable
+    again = {r.id for r in weighted_sample_topk(df, "id", "w", k=30).collect()}
+    assert ids == again
+    # keys are valid probabilities-like values in (0, 1]
+    assert all(0 < r["__wkey"] <= 1 for r in out)
+    # heavier weights should dominate the sample: mean weight of the
+    # sample must exceed the population mean (5.5)
+    mean_w = sum(r.w for r in out) / len(out)
+    assert mean_w > 5.5
