@@ -250,6 +250,67 @@ WHERE keeper.k IS NULL OR keeper.k = s2.doc_id
 """
 
 
+# --- native session windows (batch twin of streaming sessionization) ----
+
+def q_ts_session_window(spark, sf_dir):
+    """Per-user session aggregates via Spark's NATIVE
+    ``F.session_window`` (30-minute inactivity gap) — the built-in
+    operator behind streaming session aggregation, exercised in batch.
+    Semantically identical to the window-function sessionization the
+    w5_sessionize query builds by hand (lag + gap flag + running sum),
+    which is exactly what the DuckDB oracle computes; a hash match
+    proves the native operator and the classic formulation agree.
+    Events are second-truncated so the gap arithmetic is integral on
+    both engines."""
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    sec = F.col("ts").cast("timestamp").cast("long")
+    ev = ev.select(
+        "user_id", F.timestamp_seconds(sec).alias("tss"), "value"
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("tss", "30 minutes"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SQL_SESSION_WINDOW = """
+WITH ev AS (
+    SELECT user_id,
+           to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)) AS tss,
+           value
+    FROM events WHERE ts IS NOT NULL
+), flagged AS (
+    SELECT user_id, tss, value,
+           -- Spark's session window is half-open: an event exactly
+           -- `gap` after the previous one starts a NEW session
+           CASE WHEN tss - LAG(tss) OVER (PARTITION BY user_id ORDER BY tss)
+                     >= INTERVAL 30 MINUTE
+                OR LAG(tss) OVER (PARTITION BY user_id ORDER BY tss) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM ev
+), sessions AS (
+    SELECT user_id, tss, value,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY tss
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+)
+SELECT user_id,
+       MIN(tss) AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       round(SUM(value), 4) AS sum_value
+FROM sessions GROUP BY user_id, sid
+"""
+
+
 # --- weighted sampling ---------------------------------------------------
 
 def q_sample_weighted(spark, sf_dir):
@@ -323,4 +384,5 @@ R6_QUERIES: dict[str, tuple] = {
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
     "sample_weighted": (q_sample_weighted, SQL_SAMPLE_WEIGHTED),
     "text_top_terms": (q_text_top_terms, SQL_TOP_TERMS),
+    "ts_session_window": (q_ts_session_window, SQL_SESSION_WINDOW),
 }
