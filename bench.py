@@ -63,6 +63,11 @@ HEADLINE = [
     # transitive dedup via LSH star edges + connected components — the
     # iterative-algorithm scale path (BASELINE.md §4 star-edge finding)
     "pipeline_dedup_cc",
+    # round-6 family: incremental ingestion dedup (batch screened
+    # against a standing corpus — bounded bucket joins only) and the
+    # chunk explode (high-fan-out narrow op over every document)
+    "dedup_incremental",
+    "chunk_documents",
 ]
 
 

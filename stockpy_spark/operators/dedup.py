@@ -57,17 +57,40 @@ def _distinct_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+#: word_jaccard_pairs is verify-tier: its token self-join is quadratic
+#: in hot-token document frequency. The guard makes accidentally
+#: pointing it at a corpus a loud error instead of a cluster-melter.
+WORD_JACCARD_MAX_DOCS = 200_000
+
+
 def word_jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, threshold: float
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    max_docs: int | None = WORD_JACCARD_MAX_DOCS,
 ) -> DataFrame:
     """Exact pairwise Jaccard over distinct word sets via inverted index.
 
     Returns (d1, d2, jaccard) with d1 < d2 and jaccard >= threshold,
-    jaccard rounded to 6 decimals. The token self-join explodes on hot
-    tokens (stopwords everywhere -> df(token)=n -> n^2 rows); at scale
-    run this only on LSH candidates (see minhash_lsh_pairs) or drop
-    top-df tokens first.
+    jaccard rounded to 6 decimals. VERIFY-TIER, not a scale path: the
+    token self-join explodes on hot tokens (stopwords everywhere ->
+    df(token)=n -> n^2 rows). At scale run this only on LSH candidates
+    (see minhash_lsh_pairs) or use the linear star-edge/assignment
+    paths; to make that boundary enforceable rather than advisory, the
+    call raises ValueError when the input exceeds ``max_docs`` rows
+    (pass ``max_docs=None`` to opt out — e.g. when the input is
+    already a bounded candidate set).
     """
+    if max_docs is not None:
+        n = df.count()
+        if n > max_docs:
+            raise ValueError(
+                f"word_jaccard_pairs is verify-tier (quadratic in hot-token "
+                f"document frequency): got {n} docs > max_docs={max_docs}. "
+                "Use minhash_lsh_star_edges / minhash_dedup_assign at corpus "
+                "scale, or pass max_docs=None for a bounded candidate set."
+            )
     toks = _distinct_tokens(df, text_col, id_col)
     sizes = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     a, b = toks.alias("a"), toks.alias("b")

@@ -247,3 +247,63 @@ def test_q19_or_predicate_no_cartesian(spark):
     p = plan(QUERIES["q19_disjunctive"](spark, SF_DIR))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     assert "BroadcastHashJoin" in p  # part stays a broadcast equi-join
+
+
+def test_chunk_documents_is_narrow_no_exchange(spark):
+    """Chunking is an explode over per-row token arrays: the whole plan
+    must stay map-side — any Exchange means a 100 TB corpus shuffles
+    just to be split into windows."""
+    from stockpy_spark.operators.chunking import chunk_documents
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(chunk_documents(docs, "text", "doc_id"))
+    assert "Exchange" not in p
+    assert "Generate" in p  # the posexplode fan-out
+
+
+def test_hll_sketches_partial_agg_before_exchange(spark):
+    """Sketch aggregation must partial-combine map-side (an
+    ObjectHashAggregate with a partial mode before the exchange) —
+    otherwise every raw row ships to the reducer and the 'KB per
+    bucket' claim is false."""
+    from stockpy_spark.operators.sketches import hll_bucket_sketches
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    p = plan(hll_bucket_sketches(ev, "ts", "user_id", 86_400), "simple")
+    assert "ObjectHashAggregate" in p
+    first_agg = p.index("ObjectHashAggregate")
+    assert "Exchange" in p[first_agg:]
+
+
+def test_pq_quantize_broadcasts_codebook_no_nested_loop(spark):
+    """PQ assignment joins every subvector against the KB-sized
+    codebook: must be a broadcast hash join on the subspace id, never
+    a nested loop / cartesian."""
+    from stockpy_spark.operators.similarity import pq_quantize
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    p = plan(pq_quantize(emb, "embedding", "vec_id", m=4, k=8), "simple")
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_incremental_dedup_no_pair_enumeration(spark):
+    """The admission filter must be anti/semi joins on fingerprints and
+    bucket keys — no cartesian, no nested loop, anywhere."""
+    from stockpy_spark.operators.dedup import incremental_dedup_admit
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    p = plan(incremental_dedup_admit(batch, corpus, "text", "doc_id"), "simple")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_weighted_sample_plans_take_ordered(spark):
+    """A-ES top-k must plan TakeOrderedAndProject — a global Sort of
+    all keys would materialize the full corpus ordering."""
+    from stockpy_spark.operators.sampling import weighted_sample_topk
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(weighted_sample_topk(docs, "doc_id", "n_chars", k=10), "simple")
+    assert "TakeOrderedAndProject" in p

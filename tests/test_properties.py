@@ -235,3 +235,50 @@ def test_stratified_sample_exact_k_and_deterministic(spark, groups, k):
         assert per_group[g] == min(k, n), (g, n, k)
     out2 = stratified_sample_exact(df.repartition(7), "grp", "id", k)
     assert sorted((r.grp, r.id) for r in out2.collect()) == picked1
+
+
+# documents as token lists: tokens are simple words, docs vary from
+# empty to longer than several chunks
+chunk_docs = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), max_size=40),
+    min_size=1,
+    max_size=12,
+)
+
+
+@PROP
+@given(docs=chunk_docs, chunk=st.sampled_from([4, 8]), overlap=st.sampled_from([0, 2, 3]))
+def test_chunking_covers_and_reconstructs(spark, docs, chunk, overlap):
+    """Invariants of the overlapping-window grid for any document:
+    (1) every token position is covered by at least one chunk;
+    (2) chunk texts are exact slices of the source at their offsets;
+    (3) concatenating each chunk's non-overlapping prefix (plus the
+        final chunk's tail) reconstructs the document."""
+    from stockpy_spark.operators.chunking import chunk_documents
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, "text", "doc_id", chunk_tokens=chunk, overlap=overlap)
+    by_doc: dict[int, list] = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    step = chunk - overlap
+    for i, toks in enumerate(docs):
+        chunks = sorted(by_doc.get(i, []), key=lambda r: r.chunk_id)
+        if not toks:
+            assert chunks == []
+            continue
+        # (1) coverage: starts step by `step`, last start < n
+        starts = [c.start_tok for c in chunks]
+        assert starts == list(range(0, len(toks), step))[: len(starts)]
+        assert starts[-1] + chunks[-1].n_tok == len(toks)
+        # (2) exact slices
+        for c in chunks:
+            assert c.chunk_text.split() == toks[c.start_tok : c.start_tok + chunk]
+            assert c.n_tok == len(toks[c.start_tok : c.start_tok + chunk])
+        # (3) reconstruction from non-overlap prefixes
+        rebuilt: list[str] = []
+        for c in chunks[:-1]:
+            rebuilt.extend(c.chunk_text.split()[:step])
+        rebuilt.extend(chunks[-1].chunk_text.split())
+        assert rebuilt == toks

@@ -191,3 +191,26 @@ def test_weighted_sample_topk_properties(spark):
     # sample must exceed the population mean (5.5)
     mean_w = sum(r.w for r in out) / len(out)
     assert mean_w > 5.5
+
+
+def test_word_jaccard_verify_tier_guard(spark):
+    """The quadratic exact-Jaccard emitter must refuse corpus-scale
+    inputs loudly (dedup.py WORD_JACCARD_MAX_DOCS) and keep working
+    under the cap / with the opt-out."""
+    import pytest as _pytest
+
+    from stockpy_spark.operators.dedup import word_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} shared common") for i in range(10)],
+        "doc_id long, text string",
+    )
+    # under the cap: runs
+    assert word_jaccard_pairs(docs, "text", "doc_id", 0.9).count() >= 0
+    # over a tiny cap: loud error naming the scale path
+    with _pytest.raises(ValueError, match="verify-tier"):
+        word_jaccard_pairs(docs, "text", "doc_id", 0.9, max_docs=5)
+    # opt-out for bounded candidate sets
+    assert word_jaccard_pairs(
+        docs, "text", "doc_id", 0.9, max_docs=None
+    ).count() >= 0
