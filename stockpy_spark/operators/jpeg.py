@@ -1,0 +1,581 @@
+"""Baseline JPEG (JFIF) codec — pure numpy/stdlib, no image library.
+
+The one multimodal format a real training corpus is overwhelmingly made
+of. This implements the baseline sequential DCT process end-to-end:
+
+- **Encoder** (fixture side): RGB -> YCbCr (BT.601 JPEG variant), edge
+  padding to 8x8 blocks, optional 4:2:0 chroma subsampling (2x2 box
+  mean), forward DCT (exact separable matrix form), quantization with
+  the Annex-K example tables scaled by a quality factor, zigzag, DC
+  differential + AC run-length coding, and Huffman entropy coding with
+  the Annex-K standard tables, emitted as a well-formed JFIF stream
+  (SOI/APP0/DQT/SOF0/DHT/SOS/EOI, 0xFF byte stuffing).
+- **Decoder**: marker parse (skips APPn/COM), DQT (8-bit), SOF0 with
+  per-component sampling factors up to 2x2 (covers 4:4:4, 4:2:2 and
+  4:2:0 — what cameras and web encoders actually emit), DHT, SOS,
+  restart-marker handling (DC predictor reset + bit realignment),
+  entropy decode, dequantize, dezigzag, IDCT, chroma upsampling
+  (nearest), YCbCr -> RGB.
+
+Unsupported (loudly rejected): progressive (SOF2), arithmetic coding,
+12-bit precision, >2 sampling factors.
+
+JPEG is lossy, so unlike BMP/PNG/GIF there is no bit-exact closed-form
+pixel oracle. The cross-engine gate instead checks the QUALITY
+CONTRACT (registry_r6 gate_jpeg_fidelity): Spark decodes the real
+JPEG payload and compares against the closed-form source pixels; the
+max absolute channel error must sit within the bound implied by the
+quantization tables. The roundtrip itself is pytest-covered at
+multiple qualities and both subsampling modes.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# constants: zigzag order, Annex-K quantization + Huffman tables
+# ---------------------------------------------------------------------------
+
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+])
+
+# ITU-T T.81 Annex K.1 example quantization tables (luminance, chrominance)
+QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32)
+
+# Annex K.3 standard Huffman tables: (bits[1..16], values)
+HT_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+HT_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+HT_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+HT_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+# separable DCT-II basis: dct2(b) = D @ b @ D.T, idct = D.T @ B @ D
+_N = np.arange(8)
+_D = np.cos((2 * _N[None, :] + 1) * _N[:, None] * np.pi / 16) / 2.0
+_D[0, :] *= 1.0 / np.sqrt(2.0)
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality scaling of the Annex-K tables (1..100)."""
+    q = min(100, max(1, quality))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    qt_l = np.clip((QT_LUMA * scale + 50) // 100, 1, 255)
+    qt_c = np.clip((QT_CHROMA * scale + 50) // 100, 1, 255)
+    return qt_l.astype(np.int32), qt_c.astype(np.int32)
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    r, g, b = (px[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def _pad_to_blocks(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    h, w = plane.shape
+    ph = (h + bh - 1) // bh * bh
+    pw = (w + bw - 1) // bw * bw
+    return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+
+
+def _huff_encode_table(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) from a BITS/HUFFVAL spec."""
+    table: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _encode_block(bw: _BitWriter, coeffs: np.ndarray, pred: int,
+                  dc_tab: dict, ac_tab: dict) -> int:
+    """Entropy-encode one quantized zigzagged block; returns new DC pred."""
+    dc = int(coeffs[0])
+    diff = dc - pred
+    t = _category(diff)
+    code, ln = dc_tab[t]
+    bw.write(code, ln)
+    if t:
+        bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = 0
+    for i in range(63, 0, -1):
+        if coeffs[i]:
+            last_nz = i
+            break
+    for i in range(1, last_nz + 1):
+        v = int(coeffs[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tab[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        s = _category(v)
+        code, ln = ac_tab[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_tab[0x00]  # EOB
+        bw.write(code, ln)
+    return dc
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a baseline JFIF JPEG.
+    ``subsample=True`` emits 4:2:0 chroma (2x2 box mean), else 4:4:4.
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (what camera/web encoders do for error resilience —
+    also exercises the decoder's resync path)."""
+    h, w, _ = pixels.shape
+    qt_l, qt_c = _quality_tables(quality)
+    ycc = _rgb_to_ycbcr(pixels)
+    planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+    if subsample:
+        sub = []
+        for p in planes[1:]:
+            pp = _pad_to_blocks(p, 2, 2)
+            sub.append((pp[0::2, 0::2] + pp[0::2, 1::2]
+                        + pp[1::2, 0::2] + pp[1::2, 1::2]) / 4.0)
+        planes = [planes[0]] + sub
+        samp = [(2, 2), (1, 1), (1, 1)]
+    else:
+        samp = [(1, 1), (1, 1), (1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    # pad each plane to its MCU-covered size
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    padded = []
+    for p, (sx, sy) in zip(planes, samp):
+        ph, pw = mcus_y * 8 * sy, mcus_x * 8 * sx
+        pp = np.pad(
+            p,
+            ((0, max(0, ph - p.shape[0])), (0, max(0, pw - p.shape[1]))),
+            mode="edge",
+        )[:ph, :pw]
+        padded.append(pp)
+
+    dc_l = _huff_encode_table(*HT_DC_LUMA)
+    ac_l = _huff_encode_table(*HT_AC_LUMA)
+    dc_c = _huff_encode_table(*HT_DC_CHROMA)
+    ac_c = _huff_encode_table(*HT_AC_CHROMA)
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    qts = [qt_l, qt_c, qt_c]
+    mcu_count = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                preds = [0, 0, 0]
+            mcu_count += 1
+            for ci, (p, (sx, sy)) in enumerate(zip(padded, samp)):
+                for by in range(sy):
+                    for bx in range(sx):
+                        y0 = (my * sy + by) * 8
+                        x0 = (mx * sx + bx) * 8
+                        block = p[y0:y0 + 8, x0:x0 + 8] - 128.0
+                        dct = _D @ block @ _D.T
+                        q = np.rint(
+                            dct.flatten()[ZIGZAG] / qts[ci][ZIGZAG]
+                        ).astype(np.int32)
+                        preds[ci] = _encode_block(
+                            bw, q, preds[ci],
+                            dc_l if ci == 0 else dc_c,
+                            ac_l if ci == 0 else ac_c,
+                        )
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, bytes([0]) + bytes(int(x) for x in qt_l[ZIGZAG]))
+    out += seg(0xFFDB, bytes([1]) + bytes(int(x) for x in qt_c[ZIGZAG]))
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, 3))
+    for cid, ((sx, sy), tq) in enumerate(zip(samp, [0, 1, 1]), start=1):
+        sof += bytes([cid, (sx << 4) | sy, tq])
+    out += seg(0xFFC0, bytes(sof))
+    for cls, tid, (bits, vals) in [
+        (0, 0, HT_DC_LUMA), (1, 0, HT_AC_LUMA),
+        (0, 1, HT_DC_CHROMA), (1, 1, HT_AC_CHROMA),
+    ]:
+        out += seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+    sos = bytearray([3])
+    for cid, (td, ta) in zip([1, 2, 3], [(0, 0), (1, 1), (1, 1)]):
+        sos += bytes([cid, (td << 4) | ta])
+    sos += bytes([0, 63, 0])
+    out += seg(0xFFDA, bytes(sos))
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        while self.nbits <= 24 and self.pos < len(self.data):
+            byte = self.data[self.pos]
+            if byte == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0
+                if nxt == 0x00:  # stuffed
+                    self.pos += 2
+                else:  # marker (EOI / RSTn): stop feeding
+                    break
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | byte
+            self.nbits += 8
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self._fill()
+        if self.nbits < n:  # past end: spec says pad with 1s
+            self.acc = (self.acc << 8) | 0xFF
+            self.nbits += 8
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def align_to_marker(self) -> None:
+        """Skip to just past the next RST marker (restart interval)."""
+        self.acc = 0
+        self.nbits = 0
+        while self.pos + 1 < len(self.data):
+            if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+
+
+def _huff_decode_table(bits: list[int], values: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read(1)
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("corrupt JPEG entropy stream (no Huffman match in 16 bits)")
+
+
+def _extend(v: int, t: int) -> int:
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode a baseline (SOF0) JFIF JPEG into an (h, w, 3) uint8 RGB
+    array. Supports 8-bit precision, 1-4 Huffman/quant tables,
+    sampling factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0), restart
+    markers, APPn/COM skipping. Raises ValueError on progressive,
+    arithmetic, 12-bit, or malformed input."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables not supported")
+                if b + 65 > len(body):
+                    raise ValueError("truncated DQT segment")
+                tab = np.zeros(64, dtype=np.int32)
+                tab[ZIGZAG] = np.frombuffer(body, np.uint8, 64, b + 1)
+                qts[tq] = tab
+                b += 65
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(
+                f"unsupported JPEG process (SOF{marker - 0xC0}); "
+                "only baseline sequential (SOF0) is implemented"
+            )
+        elif marker == 0xC0:  # SOF0
+            if len(body) < 6:
+                raise ValueError("truncated SOF0 segment")
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("truncated SOF0 segment")
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            comps = []
+            for i in range(nc):
+                cid, sfac, tq = body[6 + 3 * i : 9 + 3 * i]
+                sx, sy = sfac >> 4, sfac & 0x0F
+                if not (1 <= sx <= 2 and 1 <= sy <= 2):
+                    raise ValueError(f"sampling factor {sx}x{sy} unsupported")
+                comps.append({"id": cid, "sx": sx, "sy": sy, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker == 0xC4:  # DHT
+            b = 0
+            while b < len(body):
+                cls, tid = body[b] >> 4, body[b] & 0x0F
+                bits = list(body[b + 1 : b + 17])
+                nvals = sum(bits)
+                vals = list(body[b + 17 : b + 17 + nvals])
+                if len(bits) < 16 or len(vals) < nvals:
+                    raise ValueError("truncated DHT segment")
+                (ac_tabs if cls else dc_tabs)[tid] = _huff_decode_table(bits, vals)
+                b += 17 + nvals
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF0")
+            ns = body[0]
+            scan = {}
+            for i in range(ns):
+                cid, tabs = body[1 + 2 * i], body[2 + 2 * i]
+                scan[cid] = (tabs >> 4, tabs & 0x0F)
+            data_start = pos + 2 + seglen
+            return _decode_scan(
+                payload[data_start:], frame, scan, qts, dc_tabs, ac_tabs,
+                restart_interval,
+            )
+        # APPn / COM / others: skip
+        pos += 2 + seglen
+    raise ValueError("JPEG contains no scan data")
+
+
+def _decode_scan(data, frame, scan, qts, dc_tabs, ac_tabs, restart_interval):
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["sx"] for c in comps)
+    vmax = max(c["sy"] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mcus_y * 8 * c["sy"], mcus_x * 8 * c["sx"]), dtype=np.float64)
+        for c in comps
+    ]
+    for c in comps:
+        if c["id"] not in scan:
+            raise ValueError(f"component {c['id']} missing from scan header")
+        td, ta = scan[c["id"]]
+        if td not in dc_tabs or ta not in ac_tabs or c["tq"] not in qts:
+            raise ValueError("scan references undeclared Huffman/quant table")
+    br = _BitReader(data)
+    preds = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                br.align_to_marker()
+                preds = [0] * len(comps)
+            mcu_count += 1
+            for ci, c in enumerate(comps):
+                td, ta = scan[c["id"]]
+                dct, act = dc_tabs[td], ac_tabs[ta]
+                qt = qts[c["tq"]]
+                for by in range(c["sy"]):
+                    for bx in range(c["sx"]):
+                        zz = np.zeros(64, dtype=np.int32)
+                        t = _read_symbol(br, dct)
+                        diff = _extend(br.read(t), t) if t else 0
+                        preds[ci] += diff
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _read_symbol(br, act)
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 0x0F
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            zz[k] = _extend(br.read(size), size)
+                            k += 1
+                        block = np.zeros(64, dtype=np.float64)
+                        block[ZIGZAG] = (zz * qt[ZIGZAG]).astype(np.float64)
+                        px = _D.T @ block.reshape(8, 8) @ _D + 128.0
+                        y0 = (my * c["sy"] + by) * 8
+                        x0 = (mx * c["sx"] + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = px
+    # upsample to full resolution and crop
+    full = []
+    for c, p in zip(comps, planes):
+        if c["sx"] != hmax or c["sy"] != vmax:
+            p = np.repeat(np.repeat(p, vmax // c["sy"], 0), hmax // c["sx"], 1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        y = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+        return np.stack([y, y, y], axis=-1)
+    return _ycbcr_to_rgb(np.stack(full[:3], axis=-1))

@@ -6,7 +6,7 @@ length) into blob storage; decode / feature-extraction runs as
 Arrow-batched pandas functions over ``mapInPandas`` so each task touches
 one batch of payloads at a time and nothing ever lands on the driver.
 
-Four real codecs ARE implemented dependency-free:
+Five real codecs ARE implemented dependency-free:
 
 - 24-bit uncompressed BMP (encode + decode in pure numpy/struct —
   BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up BGR rows, 4-byte row
@@ -19,13 +19,17 @@ Four real codecs ARE implemented dependency-free:
   global/local color tables, extension skipping, sub-block
   reassembly, and a full GIF-variant LZW encoder/decoder with
   variable code width, CLEAR-code resets, and the KwKwK case);
+- baseline JFIF JPEG (operators/jpeg.py — forward/inverse DCT,
+  Annex-K quantization + Huffman tables, 4:4:4 and 4:2:0 chroma,
+  restart markers; validated against third-party-encoded JPEGs),
+  the format real training corpora are overwhelmingly made of;
 - 16-bit mono PCM WAV (stdlib ``wave`` — RIFF container, real
   bytes -> int16-sample decode), covering the audio modality.
 
 So the ``use_codec=True`` path runs a genuine bytes -> pixels decode
-end-to-end for both image container formats, and
+end-to-end for the image container formats, and
 :func:`extract_audio_features` a genuine bytes -> samples decode for
-audio. Formats that need external libraries (JPEG/MP3/video) still
+audio. Formats that need external libraries (MP3/video/WebP) still
 raise NotImplementedError behind the clearly-marked seam; swapping in
 PIL / torchaudio later changes only ``_decode_pixels`` /
 ``decode_wav``'s dispatch.
@@ -412,19 +416,23 @@ def decode_gif(payload: bytes) -> np.ndarray:
 
 
 def _decode_pixels(payload: bytes) -> np.ndarray:
-    """Decode dispatch: BMP, truecolor PNG, and palette GIF are handled
-    natively; every other format is the SEAM where a real codec
-    (PIL.Image.open(io.BytesIO(payload)), torchaudio, ...) plugs in —
-    those libs are not in this container."""
+    """Decode dispatch: BMP, truecolor PNG, palette GIF, and baseline
+    JPEG are handled natively; every other format is the SEAM where an
+    external codec (PIL.Image.open(io.BytesIO(payload)), torchaudio,
+    ...) plugs in — those libs are not in this container."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:8] == PNG_SIGNATURE:
         return decode_png(payload)
     if payload[:6] in GIF_SIGNATURES:
         return decode_gif(payload)
+    if payload[:2] == b"\xff\xd8":
+        from stockpy_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "pixel decode for non-BMP/PNG/GIF payloads requires an image codec "
-        "(PIL/opencv) not present in this environment"
+        "pixel decode for non-BMP/PNG/GIF/JPEG payloads requires an image "
+        "codec (PIL/opencv) not present in this environment"
     )
 
 
@@ -501,6 +509,24 @@ def attach_gif_payload(df: DataFrame, id_col: str) -> DataFrame:
     """Real palette GIF89a payload per row (LZW-compressed index stream
     — see :func:`_attach_image_payload`)."""
     return _attach_image_payload(df, id_col, encode_gif, "image/gif")
+
+
+def attach_jpeg_payload(
+    df: DataFrame, id_col: str, quality: int = 100, subsample: bool = False
+) -> DataFrame:
+    """Real baseline JFIF JPEG payload per row (DCT + quantization +
+    Huffman — operators/jpeg.py). Defaults to quality 100 / 4:4:4,
+    where the lossy pipeline's error on the fixture pattern is bounded
+    at 2 levels per channel (measured over every fixture image) — the
+    bound the gate_jpeg_fidelity driver query pins."""
+    from stockpy_spark.operators.jpeg import encode_jpeg
+
+    return _attach_image_payload(
+        df,
+        id_col,
+        lambda px: encode_jpeg(px, quality=quality, subsample=subsample),
+        "image/jpeg",
+    )
 
 
 PIXEL_FEATURE_SCHEMA = T.StructType(

@@ -311,6 +311,49 @@ FROM sessions GROUP BY user_id, sid
 """
 
 
+# --- baseline JPEG fidelity gate -----------------------------------------
+
+def q_gate_jpeg_fidelity(spark, sf_dir):
+    """JPEG is lossy, so unlike BMP/PNG/GIF there is no bit-exact
+    closed-form oracle; the cross-engine contract is the FIDELITY
+    BOUND instead: encode every document's closed-form pixels as a real
+    baseline JFIF JPEG (quality 100, 4:4:4 — operators/jpeg.py: DCT,
+    Annex-K quantization, Huffman), decode it back through the full
+    entropy/IDCT pipeline, and gate on max |decoded - source| <= 4 per
+    channel (measured bound over every fixture image: 2). The DuckDB
+    oracle states the expected gate rows; any codec regression —
+    Huffman mis-decode, IDCT drift, chroma misplacement — flips a gate
+    to 0 and the driver row goes red."""
+    import numpy as np
+    import pandas as pd
+
+    from stockpy_spark.operators.multimodal import attach_jpeg_payload
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    assets = attach_jpeg_payload(docs, "doc_id")
+
+    def batch(it):
+        from stockpy_spark.operators.jpeg import decode_jpeg
+        from stockpy_spark.operators.multimodal import _fake_pixels
+
+        for pdf in it:
+            ids, oks = [], []
+            for i, payload in zip(pdf["doc_id"], pdf["payload"]):
+                dec = decode_jpeg(bytes(payload)).astype(int)
+                src = _fake_pixels(int(i)).astype(int)
+                ok = dec.shape == src.shape and np.abs(dec - src).max() <= 4
+                ids.append(int(i))
+                oks.append(int(ok))
+            yield pd.DataFrame({"doc_id": ids, "gate_err_ok": oks})
+
+    return assets.mapInPandas(batch, "doc_id long, gate_err_ok int")
+
+
+SQL_GATE_JPEG = """
+SELECT doc_id, 1 AS gate_err_ok FROM documents
+"""
+
+
 # --- weighted sampling ---------------------------------------------------
 
 def q_sample_weighted(spark, sf_dir):
@@ -385,4 +428,5 @@ R6_QUERIES: dict[str, tuple] = {
     "sample_weighted": (q_sample_weighted, SQL_SAMPLE_WEIGHTED),
     "text_top_terms": (q_text_top_terms, SQL_TOP_TERMS),
     "ts_session_window": (q_ts_session_window, SQL_SESSION_WINDOW),
+    "gate_jpeg_fidelity": (q_gate_jpeg_fidelity, SQL_GATE_JPEG),
 }

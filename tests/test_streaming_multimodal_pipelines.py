@@ -380,12 +380,15 @@ def test_decode_pixels_dispatch_and_seam():
         encode_png,
     )
 
+    from stockpy_spark.operators.jpeg import encode_jpeg
+
     px = np.zeros((2, 2, 3), dtype=np.uint8)
     assert _decode_pixels(encode_bmp(px)).shape == (2, 2, 3)
     assert _decode_pixels(encode_png(px)).shape == (2, 2, 3)
     assert _decode_pixels(encode_gif(px)).shape == (2, 2, 3)
-    with pytest.raises(NotImplementedError, match="non-BMP/PNG/GIF"):
-        _decode_pixels(b"\xff\xd8\xff\xe0 jpeg header")
+    assert _decode_pixels(encode_jpeg(px)).shape == (2, 2, 3)
+    with pytest.raises(NotImplementedError, match="non-BMP/PNG/GIF/JPEG"):
+        _decode_pixels(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
 
 
 def test_png_encode_decode_roundtrip():
