@@ -23,11 +23,11 @@ _ALL = {**CORE_QUERIES, **EXT_QUERIES, **TPCH2_QUERIES, **HIVE_QUERIES, **TS_QUE
 
 # The driver's correctness gate checks the FIRST 50 queries in dict
 # insertion order. Round-6 rotation (oldest-green-first keeps every row
-# fresh within two rounds): the 24 r03-stale queries lead, then the 12
-# new round-6 rows (2 streaming gates, mm_decode_gif, chunking,
+# fresh within two rounds): the 24 r03-stale queries lead, then the 13
+# new round-6 rows (3 streaming gates, mm_decode_gif, chunking,
 # concurrency, HLL gate, PQ, incremental dedup, weighted sample, top
 # terms, native session windows, JPEG fidelity gate), then the first
-# 14 of the 50 r04-green rows fill the 50-window; the rest of the r04
+# 13 of the 50 r04-green rows fill the 50-window; the rest of the r04
 # block and the 50 r05-fresh rows close the list (r04 leftovers are
 # first in line for round 7).
 DRIVER_PRIORITY = [
@@ -69,6 +69,7 @@ DRIVER_PRIORITY = [
     "text_top_terms",
     "ts_session_window",
     "gate_jpeg_fidelity",
+    "stream_dedup_keys",
     # r04-green fill; first-50 window ends 24 rows into this block
     "a2_count_star",
     "a3_distinct",

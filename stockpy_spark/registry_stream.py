@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from stockpy_spark.sources.testdata import read_events
 from stockpy_spark.streaming.ops import (
+    dedup_within_watermark,
     read_upsert_log_final,
     run_update_upsert_log_to_parquet,
     windowed_agg,
@@ -149,7 +150,53 @@ GROUP BY 1, 2
 """
 
 
+def q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateful dedup end-to-end: readStream ->
+    withWatermark -> dropDuplicates on (user_id, event_type) -> append
+    writeStream to parquet, run to completion. The emitted KEY SET is
+    deterministic (each distinct key appended exactly once on first
+    sight) even though which physical row wins the per-key race is not
+    — which is why the gate projects the keys and a count, not
+    first-row payloads. Exercises the third stateful operator class
+    (dedup state store) under the hash gate, after windowed and
+    hopping aggregation."""
+    src = _stream_events(spark, sf_dir).where(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    deduped = dedup_within_watermark(
+        src, ["user_id", "event_type"], "ts", "36500 days"
+    ).select("user_id", "event_type")
+    out = tempfile.mkdtemp(prefix="stockpy_stream_dedup_")
+    (
+        deduped.writeStream.format("parquet")
+        .option("path", os.path.join(out, "sink"))
+        .option("checkpointLocation", os.path.join(out, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    sunk = spark.read.parquet(os.path.join(out, "sink"))
+    return sunk.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.sort_array(F.collect_set("event_type")).alias("types"),
+    )
+
+
+SQL_STREAM_DEDUP = """
+SELECT user_id,
+       COUNT(DISTINCT event_type) AS n_types,
+       list_sort(list(DISTINCT event_type)) AS types
+FROM events
+WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
+GROUP BY user_id
+"""
+
+
 STREAM_QUERIES = {
     "stream_hourly_agg": (q_stream_hourly_agg, SQL_STREAM_HOURLY),
     "stream_hopping_agg": (q_stream_hopping_agg, SQL_STREAM_HOPPING),
+    "stream_dedup_keys": (q_stream_dedup_keys, SQL_STREAM_DEDUP),
 }
