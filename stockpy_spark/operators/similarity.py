@@ -444,3 +444,66 @@ def pq_quantize(
         ).alias("codes"),
         F.round(F.sum("__d"), 6).alias("recon_err"),
     ).select(F.col("__rid").alias(id_col), "codes", "recon_err")
+
+
+def pq_quantize_arrow(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = 4,
+    k: int = 16,
+) -> DataFrame:
+    """Arrow-batched twin of :func:`pq_quantize`: identical codes and
+    reconstruction errors (same codebook, same double arithmetic, ties
+    to the lowest cid via numpy argmin's first-match rule), but the
+    distance kernel runs as a vectorized (batch x k x dim/m) numpy
+    broadcast inside mapInPandas instead of per-row Catalyst
+    expressions. This is the documented exception to the
+    "builtin expressions first" rule: dense numeric kernels are where
+    Arrow-batched pandas beats expression trees (measured at the
+    synthetic sf10: see BASELINE.md §4) — the plan is one codebook
+    broadcast (closure capture, KBs) + one narrow corpus scan with NO
+    shuffle at all (the expression path shuffles twice to regroup its
+    exploded subspace rows)."""
+    import numpy as np
+    import pandas as pd
+
+    first = corpus.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("pq_quantize_arrow: empty corpus")
+    dim = first["d"]
+    if dim % m:
+        raise ValueError(f"vector dim {dim} is not divisible by m={m}")
+    sub = dim // m
+    cb_rows = pq_codebooks(corpus, vec_col, id_col, m, k).collect()
+    # codebook tensor C[j, cid, :] in float64, captured by the closure
+    # (KBs — the same "model is small, data is not" policy as IVF)
+    kk = max(r["cid"] for r in cb_rows) + 1
+    C = np.zeros((m, kk, sub), dtype=np.float64)
+    for r in cb_rows:
+        C[int(r["j"]), int(r["cid"])] = np.asarray(r["__cvec"], dtype=np.float64)
+
+    def batch(it: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in it:
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            ) if len(pdf) else np.zeros((0, dim))
+            codes = np.zeros((len(pdf), m), dtype=np.int64)
+            err = np.zeros(len(pdf), dtype=np.float64)
+            for j in range(m):
+                Vj = V[:, j * sub : (j + 1) * sub]
+                # (n, k) squared L2 via broadcast
+                D = ((Vj[:, None, :] - C[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = D.argmin(axis=1)  # first match = lowest cid
+                err += D.min(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "codes": [",".join(str(c) for c in row) for row in codes],
+                    "recon_err": np.round(err, 6),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        batch, f"{id_col} long, codes string, recon_err double"
+    )

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from stockpy_spark.operators.chunking import chunk_documents
 from stockpy_spark.operators.dedup import incremental_dedup_admit
 from stockpy_spark.operators.sketches import hll_rollup_quality
-from stockpy_spark.operators.similarity import pq_quantize
+from stockpy_spark.operators.similarity import pq_quantize_arrow
 from stockpy_spark.operators.timeseries import interval_concurrency
 from stockpy_spark.registry_ext import _TOKENS_LOWER_SQL, _t
 
@@ -137,11 +137,14 @@ FROM wk GROUP BY bucket_start
 
 def q_emb_pq_codes(spark, sf_dir):
     """PQ-compress every embedding: 64 float dims -> 4 codebook ids
-    (16-entry codebooks per 16-dim subspace) + reconstruction error
-    (operators/similarity.py pq_quantize). Deterministic lowest-id
-    seeds keep the whole quantization under an exact SQL oracle."""
+    (16-entry codebooks per 16-dim subspace) + reconstruction error.
+    Runs the Arrow-batched kernel (pq_quantize_arrow — bit-identical to
+    the expression path pq_quantize, pytest-pinned, and 4.9x faster at
+    the synthetic sf10: 4.76 -> 0.97 s, BASELINE.md §4). Deterministic
+    lowest-id seeds keep the whole quantization under an exact SQL
+    oracle."""
     emb = _t(spark, sf_dir, "embeddings")
-    return pq_quantize(emb, "embedding", "vec_id", m=4, k=16)
+    return pq_quantize_arrow(emb, "embedding", "vec_id", m=4, k=16)
 
 
 # Mirror: seeds = 16 lowest vec_id rows; cid = rank - 1; per (vec, j)
@@ -311,6 +314,46 @@ FROM sessions GROUP BY user_id, sid
 """
 
 
+# --- VARIANT semi-structured path (Spark 4 native) -----------------------
+
+def q_f14_variant_props(spark, sf_dir):
+    """Semi-structured JSON via Spark 4's native VARIANT type:
+    ``parse_json`` once into the binary variant encoding, then typed
+    ``try_variant_get`` extraction — the modern engine path for ragged
+    event properties (shredded columnar access, no per-query string
+    re-parsing like get_json_object, schema discovered not declared).
+    Per event_type: count, sum/min/max of $.k, plus the
+    schema_of_variant the data actually carries."""
+    ev = _t(spark, sf_dir, "events").where(F.col("props").isNotNull())
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("v")
+    ).select(
+        "event_type",
+        F.try_variant_get("v", "$.k", "long").alias("k"),
+        F.schema_of_variant("v").alias("vschema"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+        F.min("vschema").alias("variant_schema"),
+    )
+
+
+SQL_VARIANT_PROPS = """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS max_k,
+       MIN(CASE WHEN json_valid(props) THEN 'OBJECT<k: BIGINT>' END)
+           AS variant_schema
+FROM events WHERE props IS NOT NULL
+GROUP BY event_type
+"""
+
+
 # --- baseline JPEG fidelity gate -----------------------------------------
 
 def q_gate_jpeg_fidelity(spark, sf_dir):
@@ -429,4 +472,5 @@ R6_QUERIES: dict[str, tuple] = {
     "text_top_terms": (q_text_top_terms, SQL_TOP_TERMS),
     "ts_session_window": (q_ts_session_window, SQL_SESSION_WINDOW),
     "gate_jpeg_fidelity": (q_gate_jpeg_fidelity, SQL_GATE_JPEG),
+    "f14_variant_props": (q_f14_variant_props, SQL_VARIANT_PROPS),
 }

@@ -214,3 +214,32 @@ def test_word_jaccard_verify_tier_guard(spark):
     assert word_jaccard_pairs(
         docs, "text", "doc_id", 0.9, max_docs=None
     ).count() >= 0
+
+
+def test_pq_arrow_equals_expression_path(spark):
+    """The Arrow-batched PQ kernel must be bit-identical to the
+    expression-tree path (same codebook, same double arithmetic, same
+    lowest-cid tie rule) — this equality is what lets the registry
+    query take the 4.9x-faster kernel while keeping the exact SQL
+    oracle."""
+    from stockpy_spark.operators.similarity import (
+        pq_quantize,
+        pq_quantize_arrow,
+    )
+
+    vecs = spark.createDataFrame(
+        [
+            (i, [float((i * 37 + p * 11) % 251) for p in range(12)])
+            for i in range(60)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    a = {
+        r.vec_id: (r.codes, r.recon_err)
+        for r in pq_quantize(vecs, "embedding", "vec_id", m=3, k=8).collect()
+    }
+    b = {
+        r.vec_id: (r.codes, r.recon_err)
+        for r in pq_quantize_arrow(vecs, "embedding", "vec_id", m=3, k=8).collect()
+    }
+    assert a == b and len(a) == 60
