@@ -243,3 +243,58 @@ def test_pq_arrow_equals_expression_path(spark):
         for r in pq_quantize_arrow(vecs, "embedding", "vec_id", m=3, k=8).collect()
     }
     assert a == b and len(a) == 60
+
+
+def test_zorder_layout_tightens_all_dimensions(spark, tmp_path):
+    """Writing Z-ordered must make per-file min/max spans tight in BOTH
+    interleaved dimensions, where a single-column sort leaves the other
+    dimension spanning ~the full domain — the data-skipping property
+    itself, measured on real parquet footers."""
+    from stockpy_spark.operators.layout import (
+        measure_file_spans,
+        write_zordered,
+        zorder_key,
+    )
+
+    n = 20_000
+    df = spark.range(n).select(
+        (F.col("id") % 141).alias("x"),
+        ((F.col("id") * 7919) % 139).alias("y"),
+    )
+    zpath = str(tmp_path / "z")
+    spath = str(tmp_path / "s")
+    write_zordered(df, zpath, ["x", "y"], n_files=16)
+    (
+        df.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+    zs = measure_file_spans(spark, zpath, ["x", "y"]).collect()
+    ss = measure_file_spans(spark, spath, ["x", "y"]).collect()
+    zx = sum(r.span_x for r in zs) / len(zs)
+    zy = sum(r.span_y for r in zs) / len(zs)
+    sx = sum(r.span_x for r in ss) / len(ss)
+    sy = sum(r.span_y for r in ss) / len(ss)
+    # x-sorted: x tight, y spans everything
+    assert sx < 0.2 and sy > 0.8
+    # z-ordered: BOTH dimensions well under the full span on average
+    # (a few curve-transition files legitimately span a whole dim, so
+    # the figure of merit is the mean — i.e. expected pruning — not
+    # the worst file)
+    assert zx < 0.5 and zy < 0.5, (zx, zy)
+    assert zy < sy / 2  # z beats the single-column sort on the other dim
+
+    # key sanity: 2-dim interleave of equal ranks is monotone in rank
+    k = zorder_key(
+        spark.createDataFrame([(0, 0), (100, 100), (255, 255)], "x long, y long"),
+        ["x", "y"],
+        bits=8,
+    ).collect()
+    ks = sorted((r.x, r["__zkey"]) for r in k)
+    assert ks[0][1] < ks[1][1] < ks[2][1]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="64-bit"):
+        zorder_key(df, ["x", "y", "x", "y"], bits=16)
