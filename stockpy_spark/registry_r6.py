@@ -397,6 +397,59 @@ SELECT doc_id, 1 AS gate_err_ok FROM documents
 """
 
 
+# --- EWMA (recursive smoothing as an exact cross-engine fold) ------------
+
+def q_ts_ewma(spark, sf_dir):
+    """Per-user exponentially weighted moving average of event values
+    (alpha = 0.1): the classic RECURSIVE smoother s = a*v + (1-a)*s
+    that window frames cannot express, computed as a left fold over the
+    time-ordered value list — the same builtin-expression fold idiom as
+    the Rabin-Karp fingerprint (functions/text.py), so DuckDB
+    reproduces every double operation in the same order and the result
+    is bit-exact cross-engine. Seeded with the first value, ties on ts
+    broken by event_id.
+
+    Scale note: collect_list bounds state by the per-key series length
+    — the right tool when per-key series fit an executor (user/device
+    telemetry); an unbounded-key variant would ride
+    applyInPandasWithState (streaming/ops.py stateful_running_stats is
+    that shape)."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
+    ordered = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("__seq")
+    )
+    vals = F.transform(F.col("__seq"), lambda s: s["value"])
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.lit(0), F.size(vals) - 1)),
+        F.element_at(vals, 1),
+        lambda acc, v: v * F.lit(0.1) + acc * F.lit(0.9),
+    )
+    return ordered.select(
+        "user_id",
+        F.size("__seq").cast("long").alias("n_events"),
+        F.round(ewma, 8).alias("ewma"),
+    )
+
+
+SQL_TS_EWMA = """
+WITH seq AS (
+    SELECT user_id,
+           list(value ORDER BY ts, event_id) AS vals
+    FROM events
+    WHERE user_id IS NOT NULL AND value IS NOT NULL
+    GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(vals) AS BIGINT) AS n_events,
+       round(list_reduce(vals, (acc, v) -> v * 0.1 + acc * 0.9), 8) AS ewma
+FROM seq
+"""
+
+
 # --- weighted sampling ---------------------------------------------------
 
 def q_sample_weighted(spark, sf_dir):
@@ -473,4 +526,5 @@ R6_QUERIES: dict[str, tuple] = {
     "ts_session_window": (q_ts_session_window, SQL_SESSION_WINDOW),
     "gate_jpeg_fidelity": (q_gate_jpeg_fidelity, SQL_GATE_JPEG),
     "f14_variant_props": (q_f14_variant_props, SQL_VARIANT_PROPS),
+    "ts_ewma": (q_ts_ewma, SQL_TS_EWMA),
 }
