@@ -103,3 +103,37 @@ def pivot_summary(
     distinct-values job AND keep output schema static — mandatory at
     scale)."""
     return df.groupBy(*keys).pivot(pivot_col, pivot_values).agg(agg)
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One-pass column profile: (column, n_rows, n_nonnull, n_nulls,
+    n_distinct) per requested column — the data-quality summary every
+    ingestion run should log before a table goes live.
+
+    Single aggregation over the frame (the multi-column distinct counts
+    fuse into one Expand pass, map-side partially aggregated), then an
+    unpivot to long form — no per-column rescans, so profiling a
+    100-column 100 TB table costs one read. Distinct counts are EXACT
+    here (the verify-tier contract a small profile run wants); swap
+    `approx_count_distinct` in at interactive scale — the sketches
+    module (gate_hll_rollup) pins that estimator's error contract.
+    """
+    total = F.count(F.lit(1))
+    aggs = [total.alias("__n")]
+    for c in cols:
+        aggs.append(F.count(c).alias(f"__nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"__d_{c}"))
+    row = df.agg(*aggs)
+    profiles = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__nn_{c}").alias("n_nonnull"),
+            (F.col("__n") - F.col(f"__nn_{c}")).alias("n_nulls"),
+            F.col(f"__d_{c}").alias("n_distinct"),
+        )
+        for c in cols
+    ]
+    return row.select(F.explode(F.array(*profiles)).alias("p")).select(
+        "p.column", "p.n_rows", "p.n_nonnull", "p.n_nulls", "p.n_distinct"
+    )

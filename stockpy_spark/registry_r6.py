@@ -397,6 +397,34 @@ SELECT doc_id, 1 AS gate_err_ok FROM documents
 """
 
 
+# --- one-pass column profiling -------------------------------------------
+
+def q_profile_events(spark, sf_dir):
+    """Data-quality profile of the events table in ONE aggregation pass
+    (operators/aggregate.py profile_columns): per column, row/non-null/
+    null/exact-distinct counts, unpivoted to long form."""
+    from stockpy_spark.operators.aggregate import profile_columns
+
+    ev = _t(spark, sf_dir, "events")
+    return profile_columns(ev, ["event_id", "user_id", "event_type", "value"])
+
+
+SQL_PROFILE_EVENTS = """
+SELECT 'event_id' AS column, COUNT(*) AS n_rows, COUNT(event_id) AS n_nonnull,
+       COUNT(*) - COUNT(event_id) AS n_nulls,
+       COUNT(DISTINCT event_id) AS n_distinct FROM events
+UNION ALL
+SELECT 'user_id', COUNT(*), COUNT(user_id),
+       COUNT(*) - COUNT(user_id), COUNT(DISTINCT user_id) FROM events
+UNION ALL
+SELECT 'event_type', COUNT(*), COUNT(event_type),
+       COUNT(*) - COUNT(event_type), COUNT(DISTINCT event_type) FROM events
+UNION ALL
+SELECT 'value', COUNT(*), COUNT(value),
+       COUNT(*) - COUNT(value), COUNT(DISTINCT value) FROM events
+"""
+
+
 # --- EWMA (recursive smoothing as an exact cross-engine fold) ------------
 
 def q_ts_ewma(spark, sf_dir):
@@ -527,4 +555,5 @@ R6_QUERIES: dict[str, tuple] = {
     "gate_jpeg_fidelity": (q_gate_jpeg_fidelity, SQL_GATE_JPEG),
     "f14_variant_props": (q_f14_variant_props, SQL_VARIANT_PROPS),
     "ts_ewma": (q_ts_ewma, SQL_TS_EWMA),
+    "profile_events": (q_profile_events, SQL_PROFILE_EVENTS),
 }
