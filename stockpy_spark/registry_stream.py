@@ -195,8 +195,64 @@ GROUP BY user_id
 """
 
 
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join end-to-end: the streaming events enrich
+    against a STATIC dimension (re-read fresh per micro-batch by the
+    engine — the canonical slowly-changing-lookup pattern), then a
+    windowed rollup per dimension attribute through the same upsert-log
+    sink. The dim is derived deterministically from the event types so
+    DuckDB can rebuild it; what the gate pins is the join+agg pipeline
+    running inside the micro-batch engine."""
+    src = _stream_events(spark, sf_dir)
+    dim = (
+        read_events(spark, sf_dir)
+        .select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            (F.length("event_type") % 3).cast("int").alias("tier"),
+        )
+    )
+    enriched = src.join(dim, "event_type")
+    agg = windowed_agg(
+        enriched,
+        "ts",
+        ["tier"],
+        "1 day",
+        {
+            "n_events": F.count("*").cast("long"),
+            "sum_value": F.round(F.sum("value"), 4),
+        },
+        watermark="36500 days",
+    )
+    out = tempfile.mkdtemp(prefix="stockpy_stream_enrich_")
+    run_update_upsert_log_to_parquet(
+        agg, os.path.join(out, "sink"), os.path.join(out, "ckpt")
+    )
+    final = read_upsert_log_final(
+        spark, os.path.join(out, "sink"), ["window_start", "tier"]
+    )
+    return final.select(
+        F.col("window_start").cast("timestamp").cast("long").alias("bucket_start"),
+        "tier",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+SQL_STREAM_ENRICH = """
+SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket_start,
+       CAST(length(event_type) % 3 AS INTEGER) AS tier,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 STREAM_QUERIES = {
     "stream_hourly_agg": (q_stream_hourly_agg, SQL_STREAM_HOURLY),
     "stream_hopping_agg": (q_stream_hopping_agg, SQL_STREAM_HOPPING),
     "stream_dedup_keys": (q_stream_dedup_keys, SQL_STREAM_DEDUP),
+    "stream_static_enrich": (q_stream_static_enrich, SQL_STREAM_ENRICH),
 }
