@@ -179,3 +179,35 @@ def write_sorted_for_pruning(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_with_metrics(
+    df: DataFrame,
+    path: str,
+    metrics: dict[str, "object"],
+    partition_by: list[str] | None = None,
+) -> dict[str, object]:
+    """Write parquet and collect data-quality metrics from the SAME
+    action via ``df.observe`` — row counts, null counts, sums, whatever
+    aggregate expressions the caller passes — without a second scan.
+
+    This is the production pattern for pipeline observability at scale:
+    a separate ``df.count()`` / profile pass would re-execute the whole
+    upstream plan (at 100 TB: re-read 100 TB); Observation piggybacks
+    accumulator-style on the write's own tasks for free. Returns the
+    observed metrics dict.
+
+    ``metrics`` maps metric name -> aggregate Column, e.g.
+    ``{"n": F.count(F.lit(1)), "null_ids": F.sum(F.col("id").isNull()
+    .cast("long"))}``.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    observed = df.observe(obs, *[col.alias(name) for name, col in metrics.items()])
+    writer = observed.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    return dict(obs.get)

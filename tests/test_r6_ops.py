@@ -298,3 +298,28 @@ def test_zorder_layout_tightens_all_dimensions(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="64-bit"):
         zorder_key(df, ["x", "y", "x", "y"], bits=16)
+
+
+def test_write_with_metrics_single_action(spark, tmp_path):
+    """Observation metrics must arrive from the write's own action (no
+    second scan) and match the written data exactly."""
+    from stockpy_spark.sources.writers import write_with_metrics
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id") % 7).alias("v"),
+    )
+    path = str(tmp_path / "obs")
+    got = write_with_metrics(
+        df,
+        path,
+        {
+            "n": F.count(F.lit(1)),
+            "null_v": F.sum(F.col("v").isNull().cast("long")),
+            "sum_v": F.sum("v"),
+        },
+    )
+    back = spark.read.parquet(path)
+    assert got["n"] == 1000 == back.count()
+    assert got["null_v"] == 100
+    assert got["sum_v"] == back.agg(F.sum("v")).first()[0]
