@@ -111,7 +111,10 @@ def q_gate_hll_rollup(spark, sf_dir):
     weekly WITHOUT rescanning raw events (operators/sketches.py), gated
     against the exact weekly distinct at 5% relative error. Spark's HLL
     is seed-fixed, so the gate rows are deterministic."""
-    ev = _t(spark, sf_dir, "events")
+    # null-ts rows would bucket to NULL and diverge between the inner
+    # join (Spark) and GROUP BY (SQL) — scope the query to timestamped
+    # rows so a regenerated fixture with nulls can't flip the gate
+    ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     return hll_rollup_quality(
         ev, "ts", "user_id",
         fine_seconds=86_400, coarse_seconds=604_800, max_rel_err=0.05,
@@ -120,10 +123,10 @@ def q_gate_hll_rollup(spark, sf_dir):
 
 SQL_GATE_HLL = """
 WITH wk AS (
-    SELECT to_timestamp(CAST(epoch(ts) AS BIGINT) // 604800 * 604800) AS bucket_start,
-           to_timestamp(CAST(epoch(ts) AS BIGINT) // 86400 * 86400)   AS day_start,
+    SELECT to_timestamp(CAST(floor(epoch(ts)) AS BIGINT) // 604800 * 604800) AS bucket_start,
+           to_timestamp(CAST(floor(epoch(ts)) AS BIGINT) // 86400 * 86400)   AS day_start,
            user_id
-    FROM events
+    FROM events WHERE ts IS NOT NULL
 )
 SELECT bucket_start,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
@@ -143,7 +146,9 @@ def q_emb_pq_codes(spark, sf_dir):
     the synthetic sf10: 4.76 -> 0.97 s, BASELINE.md §4). Deterministic
     lowest-id seeds keep the whole quantization under an exact SQL
     oracle."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
     return pq_quantize_arrow(emb, "embedding", "vec_id", m=4, k=16)
 
 
@@ -152,15 +157,17 @@ def q_emb_pq_codes(spark, sf_dir):
 # to lowest cid); float32 inputs cast to double before arithmetic on
 # both engines.
 SQL_PQ = """
-WITH seeds AS (
+WITH nn AS (
+    SELECT * FROM embeddings WHERE embedding IS NOT NULL
+), seeds AS (
     SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding
-    FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+    FROM (SELECT * FROM nn ORDER BY vec_id LIMIT 16)
 ), dists AS (
     SELECT e.vec_id, j.j, s.cid,
            (SELECT SUM(POW(CAST(e.embedding[j.j * 16 + i] AS DOUBLE)
                            - CAST(s.embedding[j.j * 16 + i] AS DOUBLE), 2))
             FROM generate_series(1, 16) g(i)) AS dist
-    FROM embeddings e
+    FROM nn e
     CROSS JOIN generate_series(0, 3) j(j)
     CROSS JOIN seeds s
 ), best AS (
@@ -185,7 +192,11 @@ def q_dedup_incremental(spark, sf_dir):
     the corpus, linear LSH assignment within the batch
     (operators/dedup.py incremental_dedup_admit) — no pair enumeration,
     no corpus re-clustering. Returns the admitted rows' identity."""
-    docs = _t(spark, sf_dir, "documents")
+    # non-null text only: NULL fingerprints compare differently under
+    # SQL NOT IN/NOT EXISTS vs Spark's anti join, so the query surface
+    # is declared null-free (the operator itself handles NULLs with
+    # Spark's join semantics)
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     batch = docs.where(F.col("doc_id") % 5 == 0)
     corpus = docs.where(F.col("doc_id") % 5 != 0)
     admitted = incremental_dedup_admit(batch, corpus, "text", "doc_id")
@@ -221,9 +232,9 @@ def _bsig_ctes(suffix: str, src: str) -> str:
 
 SQL_DEDUP_INCREMENTAL = f"""
 WITH corpus AS (
-    SELECT * FROM documents WHERE doc_id % 5 <> 0
+    SELECT * FROM documents WHERE doc_id % 5 <> 0 AND text IS NOT NULL
 ), batch AS (
-    SELECT * FROM documents WHERE doc_id % 5 = 0
+    SELECT * FROM documents WHERE doc_id % 5 = 0 AND text IS NOT NULL
 ), s1 AS (
     SELECT b.* FROM batch b
     WHERE md5(b.text) NOT IN (SELECT md5(text) FROM corpus)
