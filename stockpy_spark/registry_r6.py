@@ -408,6 +408,42 @@ SELECT doc_id, 1 AS gate_err_ok FROM documents
 """
 
 
+# --- regression aggregates (trend per key) -------------------------------
+
+def q_ts_trend(spark, sf_dir):
+    """Per-event-type linear trend of value over time via the built-in
+    regression aggregates (regr_slope / regr_intercept / corr — the
+    SQL-standard OLS family, one aggregation pass, decomposable
+    partials). Time axis is days since epoch so slopes are
+    human-scaled; outputs rounded to 6."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    x = F.col("ts").cast("timestamp").cast("long") / F.lit(86400.0)
+    prepared = ev.select("event_type", x.alias("x"), F.col("value").alias("y"))
+    return prepared.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.regr_slope("y", "x"), 6).alias("slope_per_day"),
+        F.round(F.regr_intercept("y", "x"), 6).alias("intercept"),
+        F.round(F.corr("y", "x"), 6).alias("corr_yx"),
+    )
+
+
+SQL_TS_TREND = """
+SELECT event_type,
+       COUNT(*) AS n,
+       round(regr_slope(value, CAST(floor(epoch(ts)) AS BIGINT) / 86400.0), 6)
+           AS slope_per_day,
+       round(regr_intercept(value, CAST(floor(epoch(ts)) AS BIGINT) / 86400.0), 6)
+           AS intercept,
+       round(corr(value, CAST(floor(epoch(ts)) AS BIGINT) / 86400.0), 6)
+           AS corr_yx
+FROM events
+WHERE ts IS NOT NULL AND value IS NOT NULL
+GROUP BY event_type
+"""
+
+
 # --- one-pass column profiling -------------------------------------------
 
 def q_profile_events(spark, sf_dir):
@@ -567,4 +603,5 @@ R6_QUERIES: dict[str, tuple] = {
     "f14_variant_props": (q_f14_variant_props, SQL_VARIANT_PROPS),
     "ts_ewma": (q_ts_ewma, SQL_TS_EWMA),
     "profile_events": (q_profile_events, SQL_PROFILE_EVENTS),
+    "ts_trend": (q_ts_trend, SQL_TS_TREND),
 }
