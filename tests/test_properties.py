@@ -282,3 +282,74 @@ def test_chunking_covers_and_reconstructs(spark, docs, chunk, overlap):
             rebuilt.extend(c.chunk_text.split()[:step])
         rebuilt.extend(chunks[-1].chunk_text.split())
         assert rebuilt == toks
+
+
+# intervals as (key, start_sec, duration): few keys, durations spanning
+# zero-length and exact-boundary-touch cases
+conc_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),
+        st.integers(0, 30),
+        st.integers(0, 12),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@PROP
+@given(rows=conc_rows)
+def test_interval_concurrency_matches_brute_force(spark, rows):
+    """Sweep-line levels equal the brute-force definition at every
+    boundary instant: |{intervals i : start_i <= t < end_i}| — including
+    zero-length intervals (start == end contributes nothing) and
+    exact-boundary touches (half-open)."""
+    from datetime import datetime, timedelta
+
+    from stockpy_spark.operators.timeseries import interval_concurrency
+
+    base = datetime(2024, 1, 1)
+    data = [
+        (str(k), base + timedelta(seconds=s), base + timedelta(seconds=s + d))
+        for k, s, d in rows
+    ]
+    df = spark.createDataFrame(data, "k string, s timestamp, e timestamp")
+    out = interval_concurrency(df, "s", "e", ["k"])
+    for r in out.collect():
+        t = r.at_ts
+        expected = sum(
+            1 for k, s, e in data if k == r.k and s <= t < e
+        )
+        assert r.concurrent == expected, (r.k, t, r.concurrent, expected)
+
+
+@PROP
+@given(
+    weights=st.lists(st.integers(1, 50), min_size=5, max_size=40),
+    k=st.sampled_from([1, 3, 10]),
+)
+def test_weighted_sample_matches_reference_aes(spark, weights, k):
+    """The distributed A-ES top-k must equal a local reference
+    implementation of the same md5-derived keys — the determinism that
+    makes the sampler rerun-stable and oracle-checkable."""
+    import hashlib
+
+    from stockpy_spark.operators.sampling import weighted_sample_topk
+
+    df = spark.createDataFrame(
+        [(i, float(w)) for i, w in enumerate(weights)], "id long, w double"
+    )
+    got = sorted(
+        r.id for r in weighted_sample_topk(df, "id", "w", k=k).collect()
+    )
+
+    def u(i: int) -> float:
+        h = hashlib.md5(f"wsample\x1f{i}".encode()).hexdigest()
+        return int(h[:13], 16) / float(16**13)
+
+    keyed = sorted(
+        ((round(u(i) ** (1.0 / w), 12), -i), i)
+        for i, w in enumerate(weights)
+    )
+    expected = sorted(i for _, i in keyed[-min(k, len(weights)):])
+    assert got == expected
