@@ -1,13 +1,17 @@
 """Round-6 query families: chunking, sweep-line concurrency, mergeable
-HLL rollups, product quantization.
+HLL rollups, product quantization (Arrow kernel), incremental
+corpus-ingestion dedup, weighted sampling, exact heavy hitters, native
+session windows, the baseline-JPEG fidelity gate, Spark-4 VARIANT,
+EWMA folds, one-pass column profiling, and OLS trend aggregates.
 
 Each family is the Spark-first scale path for a workload the
 LLM-pipeline brief calls out (chunk long documents for training/RAG,
-distinct-count rollups without rescans, 100x embedding compression) or
-classic interval analytics (max concurrent sessions). Oracles are exact
-DuckDB SQL except the HLL family, which is gate-style like the ANN/LSH
-families (sketch binaries are engine-specific; the quality contract is
-what's hash-checked).
+distinct-count rollups without rescans, 100x embedding compression,
+screening new batches against a standing corpus) or classic analytics
+(concurrency, trends, profiles). Oracles are exact DuckDB SQL except
+the HLL and JPEG families, which are gate-style like the ANN/LSH
+families (engine-specific sketches / lossy codecs; the quality
+contract is what's hash-checked).
 """
 
 from __future__ import annotations
