@@ -23,7 +23,12 @@ from stockpy_spark.operators.dedup import incremental_dedup_admit
 from stockpy_spark.operators.sketches import hll_rollup_quality
 from stockpy_spark.operators.similarity import pq_quantize_arrow
 from stockpy_spark.operators.timeseries import interval_concurrency
-from stockpy_spark.registry_ext import _TOKENS_LOWER_SQL, _t
+from stockpy_spark.registry_ext import (
+    _STOP_SQL,
+    _TOKENS_LOWER_SQL,
+    _TOKENS_SQL,
+    _t,
+)
 
 
 # --- document chunking --------------------------------------------------
@@ -412,6 +417,87 @@ SELECT doc_id, 1 AS gate_err_ok FROM documents
 """
 
 
+# --- composed training-prep pipeline -------------------------------------
+
+def q_pipeline_training_prep(spark, sf_dir):
+    """The full corpus -> training-samples flow in one composition:
+    quality gate (>= 0.5) -> exact dedup (min-id per normalized md5
+    fingerprint) -> overlapping-window chunking (32 tokens / 8
+    overlap) -> per-language sample statistics. Every stage is an
+    operator with its own oracle-checked query (`text_quality_score`,
+    `dedup_exact_docs`, `chunk_documents`); this entry pins the
+    composition — the pipeline a pretraining data job actually ships.
+    Scale shape: one narrow quality scan, one map-side-combined
+    fingerprint shuffle, zero-shuffle chunk explode, one final rollup."""
+    from stockpy_spark.functions.text import quality_score
+    from stockpy_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", "text", quality_score("text").alias("quality")
+    )
+    qualified = scored.filter(F.col("quality") >= 0.5)
+    uniq = exact_dedup(qualified, "text", "doc_id")
+    chunks = chunk_documents(uniq, "text", "doc_id", chunk_tokens=32, overlap=8)
+    return (
+        chunks.join(uniq.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+SQL_TRAINING_PREP = rf"""
+WITH feat AS (
+    SELECT doc_id, lang, text,
+           length(coalesce(text, '')) AS n_chars,
+           CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                ELSE len({_TOKENS_SQL}) END AS n_tokens,
+           CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                ELSE len(list_filter({_TOKENS_SQL},
+                         x -> list_contains({_STOP_SQL}, lower(x)))) END AS stop_hits,
+           length(coalesce(text, ''))
+               - length(regexp_replace(coalesce(text, ''), '[^\w\s]', '', 'g'))
+               AS punct_chars
+    FROM documents
+), scored AS (
+    SELECT doc_id, lang, text,
+           round(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+                 + least(stop_hits / CAST(greatest(n_tokens, 1) AS DOUBLE) * 5.0, 1.0) * 0.3
+                 + greatest(1.0 - punct_chars / CAST(greatest(n_chars, 1) AS DOUBLE) * 4.0,
+                            0.0) * 0.3, 6) AS quality
+    FROM feat
+), qualified AS (
+    SELECT doc_id, lang, text,
+           md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+    FROM scored WHERE quality >= 0.5
+), uniq AS (
+    SELECT q.doc_id, q.lang, q.text
+    FROM qualified q
+    JOIN (SELECT fp, min(doc_id) AS m FROM qualified GROUP BY fp) k
+      ON q.fp = k.fp AND q.doc_id = k.m
+), toks AS (
+    SELECT doc_id, lang,
+           CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+    FROM uniq
+), grid AS (
+    SELECT doc_id, lang, len(tk) AS n,
+           unnest(generate_series(0, (len(tk) - 1) // 24 * 24, 24)) AS start_tok
+    FROM toks
+    WHERE len(tk) > 0
+)
+SELECT lang,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(least(32, n - start_tok)) AS BIGINT) AS total_tokens
+FROM grid GROUP BY lang
+"""
+
+
 # --- regression aggregates (trend per key) -------------------------------
 
 def q_ts_trend(spark, sf_dir):
@@ -608,4 +694,5 @@ R6_QUERIES: dict[str, tuple] = {
     "ts_ewma": (q_ts_ewma, SQL_TS_EWMA),
     "profile_events": (q_profile_events, SQL_PROFILE_EVENTS),
     "ts_trend": (q_ts_trend, SQL_TS_TREND),
+    "pipeline_training_prep": (q_pipeline_training_prep, SQL_TRAINING_PREP),
 }
