@@ -23,14 +23,15 @@ _ALL = {**CORE_QUERIES, **EXT_QUERIES, **TPCH2_QUERIES, **HIVE_QUERIES, **TS_QUE
 
 # The driver's correctness gate checks the FIRST 50 queries in dict
 # insertion order. Round-6 rotation (oldest-green-first keeps every row
-# fresh within two rounds): the 24 r03-stale queries lead, then the 19
-# new round-6 rows (4 streaming gates incl. stream-static enrich,
-# mm_decode_gif, chunking, concurrency, HLL gate, PQ, incremental
-# dedup, weighted sample, top terms, native session windows, JPEG
-# fidelity gate, VARIANT, EWMA, column profiling, OLS trend, composed
-# training-prep pipeline), then the first 7 of the 50 r04-green rows
-# fill the 50-window; the rest of the r04 block and the 50 r05-fresh
-# rows close the list (r04 leftovers are first in line for round 7).
+# fresh within two rounds): the 24 r03-stale queries lead, then the 20
+# new round-6 rows (5 streaming gates incl. stream-static enrich and
+# the arbitrary-stateful running stats, mm_decode_gif, chunking,
+# concurrency, HLL gate, PQ, incremental dedup, weighted sample, top
+# terms, native session windows, JPEG fidelity gate, VARIANT, EWMA,
+# column profiling, OLS trend, composed training-prep pipeline), then
+# the first 6 of the 50 r04-green rows fill the 50-window; the rest of
+# the r04 block and the 50 r05-fresh rows close the list (r04
+# leftovers are first in line for round 7).
 DRIVER_PRIORITY = [
     # r03-stale, first in line (24)
     "w6_rank_family",
@@ -77,6 +78,7 @@ DRIVER_PRIORITY = [
     "stream_static_enrich",
     "ts_trend",
     "pipeline_training_prep",
+    "stream_running_stats",
     # r04-green fill; first-50 window ends 24 rows into this block
     "a2_count_star",
     "a3_distinct",

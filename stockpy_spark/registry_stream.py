@@ -36,6 +36,7 @@ from stockpy_spark.streaming.ops import (
     dedup_within_watermark,
     read_upsert_log_final,
     run_update_upsert_log_to_parquet,
+    stateful_running_stats,
     windowed_agg,
 )
 
@@ -250,9 +251,69 @@ GROUP BY 1, 2
 """
 
 
+def q_stream_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) end-to-end:
+    per-user running (count, sum, max) maintained in explicit state
+    across micro-batches, appended to a parquet sink one row per key
+    per batch. The per-key row with the highest count is the final
+    cumulative state — deterministic under ANY micro-batch split
+    (counts are strictly increasing per emission) — and must equal the
+    plain batch aggregate, which is exactly what the DuckDB oracle
+    computes. The fifth streaming class under the hash gate, and the
+    only one exercising the arbitrary-stateful API."""
+    src = _stream_events(spark, sf_dir).where(
+        F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    stats = stateful_running_stats(src, "user_id", "value", "ts", "36500 days")
+    out = tempfile.mkdtemp(prefix="stockpy_stream_stats_")
+    sink_dir = os.path.join(out, "sink")
+
+    # applyInPandasWithState declares update mode, which the file sink
+    # rejects — foreachBatch accepts it and appends each batch's
+    # emitted rows (per-key cumulative snapshots)
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(sink_dir)
+
+    (
+        stats.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", os.path.join(out, "ckpt"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    sunk = spark.read.parquet(sink_dir)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("key").orderBy(F.col("n").desc())
+    final = sunk.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") == 1
+    )
+    return final.select(
+        F.col("key").cast("long").alias("user_id"),
+        F.col("n").alias("n_events"),
+        F.round("total", 4).alias("sum_value"),
+        F.round("running_max", 4).alias("max_value"),
+    )
+
+
+SQL_STREAM_STATS = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value,
+       ROUND(MAX(value), 4) AS max_value
+FROM events
+WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+GROUP BY user_id
+"""
+
+
 STREAM_QUERIES = {
     "stream_hourly_agg": (q_stream_hourly_agg, SQL_STREAM_HOURLY),
     "stream_hopping_agg": (q_stream_hopping_agg, SQL_STREAM_HOPPING),
     "stream_dedup_keys": (q_stream_dedup_keys, SQL_STREAM_DEDUP),
     "stream_static_enrich": (q_stream_static_enrich, SQL_STREAM_ENRICH),
+    "stream_running_stats": (q_stream_running_stats, SQL_STREAM_STATS),
 }
