@@ -46,19 +46,23 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch reader (which owns the nanos/NTZ fallback logic), so the
     stream sees the same ts dtype batch queries do."""
     batch = read_events(spark, sf_dir)
-    # The file stream source requires a DIRECTORY; the testdata table is
-    # a single file. Symlink it into a temp dir (no data copy) — this is
-    # also where a real deployment would point the source at a landing
-    # directory receiving files over time.
-    src_dir = tempfile.mkdtemp(prefix="stockpy_stream_src_")
+    # The file stream source requires a DIRECTORY. A Spark-written
+    # events table (the synthetic scale dirs, any production layout)
+    # already IS one — stream it directly. The driver testdata ships a
+    # single FILE; symlink that into a temp dir (no data copy) — the
+    # same shape as a landing directory receiving files over time.
     target = os.path.join(sf_dir, "events.parquet")
-    link = os.path.join(src_dir, "events.parquet")
-    try:
-        os.symlink(target, link)
-    except OSError:
-        import shutil
+    if os.path.isdir(target):
+        src_dir = target
+    else:
+        src_dir = tempfile.mkdtemp(prefix="stockpy_stream_src_")
+        link = os.path.join(src_dir, "events.parquet")
+        try:
+            os.symlink(target, link)
+        except OSError:
+            import shutil
 
-        shutil.copy(target, link)
+            shutil.copy(target, link)
     src = spark.readStream.schema(batch.schema).parquet(src_dir)
     if dict(batch.dtypes).get("ts") != dict(src.dtypes).get("ts"):
         # nanos fixture: mirror the batch rebuild (ns -> us floor)
