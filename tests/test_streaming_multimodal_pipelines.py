@@ -627,3 +627,28 @@ def test_batch_hopping_rollup_matches_streaming_sliding_window(spark, tmp_path):
         for r in b_agg.collect()
     }
     assert batch == streaming and len(batch) >= 4
+
+
+def test_stream_events_handles_directory_layout(spark, tmp_path):
+    """Regression: a Spark-written events DIRECTORY (vs the driver's
+    single-file fixture) must stream real batches — the symlink-a-file
+    assumption silently produced zero batches on directory tables."""
+    from stockpy_spark.registry_stream import _stream_events
+    from stockpy_spark.sources.testdata import read_events
+
+    sf_dir = str(tmp_path / "sf")
+    ev = read_events(spark, "/root/testdata/sf0.001").limit(200)
+    # write as a multi-file DIRECTORY table
+    ev.repartition(3).write.parquet(f"{sf_dir}/events.parquet")
+
+    src = _stream_events(spark, sf_dir)
+    sink = str(tmp_path / "sink")
+    (
+        src.select("event_id").writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    assert spark.read.parquet(sink).count() == 200
