@@ -89,3 +89,17 @@ def read_partition(
     return read_parquet(spark, path, schema).where(
         F.col(partition_col) == F.lit(partition_value)
     )
+
+
+def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan with schema evolution (``mergeSchema``): unions the
+    footers of every file under ``path``, so a table whose writers
+    added columns over time reads as the superset schema with NULLs
+    where old files lack a column — the additive-evolution contract a
+    long-lived lake table needs. Off by default in Spark because footer
+    merging costs a file-listing pass; this entry point makes the cost
+    explicit and opt-in rather than a session-wide conf. Renames and
+    type changes are NOT evolution (they are breaking changes — the
+    reference's fuzzy drift alignment in project.align_to_columns is
+    the remediation path for those)."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

@@ -78,3 +78,25 @@ def test_csv_round_trip_preserves_adversarial_strings(spark, tmp_path):
     assert got[1] == rows[0][1]
     assert got[2] == rows[1][1]
     assert got[3] is None and got[4] is None
+
+
+def test_read_parquet_evolved_additive_columns(spark, tmp_path):
+    """Two writer generations (v2 adds a column): mergeSchema reads the
+    superset with NULLs for old files; the default reader may silently
+    pick one footer — the difference this entry point exists for."""
+    from pyspark.sql import functions as F
+
+    from stockpy_spark.sources.readers import read_parquet_evolved
+
+    path = str(tmp_path / "evolving")
+    spark.range(3).select("id").write.parquet(path)
+    (
+        spark.range(3, 6)
+        .select("id", (F.col("id") * 10).alias("score"))
+        .write.mode("append").parquet(path)
+    )
+    out = read_parquet_evolved(spark, path)
+    assert set(out.columns) == {"id", "score"}
+    rows = {r.id: r.score for r in out.collect()}
+    assert rows[0] is None and rows[4] == 40
+    assert len(rows) == 6
