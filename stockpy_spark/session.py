@@ -51,7 +51,17 @@ def spark_conf_defaults(cpus: int | None = None) -> dict[str, str]:
         # append-duplication bug, extract_stocks_job.py:375-393).
         "spark.sql.sources.partitionOverwriteMode": "dynamic",
         "spark.ui.enabled": "false",
-        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        # Auto-broadcast stays at Spark's 10MB default. Round 6 traced
+        # q3/q18's chronic 3.2-3.6x 10x-scale ratios to an earlier 64MB
+        # override: at sf1 it broadcast the FILTERED LINEITEM (97% of
+        # the fact survives q3's shipdate predicate — a ~5.8M-row hash
+        # relation whose build/ship cost grows linearly with SF and
+        # never parallelizes). With the default, q3 at sf1 runs 3.29 ->
+        # 1.37 s and its scale ratio drops to ~1.4x; the sf0.1 cost is
+        # +8% on the borderline dims that now sort-merge (BASELINE.md
+        # §4). Dims that MUST broadcast are hinted explicitly in the
+        # queries — the threshold is the safety net, and a 100 TB
+        # safety net must not catch facts.
     }
 
 
