@@ -68,6 +68,13 @@ HEADLINE = [
     # chunk explode (high-fan-out narrow op over every document)
     "dedup_incremental",
     "chunk_documents",
+    # round-6 second wave: deterministic k-means (broadcast codebook +
+    # one-scan assignment passes), BM25 retrieval (token explode + tf/df
+    # aggregates), and per-group exact-percentile cleaning — three more
+    # distinct plan shapes under the timing gate
+    "emb_kmeans_assign",
+    "text_bm25_topk",
+    "quality_robust_clip",
 ]
 
 

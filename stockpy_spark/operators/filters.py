@@ -36,3 +36,57 @@ def filter_cross_column_equal(df: DataFrame, left: str, right: str) -> DataFrame
 def drop_na_subset(df: DataFrame, subset: list[str]) -> DataFrame:
     """P8 (reference: transform_news_job.py:126-129)."""
     return df.na.drop(subset=subset)
+
+
+def robust_clip_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+    mad_k: float = 5.0,
+    dp: int = 6,
+) -> DataFrame:
+    """Per-group winsorization + robust (median/MAD) outlier flagging —
+    the numeric-feature cleaning stage of a training-data pipeline.
+
+    Adds to each row: ``clipped`` = value winsorized to the group's
+    [lo_q, hi_q] exact percentiles, and ``is_outlier`` =
+    |value - median| > mad_k * MAD (MAD = median absolute deviation,
+    the robust sigma — immune to the very outliers it flags, unlike a
+    mean/stddev z-score). Group statistics are rounded to ``dp`` before
+    clipping/comparison so an independent engine replays identically.
+
+    Scale shape: two grouped aggregates over the fact table (each one
+    shuffle on the group key, map-side combined) — quantiles first,
+    then MAD against the broadcast medians; the flagging pass is a
+    narrow broadcast join. Exact percentile keeps the oracle exact; at
+    100 TB swap approx_percentile in for the same plan shape with
+    bounded memory.
+    """
+    stats = df.groupBy(*group_cols).agg(
+        F.round(F.expr(f"percentile({value_col}, {lo_q})"), dp).alias("__lo"),
+        F.round(F.expr(f"percentile({value_col}, {hi_q})"), dp).alias("__hi"),
+        F.round(F.expr(f"percentile({value_col}, 0.5)"), dp).alias("__med"),
+    )
+    with_med = df.join(F.broadcast(stats), group_cols)
+    mad = (
+        with_med.withColumn("__adev", F.abs(F.col(value_col) - F.col("__med")))
+        .groupBy(*group_cols)
+        .agg(F.round(F.expr("percentile(__adev, 0.5)"), dp).alias("__mad"))
+    )
+    return (
+        with_med.join(F.broadcast(mad), group_cols)
+        .withColumn(
+            "clipped",
+            F.round(
+                F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")),
+                dp,
+            ),
+        )
+        .withColumn(
+            "is_outlier",
+            F.abs(F.col(value_col) - F.col("__med")) > mad_k * F.col("__mad"),
+        )
+        .drop("__lo", "__hi", "__med", "__mad", "__adev")
+    )

@@ -322,6 +322,77 @@ def label_centroids(
     return out
 
 
+def kmeans_assign(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    dp: int = 6,
+) -> DataFrame:
+    """Deterministic Lloyd k-means: seeds = the k lowest-id vectors, one
+    refinement pass (assign -> recompute means), then a final assignment
+    to the refined centroids. Returns (id_col, cid, sim).
+
+    Unlike ivf_centroids (an ANN component whose contract is a recall
+    gate), this variant is engineered to be *replayable by an
+    independent engine*: every cross-engine-visible float — the cosine
+    used for the argmax and the recomputed centroid coordinates — is
+    rounded to ``dp`` decimals at the same algorithmic point, so a SQL
+    engine re-running the identical two passes reproduces the exact
+    assignment table. That puts a distributed iterative ML algorithm
+    under the full value-hash oracle rather than a weaker quality gate.
+
+    Scale shape: each pass broadcasts the KB-sized codebook and makes
+    ONE corpus scan (crossJoin with k rows + per-row argmax window
+    keyed by the vector id); the centroid update is a posexplode
+    aggregate over k x dim cells (map-side combined). The only
+    ``collect`` is the k x dim codebook literal, which flattens the
+    iterative lineage exactly like ivf_centroids. Semantic-dedup use:
+    cluster then keep one representative per cluster.
+    """
+    spark = corpus.sparkSession
+    vecs = corpus.select(
+        F.col(id_col).alias("__rid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__vec"),
+    )
+    seeds = (
+        vecs.orderBy("__rid")
+        .limit(k)
+        .withColumn("cid", F.row_number().over(Window.orderBy("__rid")) - 1)
+        .select("cid", F.col("__vec").alias("__cvec"))
+    )
+
+    def _assign(cent: DataFrame) -> DataFrame:
+        scored = vecs.crossJoin(F.broadcast(cent)).withColumn(
+            "sim", F.round(cosine_similarity(F.col("__vec"), F.col("__cvec")), dp)
+        )
+        w = Window.partitionBy("__rid").orderBy(F.col("sim").desc(), F.col("cid"))
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__cvec")
+        )
+
+    refined = (
+        _assign(seeds)
+        .select("cid", F.posexplode("__vec").alias("pos", "val"))
+        .groupBy("cid", "pos")
+        .agg(F.round(F.avg("val"), dp).alias("m"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("__cvec")
+        )
+    )
+    rows = [(int(r["cid"]), list(r["__cvec"])) for r in refined.collect()]
+    codebook = spark.createDataFrame(rows, "cid int, __cvec array<double>")
+    return _assign(codebook).select(
+        F.col("__rid").alias(id_col), "cid", "sim"
+    )
+
+
 def pq_codebooks(
     corpus: DataFrame,
     vec_col: str,

@@ -13,13 +13,14 @@ from stockpy_spark.registry_graph import GRAPH_QUERIES
 from stockpy_spark.registry_stream import STREAM_QUERIES
 from stockpy_spark.registry_ts import TS_QUERIES
 from stockpy_spark.registry_r6 import R6_QUERIES
+from stockpy_spark.registry_r6b import R6B_QUERIES
 
 try:
     from stockpy_spark.registry_ext import EXT_QUERIES
 except ImportError:  # extensions land incrementally
     EXT_QUERIES = {}
 
-_ALL = {**CORE_QUERIES, **EXT_QUERIES, **TPCH2_QUERIES, **HIVE_QUERIES, **TS_QUERIES, **GRAPH_QUERIES, **STREAM_QUERIES, **R6_QUERIES}
+_ALL = {**CORE_QUERIES, **EXT_QUERIES, **TPCH2_QUERIES, **HIVE_QUERIES, **TS_QUERIES, **GRAPH_QUERIES, **STREAM_QUERIES, **R6_QUERIES, **R6B_QUERIES}
 
 # The driver's correctness gate checks the FIRST 50 queries in dict
 # insertion order. Round-6 rotation (oldest-green-first keeps every row
@@ -29,9 +30,9 @@ _ALL = {**CORE_QUERIES, **EXT_QUERIES, **TPCH2_QUERIES, **HIVE_QUERIES, **TS_QUE
 # concurrency, HLL gate, PQ, incremental dedup, weighted sample, top
 # terms, native session windows, JPEG fidelity gate, VARIANT, EWMA,
 # column profiling, OLS trend, composed training-prep pipeline), then
-# the first 6 of the 50 r04-green rows fill the 50-window; the rest of
-# the r04 block and the 50 r05-fresh rows close the list (r04
-# leftovers are first in line for round 7).
+# the 6 second-wave round-6 rows (q2/q11 shapes, BM25, k-means x2,
+# robust clip) close the 50-window exactly; the r04-green block and the
+# 50 r05-fresh rows follow (r04 rows are first in line for round 7).
 DRIVER_PRIORITY = [
     # r03-stale, first in line (24)
     "w6_rank_family",
@@ -79,7 +80,16 @@ DRIVER_PRIORITY = [
     "ts_trend",
     "pipeline_training_prep",
     "stream_running_stats",
-    # r04-green fill; first-50 window ends 24 rows into this block
+    # second-wave round-6 rows (no driver row yet): TPC-H q2/q11 shapes,
+    # BM25 retrieval, deterministic k-means clustering, robust clipping
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "text_bm25_topk",
+    "emb_kmeans_assign",
+    "emb_kmeans_summary",
+    "quality_robust_clip",
+    # r04-green (exactly two rounds old — first in line for round 7);
+    # the first-50 window closes at quality_robust_clip above
     "a2_count_star",
     "a3_distinct",
     "p2_rename_literal",

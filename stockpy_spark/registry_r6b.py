@@ -1,0 +1,306 @@
+"""Round-6 second-wave families: the last two TPC-H shapes (Q2's
+correlated argmin-per-group, Q11's HAVING-against-scalar-subquery),
+BM25 ranked retrieval, deterministic k-means semantic clustering under
+the full value-hash oracle, and robust (median/MAD) numeric cleaning.
+
+Q2/Q16-style queries use lineitem as the part-supplier link (the
+testdata ships no partsupp table); the shapes — argmin join-back and
+scalar-subquery HAVING — are the ones the reference's SQL surface
+exercises. The k-means and BM25 entries extend the LLM-pipeline
+surface: semantic near-dup clustering over embeddings and quality
+retrieval over documents, both exactly replayable by the DuckDB oracle
+(every cross-engine-visible float is rounded at the same algorithmic
+point; decimal sums where order-independence matters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from stockpy_spark.operators.filters import robust_clip_outliers
+from stockpy_spark.operators.similarity import kmeans_assign
+from stockpy_spark.operators.textstats import bm25_topk
+from stockpy_spark.registry_ext import _TOKENS_LOWER_SQL, _t
+
+
+# --- TPC-H Q2 shape: cheapest regional supplier per part -----------------
+
+def q_q2_min_cost_supplier(spark, sf_dir):
+    """Q2 shape (argmin-per-group + join-back): for every part, the
+    cheapest EUROPE supplier by observed unit price. Dimensions
+    (region->nation->supplier, part) broadcast; the only shuffle is the
+    (partkey, suppkey) unit-cost aggregate; the argmin is a window over
+    that already-reduced frame, ties broken by suppkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = _t(spark, sf_dir, "part")
+
+    eur = (
+        sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("__cost")
+    )
+    offers = costs.join(
+        F.broadcast(eur), costs["l_suppkey"] == eur["s_suppkey"]
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("__cost").asc(), F.col("l_suppkey").asc()
+    )
+    best = offers.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    )
+    return (
+        best.join(F.broadcast(part), best["l_partkey"] == part["p_partkey"])
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            "p_type",
+            # NOT rounded: the quotient price/qty systematically lands on
+            # exact decimal halves (integer quantities), where Spark's
+            # BigDecimal HALF_UP and DuckDB's fp-multiply round() disagree.
+            # No reordering happens here (min over the same doubles), so
+            # the raw double is bit-identical across engines.
+            F.col("__cost").alias("min_cost"),
+        )
+    )
+
+
+SQL_Q2 = """
+WITH eur AS (
+    SELECT s_suppkey, s_name, s_acctbal, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+), costs AS (
+    SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS cost
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+), best AS (
+    SELECT c.l_partkey, c.cost, e.s_name, e.s_acctbal, e.n_name,
+           row_number() OVER (PARTITION BY c.l_partkey
+                              ORDER BY c.cost, c.l_suppkey) AS rn
+    FROM costs c JOIN eur e ON c.l_suppkey = e.s_suppkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, p_type,
+       cost AS min_cost
+FROM best JOIN part ON l_partkey = p_partkey
+WHERE rn = 1
+"""
+
+
+# --- TPC-H Q11 shape: value share above a scalar-subquery threshold ------
+
+def q_q11_important_parts(spark, sf_dir, nationkey: int = 7):
+    """Q11 shape (HAVING vs scalar subquery): parts whose revenue
+    through nation-7 suppliers exceeds 0.1% of that nation's total.
+    Order-independent exact decimal sums; the grand total is a 1-row
+    broadcast; the threshold comparison happens on the bit-identical
+    double cast of the exact decimals, so both engines agree exactly."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == nationkey)
+        .select("s_suppkey")
+    )
+    joined = li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+    grouped = joined.groupBy("l_partkey").agg(
+        F.sum(
+            F.expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))")
+        ).alias("__val")
+    )
+    total = grouped.agg(
+        (F.sum("__val").cast("double") * F.lit(0.001)).alias("__thr")
+    )
+    return (
+        grouped.crossJoin(F.broadcast(total))
+        .filter(F.col("__val").cast("double") > F.col("__thr"))
+        .select(
+            "l_partkey",
+            F.expr("CAST(round(__val, 2) AS DOUBLE)").alias("part_value"),
+        )
+    )
+
+
+SQL_Q11 = """
+WITH nsup AS (SELECT s_suppkey FROM supplier WHERE s_nationkey = 7),
+vals AS (
+    SELECT l_partkey,
+           sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS val
+    FROM lineitem JOIN nsup ON l_suppkey = s_suppkey
+    GROUP BY l_partkey
+), thr AS (
+    SELECT CAST(sum(val) AS DOUBLE) * CAST(0.001 AS DOUBLE) AS t FROM vals
+)
+SELECT l_partkey, CAST(round(val, 2) AS DOUBLE) AS part_value
+FROM vals, thr
+WHERE CAST(val AS DOUBLE) > t
+"""
+
+
+# --- BM25 ranked retrieval ----------------------------------------------
+
+_BM25_TERMS = ["spark", "merge", "vector"]
+
+
+def q_text_bm25_topk(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, "text", "doc_id", _BM25_TERMS, k=20)
+
+
+# Mirrors bm25_topk exactly: same idf smoothing, same evaluation order,
+# fractional literals CAST to DOUBLE (bare decimal literals are DECIMAL
+# in DuckDB, which would change the arithmetic), same 6-dp rounding of
+# per-term contributions and the summed score.
+SQL_BM25 = f"""
+WITH toks AS (
+    SELECT doc_id AS doc, unnest({_TOKENS_LOWER_SQL}) AS term FROM documents
+), tf AS (
+    SELECT doc, term, count(*) AS tf FROM toks GROUP BY doc, term
+), dl AS (
+    SELECT doc, count(*) AS dl FROM toks GROUP BY doc
+), stats AS (
+    SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+), qtf AS (
+    SELECT * FROM tf WHERE term IN ('spark', 'merge', 'vector')
+), dfreq AS (
+    SELECT term, count(*) AS df FROM qtf GROUP BY term
+), contrib AS (
+    SELECT q.doc,
+           round(ln((s.n - d.df + CAST(0.5 AS DOUBLE))
+                    / (d.df + CAST(0.5 AS DOUBLE)) + 1)
+                 * (q.tf * CAST(2.2 AS DOUBLE))
+                 / (q.tf + CAST(1.2 AS DOUBLE)
+                    * (CAST(0.25 AS DOUBLE)
+                       + CAST(0.75 AS DOUBLE) * l.dl / s.avgdl)), 6) AS c
+    FROM qtf q
+    JOIN dfreq d USING (term)
+    JOIN dl l ON q.doc = l.doc
+    CROSS JOIN stats s
+), scored AS (
+    SELECT doc, count(*) AS n_terms, round(sum(c), 6) AS score
+    FROM contrib GROUP BY doc
+)
+SELECT doc, n_terms, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc) AS INTEGER) AS rank
+FROM scored ORDER BY score DESC, doc LIMIT 20
+"""
+
+
+# --- deterministic k-means over embeddings ------------------------------
+
+def q_emb_kmeans_assign(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, "embedding", "vec_id", k=8)
+
+
+# Replays kmeans_assign move for move: lowest-8-id seeds, one Lloyd
+# refinement with the cosine rounded to 6 dp before the argmax (ties ->
+# lowest cid), centroid means rounded to 6 dp, final assignment to the
+# refined codebook. DuckDB lists are 1-indexed; position only orders
+# the rebuilt centroid array, so the offset is immaterial.
+_SQL_KMEANS_CTES = """
+WITH v AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings
+), seeds AS (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid,
+           ev AS cv
+    FROM (SELECT * FROM v ORDER BY vec_id LIMIT 8)
+), a1 AS (
+    SELECT vec_id, cid, ev,
+           row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY round(list_cosine_similarity(ev, cv), 6) DESC, cid
+           ) AS rn
+    FROM v CROSS JOIN seeds
+), m1 AS (
+    SELECT a.cid, p.pos, round(avg(a.ev[p.pos]), 6) AS m
+    FROM (SELECT cid, ev FROM a1 WHERE rn = 1) a
+    CROSS JOIN (SELECT CAST(unnest(range(1, 65)) AS INTEGER) AS pos) p
+    GROUP BY a.cid, p.pos
+), c1 AS (
+    SELECT cid, list(m ORDER BY pos) AS cv FROM m1 GROUP BY cid
+), fin AS (
+    SELECT vec_id, cid,
+           round(list_cosine_similarity(ev, cv), 6) AS sim,
+           row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY round(list_cosine_similarity(ev, cv), 6) DESC, cid
+           ) AS rn
+    FROM v CROSS JOIN c1
+)
+"""
+
+SQL_KMEANS_ASSIGN = _SQL_KMEANS_CTES + """
+SELECT vec_id, cid, sim FROM fin WHERE rn = 1
+"""
+
+
+def q_emb_kmeans_summary(spark, sf_dir):
+    """Semantic-dedup view of the clustering: per-cluster size, lowest-id
+    representative, and mean within-cluster similarity."""
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned = kmeans_assign(emb, "embedding", "vec_id", k=8)
+    return assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("vec_id").alias("rep_id"),
+        F.round(F.avg("sim"), 6).alias("mean_sim"),
+    )
+
+
+SQL_KMEANS_SUMMARY = _SQL_KMEANS_CTES + """
+SELECT cid, count(*) AS n_members, min(vec_id) AS rep_id,
+       round(avg(sim), 6) AS mean_sim
+FROM fin WHERE rn = 1
+GROUP BY cid
+"""
+
+
+# --- robust numeric cleaning --------------------------------------------
+
+def q_quality_robust_clip(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = robust_clip_outliers(
+        ev, "value", ["event_type"], lo_q=0.05, hi_q=0.95, mad_k=5.0, dp=4
+    )
+    return out.select("event_id", "event_type", "clipped", "is_outlier")
+
+
+SQL_ROBUST_CLIP = """
+WITH stats AS (
+    SELECT event_type,
+           round(quantile_cont(value, 0.05), 4) AS lo,
+           round(quantile_cont(value, 0.95), 4) AS hi,
+           round(quantile_cont(value, 0.5), 4) AS med
+    FROM events GROUP BY event_type
+), mad AS (
+    SELECT e.event_type,
+           round(quantile_cont(abs(e.value - s.med), 0.5), 4) AS mad
+    FROM events e JOIN stats s USING (event_type)
+    GROUP BY e.event_type
+)
+SELECT e.event_id, e.event_type,
+       round(least(greatest(e.value, s.lo), s.hi), 4) AS clipped,
+       abs(e.value - s.med) > CAST(5.0 AS DOUBLE) * m.mad AS is_outlier
+FROM events e
+JOIN stats s USING (event_type)
+JOIN mad m USING (event_type)
+"""
+
+
+R6B_QUERIES = {
+    "q2_min_cost_supplier": (q_q2_min_cost_supplier, SQL_Q2),
+    "q11_important_parts": (q_q11_important_parts, SQL_Q11),
+    "text_bm25_topk": (q_text_bm25_topk, SQL_BM25),
+    "emb_kmeans_assign": (q_emb_kmeans_assign, SQL_KMEANS_ASSIGN),
+    "emb_kmeans_summary": (q_emb_kmeans_summary, SQL_KMEANS_SUMMARY),
+    "quality_robust_clip": (q_quality_robust_clip, SQL_ROBUST_CLIP),
+}
