@@ -226,3 +226,65 @@ def dedup_components(
         F.col("label").alias("component"),
         (F.col(id_col) == F.col("label")).alias("is_representative"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    iterations: int = 2,
+    damping: float = 0.85,
+    dp: int = 6,
+) -> DataFrame:
+    """Weighted PageRank with a FIXED iteration count, engineered (like
+    similarity.kmeans_assign) to be exactly replayable by an
+    independent SQL engine: ranks are rounded to ``dp`` decimals after
+    every update, so the whole rank table sits under the full
+    value-hash oracle instead of a convergence gate. Returns
+    (node, rank).
+
+    Assumes every node has out-degree >= 1 (true for symmetrized
+    co-occurrence graphs, the intended input — build undirected graphs
+    by emitting both edge directions); dangling-mass redistribution is
+    deliberately out of scope for that input class.
+
+    Scale shape per iteration: one join of the rank frame (|nodes|)
+    onto the edge frame keyed by src, one shuffle-aggregate keyed by
+    dst, one left join back onto the node frame for isolated-free
+    reassembly — all standard co-partitionable hash operations; the
+    rank frame is |nodes|-sized, never edge-sized. A fixed iteration
+    count keeps lineage bounded without checkpointing; for
+    run-to-convergence use the connected_components frontier pattern.
+    """
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = edges.select(
+        F.col(src).alias("__s"), F.col(dst).alias("__d"), w.alias("__w")
+    )
+    outw = e.groupBy("__s").agg(F.sum("__w").alias("__outw"))
+    nodes = e.select(F.col("__s").alias("node")).distinct()
+    n_nodes = nodes.count()
+    base = (1.0 - damping) / n_nodes
+    # init NOT rounded: 1/N is the same double in any engine
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for _ in range(iterations):
+        contrib = (
+            e.join(outw, "__s")
+            .join(ranks, e["__s"] == ranks["node"])
+            .select(
+                F.col("__d").alias("node"),
+                (F.col("rank") * F.col("__w") / F.col("__outw")).alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    base + damping * F.coalesce(F.col("__in"), F.lit(0.0)), dp
+                ).alias("rank"),
+            )
+        )
+    return ranks

@@ -88,8 +88,15 @@ DRIVER_PRIORITY = [
     "emb_kmeans_assign",
     "emb_kmeans_summary",
     "quality_robust_clip",
-    # r04-green (exactly two rounds old — first in line for round 7);
-    # the first-50 window closes at quality_robust_clip above
+    # --- first-50 window closes at quality_robust_clip above ---
+    # third-wave round-6 rows (behavioral analytics, PageRank, SCD2):
+    # just past the window, so they head the round-7 queue together
+    # with the r04-green block below
+    "funnel_conversion",
+    "cohort_retention_weekly",
+    "part_pagerank",
+    "scd2_event_history",
+    # r04-green (exactly two rounds old — next in line for round 7)
     "a2_count_star",
     "a3_distinct",
     "p2_rename_literal",

@@ -304,3 +304,173 @@ R6B_QUERIES = {
     "emb_kmeans_summary": (q_emb_kmeans_summary, SQL_KMEANS_SUMMARY),
     "quality_robust_clip": (q_quality_robust_clip, SQL_ROBUST_CLIP),
 }
+
+
+# --- behavioral analytics: funnel + cohort retention --------------------
+
+def q_funnel_conversion(spark, sf_dir):
+    from stockpy_spark.operators.behavior import funnel_stages
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_stages(ev, ["view", "click", "purchase"])
+
+
+# Mirrors funnel_stages pass by pass: step i's timestamp is the min ts
+# of that type strictly after step i-1's completion; users who never
+# did step 1 are outside the funnel (inner t1 frame).
+SQL_FUNNEL = """
+WITH t1 AS (
+    SELECT user_id AS u, min(ts) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY 1
+), t2 AS (
+    SELECT e.user_id AS u, min(e.ts) AS t2
+    FROM events e JOIN t1 ON e.user_id = t1.u
+    WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1
+), t3 AS (
+    SELECT e.user_id AS u, min(e.ts) AS t3
+    FROM events e JOIN t2 ON e.user_id = t2.u
+    WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1
+)
+SELECT t1.u AS user_id,
+       CASE WHEN t3.t3 IS NOT NULL THEN 3
+            WHEN t2.t2 IS NOT NULL THEN 2
+            ELSE 1 END AS stage,
+       t1.t1 AS t1, t2.t2 AS t2, t3.t3 AS t3
+FROM t1
+LEFT JOIN t2 ON t1.u = t2.u
+LEFT JOIN t3 ON t1.u = t3.u
+"""
+
+
+def q_cohort_retention(spark, sf_dir):
+    from stockpy_spark.operators.behavior import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev, grain="week")
+
+
+SQL_COHORT = """
+WITH cohorts AS (
+    -- CAST: DuckDB date_trunc('week') yields DATE; Spark yields TIMESTAMP
+    SELECT user_id AS u, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort
+    FROM events GROUP BY 1
+), active AS (
+    SELECT DISTINCT user_id AS u,
+           CAST(date_trunc('week', ts) AS TIMESTAMP) AS period
+    FROM events
+)
+SELECT cohort, period, count(DISTINCT u) AS n_users
+FROM active JOIN cohorts USING (u)
+GROUP BY 1, 2
+"""
+
+
+# --- co-purchase PageRank -----------------------------------------------
+
+def q_part_pagerank(spark, sf_dir):
+    """Two fixed PageRank iterations over the part co-purchase graph
+    (parts sharing an order; ~4 items/order bounds the self-join
+    fan-out). Third iterative distributed algorithm under the exact
+    value-hash oracle, after connected components and k-means."""
+    from stockpy_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    ranks = pagerank(edges, "src", "dst", weight="w", iterations=2)
+    return ranks.select(F.col("node").alias("part"), "rank")
+
+
+SQL_PAGERANK = """
+WITH e AS (
+    SELECT a.l_partkey AS s, b.l_partkey AS d, CAST(count(*) AS DOUBLE) AS w
+    FROM lineitem a
+    JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey <> b.l_partkey
+    GROUP BY 1, 2
+), outw AS (
+    SELECT s, sum(w) AS ow FROM e GROUP BY 1
+), nodes AS (
+    SELECT DISTINCT s AS node FROM e
+), n AS (
+    SELECT count(*) AS n FROM nodes
+), r0 AS (
+    SELECT node, CAST(1 AS DOUBLE) / n.n AS rank FROM nodes, n
+), c1 AS (
+    SELECT e.d AS node, sum(r0.rank * e.w / o.ow) AS cin
+    FROM e JOIN outw o ON e.s = o.s JOIN r0 ON e.s = r0.node
+    GROUP BY 1
+), r1 AS (
+    SELECT nodes.node,
+           round((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n.n
+                 + CAST(0.85 AS DOUBLE)
+                   * coalesce(c1.cin, CAST(0 AS DOUBLE)), 6) AS rank
+    FROM nodes LEFT JOIN c1 ON nodes.node = c1.node, n
+), c2 AS (
+    SELECT e.d AS node, sum(r1.rank * e.w / o.ow) AS cin
+    FROM e JOIN outw o ON e.s = o.s JOIN r1 ON e.s = r1.node
+    GROUP BY 1
+), r2 AS (
+    SELECT nodes.node,
+           round((CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n.n
+                 + CAST(0.85 AS DOUBLE)
+                   * coalesce(c2.cin, CAST(0 AS DOUBLE)), 6) AS rank
+    FROM nodes LEFT JOIN c2 ON nodes.node = c2.node, n
+)
+SELECT node AS part, rank FROM r2
+"""
+
+
+# --- SCD2 history build -------------------------------------------------
+
+def q_scd2_event_history(spark, sf_dir):
+    from stockpy_spark.operators.merge import scd2_history
+
+    ev = _t(spark, sf_dir, "events")
+    return scd2_history(ev, "user_id", "event_type", "ts", tiebreak_col="event_id")
+
+
+SQL_SCD2 = """
+WITH seq AS (
+    SELECT user_id, event_type, ts, event_id,
+           CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) IS NULL
+                  OR lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) <> event_type
+                THEN 1 ELSE 0 END AS chg
+    FROM events
+), isl AS (
+    SELECT user_id, event_type, ts, event_id,
+           sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS ver
+    FROM seq
+), vers AS (
+    SELECT user_id, ver, min(event_type) AS attr, min(ts) AS valid_from
+    FROM isl GROUP BY 1, 2
+)
+SELECT user_id, attr, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY ver) AS valid_to,
+       CAST(ver AS INTEGER) AS version
+FROM vers
+"""
+
+
+R6B_QUERIES.update(
+    {
+        "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL),
+        "cohort_retention_weekly": (q_cohort_retention, SQL_COHORT),
+        "part_pagerank": (q_part_pagerank, SQL_PAGERANK),
+        "scd2_event_history": (q_scd2_event_history, SQL_SCD2),
+    }
+)

@@ -1,0 +1,119 @@
+"""Behavioral analytics (funnel, cohorts), PageRank, and SCD2 history —
+operator contracts; oracle parity is the driver gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stockpy_spark.operators.behavior import cohort_retention, funnel_stages
+from stockpy_spark.operators.graph import pagerank
+from stockpy_spark.operators.merge import scd2_history
+
+
+def _events(spark, sf_dir):
+    from stockpy_spark.sources.testdata import read_events
+
+    return read_events(spark, sf_dir)
+
+
+class TestFunnel:
+    def test_stage_monotonic_timestamps(self, spark, sf_dir):
+        out = funnel_stages(
+            _events(spark, sf_dir), ["view", "click", "purchase"]
+        ).collect()
+        assert len(out) > 0
+        for r in out:
+            # each completed step strictly after the previous one
+            if r["t2"] is not None:
+                assert r["t2"] > r["t1"]
+            if r["t3"] is not None:
+                assert r["t2"] is not None and r["t3"] > r["t2"]
+            # stage equals the number of completed steps
+            assert r["stage"] == sum(
+                r[f"t{i}"] is not None for i in (1, 2, 3)
+            )
+
+    def test_order_matters(self, spark, sf_dir):
+        # impossible ordering (purchase before signup before error ...) is
+        # a subset of the relaxed one-step funnel
+        ev = _events(spark, sf_dir)
+        strict = funnel_stages(ev, ["purchase", "view"])
+        assert (
+            strict.filter("t2 is not null").count()
+            <= strict.filter("t1 is not null").count()
+        )
+
+
+class TestCohorts:
+    def test_retention_matrix(self, spark, sf_dir):
+        ev = _events(spark, sf_dir)
+        out = cohort_retention(ev, grain="week")
+        rows = out.collect()
+        # no activity period before its cohort's first week
+        assert all(r["period"] >= r["cohort"] for r in rows)
+        # first-week diagonal counts every user exactly once
+        diag = sum(
+            r["n_users"] for r in rows if r["period"] == r["cohort"]
+        )
+        assert diag == ev.select("user_id").distinct().count()
+
+
+class TestPageRank:
+    def test_triangle_symmetric(self, spark):
+        # symmetric triangle -> uniform ranks that sum to ~1
+        edges = spark.createDataFrame(
+            [(a, b, 1) for a in range(3) for b in range(3) if a != b],
+            "src int, dst int, w int",
+        )
+        rows = pagerank(edges, weight="w", iterations=3).collect()
+        assert len(rows) == 3
+        assert abs(sum(r["rank"] for r in rows) - 1.0) < 1e-4
+        assert max(r["rank"] for r in rows) - min(r["rank"] for r in rows) < 1e-6
+
+    def test_hub_outranks_leaf(self, spark):
+        # star graph: center referenced by every leaf (symmetrized)
+        edges = spark.createDataFrame(
+            [(0, i, 1) for i in range(1, 6)]
+            + [(i, 0, 1) for i in range(1, 6)],
+            "src int, dst int, w int",
+        )
+        rows = {r["node"]: r["rank"] for r in pagerank(edges, weight="w").collect()}
+        assert rows[0] > max(v for k, v in rows.items() if k != 0)
+
+
+class TestSCD2:
+    def test_versions_partition_the_timeline(self, spark, sf_dir):
+        ev = _events(spark, sf_dir)
+        hist = scd2_history(ev, "user_id", "event_type", "ts", "event_id")
+        # exactly one open (current) version per user
+        per_user = hist.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("valid_to").isNull(), 1).otherwise(0)).alias(
+                "open"
+            ),
+        )
+        assert per_user.filter("open != 1").count() == 0
+        # versions are 1..n contiguous and valid_from strictly before valid_to
+        assert hist.filter("valid_to is not null and valid_from > valid_to").count() == 0
+        bad_ver = (
+            hist.groupBy("user_id")
+            .agg(F.max("version").alias("mx"), F.count(F.lit(1)).alias("n"))
+            .filter("mx != n")
+        )
+        assert bad_ver.count() == 0
+
+    def test_consecutive_duplicates_collapse(self, spark):
+        rows = [
+            (1, "a", 1, 10),
+            (1, "a", 2, 11),
+            (1, "b", 3, 12),
+            (1, "a", 4, 13),
+        ]
+        df = spark.createDataFrame(rows, "k int, v string, t int, id int")
+        hist = scd2_history(df, "k", "v", "t", "id").orderBy("version").collect()
+        assert [(r["attr"], r["valid_from"]) for r in hist] == [
+            ("a", 1),
+            ("b", 3),
+            ("a", 4),
+        ]
+        assert [r["valid_to"] for r in hist] == [3, 4, None]
