@@ -253,9 +253,19 @@ def pagerank(
     onto the edge frame keyed by src, one shuffle-aggregate keyed by
     dst, one left join back onto the node frame for isolated-free
     reassembly — all standard co-partitionable hash operations; the
-    rank frame is |nodes|-sized, never edge-sized. A fixed iteration
-    count keeps lineage bounded without checkpointing; for
-    run-to-convergence use the connected_components frontier pattern.
+    rank frame is |nodes|-sized, never edge-sized.
+
+    The edge frame appears in the final plan once per iteration plus
+    the outw/nodes scans, but it is NOT pinned: within the one final
+    action Spark's ReusedExchange dedupes the identical edge subplans,
+    so only the driver-side N count pays a second edge build. Measured
+    at sf10 on the part co-purchase graph (240M-row edge frame):
+    localCheckpoint-pinning the edges was 38% SLOWER (66 s vs 48 s,
+    plus GCLocker pressure) than letting exchange reuse handle it —
+    materialized storage of an edge-sized frame costs more than one
+    extra shuffle read. The connected_components checkpoint pattern is
+    for UNBOUNDED iteration counts, where lineage growth (not scan
+    count) is the enemy; with a fixed 2-3 iterations, reuse wins.
     """
     w = F.col(weight).cast("double") if weight else F.lit(1.0)
     e = edges.select(
