@@ -102,3 +102,114 @@ def cohort_retention(
         .groupBy("cohort", "period")
         .agg(F.countDistinct("__u").alias("n_users"))
     )
+
+
+def association_rules(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_co: int = 2,
+    dp: int = 6,
+) -> DataFrame:
+    """Market-basket association rules over (basket, item) rows:
+    (antecedent, consequent, co_count, support, confidence, lift),
+    directed pairs, kept when co_count >= min_co.
+
+    support = co/N, confidence = co/count(antecedent),
+    lift = confidence / (count(consequent)/N) — each division written
+    in that exact order so a SQL oracle reproduces the doubles, then
+    rounded to ``dp``.
+
+    Scale shape: one distinct to collapse repeated items per basket,
+    one self-join keyed on the basket id (fan-out bounded by basket
+    size, the classic market-basket assumption), one (ante, cons)
+    aggregate, then broadcast joins of the per-item count frame and the
+    1-row basket total. No driver actions, no candidate explosion
+    beyond pairs — this is the pair-rule core of Apriori with the
+    frequent-item pruning left to the min_co filter.
+    """
+    items = baskets.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    nb = items.agg(F.countDistinct("__b").alias("__nb"))
+    item_cnt = items.groupBy("__i").agg(F.count(F.lit(1)).alias("__cnt"))
+    a = items.alias("a")
+    b = items.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.__b") == F.col("b.__b"))
+            & (F.col("a.__i") != F.col("b.__i")),
+        )
+        .groupBy(
+            F.col("a.__i").alias("antecedent"),
+            F.col("b.__i").alias("consequent"),
+        )
+        .agg(F.count(F.lit(1)).alias("co_count"))
+        .filter(F.col("co_count") >= min_co)
+    )
+    ca = item_cnt.select(
+        F.col("__i").alias("antecedent"), F.col("__cnt").alias("__ca")
+    )
+    cb = item_cnt.select(
+        F.col("__i").alias("consequent"), F.col("__cnt").alias("__cb")
+    )
+    conf = F.col("co_count") / F.col("__ca")
+    return (
+        co.join(F.broadcast(ca), "antecedent")
+        .join(F.broadcast(cb), "consequent")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "antecedent",
+            "consequent",
+            "co_count",
+            F.round(F.col("co_count") / F.col("__nb"), dp).alias("support"),
+            F.round(conf, dp).alias("confidence"),
+            F.round(conf / (F.col("__cb") / F.col("__nb")), dp).alias("lift"),
+        )
+    )
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str | None = None,
+    dp: int = 6,
+) -> DataFrame:
+    """First-order Markov transition matrix of the event stream:
+    (prev_type, next_type, n, prob) where prob is row-normalized over
+    each prev_type. Transitions are counted within a user's stream,
+    ordered by (ts, tiebreak) for determinism.
+
+    Scale shape: one lag window partitioned by user (one shuffle on the
+    user key), one (prev, next) aggregate over the |types|^2 grid, and
+    a broadcast join of the per-prev totals — the matrix is
+    vocabulary-sized, never event-sized.
+    """
+    from pyspark.sql.window import Window
+
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak_col).asc()] if tiebreak_col else []
+    )
+    w = Window.partitionBy(user_col).orderBy(*order)
+    pairs = (
+        events.withColumn("__prev", F.lag(type_col).over(w))
+        .filter(F.col("__prev").isNotNull())
+        .groupBy(
+            F.col("__prev").alias("prev_type"),
+            F.col(type_col).alias("next_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("prev_type").agg(F.sum("n").alias("__tot"))
+    return (
+        pairs.join(F.broadcast(totals), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(F.col("n") / F.col("__tot"), dp).alias("prob"),
+        )
+    )

@@ -298,3 +298,63 @@ def pagerank(
             )
         )
     return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global triangle count of an undirected graph given as an edge
+    list (either or both directions; self-loops and duplicates are
+    dropped). Returns a 1-row (n_triangles) frame.
+
+    Degree-ordered orientation (Cohen's MapReduce algorithm): every
+    edge is oriented from its lower-(degree, id) endpoint to the
+    higher, making the orientation acyclic and giving every triangle
+    exactly one source node with two out-edges. Wedges are therefore
+    enumerated only from each node's out-neighborhood — at most
+    O(m^1.5) wedges total regardless of hub degree — instead of the
+    naive a<b<c id-ordering whose wedge count explodes quadratically on
+    a high-degree hub (a celebrity node in a social graph, a staple
+    part in a co-purchase graph). The close step is one hash join of
+    the wedge frame against the oriented edge list.
+
+    A SQL oracle need not replicate the orientation: the triangle
+    COUNT is orientation-invariant, so a plain a<b<c triple join
+    verifies the result exactly.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("__da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("__db"))
+    ranked = und.join(da, "a").join(db, "b")
+    # orient low-(degree, id) -> high-(degree, id)
+    low_first = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(low_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(low_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(low_first, F.col("__da")).otherwise(F.col("__db")).alias("__du"),
+        F.when(low_first, F.col("__db")).otherwise(F.col("__da")).alias("__dv"),
+    )
+    e1 = oriented.select("u", F.col("v").alias("w1"), F.col("__dv").alias("__d1"))
+    e2 = oriented.select("u", F.col("v").alias("w2"), F.col("__dv").alias("__d2"))
+    wedges = e1.join(e2, "u").filter(
+        (F.col("__d1") < F.col("__d2"))
+        | ((F.col("__d1") == F.col("__d2")) & (F.col("w1") < F.col("w2")))
+    )
+    closing = oriented.select(
+        F.col("u").alias("w1"), F.col("v").alias("w2")
+    )
+    tris = wedges.join(closing, ["w1", "w2"])
+    return tris.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))

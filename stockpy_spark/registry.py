@@ -96,6 +96,10 @@ DRIVER_PRIORITY = [
     "cohort_retention_weekly",
     "part_pagerank",
     "scd2_event_history",
+    "basket_rules",
+    "event_transitions",
+    "graph_triangles",
+    "stream_join_attribution",
     # r04-green (exactly two rounds old — next in line for round 7)
     "a2_count_star",
     "a3_distinct",

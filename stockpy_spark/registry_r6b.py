@@ -474,3 +474,111 @@ R6B_QUERIES.update(
         "scd2_event_history": (q_scd2_event_history, SQL_SCD2),
     }
 )
+
+
+# --- market-basket association rules ------------------------------------
+
+def q_basket_rules(spark, sf_dir):
+    from stockpy_spark.operators.behavior import association_rules
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return association_rules(li, "l_orderkey", "l_partkey", min_co=3)
+
+
+SQL_BASKET = """
+WITH items AS (
+    SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+), nb AS (
+    SELECT count(DISTINCT b) AS nb FROM items
+), cnt AS (
+    SELECT i, count(*) AS c FROM items GROUP BY 1
+), co AS (
+    SELECT a.i AS antecedent, b.i AS consequent, count(*) AS co_count
+    FROM items a JOIN items b ON a.b = b.b AND a.i <> b.i
+    GROUP BY 1, 2
+    HAVING count(*) >= 3
+)
+SELECT antecedent, consequent, co_count,
+       round(co_count / nb.nb, 6) AS support,
+       round(co_count / ca.c, 6) AS confidence,
+       round((co_count / ca.c) / (cb.c / nb.nb), 6) AS lift
+FROM co
+JOIN cnt ca ON co.antecedent = ca.i
+JOIN cnt cb ON co.consequent = cb.i, nb
+"""
+
+
+# --- Markov transition matrix -------------------------------------------
+
+def q_event_transitions(spark, sf_dir):
+    from stockpy_spark.operators.behavior import transition_matrix
+
+    ev = _t(spark, sf_dir, "events")
+    return transition_matrix(ev, tiebreak_col="event_id")
+
+
+SQL_TRANSITIONS = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+    FROM events
+), pairs AS (
+    SELECT prev AS prev_type, event_type AS next_type, count(*) AS n
+    FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+), tot AS (
+    SELECT prev_type, sum(n) AS t FROM pairs GROUP BY 1
+)
+SELECT p.prev_type, p.next_type, p.n, round(p.n / t.t, 6) AS prob
+FROM pairs p JOIN tot t USING (prev_type)
+"""
+
+
+# --- triangle counting ---------------------------------------------------
+
+def q_graph_triangles(spark, sf_dir):
+    """Triangles in the part co-purchase graph via degree-ordered
+    orientation (graph.triangle_count); the oracle counts the same
+    triangles with a plain a<b<c triple join — the count is
+    orientation-invariant, so a hash match proves the oriented
+    enumeration exact."""
+    from stockpy_spark.operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    return triangle_count(pairs)
+
+
+SQL_TRIANGLES = """
+WITH e AS (
+    SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+    FROM lineitem a
+    JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey < b.l_partkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM e e1
+JOIN e e2 ON e1.b = e2.a
+JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
+R6B_QUERIES.update(
+    {
+        "basket_rules": (q_basket_rules, SQL_BASKET),
+        "event_transitions": (q_event_transitions, SQL_TRANSITIONS),
+        "graph_triangles": (q_graph_triangles, SQL_TRIANGLES),
+    }
+)

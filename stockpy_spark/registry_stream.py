@@ -314,10 +314,79 @@ GROUP BY user_id
 """
 
 
+def q_stream_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join end-to-end — the sixth (and last)
+    streaming operator class under the hash gate: the view stream
+    joins the purchase stream of the same user with the purchase
+    within +-1 hour of the view (the time-range bound that makes the
+    dual state stores evictable). An inner stream-stream join emits
+    each matched pair exactly once regardless of micro-batch split, so
+    the appended pair set is deterministic; the gate aggregates it per
+    user (pair count + exact micros delta sum) for a stable frame."""
+    from stockpy_spark.streaming.ops import stream_stream_join
+
+    views = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("v_ts"))
+    )
+    purchases = (
+        _stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"))
+    )
+    joined = stream_stream_join(
+        views,
+        purchases,
+        "user_id",
+        "v_ts",
+        "p_ts",
+        "36500 days",
+        "36500 days",
+        max_delay="1 hour",
+    )
+    pairs = joined.select(
+        views["user_id"].alias("user_id"), "v_ts", "p_ts"
+    )
+    out = tempfile.mkdtemp(prefix="stockpy_stream_join_")
+    (
+        pairs.writeStream.format("parquet")
+        .option("path", os.path.join(out, "sink"))
+        .option("checkpointLocation", os.path.join(out, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    sunk = spark.read.parquet(os.path.join(out, "sink"))
+    return sunk.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum(F.unix_micros("p_ts") - F.unix_micros("v_ts"))
+        .cast("long")
+        .alias("sum_delta_us"),
+    )
+
+
+SQL_STREAM_JOIN = """
+WITH v AS (
+    SELECT user_id, ts AS v_ts FROM events WHERE event_type = 'view'
+), p AS (
+    SELECT user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'
+)
+SELECT v.user_id, COUNT(*) AS n_pairs,
+       CAST(SUM(epoch_us(p_ts) - epoch_us(v_ts)) AS BIGINT) AS sum_delta_us
+FROM v JOIN p ON v.user_id = p.user_id
+   AND p.p_ts >= v.v_ts - INTERVAL 1 HOUR
+   AND p.p_ts <= v.v_ts + INTERVAL 1 HOUR
+GROUP BY 1
+"""
+
+
 STREAM_QUERIES = {
     "stream_hourly_agg": (q_stream_hourly_agg, SQL_STREAM_HOURLY),
     "stream_hopping_agg": (q_stream_hopping_agg, SQL_STREAM_HOPPING),
     "stream_dedup_keys": (q_stream_dedup_keys, SQL_STREAM_DEDUP),
     "stream_static_enrich": (q_stream_static_enrich, SQL_STREAM_ENRICH),
     "stream_running_stats": (q_stream_running_stats, SQL_STREAM_STATS),
+    "stream_join_attribution": (q_stream_join_attribution, SQL_STREAM_JOIN),
 }

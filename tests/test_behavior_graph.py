@@ -117,3 +117,73 @@ class TestSCD2:
             ("a", 4),
         ]
         assert [r["valid_to"] for r in hist] == [3, 4, None]
+
+
+class TestAssociationRules:
+    def test_metrics_consistent(self, spark, sf_dir):
+        from stockpy_spark.operators.behavior import association_rules
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_partkey"
+        )
+        rules = association_rules(li, "l_orderkey", "l_partkey", min_co=2)
+        rows = rules.collect()
+        for r in rows:
+            assert r["co_count"] >= 2
+            assert 0 < r["support"] <= 1
+            assert 0 < r["confidence"] <= 1
+            assert r["lift"] > 0
+        # rules are directed: (a -> b) and (b -> a) share co_count
+        bykey = {(r["antecedent"], r["consequent"]): r["co_count"] for r in rows}
+        for (a, b), co in bykey.items():
+            if (b, a) in bykey:
+                assert bykey[(b, a)] == co
+
+    def test_toy_lift(self, spark):
+        from stockpy_spark.operators.behavior import association_rules
+
+        # bread+butter in 2/3 baskets; milk independent
+        rows = [
+            (1, "bread"), (1, "butter"),
+            (2, "bread"), (2, "butter"), (2, "milk"),
+            (3, "milk"),
+        ]
+        df = spark.createDataFrame(rows, "b int, i string")
+        out = {
+            (r["antecedent"], r["consequent"]): r
+            for r in association_rules(df, "b", "i", min_co=1).collect()
+        }
+        bb = out[("bread", "butter")]
+        assert bb["co_count"] == 2 and bb["confidence"] == 1.0
+        assert bb["lift"] == 1.5  # 1.0 / (2/3)
+
+
+class TestTransitions:
+    def test_rows_normalize(self, spark, sf_dir):
+        from stockpy_spark.operators.behavior import transition_matrix
+        from stockpy_spark.sources.testdata import read_events
+
+        out = transition_matrix(
+            read_events(spark, sf_dir), tiebreak_col="event_id"
+        )
+        sums = (
+            out.groupBy("prev_type").agg(F.sum("prob").alias("s")).collect()
+        )
+        assert all(abs(r["s"] - 1.0) < 1e-4 for r in sums)
+
+
+class TestTriangles:
+    def test_known_graphs(self, spark):
+        from stockpy_spark.operators.graph import triangle_count
+
+        # K4 has 4 triangles; input deliberately messy (dupes, loops,
+        # both directions)
+        edges = [(a, b) for a in range(4) for b in range(4) if a != b]
+        edges += [(0, 0), (1, 2), (2, 1)]
+        df = spark.createDataFrame(edges, "src int, dst int")
+        assert triangle_count(df).collect()[0]["n_triangles"] == 4
+        # a 4-cycle has none
+        ring = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3), (3, 0)], "src int, dst int"
+        )
+        assert triangle_count(ring).collect()[0]["n_triangles"] == 0
