@@ -67,6 +67,22 @@ def char_ngrams(col: Column | str, n: int = 3) -> Column:
     )
 
 
+def word_ngrams(col: Column | str, n: int = 5) -> Column:
+    """array<string> of space-joined word n-grams over the lowercase
+    whitespace tokens — the unit of LM bigram statistics (n=2) and of
+    n-gram decontamination (n=5..13). Fewer than n tokens (including
+    empty/NULL text) -> empty array."""
+    t = tokenize(F.lower(_c(col)))
+    return F.when(
+        F.size(t) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(t, i, F.lit(n)), " "),
+        )
+    )
+
+
 def quality_features(col: Column | str) -> dict[str, Column]:
     """Document-quality features: n_chars, n_tokens, mean token length,
     punctuation ratio, stopword ratio, uppercase ratio."""

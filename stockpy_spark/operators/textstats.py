@@ -127,3 +127,125 @@ def top_terms_per_doc(
         .filter(F.col("rank") <= k)
         .select("doc", "term", "tfidf", "rank")
     )
+
+
+def lm_perplexity_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: float = 0.5,
+    dp: int = 6,
+) -> DataFrame:
+    """Bigram-language-model quality scoring, the CCNet-style corpus
+    filter: train add-k-smoothed bigram statistics on the corpus, score
+    every document by its average bigram log-probability. Returns
+    (doc, n_bigrams, avg_logprob, perplexity); LOW avg_logprob (high
+    perplexity) marks boilerplate-free but incoherent text, the band a
+    perplexity filter drops.
+
+    P(w2|w1) = (c(w1 w2) + k) / (c(w1·) + k·V), with c(w1·) the count
+    of bigrams starting with w1 and V the corpus vocabulary size. The
+    per-doc average (and the perplexity derived from the rounded
+    average) is rounded to ``dp`` so the score table replays exactly
+    on a SQL engine; see the in-code note on why the per-bigram
+    log-prob must NOT be.
+
+    Scale shape: the bigram explode is a narrow ~1x row inflation of
+    the token stream; training is two map-side-combined aggregates of
+    it (bigram counts, context counts); scoring joins the bigram stream
+    back to the count tables — one shuffle join keyed on the bigram
+    (the context table and the 1-row vocab scalar broadcast) — then one
+    per-doc aggregate. Train and score are the same pass over the same
+    explode; nothing rescans the corpus.
+    """
+    from stockpy_spark.functions.text import word_ngrams
+
+    big = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_ngrams(F.col(text_col), 2)).alias("bg"),
+    )
+    c12 = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = (
+        big.select(F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = df.select(
+        F.explode(tokenize(F.lower(F.col(text_col)))).alias("w")
+    ).agg(F.countDistinct("w").alias("V"))
+    scored = (
+        big.join(c12, "bg")
+        .withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(vocab))
+        # lp deliberately NOT rounded: its ln argument is built from
+        # integers, so both engines see identical doubles and differ by
+        # at most a libm ulp; rounding HERE would make the per-doc
+        # average a multiple of 10^-dp / n_bigrams, which lands exactly
+        # on round-half boundaries systematically. Round only the avg.
+        .withColumn(
+            "lp",
+            F.log((F.col("c12") + k) / (F.col("c1") + k * F.col("V"))),
+        )
+    )
+    return scored.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("lp"), dp).alias("avg_logprob"),
+        F.round(F.exp(-F.round(F.avg("lp"), dp)), dp).alias("perplexity"),
+    )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Eval-set decontamination by n-gram overlap (the GPT-3-style
+    13-gram check, here parameterized): for every eval document, how
+    many of its distinct word n-grams appear anywhere in the training
+    corpus and how many distinct corpus documents share one. Returns
+    every eval doc: (doc, n_shared_ngrams, n_corpus_docs,
+    is_contaminated) — rows with 0/false are the certified-clean set,
+    which is exactly what a decontamination report must include.
+
+    Scale shape: both sides explode to distinct (doc, ngram) pairs
+    (map-side-combined distinct), then one hash equi-join on the ngram
+    string and one per-eval-doc aggregate. The eval side is tiny by
+    construction, so at 100 TB the join broadcasts the eval shingle
+    set and the corpus stream is one linear scan — no pair
+    enumeration, no driver state.
+    """
+    from stockpy_spark.functions.text import word_ngrams
+
+    def shingles(frame: DataFrame, out_id: str) -> DataFrame:
+        return frame.select(
+            F.col(id_col).alias(out_id),
+            F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias(
+                "sh"
+            ),
+        )
+
+    e_sh = shingles(eval_df, "doc")
+    c_sh = shingles(corpus, "cid")
+    hits = (
+        e_sh.join(c_sh, "sh")
+        .groupBy("doc")
+        .agg(
+            F.countDistinct("sh").alias("n_shared_ngrams"),
+            F.countDistinct("cid").alias("n_corpus_docs"),
+        )
+    )
+    return (
+        eval_df.select(F.col(id_col).alias("doc"))
+        .join(hits, "doc", "left")
+        .select(
+            "doc",
+            F.coalesce("n_shared_ngrams", F.lit(0)).alias("n_shared_ngrams"),
+            F.coalesce("n_corpus_docs", F.lit(0)).alias("n_corpus_docs"),
+            (F.coalesce("n_shared_ngrams", F.lit(0)) > 0).alias(
+                "is_contaminated"
+            ),
+        )
+    )

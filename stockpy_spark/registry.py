@@ -100,6 +100,8 @@ DRIVER_PRIORITY = [
     "event_transitions",
     "graph_triangles",
     "stream_join_attribution",
+    "text_lm_perplexity",
+    "decontaminate_eval",
     # r04-green (exactly two rounds old — next in line for round 7)
     "a2_count_star",
     "a3_distinct",

@@ -582,3 +582,89 @@ R6B_QUERIES.update(
         "graph_triangles": (q_graph_triangles, SQL_TRIANGLES),
     }
 )
+
+
+# --- LM-perplexity quality scoring --------------------------------------
+
+def q_text_lm_perplexity(spark, sf_dir):
+    from stockpy_spark.operators.textstats import lm_perplexity_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return lm_perplexity_scores(docs, "text", "doc_id")
+
+
+SQL_LM_PPL = f"""
+WITH d AS (
+    SELECT doc_id AS doc, {_TOKENS_LOWER_SQL} AS t FROM documents
+), big AS (
+    SELECT doc, t[i] || ' ' || t[i + 1] AS bg
+    FROM (SELECT doc, t, unnest(range(1, len(t))) AS i FROM d)
+), c12 AS (
+    SELECT bg, count(*) AS c12 FROM big GROUP BY 1
+), c1 AS (
+    SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1 FROM big GROUP BY 1
+), v AS (
+    SELECT count(DISTINCT tok) AS V
+    FROM (SELECT unnest(t) AS tok FROM d)
+), lp AS (
+    SELECT b.doc,
+           ln((c12.c12 + CAST(0.5 AS DOUBLE))
+              / (c1.c1 + CAST(0.5 AS DOUBLE) * v.V)) AS lp
+    FROM big b
+    JOIN c12 USING (bg)
+    JOIN c1 ON split_part(b.bg, ' ', 1) = c1.w1, v
+)
+SELECT doc, count(*) AS n_bigrams,
+       round(avg(lp), 6) AS avg_logprob,
+       round(exp(-round(avg(lp), 6)), 6) AS perplexity
+FROM lp GROUP BY doc
+"""
+
+
+# --- n-gram decontamination ---------------------------------------------
+
+def q_decontaminate_eval(spark, sf_dir):
+    """Screen a held-out eval split (doc_id % 10 == 0) against the
+    training split for 5-gram overlap — the decontamination report a
+    training run ships with."""
+    from stockpy_spark.operators.textstats import ngram_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 10 == 0)
+    return ngram_contamination(corpus, eval_df, "text", "doc_id", n=5)
+
+
+SQL_DECONTAM = f"""
+WITH d AS (
+    SELECT doc_id, {_TOKENS_LOWER_SQL} AS t FROM documents
+), esh AS (
+    SELECT DISTINCT doc_id AS doc,
+           array_to_string(list_slice(t, i, i + 4), ' ') AS sh
+    FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+          FROM d WHERE doc_id % 10 = 0)
+), csh AS (
+    SELECT DISTINCT doc_id AS cid,
+           array_to_string(list_slice(t, i, i + 4), ' ') AS sh
+    FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+          FROM d WHERE doc_id % 10 <> 0)
+), hits AS (
+    SELECT e.doc, count(DISTINCT e.sh) AS n_shared_ngrams,
+           count(DISTINCT c.cid) AS n_corpus_docs
+    FROM esh e JOIN csh c USING (sh) GROUP BY 1
+)
+SELECT ev.doc_id AS doc,
+       coalesce(h.n_shared_ngrams, 0) AS n_shared_ngrams,
+       coalesce(h.n_corpus_docs, 0) AS n_corpus_docs,
+       coalesce(h.n_shared_ngrams, 0) > 0 AS is_contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) ev
+LEFT JOIN hits h ON ev.doc_id = h.doc
+"""
+
+
+R6B_QUERIES.update(
+    {
+        "text_lm_perplexity": (q_text_lm_perplexity, SQL_LM_PPL),
+        "decontaminate_eval": (q_decontaminate_eval, SQL_DECONTAM),
+    }
+)

@@ -187,3 +187,56 @@ class TestTriangles:
             [(0, 1), (1, 2), (2, 3), (3, 0)], "src int, dst int"
         )
         assert triangle_count(ring).collect()[0]["n_triangles"] == 0
+
+
+class TestLMPerplexity:
+    def test_scores_and_repeat_text(self, spark, sf_dir):
+        from stockpy_spark.operators.textstats import lm_perplexity_scores
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = lm_perplexity_scores(docs, "text", "doc_id")
+        rows = out.collect()
+        assert len(rows) == docs.filter("text is not null").count()
+        assert all(r["avg_logprob"] < 0 for r in rows)
+        assert all(r["perplexity"] > 1 for r in rows)
+
+    def test_common_beats_rare(self, spark):
+        from stockpy_spark.operators.textstats import lm_perplexity_scores
+
+        rows = [(i, "a b a b a b") for i in range(5)] + [(9, "x q z w k j")]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        out = {r["doc"]: r for r in lm_perplexity_scores(df, "text", "doc_id").collect()}
+        # the doc made of corpus-frequent bigrams scores higher than the
+        # one made of singletons
+        assert out[0]["avg_logprob"] > out[9]["avg_logprob"]
+
+
+class TestDecontamination:
+    def test_planted_overlap(self, spark):
+        from stockpy_spark.operators.textstats import ngram_contamination
+
+        corpus = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "completely unrelated corpus text goes right here now"),
+            ],
+            "doc_id int, text string",
+        )
+        eval_df = spark.createDataFrame(
+            [
+                (100, "watch the quick brown fox jumps over everything"),
+                (101, "five totally clean evaluation tokens appear within this"),
+            ],
+            "doc_id int, text string",
+        )
+        out = {
+            r["doc"]: r
+            for r in ngram_contamination(
+                corpus, eval_df, "text", "doc_id", n=5
+            ).collect()
+        }
+        assert out[100]["is_contaminated"] and out[100]["n_corpus_docs"] == 1
+        # "the quick brown fox jumps" + "quick brown fox jumps over"
+        assert out[100]["n_shared_ngrams"] == 2
+        assert not out[101]["is_contaminated"]
+        assert out[101]["n_shared_ngrams"] == 0
