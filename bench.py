@@ -75,6 +75,11 @@ HEADLINE = [
     "emb_kmeans_assign",
     "text_bm25_topk",
     "quality_robust_clip",
+    # LM-pipeline flagships: corpus-trained bigram perplexity scoring
+    # (train + score in one pass, bigram-keyed shuffle join) and 5-gram
+    # eval decontamination (distinct shingle equi-join)
+    "text_lm_perplexity",
+    "decontaminate_eval",
 ]
 
 
