@@ -102,6 +102,8 @@ DRIVER_PRIORITY = [
     "stream_join_attribution",
     "text_lm_perplexity",
     "decontaminate_eval",
+    "w9_rank_fractions",
+    "hist_event_values",
     # r04-green (exactly two rounds old — next in line for round 7)
     "a2_count_star",
     "a3_distinct",

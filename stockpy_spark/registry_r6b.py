@@ -668,3 +668,75 @@ R6B_QUERIES.update(
         "decontaminate_eval": (q_decontaminate_eval, SQL_DECONTAM),
     }
 )
+
+
+# --- fractional-rank window family + histograms -------------------------
+
+def q_w9_rank_fractions(spark, sf_dir):
+    """ntile / percent_rank / cume_dist — the fractional rank windows
+    (w6 covers rank/dense_rank). percent_rank and cume_dist are exact
+    rationals of integer rank/count, so the doubles agree bit-for-bit
+    across engines; no rounding needed."""
+    sup = _t(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey")
+    )
+    return sup.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+SQL_W9 = """
+SELECT s_suppkey, s_nationkey,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+"""
+
+
+def q_hist_event_values(spark, sf_dir):
+    """Equi-width histogram of event values per type over the measured
+    global [min, max] — the profiling companion to quality_robust_clip.
+    Bounds come from one tiny aggregate broadcast back; the bucket
+    index is explicit floor arithmetic (identical doubles in both
+    engines; DuckDB has no width_bucket) with the max value folded into
+    the top bucket."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    bucket = F.least(
+        F.floor((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 20),
+        F.lit(19),
+    ).cast("long")
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_HIST = """
+WITH bounds AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+SELECT event_type,
+       CAST(least(floor((value - lo) / (hi - lo) * 20), 19) AS BIGINT)
+           AS bucket,
+       count(*) AS n
+FROM events, bounds
+GROUP BY 1, 2
+"""
+
+
+R6B_QUERIES.update(
+    {
+        "w9_rank_fractions": (q_w9_rank_fractions, SQL_W9),
+        "hist_event_values": (q_hist_event_values, SQL_HIST),
+    }
+)

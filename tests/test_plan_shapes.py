@@ -307,3 +307,62 @@ def test_weighted_sample_plans_take_ordered(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     p = plan(weighted_sample_topk(docs, "doc_id", "n_chars", k=10), "simple")
     assert "TakeOrderedAndProject" in p
+
+
+def test_kmeans_codebook_broadcast_no_nested_loop(spark):
+    # both Lloyd passes must broadcast the KB-sized codebook; a plan
+    # with BroadcastNestedLoopJoin is fine (the crossJoin of the 1-row
+    # count is one) but the corpus must never shuffle-join the codebook
+    from stockpy_spark.operators.similarity import kmeans_assign
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    p = plan(kmeans_assign(emb, "embedding", "vec_id", k=4))
+    assert "BroadcastExchange" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_bm25_no_cartesian_on_corpus(spark):
+    # the only cross join is the broadcast 1-row (N, avgdl) scalar;
+    # scoring joins are hash joins on term/doc
+    from stockpy_spark.operators.textstats import bm25_topk
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan(bm25_topk(docs, "text", "doc_id", ["spark", "merge"]))
+    assert "CartesianProduct" not in p
+    # top-k must be TakeOrdered, not a global sort of all matches
+    assert "TakeOrderedAndProject" in p
+
+
+def test_funnel_is_aggregates_not_windows(spark):
+    # the funnel is three keyed conditional aggregates; a per-user
+    # window sort would be a different (worse) plan class
+    from stockpy_spark.operators.behavior import funnel_stages
+    from stockpy_spark.sources.testdata import read_events
+
+    ev = read_events(spark, SF_DIR)
+    p = plan(funnel_stages(ev, ["view", "click", "purchase"]))
+    assert "Window" not in p
+    assert "partial_min" in p or "HashAggregate" in p
+
+
+def test_decontamination_equi_join_not_nested_loop(spark):
+    from stockpy_spark.operators.textstats import ngram_contamination
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    p = plan(ngram_contamination(corpus, ev, "text", "doc_id"))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_triangle_count_all_hash_joins(spark):
+    from stockpy_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(6) for b in range(6) if a != b],
+        "src int, dst int",
+    )
+    p = plan(triangle_count(edges))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
