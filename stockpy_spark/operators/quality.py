@@ -1,0 +1,125 @@
+"""Declarative data-quality constraint checking (deequ-style, minimal).
+
+A 100 TB ingest needs its gate checks computed in ONE pass per table,
+not one scan per assertion: every metric here is an aggregate
+expression, so a suite of N constraints over a table compiles to a
+single ``agg(...)`` — one scan, one reduce, N columns — then unpivots
+to the long (constraint, metric, passed) form a quality dashboard or a
+pipeline guard consumes. Cross-table checks (referential integrity)
+are the exception: each one is an anti-join, aggregated to a count.
+
+Reference parity: the reference's pipelines guard with row-count and
+schema probes (scripts/transform_stocks_job.py:63-71 empty-frame
+bailout); this generalizes that into a constraint vocabulary. The
+metric is always a DOUBLE (counts cast) so the long form is uniform.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Check:
+    """One constraint: a name, an aggregate metric expression, and a
+    predicate over the metric value deciding pass/fail."""
+
+    name: str
+    metric: Column
+    passes: Callable[[Column], Column]
+
+
+def null_fraction(col: str, at_most: float) -> Check:
+    return Check(
+        f"null_fraction({col})<={at_most}",
+        F.avg(F.col(col).isNull().cast("double")),
+        lambda m: m <= at_most,
+    )
+
+
+def unique_key(col: str) -> Check:
+    """Duplicate count of a supposed primary key (0 = unique)."""
+    return Check(
+        f"unique({col})",
+        (F.count(col) - F.count_distinct(F.col(col))).cast("double"),
+        lambda m: m == 0,
+    )
+
+
+def value_range(col: str, lo: float, hi: float) -> Check:
+    """Count of non-null values outside [lo, hi] (0 = all in range)."""
+    return Check(
+        f"range({col})in[{lo},{hi}]",
+        F.sum(
+            (~F.col(col).between(lo, hi)).cast("double")
+        ),
+        lambda m: m == 0,
+    )
+
+
+def min_rows(at_least: int) -> Check:
+    return Check(
+        f"rows>={at_least}",
+        F.count(F.lit(1)).cast("double"),
+        lambda m: m >= at_least,
+    )
+
+
+def accepted_values(col: str, allowed: list[str]) -> Check:
+    """Count of non-null values outside the allowed set."""
+    return Check(
+        f"accepted({col})",
+        F.sum((~F.col(col).isin(allowed)).cast("double")),
+        lambda m: m == 0,
+    )
+
+
+def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """Evaluate a suite in ONE aggregate pass; returns the long frame
+    (constraint STRING, metric DOUBLE, passed BOOLEAN), one row per
+    check, ordered as given (a stable output for diffing run-to-run).
+
+    The single ``agg`` is the point: Catalyst fuses all N metrics into
+    one partial-aggregate scan, so adding a constraint costs a column,
+    not a pass over 100 TB.
+    """
+    wide = df.agg(
+        *[c.metric.alias(f"__m{i}") for i, c in enumerate(checks)]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c.name).alias("constraint"),
+                F.col(f"__m{i}").cast("double").alias("metric"),
+                c.passes(F.col(f"__m{i}")).alias("passed"),
+            )
+            for i, c in enumerate(checks)
+        ]
+    )
+    return wide.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def orphan_count(
+    child: DataFrame, parent: DataFrame, child_key: str, parent_key: str, name: str
+) -> DataFrame:
+    """Referential-integrity check as the same long frame: rows of
+    ``child`` whose key has no match in ``parent`` (left-anti join,
+    counted). Anti-join on the key is the scalable shape — a broadcast
+    when the parent is a dimension, shuffle-hash when fact-to-fact."""
+    n = (
+        child.join(
+            parent.select(F.col(parent_key).alias(child_key)).distinct(),
+            child_key,
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("metric"))
+    )
+    return n.select(
+        F.lit(name).alias("constraint"),
+        "metric",
+        (F.col("metric") == 0).alias("passed"),
+    )

@@ -132,6 +132,49 @@ def stratified_sample_exact(
     )
 
 
+def temperature_resample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    salt: str = "temper",
+) -> DataFrame:
+    """Deterministic domain-temperature downsampling: flatten a skewed
+    group (domain/language/source) distribution toward uniform by
+    keeping each row of group g with probability
+    ``(c_g / c_min) ** (alpha - 1)`` — the per-group keep-rate that
+    makes retained counts proportional to ``c_g ** alpha`` (the
+    "temperature" mixing rule used for multilingual / multi-domain
+    pretraining corpora). ``alpha=1`` keeps everything (natural
+    distribution), ``alpha=0`` equalizes groups to ~the smallest
+    group's size; no group is ever upsampled (keep-rate caps at 1 for
+    the smallest group, so the op needs no row replication).
+
+    The keep/drop draw is the same md5-bucket pure function of the row
+    id as every sampler here (rerun-, engine-, and layout-stable); the
+    keep-rate is rounded to 9 decimals before the comparison so the
+    boundary is the same literal double in any engine.
+
+    Scale shape: one tiny groupBy for the census (|groups| rows),
+    broadcast back onto the stream, then a narrow filter. No
+    corpus-sized shuffle, no window.
+    """
+    census = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__cg"))
+    c_min = census.agg(F.min("__cg").alias("__cmin"))
+    rates = census.crossJoin(F.broadcast(c_min)).select(
+        group_col,
+        F.round(
+            F.pow(F.col("__cg") / F.col("__cmin"), F.lit(alpha - 1.0)), 9
+        ).alias("__keep_rate"),
+    )
+    u = _hash_bucket(F.col(id_col), salt) / F.lit(float(_BUCKETS))
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(u < F.col("__keep_rate"))
+        .drop("__keep_rate")
+    )
+
+
 def weighted_sample_topk(
     df: DataFrame,
     id_col: str,

@@ -1,0 +1,99 @@
+"""Corpus-level text cleaning that needs CROSS-document state.
+
+The ops in ``functions/text.py`` and ``operators/textstats.py`` score a
+document from its own content; web-corpus curation also needs stages
+where a document's fate depends on the whole corpus. The canonical one
+is frequent-line removal (C4's "three-sentence" rule, RefinedWeb's
+line-wise filter): a line that recurs across many distinct pages is
+boilerplate (nav bars, cookie banners, license footers) and is deleted
+from every document, preserving the rest of each document in order.
+
+Reference repo has no corpus-state surface (its text path is per-row
+pandas transforms, scripts/transform_news_job.py); this is an extension
+from the 100 TB training-pipeline north star.
+
+Scale shape (the whole point of the op): one wide groupBy on the line
+itself to get corpus document-frequency, then an aggregate-filtered
+join back. Both sides of that join are partitioned by ``line`` by the
+groupBy that produced them, so AQE plans a shuffle the exploded frame
+already paid for; nothing is ever collected. The rebuilt document is
+an in-order concat per doc — document-sized state, never corpus-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def explode_lines(
+    df: DataFrame, id_col: str, text_col: str, sep: str = "\n"
+) -> DataFrame:
+    """One row per (doc, position, line), line order preserved via
+    ``pos``. Narrow (generator expand, no shuffle)."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    )
+
+
+def remove_frequent_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    max_doc_freq: int = 1,
+    keep_empty_docs: bool = False,
+) -> DataFrame:
+    """Delete every line that occurs in more than ``max_doc_freq``
+    DISTINCT documents; return (id, cleaned text) with surviving lines
+    re-joined in their original order.
+
+    Three relational stages:
+
+    1. explode: (doc, pos, line) — narrow.
+    2. doc-frequency: groupBy(line) -> count(DISTINCT doc). Partial
+       (map-side) aggregation absorbs within-document repeats before
+       the shuffle, so a page that repeats its own banner 1000x still
+       ships one (line, doc) pair per partition.
+    3. filter-join + rebuild: lines left-semi-join the under-threshold
+       frequency set on ``line`` (both sides exit stage 2 partitioned
+       by line — AQE reuses the exchange rather than re-shuffling),
+       then groupBy(doc) re-concats in ``pos`` order via an array_sort
+       over (pos, line) structs — collect_list order is not
+       deterministic, the sort makes it so.
+
+    Documents whose every line was boilerplate vanish from the output
+    (C4 drops them too) unless ``keep_empty_docs``, which left-joins
+    the survivors back onto the input ids with an empty-string text.
+
+    100 TB note: the doc-frequency frame is corpus-sized and must NOT
+    be broadcast (a Zipf head is small but the threshold set here is
+    the *tail*, which is huge); the semi-join on the already-hashed
+    line key is the scalable shape. State per task is one document's
+    lines (array_sort), never the corpus.
+    """
+    lines = explode_lines(df, id_col, text_col, sep)
+    keep = (
+        lines.groupBy("line")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .filter(F.col("__df") <= max_doc_freq)
+        .select("line")
+    )
+    kept = lines.join(keep, "line", "left_semi")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias(text_col)
+    )
+    if keep_empty_docs:
+        rebuilt = (
+            df.select(id_col)
+            .join(rebuilt, id_col, "left")
+            .withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
+        )
+    return rebuilt

@@ -255,3 +255,139 @@ def interval_concurrency(
         "at_ts",
         F.sum("__net").over(w).cast("long").alias("concurrent"),
     )
+
+
+def gap_fill_linear(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    bucket_seconds: int = 86400,
+    bucket_name: str = "bucket_start",
+    decimals: int = 6,
+) -> DataFrame:
+    """Dense per-key time grid with LINEAR interpolation between the
+    nearest observed buckets (the hypertable ``interpolate()``
+    companion to :func:`gap_fill_locf`).
+
+    Same stage-1/stage-2 shape as LOCF (last-per-bucket dedup, then
+    keys x observed-buckets grid over a broadcast bucket list); the
+    fill stage needs BOTH neighbors, so it runs two mirrored
+    ignore-nulls window passes over the same per-key bucket-ordered
+    sort — prev value+bucket from the trailing frame, next value+bucket
+    from the leading frame; Catalyst executes both over ONE shuffle +
+    sort of the grid (same partitioning/ordering, reused exchange).
+
+    interp = prev + (next - prev) * (t - t_prev) / (t_next - t_prev);
+    observed buckets keep their exact value; edges (before the first /
+    after the last observation) are NULL — interpolation only ever
+    fills INTERIOR gaps, it does not extrapolate. The quotient is pure
+    double arithmetic on integer bucket distances, rounded to
+    ``decimals`` so the value is the same literal in any engine.
+    """
+    bucket = time_bucket(ts_col, bucket_seconds)
+    ranked = (
+        df.withColumn(bucket_name, bucket)
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(key_col, bucket_name).orderBy(
+                    F.col(ts_col).desc(), F.col(tiebreak_col).desc()
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(key_col, bucket_name, value_col)
+    )
+    keys = df.select(key_col).distinct()
+    buckets = df.select(bucket.alias(bucket_name)).distinct()
+    grid = keys.join(F.broadcast(buckets), how="cross")
+    joined = grid.join(ranked, [key_col, bucket_name], "left")
+
+    w_back = (
+        Window.partitionBy(key_col)
+        .orderBy(bucket_name)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(key_col)
+        .orderBy(bucket_name)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_bucket = F.when(
+        F.col(value_col).isNotNull(), F.col(bucket_name)
+    )
+    out = (
+        joined.withColumn("__pv", F.last(value_col, ignorenulls=True).over(w_back))
+        .withColumn("__pb", F.last(obs_bucket, ignorenulls=True).over(w_back))
+        .withColumn("__nv", F.first(value_col, ignorenulls=True).over(w_fwd))
+        .withColumn("__nb", F.first(obs_bucket, ignorenulls=True).over(w_fwd))
+    )
+    interp = F.col("__pv") + (F.col("__nv") - F.col("__pv")) * (
+        (F.col(bucket_name) - F.col("__pb"))
+        / (F.col("__nb") - F.col("__pb"))
+    )
+    return out.select(
+        key_col,
+        bucket_name,
+        F.round(
+            F.when(F.col(value_col).isNotNull(), F.col(value_col)).otherwise(
+                interp
+            ),
+            decimals,
+        ).alias("filled"),
+    )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    lookback: int = 10,
+    threshold: float = 3.0,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-key rolling anomaly score: z = (x - mean) / std over the
+    ``lookback`` PRECEDING observations (the current row is excluded,
+    so an outlier cannot mask itself), plus an ``is_anomaly`` flag at
+    ``|z| > threshold``.
+
+    Cross-engine determinism is the design constraint: window STDDEV
+    implementations differ (Welford vs textbook two-pass), so the
+    variance is built from the decomposable partials this module
+    already trusts for rollups — n, sum, sumsq over the frame —
+    var = (sumsq - n*mean^2) / (n-1), computed in frame order by both
+    engines; z is rounded to ``decimals`` BEFORE the threshold compare
+    so the flag flips on the same literal everywhere. Rows with fewer
+    than 2 prior observations (or zero variance) get NULL z / false.
+
+    One shuffle+sort on (key, ts); all four frame aggregates share the
+    same window spec, so they evaluate in a single window pass.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.col(tiebreak_col))
+        .rowsBetween(-lookback, -1)
+    )
+    n = F.count(value_col).over(w)
+    s = F.sum(value_col).over(w)
+    ss = F.sum(F.col(value_col) * F.col(value_col)).over(w)
+    mean = s / n
+    var = (ss - n * mean * mean) / (n - F.lit(1))
+    z = F.when(
+        (n >= 2) & (var > 0),
+        F.round((F.col(value_col) - mean) / F.sqrt(var), decimals),
+    )
+    return df.select(
+        key_col,
+        ts_col,
+        tiebreak_col,
+        value_col,
+        z.alias("z"),
+        F.coalesce(F.abs(z) > F.lit(threshold), F.lit(False)).alias(
+            "is_anomaly"
+        ),
+    )

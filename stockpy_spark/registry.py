@@ -14,13 +14,14 @@ from stockpy_spark.registry_stream import STREAM_QUERIES
 from stockpy_spark.registry_ts import TS_QUERIES
 from stockpy_spark.registry_r6 import R6_QUERIES
 from stockpy_spark.registry_r6b import R6B_QUERIES
+from stockpy_spark.registry_r6c import R6C_QUERIES
 
 try:
     from stockpy_spark.registry_ext import EXT_QUERIES
 except ImportError:  # extensions land incrementally
     EXT_QUERIES = {}
 
-_ALL = {**CORE_QUERIES, **EXT_QUERIES, **TPCH2_QUERIES, **HIVE_QUERIES, **TS_QUERIES, **GRAPH_QUERIES, **STREAM_QUERIES, **R6_QUERIES, **R6B_QUERIES}
+_ALL = {**CORE_QUERIES, **EXT_QUERIES, **TPCH2_QUERIES, **HIVE_QUERIES, **TS_QUERIES, **GRAPH_QUERIES, **STREAM_QUERIES, **R6_QUERIES, **R6B_QUERIES, **R6C_QUERIES}
 
 # The driver's correctness gate checks the FIRST 50 queries in dict
 # insertion order. Round-6 rotation (oldest-green-first keeps every row
@@ -104,6 +105,12 @@ DRIVER_PRIORITY = [
     "decontaminate_eval",
     "w9_rank_fractions",
     "hist_event_values",
+    "corpus_line_dedup",
+    "sample_temperature",
+    "er_fuzzy_match",
+    "ts_gap_fill_linear",
+    "ts_anomaly_zscore",
+    "dq_constraint_suite",
     # r04-green (exactly two rounds old — next in line for round 7)
     "a2_count_star",
     "a3_distinct",
