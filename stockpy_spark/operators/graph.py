@@ -358,3 +358,68 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     )
     tris = wedges.join(closing, ["w1", "w2"])
     return tris.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "v",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Multi-source BFS: minimum hop count from ANY seed vertex to each
+    reachable vertex, bounded at ``max_hops`` (the k-hop neighborhood
+    expansion behind "suggest related parts" / blast-radius queries).
+
+    Min-plus label propagation, the same frontier discipline as
+    connected_components: each round joins the CURRENT frontier (only
+    vertices whose hop improved — round 1: the seeds at hop 0) against
+    the undirected edge list, takes min(neighbor hop)+1 per target, and
+    merges with a full outer join (newly DISCOVERED vertices enter the
+    label frame; known ones keep their min). Exactly ``max_hops``
+    rounds — bounded work by construction, no convergence probe needed;
+    every round's labels are localCheckpoint-materialized so round k's
+    plan never replays rounds 1..k-1. Per-round cost: one
+    frontier-edges hash join + one hop-key shuffle — frontier-sized,
+    not graph-sized, because BFS never revisits settled vertices
+    (a vertex's hop can only be set once: strictly increasing rounds).
+
+    Returns (vertex, hop), hop in [0, max_hops], reachable set only.
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        seeds.select(F.col(seed_col).alias("v"))
+        .distinct()
+        .withColumn("hop", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = labels
+    for rnd in range(1, max_hops + 1):
+        reached = (
+            und.join(frontier.select(F.col("v").alias("fv"), "hop"),
+                     und["a"] == F.col("fv"))
+            .groupBy(F.col("b").alias("v"))
+            .agg((F.min("hop") + F.lit(1)).alias("nhop"))
+        )
+        merged = (
+            labels.join(reached, "v", "full")
+            .select(
+                "v",
+                F.least(
+                    F.coalesce("hop", F.lit(rnd)),
+                    F.coalesce("nhop", F.lit(rnd)),
+                ).alias("hop"),
+                F.col("hop").alias("__old"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        frontier = merged.where(F.col("__old").isNull()).select("v", "hop")
+        labels = merged.drop("__old")
+        if frontier.isEmpty():
+            break
+    return labels

@@ -1,0 +1,91 @@
+"""Pareto frontier (skyline) over two criteria, distributed.
+
+The 2-D skyline — points not dominated by any other point (another
+point at-least-as-good in both dimensions, strictly better in one) —
+reduces to a prefix minimum after sorting: with x to MAXIMIZE and y to
+MINIMIZE, a point survives iff its y is strictly below the minimum y of
+every strictly-higher-x point. A naive implementation is the
+textbook "sort globally, run a cursor" — a single-task bottleneck at
+100 TB. This module does the distributed version:
+
+1. per-x reduce: only the min-y per distinct x can survive (equal x,
+   higher y is dominated) — one hash shuffle, map-side combined.
+2. range-bucket the x axis into B buckets from a broadcast (min, max)
+   census; each bucket computes its LOCAL prefix-min in parallel
+   (window partitioned by bucket, ordered x desc).
+3. the per-bucket y minima — B rows, KBs — are window-scanned into a
+   per-bucket "best y of all higher-x buckets" offset and broadcast
+   back; global prefix-min = min(local prefix, higher-bucket offset).
+
+Total: one shuffle + one bucket-partitioned window + a broadcast of B
+rows. No global sort, no single-task scan; equivalent to the
+one-partition formulation by associativity of min (pytest-proved).
+
+Reference has no skyline; this is a standard OLAP operator (Börzsönyi
+et al., "The Skyline Operator", ICDE 2001) expressed Spark-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    max_col: str,
+    min_col: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Distinct non-dominated (``max_col``, ``min_col``) points:
+    maximize the first, minimize the second. Returns the two columns,
+    one row per surviving point.
+
+    ``n_buckets`` trades parallelism against the (tiny) bucket-census
+    pass; any value yields the same result.
+    """
+    pts = (
+        df.groupBy(max_col)
+        .agg(F.min(min_col).alias(min_col))
+    )
+    bounds = pts.agg(
+        F.min(max_col).alias("__lo"), F.max(max_col).alias("__hi")
+    )
+    # bucket 0 holds the LARGEST x so bucket order matches scan order
+    span = (F.col("__hi") - F.col("__lo")).cast("double")
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.floor(
+            (F.col("__hi") - F.col(max_col)).cast("double")
+            / (span + F.lit(1e-12))
+            * n_buckets
+        ).cast("int"),
+    )
+    bucketed = pts.crossJoin(F.broadcast(bounds)).select(
+        max_col, min_col, bucket.alias("__b")
+    )
+    w_local = (
+        Window.partitionBy("__b")
+        .orderBy(F.col(max_col).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = bucketed.withColumn("__local_pm", F.min(min_col).over(w_local))
+    # B-row census: best y per bucket, then best y of all HIGHER-x
+    # (lower-index) buckets — a window over B rows, broadcast back
+    census = bucketed.groupBy("__b").agg(F.min(min_col).alias("__bmin"))
+    w_prefix = (
+        Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = census.select(
+        "__b", F.min("__bmin").over(w_prefix).alias("__prev_pm")
+    )
+    joined = local.join(F.broadcast(offsets), "__b")
+    global_pm = F.least(
+        F.coalesce(F.col("__local_pm"), F.col("__prev_pm")),
+        F.coalesce(F.col("__prev_pm"), F.col("__local_pm")),
+    )
+    return (
+        joined.filter(global_pm.isNull() | (F.col(min_col) < global_pm))
+        .select(max_col, min_col)
+    )

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from stockpy_spark.functions.text import tokenize
 
@@ -247,5 +248,42 @@ def ngram_contamination(
             (F.coalesce("n_shared_ngrams", F.lit(0)) > 0).alias(
                 "is_contaminated"
             ),
+        )
+    )
+
+
+def build_inverted_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_postings: int = 1000,
+) -> DataFrame:
+    """Posting lists: (term, df, postings) with ``postings`` the
+    ascending doc-id list capped at ``max_postings`` — the build step
+    of a distributed inverted index (BM25/tfidf serve from it).
+
+    The cap is applied BEFORE any list materializes: a row_number
+    window over (term) ordered by doc id streams each term's postings
+    through constant state and keeps the first ``max_postings``; only
+    then does collect_list run, so the head term of a Zipf corpus
+    costs a bounded array, never a corpus-sized one. ``df`` is the
+    TRUE document frequency (counted pre-cap over the same exchange —
+    Catalyst reuses the (term)-partitioned shuffle for the window, the
+    count, and the final collect). array_sort makes the collect order
+    deterministic.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokenize(F.lower(F.col(text_col)))).alias("term"),
+    ).distinct()
+    w = Window.partitionBy("term").orderBy("doc")
+    ranked = toks.withColumn("__rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_sort(
+                F.collect_list(F.when(F.col("__rn") <= max_postings, F.col("doc")))
+            ).alias("postings"),
         )
     )

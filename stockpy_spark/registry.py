@@ -111,6 +111,10 @@ DRIVER_PRIORITY = [
     "ts_gap_fill_linear",
     "ts_anomaly_zscore",
     "dq_constraint_suite",
+    "pareto_frontier",
+    "text_inverted_index",
+    "graph_bfs_hops",
+    "feat_quantile_bins",
     # r04-green (exactly two rounds old — next in line for round 7)
     "a2_count_star",
     "a3_distinct",

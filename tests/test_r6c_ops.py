@@ -260,3 +260,113 @@ def test_orphan_count_anti_join(spark):
     parent = spark.createDataFrame([Row(pk=1), Row(pk=2)])
     r = orphan_count(child, parent, "fk", "pk", "ref").collect()[0]
     assert r.metric == 1.0 and not r.passed
+
+
+# --- pareto_frontier_2d ---------------------------------------------------
+
+def _naive_skyline(points):
+    # maximize x, minimize y over distinct points
+    pts = set(points)
+    out = []
+    for (x, y) in pts:
+        dominated = any(
+            (x2 >= x and y2 <= y and (x2 > x or y2 < y)) for (x2, y2) in pts
+        )
+        if not dominated:
+            out.append((x, y))
+    return sorted(out)
+
+
+def test_pareto_frontier_matches_naive_and_bucket_invariant(spark):
+    import random
+
+    from stockpy_spark.operators.skyline import pareto_frontier_2d
+
+    rng = random.Random(7)
+    rows = [Row(x=float(rng.randrange(1000)), y=float(rng.randrange(1000)))
+            for _ in range(500)]
+    df = spark.createDataFrame(rows)
+    got = sorted((r.x, r.y) for r in pareto_frontier_2d(df, "x", "y").collect())
+    assert got == _naive_skyline([(r.x, r.y) for r in rows])
+    # the bucket count is a parallelism knob, never a semantics knob
+    one = sorted((r.x, r.y) for r in pareto_frontier_2d(df, "x", "y", n_buckets=1).collect())
+    many = sorted((r.x, r.y) for r in pareto_frontier_2d(df, "x", "y", n_buckets=200).collect())
+    assert one == got == many
+
+
+def test_pareto_frontier_degenerate_all_equal_x(spark):
+    from stockpy_spark.operators.skyline import pareto_frontier_2d
+
+    df = spark.createDataFrame([Row(x=5.0, y=float(v)) for v in (3, 1, 2)])
+    assert [(r.x, r.y) for r in pareto_frontier_2d(df, "x", "y").collect()] == [(5.0, 1.0)]
+
+
+# --- build_inverted_index -------------------------------------------------
+
+def test_inverted_index_caps_postings_keeps_true_df(spark):
+    from stockpy_spark.operators.textstats import build_inverted_index
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="common token" + (" rare" if i == 3 else ""))
+         for i in range(10)]
+    )
+    out = {r.term: r for r in build_inverted_index(docs, "text", "doc_id", max_postings=4).collect()}
+    assert out["common"].df == 10                      # true document frequency
+    assert out["common"].postings == [0, 1, 2, 3]      # capped, ascending
+    assert out["rare"].df == 1 and out["rare"].postings == [3]
+
+
+def test_inverted_index_within_doc_repeats_counted_once(spark):
+    from stockpy_spark.operators.textstats import build_inverted_index
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="echo echo echo")])
+    out = build_inverted_index(docs, "text", "doc_id").collect()
+    assert len(out) == 1 and out[0].df == 1 and out[0].postings == [1]
+
+
+# --- bfs_hops -------------------------------------------------------------
+
+def test_bfs_hops_min_hop_and_bound(spark):
+    from stockpy_spark.operators.graph import bfs_hops
+
+    # path 1-2-3-4-5 plus shortcut 1-4
+    edges = spark.createDataFrame(
+        [Row(src=1, dst=2), Row(src=2, dst=3), Row(src=3, dst=4),
+         Row(src=4, dst=5), Row(src=1, dst=4)]
+    )
+    seeds = spark.createDataFrame([Row(v=1)])
+    out = {r.v: r.hop for r in bfs_hops(edges, seeds, max_hops=2).collect()}
+    assert out == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}  # 5 via shortcut, 3 via path
+
+
+def test_bfs_hops_multi_source_and_unreachable(spark):
+    from stockpy_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [Row(src=1, dst=2), Row(src=10, dst=11), Row(src=20, dst=21)]
+    )
+    seeds = spark.createDataFrame([Row(v=1), Row(v=10)])
+    out = {r.v: r.hop for r in bfs_hops(edges, seeds, max_hops=3).collect()}
+    assert out == {1: 0, 10: 0, 2: 1, 11: 1}  # 20/21 unreachable: absent
+
+
+# --- quantile_bucketize ---------------------------------------------------
+
+def test_quantile_bucketize_quartiles(spark):
+    from stockpy_spark.operators.features import quantile_bucketize
+
+    df = spark.createDataFrame([Row(i=i, v=float(i)) for i in range(101)])
+    out = {r.i: r.bin for r in quantile_bucketize(df, "v").collect()}
+    # boundaries at 25/50/75 exactly; v >= boundary joins the upper bin
+    assert out[0] == 0 and out[24] == 0
+    assert out[25] == 1 and out[49] == 1
+    assert out[50] == 2 and out[74] == 2
+    assert out[75] == 3 and out[100] == 3
+
+
+def test_quantile_bucketize_null_safe(spark):
+    from stockpy_spark.operators.features import quantile_bucketize
+
+    df = spark.createDataFrame([Row(i=0, v=1.0), Row(i=1, v=None), Row(i=2, v=2.0)])
+    out = {r.i: r.bin for r in quantile_bucketize(df, "v").collect()}
+    assert out[1] is None
