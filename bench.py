@@ -80,6 +80,18 @@ HEADLINE = [
     # eval decontamination (distinct shingle equi-join)
     "text_lm_perplexity",
     "decontaminate_eval",
+    # round-6 third wave: corpus-state boilerplate removal (explode ->
+    # corpus doc-frequency -> semi-join -> in-order reassembly), the
+    # distributed 2-D skyline (bucketed prefix-min, no global sort),
+    # and the rolling z-score anomaly window (decomposable partials).
+    # er_fuzzy_match is deliberately NOT a headline: the synthetic part
+    # names share a ~90-word prefix vocabulary, so block sizes grow
+    # linearly with SF and candidate pairs quadratically — an honest
+    # property of blocked ER on low-entropy keys, recorded in
+    # BASELINE.md §4 instead of timed here.
+    "corpus_line_dedup",
+    "pareto_frontier",
+    "ts_anomaly_zscore",
 ]
 
 

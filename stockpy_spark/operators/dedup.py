@@ -720,3 +720,74 @@ def incremental_dedup_admit(
         )
         .drop("__keeper")
     )
+
+
+def shingle_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    shingle_words: int = 3,
+    max_docs: int | None = WORD_JACCARD_MAX_DOCS,
+) -> DataFrame:
+    """ASYMMETRIC near-duplication: containment(A in B) =
+    |S(A) & S(B)| / |S(A)| over distinct ``shingle_words``-word
+    shingles. Jaccard misses the quote/aggregator case — a short
+    document wholly copied into a long one scores low Jaccard but
+    containment ~1 — which is why substring-level dedup (RefinedWeb,
+    Lee et al. "Deduplicating Training Data Makes Language Models
+    Better") is its own pipeline stage, not a Jaccard re-run.
+
+    Returns (src, dst, containment) for ordered pairs src != dst with
+    containment(src in dst) >= threshold, rounded to 6. Word shingles
+    (not single tokens) so the overlap evidence is contiguous spans.
+
+    VERIFY-TIER like word_jaccard_pairs (the shingle inverted-index
+    self-join is quadratic in hot-shingle document frequency) and
+    guarded by the same ``max_docs`` ValueError; at corpus scale feed
+    it LSH candidates (minhash bucket join) with ``max_docs=None``.
+    Shingles are far rarer than tokens (a 3-word shingle's document
+    frequency is near 1 in organic text), so the practical wall is
+    boilerplate shingles — remove_frequent_lines upstream exists for
+    exactly that.
+    """
+    if max_docs is not None:
+        n = df.count()
+        if n > max_docs:
+            raise ValueError(
+                f"shingle_containment_pairs is verify-tier: got {n} docs > "
+                f"max_docs={max_docs}. Feed LSH candidates (max_docs=None) "
+                "at corpus scale."
+            )
+    toks = tokenize(F.lower(F.col(text_col)))
+    k = shingle_words
+    n_sh = F.size(toks) - F.lit(k - 1)
+    # guard: sequence(1, 0) DESCENDS in Spark, so a doc shorter than k
+    # tokens must yield an empty shingle array, not a broken slice
+    shingle_arr = F.when(
+        n_sh >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.array_join(F.slice(toks, i, F.lit(k)), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    shingles = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(shingle_arr)).alias("sh"),
+    )
+    sizes = shingles.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = shingles.alias("a"), shingles.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") != F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("src"), F.col("b.doc").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ssz = sizes.select(F.col("doc").alias("src"), F.col("sz").alias("src_sz"))
+    return (
+        inter.join(ssz, "src")
+        .withColumn(
+            "containment", F.round(F.col("inter") / F.col("src_sz"), 6)
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("src", "dst", "containment")
+    )

@@ -386,6 +386,15 @@ def bfs_hops(
     (a vertex's hop can only be set once: strictly increasing rounds).
 
     Returns (vertex, hop), hop in [0, max_hops], reachable set only.
+
+    Duplicate edges are TOLERATED, not a bug: min-plus is idempotent
+    over multiplicity and each round's groupBy-min absorbs duplicates
+    in the map-side partial. Callers should therefore NOT pre-distinct
+    a dup-heavy edge derivation (e.g. co-purchase pairs) — the
+    corpus-sized distinct hash aggregate costs more memory than the
+    duplicates it removes (measured: AGGREGATE_OUT_OF_MEMORY at the
+    synthetic sf10 on 200M pairs, vs a clean run with duplicates kept;
+    BASELINE.md §4).
     """
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))

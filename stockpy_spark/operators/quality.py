@@ -123,3 +123,43 @@ def orphan_count(
         "metric",
         (F.col("metric") == 0).alias("passed"),
     )
+
+
+def benford_first_digit(
+    df: DataFrame, value_col: str, decimals: int = 6
+) -> DataFrame:
+    """First-significant-digit profile vs Benford's law — the
+    forensic-DQ screen for fabricated or unit-mixed numeric columns.
+
+    Returns one row per digit 1-9: observed count ``n``, expected count
+    ``exp_n`` (total * log10(1 + 1/d)), and the column-level chi-square
+    statistic repeated on every row (sum over digits of (n-exp)^2/exp;
+    a 9-row unpartitioned window, not a second scan).
+
+    The digit is extracted ARITHMETIC-FREE of float logs: value ->
+    integer cents (round(value*100) as bigint) -> first character of
+    its decimal string. log10-based extraction misclassifies exact
+    powers of ten on engines whose libm differs in the last ulp; the
+    integer-string route is bit-exact everywhere (values below 0.005
+    round to 0 cents and are excluded, as are nulls and non-positives).
+    """
+    cents = F.round(F.col(value_col) * 100, 0).cast("bigint")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    base = (
+        df.filter(F.col(value_col) > 0)
+        .select(cents.alias("__c"), digit.alias("digit"))
+        .filter(F.col("__c") > 0)
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy()
+    total = F.sum("n").over(w)
+    exp_n = total * F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    chi2_term = F.pow(F.col("n") - exp_n, F.lit(2.0)) / exp_n
+    return (
+        base.withColumn("exp_n", F.round(exp_n, decimals))
+        .withColumn("chi2", F.round(F.sum(chi2_term).over(w), decimals))
+        .select("digit", "n", "exp_n", "chi2")
+    )

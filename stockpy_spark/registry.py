@@ -90,7 +90,8 @@ DRIVER_PRIORITY = [
     "emb_kmeans_summary",
     "quality_robust_clip",
     # --- first-50 window closes at quality_robust_clip above ---
-    # third-wave round-6 rows (behavioral analytics, PageRank, SCD2):
+    # third/fourth/fifth-wave round-6 rows (behavioral analytics,
+    # PageRank, SCD2, perplexity, corpus curation, skyline, BFS):
     # just past the window, so they head the round-7 queue together
     # with the r04-green block below
     "funnel_conversion",
@@ -115,6 +116,8 @@ DRIVER_PRIORITY = [
     "text_inverted_index",
     "graph_bfs_hops",
     "feat_quantile_bins",
+    "dedup_containment",
+    "dq_benford_prices",
     # r04-green (exactly two rounds old — next in line for round 7)
     "a2_count_star",
     "a3_distinct",

@@ -123,47 +123,72 @@ WHERE (CAST(concat('0x',
 # --- blocked Levenshtein entity resolution -------------------------------
 
 def q_er_fuzzy_match(spark, sf_dir):
-    """Entity resolution (operators/joins.py:blocked_fuzzy_join):
-    "dirty" part names (last character dropped from odd partkeys)
-    matched back against the catalog within 2 edits, candidates
-    generated by the (4-char-prefix, length-band) equi-key — a shuffle
-    hash join plus in-block levenshtein, never a nested-loop cross.
-    Blocked semantics exactly: prefix-equal AND distance<=2 (the length
-    band is implied by the distance bound, so it prunes cost, not
-    recall)."""
+    """Entity resolution (operators/joins.py:blocked_fuzzy_join) with
+    the production staging: exact-collapse FIRST, fuzzy on distinct
+    values only. "Dirty" entity strings (name+brand+type with the last
+    character dropped, odd partkeys) are matched back against the
+    catalog within 2 edits.
+
+    Both sides are reduced to distinct strings (min partkey as the
+    representative) BEFORE the fuzzy join, so the quadratic-in-block
+    stage runs on the name VOCABULARY — bounded — while corpus growth
+    only grows the two exact groupBys. Skipping that collapse is the
+    classic blocked-ER scale killer: with this synthetic catalog's 1.8k
+    distinct names the raw-rows variant measured 42 s at sf0.1 and
+    grows ~quadratically with SF; the collapsed variant is flat.
+    Candidates come from the (18-char-prefix, length-band) equi-key —
+    a shuffle hash join plus in-block levenshtein, never a nested-loop
+    cross. Blocked semantics exactly: prefix-equal AND distance<=2
+    (the length band is implied by the bound: cost, not recall)."""
     part = _t(spark, sf_dir, "part")
-    dirty = part.filter(F.col("p_partkey") % 2 == 1).select(
-        F.col("p_partkey").alias("dirty_id"),
-        F.expr("substring(p_name, 1, length(p_name) - 1)").alias("dirty_name"),
+    fname = F.concat_ws(" ", "p_name", "p_brand", "p_type")
+    catalog = (
+        part.select(F.col("p_partkey"), fname.alias("cat_name"))
+        .groupBy("cat_name")
+        .agg(F.min("p_partkey").alias("cat_id"))
+    )
+    dirty = (
+        part.filter(F.col("p_partkey") % 2 == 1)
+        .select(
+            F.col("p_partkey"),
+            F.expr(
+                "substring(concat_ws(' ', p_name, p_brand, p_type), 1, "
+                "length(concat_ws(' ', p_name, p_brand, p_type)) - 1)"
+            ).alias("dirty_name"),
+        )
+        .groupBy("dirty_name")
+        .agg(F.min("p_partkey").alias("dirty_id"))
     )
     matched = blocked_fuzzy_join(
-        dirty,
-        part.select("p_partkey", "p_name"),
-        "dirty_name",
-        "p_name",
-        max_dist=2,
-        prefix_len=4,
+        dirty, catalog, "dirty_name", "cat_name", max_dist=2, prefix_len=18
     )
     return matched.select(
         "dirty_id",
         "dirty_name",
-        "p_partkey",
-        "p_name",
-        F.levenshtein("dirty_name", "p_name").cast("int").alias("dist"),
+        "cat_id",
+        "cat_name",
+        F.levenshtein("dirty_name", "cat_name").cast("int").alias("dist"),
     )
 
 
 SQL_ER_FUZZY = """
-WITH dirty AS (
-    SELECT p_partkey AS dirty_id,
-           substring(p_name, 1, length(p_name) - 1) AS dirty_name
-    FROM part WHERE p_partkey % 2 = 1
+WITH named AS (
+    SELECT p_partkey, p_name || ' ' || p_brand || ' ' || p_type AS nm
+    FROM part
+), catalog AS (
+    SELECT nm AS cat_name, min(p_partkey) AS cat_id FROM named GROUP BY nm
+), dirty AS (
+    SELECT substring(nm, 1, length(nm) - 1) AS dirty_name,
+           min(p_partkey) AS dirty_id
+    FROM named WHERE p_partkey % 2 = 1
+    GROUP BY substring(nm, 1, length(nm) - 1)
 )
-SELECT d.dirty_id, d.dirty_name, c.p_partkey, c.p_name,
-       CAST(levenshtein(d.dirty_name, c.p_name) AS INT) AS dist
+SELECT d.dirty_id, d.dirty_name, c.cat_id, c.cat_name,
+       CAST(levenshtein(d.dirty_name, c.cat_name) AS INT) AS dist
 FROM dirty d
-JOIN part c ON substring(d.dirty_name, 1, 4) = substring(c.p_name, 1, 4)
-WHERE levenshtein(d.dirty_name, c.p_name) <= 2
+JOIN catalog c
+  ON substring(d.dirty_name, 1, 18) = substring(c.cat_name, 1, 18)
+WHERE levenshtein(d.dirty_name, c.cat_name) <= 2
 """
 
 
@@ -399,15 +424,17 @@ def q_graph_bfs_hops(spark, sf_dir):
     oracle (after CC, PageRank, k-means)."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-        .distinct()
-    )
+    # NO .distinct(): min-plus propagation is duplicate-edge-tolerant
+    # (each round's groupBy-min absorbs multiplicity map-side), and the
+    # corpus-sized distinct hash aggregate was THE memory wall at the
+    # synthetic sf10 (AGGREGATE_OUT_OF_MEMORY in the 200M-pair dedup —
+    # BASELINE.md §4). Orient a<b so the operator's symmetric union
+    # doesn't double already-bidirectional pairs.
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
     seeds = (
         _t(spark, sf_dir, "part")
         .filter(F.col("p_size") == 50)
@@ -468,5 +495,80 @@ R6C_QUERIES.update(
         "text_inverted_index": (q_text_inverted_index, SQL_INVERTED),
         "graph_bfs_hops": (q_graph_bfs_hops, SQL_BFS),
         "feat_quantile_bins": (q_feat_quantile_bins, SQL_QBINS),
+    }
+)
+
+
+# --- shingle containment (asymmetric near-dup) ---------------------------
+
+def q_dedup_containment(spark, sf_dir):
+    """Asymmetric substring-level duplication
+    (operators/dedup.py:shingle_containment_pairs): ordered pairs where
+    >=50% of the source's distinct 3-word shingles appear in the
+    destination — the quote/aggregator case Jaccard under-scores.
+    Verify-tier shape on the full corpus (guarded); the scale path
+    feeds LSH candidates."""
+    from stockpy_spark.operators.dedup import shingle_containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return shingle_containment_pairs(docs, "text", "doc_id", threshold=0.5)
+
+
+SQL_CONTAINMENT = """
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+    FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id AS doc,
+           unnest([array_to_string(t[i:i+2], ' ')
+                   for i in range(1, len(t) - 1)]) AS s
+    FROM toks
+), sz AS (
+    SELECT doc, count(*) AS sz FROM sh GROUP BY doc
+), inter AS (
+    SELECT a.doc AS src, b.doc AS dst, count(*) AS i
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc <> b.doc
+    GROUP BY 1, 2
+)
+SELECT inter.src, inter.dst, round(i * 1.0 / sz, 6) AS containment
+FROM inter JOIN sz ON inter.src = sz.doc
+WHERE round(i * 1.0 / sz, 6) >= 0.5
+"""
+
+
+# --- Benford first-digit forensic profile --------------------------------
+
+def q_dq_benford_prices(spark, sf_dir):
+    """Benford first-digit screen over lineitem prices
+    (operators/quality.py:benford_first_digit) — digit extracted via
+    the engine-exact integer-cents string route, expected counts and
+    the chi-square statistic from one aggregate + a 9-row window."""
+    from stockpy_spark.operators.quality import benford_first_digit
+
+    li = _t(spark, sf_dir, "lineitem")
+    return benford_first_digit(li, "l_extendedprice")
+
+
+SQL_BENFORD = """
+WITH d AS (
+    SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c
+    FROM lineitem WHERE l_extendedprice > 0
+), base AS (
+    SELECT CAST(substring(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit,
+           count(*) AS n
+    FROM d WHERE c > 0 GROUP BY 1
+), t AS (SELECT sum(n) AS total FROM base)
+SELECT digit, n,
+       round(total * log10(1.0 + 1.0 / digit), 6) AS exp_n,
+       round(sum(pow(n - total * log10(1.0 + 1.0 / digit), 2)
+                 / (total * log10(1.0 + 1.0 / digit))) OVER (), 6) AS chi2
+FROM base, t
+"""
+
+
+R6C_QUERIES.update(
+    {
+        "dedup_containment": (q_dedup_containment, SQL_CONTAINMENT),
+        "dq_benford_prices": (q_dq_benford_prices, SQL_BENFORD),
     }
 )

@@ -366,3 +366,29 @@ def test_triangle_count_all_hash_joins(spark):
     p = plan(triangle_count(edges))
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_fuzzy_join_equi_blocked_no_nested_loop(spark):
+    # the levenshtein predicate must ride an EQUI join on the block
+    # keys; a naive distance<=k join plans BroadcastNestedLoopJoin
+    p = plan(QUERIES["er_fuzzy_match"](spark, SF_DIR), "simple")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_skyline_only_bounded_broadcasts(spark):
+    # the two cross joins carry a 1-row bounds frame and a B-row offset
+    # frame; both must be broadcasts, and the only unpartitioned window
+    # runs over the B-row census
+    df = QUERIES["pareto_frontier"](spark, SF_DIR)
+    p = plan(df, "simple")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_inverted_index_single_term_shuffle(spark):
+    # the row_number cap and the final aggregate must share the (term)
+    # exchange: two exchanges total (doc-term distinct, then term)
+    df = QUERIES["text_inverted_index"](spark, SF_DIR)
+    p = plan(df, "simple")
+    assert p.count("Exchange") <= 3
