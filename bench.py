@@ -92,6 +92,17 @@ HEADLINE = [
     "corpus_line_dedup",
     "pareto_frontier",
     "ts_anomaly_zscore",
+    # round-6 fourth wave: drift screens (PSI census+groupBy; KS over
+    # the bucketed distributed ECDF), the one-scan correlation matrix,
+    # and CUSUM via the Lindley closed form (one key-shuffle of
+    # windows). setsim_jaccard_join is deliberately NOT a headline:
+    # the synthetic corpus's tiny vocabulary makes candidate volume
+    # quasi-quadratic (23 s at sf0.1) — an honest property of prefix
+    # filtering on low-entropy token sets, recorded in BASELINE.md §4.
+    "drift_psi_value",
+    "drift_ks_value",
+    "stats_corr_matrix",
+    "ts_cusum_alarm",
 ]
 
 

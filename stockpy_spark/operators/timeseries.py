@@ -391,3 +391,85 @@ def rolling_zscore(
             "is_anomaly"
         ),
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    target: float,
+    slack: float,
+    threshold: float,
+    tiebreak_col: str | None = None,
+    dp: int = 6,
+) -> DataFrame:
+    """Per-key one-sided (upward) CUSUM change detection: the recursive
+    control chart s_i = max(0, s_{i-1} + (v_i - target - slack)),
+    s_0 = 0, alarming when s crosses ``threshold`` (Page 1954).
+
+    The recursion LOOKS fold-only, but the max(0, .)-clipped random
+    walk has the textbook closed form
+        s_i = C_i - min(0, min_{j<=i} C_j),   C_i = prefix sum of
+                                              (v - target - slack)
+    (reflection at zero = subtracting the running minimum), so it is
+    WINDOW-expressible: one running sum + one running min + one lag
+    over the same (key, time) sort — a single shuffle, no per-key
+    collect_list, per-row state only. That matters twice: it scales to
+    per-key series that do NOT fit an executor (the fold family's
+    contract, q_ts_ewma, can't), and both engines evaluate the running
+    sum left-to-right over the same order, so every s_i is the same
+    double and even the threshold comparisons replay exactly on the
+    SQL oracle. (A list_reduce struct-accumulator oracle was the first
+    attempt; DuckDB 1.0 mis-evaluates multi-field struct folds, and
+    the closed form is strictly better anyway.)
+
+    Returns one row per key: (key, n, cusum_final, cusum_max,
+    n_alarms, first_alarm_idx) — n_alarms counts threshold UPCROSSINGS
+    (alarm fires, statistic keeps accumulating; the no-reset variant),
+    first_alarm_idx is the 1-based position of the first crossing or
+    NULL. cusum_final/cusum_max rounded to ``dp``.
+    """
+    order_cols = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w_ord = Window.partitionBy("key").orderBy(*order_cols)
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    drift = F.lit(float(target) + float(slack))
+    thr = F.lit(float(threshold))
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(key_col).alias("key"),
+        *[F.col(c) for c in ([ts_col] + ([tiebreak_col] if tiebreak_col else []))],
+        (F.col(value_col) - drift).alias("__c"),
+    )
+    cum = base.select(
+        "key",
+        F.row_number().over(w_ord).alias("__i"),
+        F.sum("__c").over(w_run).alias("__C"),
+    )
+    s = cum.select(
+        "key",
+        "__i",
+        (
+            F.col("__C")
+            - F.least(F.lit(0.0), F.min("__C").over(w_ord.orderBy("__i").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        ).alias("__s"),
+    )
+    flagged = s.select(
+        "key",
+        "__i",
+        "__s",
+        (
+            (F.coalesce(F.lag("__s").over(w_ord.orderBy("__i")), F.lit(0.0)) < thr)
+            & (F.col("__s") >= thr)
+        ).alias("__crossed"),
+    )
+    return flagged.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.max_by("__s", "__i"), dp).alias("cusum_final"),
+        F.round(F.max("__s"), dp).alias("cusum_max"),
+        F.sum(F.when(F.col("__crossed"), 1).otherwise(0)).alias("n_alarms"),
+        F.min(F.when(F.col("__crossed"), F.col("__i"))).alias(
+            "first_alarm_idx"
+        ),
+    )

@@ -392,3 +392,41 @@ def test_inverted_index_single_term_shuffle(spark):
     df = QUERIES["text_inverted_index"](spark, SF_DIR)
     p = plan(df, "simple")
     assert p.count("Exchange") <= 3
+
+
+def test_setsim_all_equi_joins(spark):
+    # prefix filtering exists to make candidate generation an EQUI
+    # join; any nested-loop/cartesian here is the all-pairs blowup
+    p = plan(QUERIES["setsim_jaccard_join"](spark, SF_DIR), "simple")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_ks_only_bounded_broadcasts(spark):
+    # the one cross join carries the 1-row census; the bucket-offset
+    # join is an equi join on bkt and the sup is a top-1
+    # (TakeOrderedAndProject), not a dmax cross join
+    p = plan(QUERIES["drift_ks_value"](spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in p
+    # the census cross-join subtree shows up under BOTH the local
+    # cumsum branch and the bucket-totals branch in the static plan
+    # (runtime exchange reuse dedupes it); each instance is a 1-row
+    # broadcast
+    assert p.count("BroadcastNestedLoopJoin") <= 2
+    assert "TakeOrderedAndProject" in p
+
+
+def test_cusum_single_key_shuffle(spark):
+    # running sum, running min, lag and the final agg all share the
+    # (key) partitioning: one data shuffle end-to-end
+    p = plan(QUERIES["ts_cusum_alarm"](spark, SF_DIR), "simple")
+    assert p.count("Exchange") <= 2
+    assert "CartesianProduct" not in p
+
+
+def test_corr_matrix_single_aggregate_scan(spark):
+    # all 6 pairs from one aggregate: exactly the two exchanges of a
+    # global agg (partial -> single partition), one parquet scan
+    p = plan(QUERIES["stats_corr_matrix"](spark, SF_DIR), "simple")
+    assert p.count("Exchange") <= 2
+    assert p.count("Scan parquet") == 1
