@@ -103,6 +103,10 @@ HEADLINE = [
     "drift_ks_value",
     "stats_corr_matrix",
     "ts_cusum_alarm",
+    # fifth wave: Welch t-test (two moment aggs + 1-row cross) and the
+    # melt-once entropy profile
+    "stats_welch_ttest",
+    "profile_entropy",
 ]
 
 

@@ -137,3 +137,56 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     return row.select(F.explode(F.array(*profiles)).alias("p")).select(
         "p.column", "p.n_rows", "p.n_nonnull", "p.n_nulls", "p.n_distinct"
     )
+
+
+def top_movers(
+    df: DataFrame,
+    key_col: str,
+    period_col,
+    period_a,
+    period_b,
+    metric_col: str,
+    k: int = 20,
+    dp: int = 6,
+) -> DataFrame:
+    """Period-over-period change ranking: sum ``metric_col`` per key in
+    two periods, rank keys by absolute delta — the "what moved and by
+    how much" report behind every metrics review.
+
+    ``period_col`` is a Column expression (e.g. year(o_orderdate));
+    keys absent from a period contribute 0 there (a key collapsing to
+    zero IS a top mover — an inner join would hide exactly the
+    interesting rows). Returns the top ``k`` rows (key, metric_a,
+    metric_b, delta, rank) by (|delta| desc, key asc).
+
+    One filtered scan feeds a single conditional aggregate (no
+    self-join of two period subqueries), then top-k via per-partition
+    heaps. At 100 TB this is one shuffle on the key.
+    """
+    from pyspark.sql.window import Window
+
+    base = df.filter(period_col.isin([period_a, period_b])).select(
+        F.col(key_col).alias("key"),
+        period_col.alias("__p"),
+        F.col(metric_col).cast("double").alias("__m"),
+    )
+    per = base.groupBy("key").agg(
+        F.round(
+            F.sum(F.when(F.col("__p") == period_a, F.col("__m")).otherwise(0.0)),
+            dp,
+        ).alias("metric_a"),
+        F.round(
+            F.sum(F.when(F.col("__p") == period_b, F.col("__m")).otherwise(0.0)),
+            dp,
+        ).alias("metric_b"),
+    )
+    delta = F.round(F.col("metric_b") - F.col("metric_a"), dp)
+    top = (
+        per.withColumn("delta", delta)
+        .orderBy(F.abs(F.col("delta")).desc(), F.col("key"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.abs(F.col("delta")).desc(), F.col("key"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "key", "metric_a", "metric_b", "delta", "rank"
+    )

@@ -163,3 +163,52 @@ def benford_first_digit(
         .withColumn("chi2", F.round(F.sum(chi2_term).over(w), decimals))
         .select("digit", "n", "exp_n", "chi2")
     )
+
+
+def key_skew_profile(
+    df: DataFrame, key_col: str, top_k: int = 5, dp: int = 6
+) -> DataFrame:
+    """Join/groupBy-key skew report — the pre-flight check a 100 TB
+    pipeline runs BEFORE shuffling on a key: at scale a single hot key
+    is the difference between a 10-minute stage and a straggler that
+    never finishes (this repo's own salted-join and AQE crossover
+    numbers, BASELINE.md §4, all start from exactly this measurement).
+
+    Returns the ``top_k`` hottest keys, one row each: (rank, key,
+    n_rows, share, n_keys, mean_rows, skew_ratio) where share is the
+    key's fraction of all rows and skew_ratio = max key count / mean
+    key count (1.0 = perfectly uniform); the census triple is repeated
+    on every row. NULL keys count as a key (NULL-heavy foreign keys
+    are the most common hot key in the wild — hiding them would defeat
+    the report).
+
+    One groupBy (map-side combined), a 1-row census broadcast, and a
+    top-k via per-partition heaps (TakeOrderedAndProject) — no global
+    sort, driver state = top_k rows.
+    """
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    census = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n_rows").alias("total"),
+        F.max("n_rows").alias("max_rows"),
+    )
+    top = (
+        counts.orderBy(F.col("n_rows").desc(), F.col("key"))
+        .limit(top_k)
+        .crossJoin(F.broadcast(census))
+    )
+    w = Window.orderBy(F.col("n_rows").desc(), F.col("key"))
+    mean_rows = F.col("total") / F.col("n_keys")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank",
+        "key",
+        "n_rows",
+        F.round(F.col("n_rows") / F.col("total"), dp).alias("share"),
+        "n_keys",
+        F.round(mean_rows, dp).alias("mean_rows"),
+        F.round(F.col("max_rows") / mean_rows, dp).alias("skew_ratio"),
+    )

@@ -210,3 +210,68 @@ def weighted_sample_topk(
         .orderBy(F.col("__wkey").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def negative_pair_sample(
+    df: DataFrame,
+    id_col: str,
+    k: int,
+    salt: str = "negpair",
+    n_shards: int = 256,
+) -> DataFrame:
+    """Deterministic in-batch negative pairs for contrastive training:
+    each anchor row is paired with the next ``k`` rows of its
+    md5-ordered hash shard — the distributed version of "shuffle the
+    batch, take your neighbors as negatives". The md5 order is
+    independent of content, so neighbors are an unbiased pseudo-random
+    draw, yet the whole pairing is a pure function of (salt, ids):
+    rerun-stable, engine-reproducible (oracle-able), and free of the
+    coordination a true random permutation needs.
+
+    Shape: one shuffle into ``n_shards`` hash shards, a lead(1..k)
+    window cascade inside each shard (one sort, per-row state), no
+    self-join, no global permutation index. The last rows of a shard
+    have fewer than k successors and emit fewer pairs (no wraparound —
+    the loss is exactly k(k+1)/2 pairs per shard, negligible at corpus
+    scale and exactly reproduced by the oracle).
+
+    Returns (anchor_id, negative_id, neg_rank) with neg_rank 1..k.
+    """
+    h = F.md5(
+        F.concat_ws("\x1f", F.lit(salt), F.col(id_col).cast("string"))
+    )
+    base = df.select(
+        F.col(id_col).alias("anchor_id"),
+        h.alias("__h"),
+        (
+            F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+            % F.lit(n_shards)
+        ).alias("__shard"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("__shard").orderBy("__h", "anchor_id")
+    leads = base.select(
+        "anchor_id",
+        *[
+            F.lead("anchor_id", i).over(w).alias(f"__n{i}")
+            for i in range(1, k + 1)
+        ],
+    )
+    stacked = leads.select(
+        "anchor_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("neg_rank"),
+                        F.col(f"__n{i}").alias("negative_id"),
+                    )
+                    for i in range(1, k + 1)
+                ]
+            )
+        ).alias("p"),
+    )
+    return stacked.select(
+        "anchor_id", F.col("p.negative_id").alias("negative_id"), F.col("p.neg_rank").alias("neg_rank")
+    ).filter(F.col("negative_id").isNotNull())

@@ -160,3 +160,219 @@ def categorical_association(
             "chi2", "cramers_v", "mutual_info",
         )
     )
+
+
+def welch_ttest(
+    ref: DataFrame, cur: DataFrame, value_col: str, dp: int = 6
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test — the experiment /
+    cohort-comparison companion of the drift screens (operators/
+    drift.py): PSI/KS ask "did the distribution move", the t-test asks
+    "did the MEAN move, and is it noise" without assuming equal
+    variances (the assumption plain Student's t gets wrong on real
+    metrics).
+
+    Returns ONE row: (n_ref, n_cur, mean_ref, mean_cur, t_stat, df)
+    with the Welch-Satterthwaite degrees of freedom; everything rounded
+    to ``dp``. One aggregate per side (count/sum/sum-of-squares,
+    map-side combined) joined by a 1-row cross — no data-sized shuffle
+    at all. Sample variance via (ss - s^2/n) / (n - 1), the same
+    expression shape the SQL oracle runs. NULLs excluded.
+    """
+
+    def moments(df: DataFrame, tag: str) -> DataFrame:
+        v = F.col(value_col).cast("double")
+        return df.filter(v.isNotNull()).agg(
+            F.count(F.lit(1)).alias(f"n_{tag}"),
+            F.sum(v).alias(f"s_{tag}"),
+            F.sum(v * v).alias(f"ss_{tag}"),
+        )
+
+    both = moments(ref, "ref").crossJoin(F.broadcast(moments(cur, "cur")))
+    n1, n2 = F.col("n_ref").cast("double"), F.col("n_cur").cast("double")
+    m1, m2 = F.col("s_ref") / n1, F.col("s_cur") / n2
+    v1 = (F.col("ss_ref") - F.col("s_ref") * F.col("s_ref") / n1) / (n1 - 1)
+    v2 = (F.col("ss_cur") - F.col("s_cur") * F.col("s_cur") / n2) / (n2 - 1)
+    se1, se2 = v1 / n1, v2 / n2
+    t = (m1 - m2) / F.sqrt(se1 + se2)
+    df_ws = F.pow(se1 + se2, F.lit(2.0)) / (
+        F.pow(se1, F.lit(2.0)) / (n1 - 1) + F.pow(se2, F.lit(2.0)) / (n2 - 1)
+    )
+    return both.select(
+        "n_ref",
+        "n_cur",
+        F.round(m1, dp).alias("mean_ref"),
+        F.round(m2, dp).alias("mean_cur"),
+        F.round(t, dp).alias("t_stat"),
+        F.round(df_ws, dp).alias("df"),
+    )
+
+
+def mahalanobis_outliers_2d(
+    df: DataFrame,
+    keys: list[str],
+    col_x: str,
+    col_y: str,
+    threshold: float,
+    dp: int = 6,
+) -> DataFrame:
+    """Bivariate Mahalanobis outlier screen: rows whose squared
+    Mahalanobis distance from the (col_x, col_y) centroid exceeds
+    ``threshold`` — the correlation-aware generalization of the
+    per-column z-score clip (quality_robust_clip): a point can be
+    unremarkable on each axis yet far off the correlation ridge, and
+    md2 is what catches it (under bivariate normality md2 ~ chi^2 with
+    2 df, so 13.8 ≈ the 0.1% tail).
+
+    The 2-D case needs no matrix inverse — the closed form
+        md2 = (zx^2 - 2 r zx zy + zy^2) / (1 - r^2)
+    uses only the five moments of ONE aggregate scan (broadcast back as
+    a 1-row census), keeping everything a narrow per-row expression the
+    SQL oracle replays. Rows with a NULL in either column are excluded
+    both from the moments and the output; the filter compares the
+    ROUNDED md2 so the cut replays exactly cross-engine. Degenerate
+    inputs (zero variance or |r| = 1) yield NULL md2 and no rows.
+
+    Returns (keys..., x, y, md2) sorted by nothing — callers rank.
+    """
+    x = F.col(col_x).cast("double")
+    y = F.col(col_y).cast("double")
+    base = df.filter(x.isNotNull() & y.isNotNull())
+    cen = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    mx, my = F.col("sx") / n, F.col("sy") / n
+    vx = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
+    vy = (F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - 1)
+    cxy = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)
+    r = cxy / F.sqrt(vx * vy)
+    zx = (x - mx) / F.sqrt(vx)
+    zy = (y - my) / F.sqrt(vy)
+    md2 = (zx * zx - 2 * r * zx * zy + zy * zy) / (1 - r * r)
+    return (
+        base.crossJoin(F.broadcast(cen))
+        .select(
+            *keys,
+            x.alias("x"),
+            y.alias("y"),
+            F.round(md2, dp).alias("md2"),
+        )
+        .filter(F.col("md2") >= F.lit(float(threshold)))
+    )
+
+
+def categorical_entropy(
+    df: DataFrame, cols: list[str], dp: int = 6
+) -> DataFrame:
+    """Shannon entropy profile of categorical columns — the one-number
+    screen for dead columns (entropy ~ 0: constant), exploded keys
+    (entropy ~ ln n: near-unique), and drifted encodings.
+
+    Returns one row per column: (col_name, n_values, n_distinct,
+    entropy, norm_entropy) with entropy in nats and norm_entropy =
+    entropy / ln(n_distinct) in [0, 1] (NULL when n_distinct = 1).
+    NULL category values are excluded (their share is the DQ suite's
+    null_fraction check, a different question).
+
+    One pass: every row explodes into (col_name, value) pairs — a
+    len(cols)-way narrow fan-out, the unpivot idiom — then a single
+    (col_name, value) groupBy and a per-column aggregate. Scanning
+    once regardless of column count is the point; len(cols) jobs of
+    ``groupBy(col).count()`` would rescan the table per column.
+    """
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(c).cast("string").alias("val"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.col_name", "p.val")
+    counts = (
+        pairs.filter(F.col("val").isNotNull())
+        .groupBy("col_name", "val")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from pyspark.sql.window import Window
+
+    wcol = Window.partitionBy("col_name")
+    p = F.col("c") / F.sum("c").over(wcol)
+    ent = counts.withColumn("term", -p * F.log(p)).groupBy("col_name").agg(
+        F.sum("c").alias("n_values"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum("term").alias("h"),
+    )
+    return ent.select(
+        "col_name",
+        "n_values",
+        "n_distinct",
+        F.round("h", dp).alias("entropy"),
+        F.round(
+            F.when(
+                F.col("n_distinct") > 1,
+                F.col("h") / F.log(F.col("n_distinct").cast("double")),
+            ),
+            dp,
+        ).alias("norm_entropy"),
+    )
+
+
+def gini_by_group(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    dp: int = 6,
+) -> DataFrame:
+    """Per-group Gini coefficient of ``value_col`` — the concentration
+    screen a corpus curator runs on documents-per-source or
+    tokens-per-domain (a 0.9 Gini corpus is one crawler's output
+    wearing a diversity costume) and a revenue analyst runs on
+    customer concentration.
+
+    Uses the exact rank formulation over the group-sorted values
+        G = 2 * sum(i * x_(i)) / (n * sum(x)) - (n + 1) / n
+    with ties broken by ``id_col`` (any total order of equal values
+    yields the same G — the tiebreak just pins both engines to one
+    rank assignment). Values must be non-negative; NULLs excluded.
+    Returns (group, n, total, gini), gini rounded to ``dp``, total to
+    cents (2 dp — see the in-code precision note).
+
+    One shuffle: rank + the weighted sum ride the same (group, value)
+    sort; per-row state only, no per-group collect.
+    """
+    from pyspark.sql.window import Window
+
+    g = F.col(group_col).alias("grp")
+    w = Window.partitionBy("grp").orderBy(
+        F.col("x").asc(), F.col(id_col).asc()
+    )
+    ranked = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(g, F.col(value_col).cast("double").alias("x"), id_col)
+        .withColumn("i", F.row_number().over(w))
+    )
+    n = F.count(F.lit(1)).cast("double")
+    return ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        # money-magnitude sums round to cents: at ~1e9 a 6-dp round
+        # sits below double precision and cross-engine summation order
+        # would flip the last digit
+        F.round(F.sum("x"), 2).alias("total"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("x")) / (n * F.sum("x"))
+            - (n + 1.0) / n,
+            dp,
+        ).alias("gini"),
+    )

@@ -16,13 +16,14 @@ from stockpy_spark.registry_r6 import R6_QUERIES
 from stockpy_spark.registry_r6b import R6B_QUERIES
 from stockpy_spark.registry_r6c import R6C_QUERIES
 from stockpy_spark.registry_r6d import R6D_QUERIES
+from stockpy_spark.registry_r6e import R6E_QUERIES
 
 try:
     from stockpy_spark.registry_ext import EXT_QUERIES
 except ImportError:  # extensions land incrementally
     EXT_QUERIES = {}
 
-_ALL = {**CORE_QUERIES, **EXT_QUERIES, **TPCH2_QUERIES, **HIVE_QUERIES, **TS_QUERIES, **GRAPH_QUERIES, **STREAM_QUERIES, **R6_QUERIES, **R6B_QUERIES, **R6C_QUERIES, **R6D_QUERIES}
+_ALL = {**CORE_QUERIES, **EXT_QUERIES, **TPCH2_QUERIES, **HIVE_QUERIES, **TS_QUERIES, **GRAPH_QUERIES, **STREAM_QUERIES, **R6_QUERIES, **R6B_QUERIES, **R6C_QUERIES, **R6D_QUERIES, **R6E_QUERIES}
 
 # The driver's correctness gate checks the FIRST 50 queries in dict
 # insertion order. Round-6 rotation (oldest-green-first keeps every row
@@ -125,6 +126,13 @@ DRIVER_PRIORITY = [
     "stats_corr_matrix",
     "stats_cat_association",
     "ts_cusum_alarm",
+    "stats_welch_ttest",
+    "dq_mahalanobis_outliers",
+    "profile_entropy",
+    "sample_negative_pairs",
+    "dq_key_skew",
+    "stats_gini_revenue",
+    "agg_top_movers",
     # r04-green (exactly two rounds old — next in line for round 7)
     "a2_count_star",
     "a3_distinct",

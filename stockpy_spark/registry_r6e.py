@@ -1,0 +1,323 @@
+"""Round-6 fifth-wave families: Welch's t-test (experiment analysis),
+bivariate Mahalanobis outlier screening, Shannon entropy column
+profiling, and deterministic contrastive negative-pair sampling.
+
+All four carry full DuckDB value-hash oracles. The t-test and
+Mahalanobis queries mirror the exact (count/sum/sum-of-squares)
+moment algebra in both engines; the negative sampler is a pure
+function of md5(salt, id) like every sampling operator in this repo,
+so the oracle replays the identical pairing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stockpy_spark.operators.sampling import negative_pair_sample
+from stockpy_spark.operators.stats import (
+    categorical_entropy,
+    mahalanobis_outliers_2d,
+    welch_ttest,
+)
+from stockpy_spark.registry_ext import _t
+
+R6E_QUERIES: dict = {}
+
+
+# --- Welch two-sample t-test ---------------------------------------------
+
+def q_stats_welch_ttest(spark, sf_dir):
+    """Welch's t-test on click vs purchase event values
+    (operators/stats.py:welch_ttest): one moments aggregate per side,
+    1-row broadcast cross, Welch-Satterthwaite df — the
+    "did the mean move" companion of the PSI/KS drift screens."""
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.filter(F.col("event_type") == "click")
+    cur = ev.filter(F.col("event_type") == "purchase")
+    return welch_ttest(ref, cur, "value")
+
+
+SQL_WELCH = """
+WITH r AS (
+    SELECT CAST(count(*) AS BIGINT) AS n, sum(value) AS s,
+           sum(value * value) AS ss
+    FROM events WHERE event_type = 'click' AND value IS NOT NULL
+), c AS (
+    SELECT CAST(count(*) AS BIGINT) AS n, sum(value) AS s,
+           sum(value * value) AS ss
+    FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+), d AS (
+    SELECT r.n AS n_ref, c.n AS n_cur,
+           r.s / CAST(r.n AS DOUBLE) AS m1, c.s / CAST(c.n AS DOUBLE) AS m2,
+           ((r.ss - r.s * r.s / CAST(r.n AS DOUBLE)) / (CAST(r.n AS DOUBLE) - 1))
+               / CAST(r.n AS DOUBLE) AS se1,
+           ((c.ss - c.s * c.s / CAST(c.n AS DOUBLE)) / (CAST(c.n AS DOUBLE) - 1))
+               / CAST(c.n AS DOUBLE) AS se2
+    FROM r, c
+)
+SELECT n_ref, n_cur,
+       round(m1, 6) AS mean_ref, round(m2, 6) AS mean_cur,
+       round((m1 - m2) / sqrt(se1 + se2), 6) AS t_stat,
+       round(pow(se1 + se2, 2)
+             / (pow(se1, 2) / (n_ref - 1) + pow(se2, 2) / (n_cur - 1)),
+             6) AS df
+FROM d
+"""
+
+
+# --- bivariate Mahalanobis outliers --------------------------------------
+
+def q_dq_mahalanobis_outliers(spark, sf_dir):
+    """Correlation-aware outlier screen over (l_quantity,
+    l_extendedprice) (operators/stats.py:mahalanobis_outliers_2d,
+    closed-form 2-D inverse, one moments census broadcast back). The
+    synthetic columns are near-uniform (no heavy tails: max md2 ~ 5.9
+    where a Gaussian 0.1% cut sits at 13.8), so the query cuts at the
+    empirical 99.9% band — the OPERATOR takes the caller's chi-square
+    threshold unchanged on real data."""
+    li = _t(spark, sf_dir, "lineitem")
+    return mahalanobis_outliers_2d(
+        li,
+        keys=["l_orderkey", "l_linenumber"],
+        col_x="l_quantity",
+        col_y="l_extendedprice",
+        threshold=5.7,
+    )
+
+
+SQL_MAHAL = """
+WITH m AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n,
+           sum(l_quantity) AS sx, sum(l_extendedprice) AS sy,
+           sum(l_quantity * l_quantity) AS sxx,
+           sum(l_extendedprice * l_extendedprice) AS syy,
+           sum(l_quantity * l_extendedprice) AS sxy
+    FROM lineitem
+    WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+), z AS (
+    SELECT l_orderkey, l_linenumber,
+           l_quantity AS x, l_extendedprice AS y,
+           (l_quantity - sx / n) / sqrt((sxx - sx * sx / n) / (n - 1)) AS zx,
+           (l_extendedprice - sy / n)
+               / sqrt((syy - sy * sy / n) / (n - 1)) AS zy,
+           ((sxy - sx * sy / n) / (n - 1))
+               / sqrt(((sxx - sx * sx / n) / (n - 1))
+                      * ((syy - sy * sy / n) / (n - 1))) AS r
+    FROM lineitem, m
+    WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+)
+SELECT l_orderkey, l_linenumber, x, y,
+       round((zx * zx - 2 * r * zx * zy + zy * zy) / (1 - r * r), 6) AS md2
+FROM z
+WHERE round((zx * zx - 2 * r * zx * zy + zy * zy) / (1 - r * r), 6) >= 5.7
+"""
+
+
+# --- Shannon entropy profile ---------------------------------------------
+
+_ENTROPY_COLS = ["o_orderstatus", "o_orderpriority", "o_orderdate"]
+
+
+def q_profile_entropy(spark, sf_dir):
+    """Entropy profile of three orders columns
+    (operators/stats.py:categorical_entropy): one scan melts every row
+    into (col, value) pairs, one groupBy — low-cardinality status,
+    mid-cardinality priority, and the ~2.4k-value date column in a
+    single pass."""
+    od = _t(spark, sf_dir, "orders")
+    return categorical_entropy(od, _ENTROPY_COLS)
+
+
+SQL_ENTROPY = """
+WITH u AS (
+    SELECT 'o_orderstatus' AS col_name, CAST(o_orderstatus AS VARCHAR) AS val
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR) FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', CAST(o_orderdate AS VARCHAR) FROM orders
+), counts AS (
+    SELECT col_name, val, count(*) AS c
+    FROM u WHERE val IS NOT NULL GROUP BY 1, 2
+), terms AS (
+    SELECT col_name, c,
+           -(c / sum(c) OVER (PARTITION BY col_name))
+               * ln(c / sum(c) OVER (PARTITION BY col_name)) AS term
+    FROM counts
+)
+SELECT col_name,
+       CAST(sum(c) AS BIGINT) AS n_values,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       round(sum(term), 6) AS entropy,
+       round(CASE WHEN count(*) > 1
+                  THEN sum(term) / ln(CAST(count(*) AS DOUBLE)) END,
+             6) AS norm_entropy
+FROM terms
+GROUP BY col_name
+"""
+
+
+# --- contrastive negative pairs ------------------------------------------
+
+def q_sample_negative_pairs(spark, sf_dir):
+    """Two deterministic negatives per document
+    (operators/sampling.py:negative_pair_sample): md5-sharded,
+    md5-ordered neighbors — the distributed "shuffled batch" negative
+    draw, a pure function of (salt, doc_id) the oracle replays.
+    16 shards (not the 256 default) so shard-tail truncation stays
+    negligible at the oracle's 500-doc scale; at corpus scale the
+    shard count trades parallelism against the k * n_shards loss."""
+    docs = _t(spark, sf_dir, "documents")
+    return negative_pair_sample(docs, "doc_id", k=2, n_shards=16)
+
+
+SQL_NEGPAIRS = """
+WITH base AS (
+    SELECT doc_id AS anchor_id,
+           md5('negpair' || chr(31) || CAST(doc_id AS VARCHAR)) AS h,
+           CAST(concat('0x', substring(
+                md5('negpair' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 15))
+                AS BIGINT) % 16 AS shard
+    FROM documents
+), leads AS (
+    SELECT anchor_id,
+           lead(anchor_id, 1) OVER w AS n1,
+           lead(anchor_id, 2) OVER w AS n2
+    FROM base
+    WINDOW w AS (PARTITION BY shard ORDER BY h, anchor_id)
+)
+SELECT anchor_id, negative_id, neg_rank FROM (
+    SELECT anchor_id, n1 AS negative_id, 1 AS neg_rank FROM leads
+    UNION ALL
+    SELECT anchor_id, n2, 2 FROM leads
+)
+WHERE negative_id IS NOT NULL
+"""
+
+
+R6E_QUERIES.update(
+    {
+        "stats_welch_ttest": (q_stats_welch_ttest, SQL_WELCH),
+        "dq_mahalanobis_outliers": (q_dq_mahalanobis_outliers, SQL_MAHAL),
+        "profile_entropy": (q_profile_entropy, SQL_ENTROPY),
+        "sample_negative_pairs": (q_sample_negative_pairs, SQL_NEGPAIRS),
+    }
+)
+
+
+# --- key-skew profile ----------------------------------------------------
+
+def q_dq_key_skew(spark, sf_dir):
+    """Hot-key report for events.user_id
+    (operators/quality.py:key_skew_profile): one groupBy + 1-row
+    census + TakeOrdered top-5 — the pre-shuffle skew check every big
+    join in this repo's BASELINE.md skew story starts from."""
+    from stockpy_spark.operators.quality import key_skew_profile
+
+    ev = _t(spark, sf_dir, "events")
+    return key_skew_profile(ev, "user_id", top_k=5)
+
+
+SQL_KEY_SKEW = """
+WITH counts AS (
+    SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n_rows
+    FROM events GROUP BY user_id
+), census AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(n_rows) AS BIGINT) AS total,
+           max(n_rows) AS max_rows
+    FROM counts
+), top AS (
+    SELECT key, n_rows FROM counts ORDER BY n_rows DESC, key LIMIT 5
+)
+SELECT row_number() OVER (ORDER BY n_rows DESC, key) AS rank,
+       key, n_rows,
+       round(n_rows / total, 6) AS share,
+       n_keys,
+       round(total / CAST(n_keys AS DOUBLE), 6) AS mean_rows,
+       round(max_rows / (total / CAST(n_keys AS DOUBLE)), 6) AS skew_ratio
+FROM top, census
+"""
+
+
+# --- per-group Gini ------------------------------------------------------
+
+def q_stats_gini_revenue(spark, sf_dir):
+    """Order-value concentration per priority class
+    (operators/stats.py:gini_by_group): exact rank-formula Gini, one
+    (group, value) sort carrying both the rank and the weighted sum."""
+    from stockpy_spark.operators.stats import gini_by_group
+
+    od = _t(spark, sf_dir, "orders")
+    return gini_by_group(od, "o_orderpriority", "o_totalprice", "o_orderkey")
+
+
+SQL_GINI = """
+WITH ranked AS (
+    SELECT o_orderpriority AS grp, o_totalprice AS x,
+           row_number() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice, o_orderkey) AS i
+    FROM orders WHERE o_totalprice IS NOT NULL
+)
+SELECT grp, CAST(count(*) AS BIGINT) AS n,
+       round(sum(x), 2) AS total,
+       round(2.0 * sum(i * x) / (CAST(count(*) AS DOUBLE) * sum(x))
+             - (CAST(count(*) AS DOUBLE) + 1.0) / CAST(count(*) AS DOUBLE),
+             6) AS gini
+FROM ranked
+GROUP BY grp
+"""
+
+
+# --- period-over-period top movers ---------------------------------------
+
+def q_agg_top_movers(spark, sf_dir):
+    """Top-20 customers by absolute revenue change, 1996 vs 1997
+    (operators/aggregate.py:top_movers): one conditional aggregate over
+    a year-filtered scan — no two-subquery self-join — then
+    per-partition top-k heaps. Zero-period customers stay in (a
+    collapse to zero IS a mover)."""
+    from stockpy_spark.operators.aggregate import top_movers
+
+    od = _t(spark, sf_dir, "orders")
+    return top_movers(
+        od,
+        key_col="o_custkey",
+        period_col=F.year("o_orderdate"),
+        period_a=1996,
+        period_b=1997,
+        metric_col="o_totalprice",
+        k=20,
+    )
+
+
+SQL_TOP_MOVERS = """
+WITH per AS (
+    SELECT o_custkey AS key,
+           round(sum(CASE WHEN EXTRACT(year FROM o_orderdate) = 1996
+                          THEN o_totalprice ELSE 0.0 END), 6) AS metric_a,
+           round(sum(CASE WHEN EXTRACT(year FROM o_orderdate) = 1997
+                          THEN o_totalprice ELSE 0.0 END), 6) AS metric_b
+    FROM orders
+    WHERE EXTRACT(year FROM o_orderdate) IN (1996, 1997)
+    GROUP BY o_custkey
+), top AS (
+    SELECT key, metric_a, metric_b,
+           round(metric_b - metric_a, 6) AS delta
+    FROM per
+    ORDER BY abs(round(metric_b - metric_a, 6)) DESC, key
+    LIMIT 20
+)
+SELECT key, metric_a, metric_b, delta,
+       row_number() OVER (ORDER BY abs(delta) DESC, key) AS rank
+FROM top
+"""
+
+
+R6E_QUERIES.update(
+    {
+        "dq_key_skew": (q_dq_key_skew, SQL_KEY_SKEW),
+        "stats_gini_revenue": (q_stats_gini_revenue, SQL_GINI),
+        "agg_top_movers": (q_agg_top_movers, SQL_TOP_MOVERS),
+    }
+)

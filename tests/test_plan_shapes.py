@@ -430,3 +430,26 @@ def test_corr_matrix_single_aggregate_scan(spark):
     p = plan(QUERIES["stats_corr_matrix"](spark, SF_DIR), "simple")
     assert p.count("Exchange") <= 2
     assert p.count("Scan parquet") == 1
+
+
+def test_skew_profile_topk_no_global_sort(spark):
+    # the hottest-key pick must be per-partition heaps, not a full sort
+    p = plan(QUERIES["dq_key_skew"](spark, SF_DIR), "simple")
+    assert "TakeOrderedAndProject" in p
+    assert p.count("BroadcastNestedLoopJoin") <= 1  # 1-row census only
+
+
+def test_top_movers_single_conditional_aggregate(spark):
+    # one year-filtered scan + one conditional agg; a two-subquery
+    # self-join formulation would show two parquet scans
+    p = plan(QUERIES["agg_top_movers"](spark, SF_DIR), "simple")
+    assert p.count("Scan parquet") == 1
+    assert "TakeOrderedAndProject" in p
+
+
+def test_gini_single_group_sort(spark):
+    # rank and weighted sum share the (grp, x) sort: one exchange for
+    # the window, one for the final agg at most
+    p = plan(QUERIES["stats_gini_revenue"](spark, SF_DIR), "simple")
+    assert p.count("Exchange") <= 2
+    assert p.count("Sort ") <= 2

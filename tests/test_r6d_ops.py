@@ -201,3 +201,179 @@ def test_cusum_quiet_series_no_alarm(spark):
     assert row.cusum_max == 0.0
     assert row.n_alarms == 0
     assert row.first_alarm_idx is None
+
+
+# --- welch_ttest ----------------------------------------------------------
+
+def test_welch_matches_closed_form(spark):
+    xs = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+    ys = [2.0, 4.0, 6.0, 8.0]
+    from stockpy_spark.operators.stats import welch_ttest
+
+    a = spark.createDataFrame([(v,) for v in xs], ["v"])
+    b = spark.createDataFrame([(v,) for v in ys], ["v"])
+    row = welch_ttest(a, b, "v").collect()[0]
+    import statistics
+
+    m1, m2 = statistics.mean(xs), statistics.mean(ys)
+    v1, v2 = statistics.variance(xs), statistics.variance(ys)
+    se1, se2 = v1 / len(xs), v2 / len(ys)
+    t = (m1 - m2) / math.sqrt(se1 + se2)
+    dof = (se1 + se2) ** 2 / (
+        se1**2 / (len(xs) - 1) + se2**2 / (len(ys) - 1)
+    )
+    assert row.n_ref == 6 and row.n_cur == 4
+    assert row.t_stat == round(t, 6)
+    assert row.df == round(dof, 6)
+
+
+def test_welch_identical_means_zero_t(spark):
+    from stockpy_spark.operators.stats import welch_ttest
+
+    a = spark.createDataFrame([(float(i),) for i in range(10)], ["v"])
+    row = welch_ttest(a, a, "v").collect()[0]
+    assert row.t_stat == 0.0 and row.mean_ref == row.mean_cur
+
+
+# --- mahalanobis_outliers_2d ----------------------------------------------
+
+def test_mahalanobis_flags_off_ridge_point(spark):
+    from stockpy_spark.operators.stats import mahalanobis_outliers_2d
+
+    # tight y = x ridge plus one point far OFF the ridge but inside
+    # both marginal ranges — the case per-column z-scores cannot catch
+    pts = [(i, float(i), float(i) + (0.1 if i % 2 else -0.1)) for i in range(40)]
+    pts.append((99, 20.0, 2.0))  # on neither tail marginally, off-ridge
+    df = spark.createDataFrame(pts, ["id", "x", "y"])
+    out = mahalanobis_outliers_2d(df, ["id"], "x", "y", threshold=9.0)
+    ids = [r.id for r in out.collect()]
+    assert ids == [99]
+
+
+def test_mahalanobis_excludes_nulls(spark):
+    from stockpy_spark.operators.stats import mahalanobis_outliers_2d
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 1.0), (2, 2.0, None), (3, 3.0, 3.0), (4, 4.0, 4.2)],
+        ["id", "x", "y"],
+    )
+    out = mahalanobis_outliers_2d(df, ["id"], "x", "y", threshold=0.0)
+    assert sorted(r.id for r in out.collect()) == [1, 3, 4]
+
+
+# --- categorical_entropy ----------------------------------------------------
+
+def test_entropy_constant_and_uniform(spark):
+    from stockpy_spark.operators.stats import categorical_entropy
+
+    df = spark.createDataFrame(
+        [("a", str(i % 4)) for i in range(80)], ["const_col", "uniform_col"]
+    )
+    rows = {r.col_name: r for r in categorical_entropy(df, ["const_col", "uniform_col"]).collect()}
+    assert rows["const_col"].entropy == 0.0
+    assert rows["const_col"].norm_entropy is None  # single category
+    assert rows["uniform_col"].entropy == round(math.log(4.0), 6)
+    assert rows["uniform_col"].norm_entropy == 1.0
+    assert rows["uniform_col"].n_values == 80
+
+
+def test_entropy_excludes_nulls(spark):
+    from stockpy_spark.operators.stats import categorical_entropy
+
+    df = spark.createDataFrame([("x",), (None,), ("x",)], ["c"])
+    row = categorical_entropy(df, ["c"]).collect()[0]
+    assert row.n_values == 2 and row.n_distinct == 1
+
+
+# --- negative_pair_sample ---------------------------------------------------
+
+def test_negative_pairs_deterministic_and_sane(spark):
+    from stockpy_spark.operators.sampling import negative_pair_sample
+
+    df = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+    out1 = sorted(
+        (r.anchor_id, r.negative_id, r.neg_rank)
+        for r in negative_pair_sample(df, "doc_id", k=3, n_shards=8).collect()
+    )
+    out2 = sorted(
+        (r.anchor_id, r.negative_id, r.neg_rank)
+        for r in negative_pair_sample(df, "doc_id", k=3, n_shards=8).collect()
+    )
+    assert out1 == out2  # rerun-stable
+    assert all(a != n for a, n, _ in out1)  # never self-paired
+    assert all(k in (1, 2, 3) for _, _, k in out1)
+    # truncation loss is exactly k(k+1)/2 per shard (the last k rows
+    # of a shard lose k, k-1, ..., 1 successors)
+    assert len(out1) == 200 * 3 - 8 * (3 * 4 // 2)
+    # per-anchor negatives are distinct
+    from collections import defaultdict
+
+    seen = defaultdict(set)
+    for a, n, _ in out1:
+        assert n not in seen[a]
+        seen[a].add(n)
+
+
+# --- key_skew_profile -------------------------------------------------------
+
+def test_key_skew_profile_report(spark):
+    from stockpy_spark.operators.quality import key_skew_profile
+
+    rows = [("hot",)] * 60 + [("warm",)] * 30 + [("a",)] * 5 + [("b",)] * 5
+    df = spark.createDataFrame(rows, ["k"])
+    out = key_skew_profile(df, "k", top_k=2).collect()
+    assert [r.key for r in out] == ["hot", "warm"]
+    top = out[0]
+    assert top.rank == 1 and top.n_rows == 60 and top.n_keys == 4
+    assert top.share == 0.6
+    assert top.mean_rows == 25.0
+    assert top.skew_ratio == 2.4  # 60 / 25
+
+
+def test_key_skew_counts_null_keys(spark):
+    from stockpy_spark.operators.quality import key_skew_profile
+
+    df = spark.createDataFrame(
+        [(None,)] * 10 + [("x",)] * 3, ["k"]
+    )
+    out = key_skew_profile(df, "k", top_k=1).collect()
+    assert out[0].key is None and out[0].n_rows == 10
+
+
+# --- gini_by_group ----------------------------------------------------------
+
+def test_gini_uniform_zero_concentrated_high(spark):
+    from stockpy_spark.operators.stats import gini_by_group
+
+    rows = [("u", 10.0, i) for i in range(50)]  # perfectly equal
+    rows += [("c", 0.0, i) for i in range(49)] + [("c", 1000.0, 99)]
+    df = spark.createDataFrame(rows, ["g", "x", "id"])
+    out = {r.grp: r for r in gini_by_group(df, "g", "x", "id").collect()}
+    assert out["u"].gini == 0.0
+    # one holder of everything among n=50: G = (n-1)/n = 0.98
+    assert out["c"].gini == 0.98
+    assert out["c"].total == 1000.0
+
+
+# --- top_movers -------------------------------------------------------------
+
+def test_top_movers_includes_collapsed_keys(spark):
+    from stockpy_spark.operators.aggregate import top_movers
+
+    rows = [
+        ("k1", 2020, 100.0), ("k1", 2021, 150.0),   # +50
+        ("k2", 2020, 500.0),                          # collapses to 0: -500
+        ("k3", 2021, 30.0),                           # appears: +30
+        ("k4", 2020, 10.0), ("k4", 2021, 10.0),       # flat
+        ("k5", 2019, 999.0),                          # out-of-period noise
+    ]
+    df = spark.createDataFrame(rows, ["k", "y", "m"])
+    out = top_movers(
+        df, "k", F.col("y"), 2020, 2021, "m", k=3
+    ).collect()
+    assert [(r.key, r.delta, r.rank) for r in out] == [
+        ("k2", -500.0, 1),
+        ("k1", 50.0, 2),
+        ("k3", 30.0, 3),
+    ]
+    assert out[0].metric_a == 500.0 and out[0].metric_b == 0.0
