@@ -447,9 +447,14 @@ def test_top_movers_single_conditional_aggregate(spark):
     assert "TakeOrderedAndProject" in p
 
 
-def test_gini_single_group_sort(spark):
-    # rank and weighted sum share the (grp, x) sort: one exchange for
-    # the window, one for the final agg at most
+def test_gini_data_sort_is_bucket_partitioned(spark):
+    # the data-sized local-rank window must partition on (grp, bkt) —
+    # a grp-only window is a one-task-per-group sort (the 14.2x 100x
+    # regression BASELINE.md §4 records); everything after the
+    # per-bucket reduce is census-sized
     p = plan(QUERIES["stats_gini_revenue"](spark, SF_DIR), "simple")
-    assert p.count("Exchange") <= 2
-    assert p.count("Sort ") <= 2
+    assert "windowspecdefinition(grp" in p
+    import re
+
+    m = re.search(r"Exchange hashpartitioning\(grp#\d+, bkt#\d+", p)
+    assert m, "local rank window lost its (grp, bkt) partitioning"
