@@ -275,3 +275,147 @@ def negative_pair_sample(
     return stacked.select(
         "anchor_id", F.col("p.negative_id").alias("negative_id"), F.col("p.neg_rank").alias("neg_rank")
     ).filter(F.col("negative_id").isNotNull())
+
+
+def matched_controls(
+    eval_df: DataFrame,
+    pool_df: DataFrame,
+    id_col: str,
+    match_col: str,
+    tolerance: float,
+) -> DataFrame:
+    """Matched-control selection: for every evaluation row, the pool
+    row with the LARGEST ``match_col`` value <= the eval row's value
+    and within ``tolerance`` — nearest-below matching on a covariate
+    (document length, activity count, spend), the cheap propensity-
+    matching idiom behind "compare against a similar-sized control".
+
+    The global nearest-below is an as-of join with no equi key; the
+    textbook window formulation sorts EVERYTHING in one task. Instead
+    the covariate axis is bucketed at ``tolerance`` width and every
+    pool row is replicated into its own and the NEXT bucket: any pool
+    value within [v - tolerance, v] of an eval value v then shares the
+    eval row's bucket, so a per-bucket (value, side, id)-ordered window
+    with last(pool_struct, ignoreNulls) finds the true winner — exact,
+    one shuffle, 2x pool replication, no single-task sort. A pool row
+    FARTHER than tolerance is deliberately no match (honest matching
+    needs a caliper; it is also what bounds the search).
+
+    Ties: equal pool values resolve to the largest pool id; a pool row
+    equal to the eval value IS eligible (<=). Eval rows with no
+    in-tolerance pool row are kept with NULL control columns — the
+    unmatched set is a first-class output of any matching step.
+
+    Returns (eval_id, eval_val, control_id, control_val, gap).
+    """
+    from pyspark.sql.window import Window
+
+    tol = float(tolerance)
+    v_e = F.col(match_col).cast("double")
+    ev = eval_df.select(
+        F.col(id_col).alias("eval_id"),
+        v_e.alias("v"),
+        F.floor(v_e / tol).cast("long").alias("bkt"),
+        F.lit(1).alias("is_eval"),
+        F.lit(None).cast("long").alias("pid"),
+    )
+    pool = (
+        pool_df.select(
+            F.col(id_col).cast("long").alias("pid"),
+            F.col(match_col).cast("double").alias("v"),
+        )
+        .select(
+            F.lit(None).cast(eval_df.schema[id_col].dataType).alias("eval_id"),
+            "v",
+            F.explode(
+                F.array(
+                    F.floor(F.col("v") / tol).cast("long"),
+                    F.floor(F.col("v") / tol).cast("long") + 1,
+                )
+            ).alias("bkt"),
+            F.lit(0).alias("is_eval"),
+            "pid",
+        )
+    )
+    tagged = ev.unionByName(pool)
+    w = Window.partitionBy("bkt").orderBy(
+        F.col("v").asc(), F.col("is_eval").asc(), F.col("pid").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    carried = tagged.withColumn(
+        "ctl",
+        F.last(
+            F.when(
+                F.col("is_eval") == 0,
+                F.struct(F.col("pid").alias("cid"), F.col("v").alias("cv")),
+            ),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        carried.filter(F.col("is_eval") == 1)
+        .select(
+            "eval_id",
+            F.col("v").alias("eval_val"),
+            F.when(
+                F.col("v") - F.col("ctl.cv") <= tol, F.col("ctl.cid")
+            ).alias("control_id"),
+            F.when(
+                F.col("v") - F.col("ctl.cv") <= tol, F.col("ctl.cv")
+            ).alias("control_val"),
+            F.when(
+                F.col("v") - F.col("ctl.cv") <= tol,
+                F.col("v") - F.col("ctl.cv"),
+            ).alias("gap"),
+        )
+    )
+
+
+def mixture_plan(
+    df: DataFrame,
+    domain_col: str,
+    weights: dict[str, float],
+    budget_tokens: float,
+    size_col: str,
+    dp: int = 6,
+) -> DataFrame:
+    """Training-mixture planner: given the measured per-domain token
+    inventory and a TARGET mixture (domain -> weight), compute each
+    domain's sampling rate toward a ``budget_tokens`` corpus and flag
+    domains whose inventory cannot fill their quota (rate capped at
+    1.0 — the planner reports the shortfall rather than silently
+    re-normalizing, because fixing a deficit is a data-sourcing
+    decision, not an arithmetic one).
+
+    One census aggregate (per-domain sum of ``size_col``) joined to a
+    broadcast literal weight table. Domains present in the data but
+    absent from ``weights`` get weight 0 (rate 0 — excluded by plan);
+    weighted domains missing from the data appear with zero inventory
+    and capped=true. Returns (domain, available_tokens, target_share,
+    quota_tokens, rate, expected_tokens, capped).
+    """
+    spark = df.sparkSession
+    wtab = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(weights.items())],
+        ["domain", "target_share"],
+    )
+    inv = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.sum(F.col(size_col).cast("double")).alias("available_tokens")
+    )
+    grid = inv.join(F.broadcast(wtab), "domain", "full").select(
+        "domain",
+        F.coalesce("available_tokens", F.lit(0.0)).alias("available_tokens"),
+        F.coalesce("target_share", F.lit(0.0)).alias("target_share"),
+    )
+    quota = F.col("target_share") * F.lit(float(budget_tokens))
+    rate = F.when(F.col("available_tokens") > 0, 
+        F.least(F.lit(1.0), quota / F.col("available_tokens"))
+    ).otherwise(F.lit(0.0))
+    return grid.select(
+        "domain",
+        F.round("available_tokens", dp).alias("available_tokens"),
+        F.round("target_share", dp).alias("target_share"),
+        F.round(quota, dp).alias("quota_tokens"),
+        F.round(rate, dp).alias("rate"),
+        F.round(rate * F.col("available_tokens"), dp).alias("expected_tokens"),
+        (quota > F.col("available_tokens")).alias("capped"),
+    )

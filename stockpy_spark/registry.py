@@ -133,6 +133,8 @@ DRIVER_PRIORITY = [
     "dq_key_skew",
     "stats_gini_revenue",
     "agg_top_movers",
+    "sample_matched_controls",
+    "plan_domain_mixture",
     # r04-green (exactly two rounds old — next in line for round 7)
     "a2_count_star",
     "a3_distinct",

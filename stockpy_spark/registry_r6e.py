@@ -321,3 +321,107 @@ R6E_QUERIES.update(
         "agg_top_movers": (q_agg_top_movers, SQL_TOP_MOVERS),
     }
 )
+
+
+# --- matched-control sampling --------------------------------------------
+
+def q_sample_matched_controls(spark, sf_dir):
+    """Nearest-below length-matched control for every held-out doc
+    (operators/sampling.py:matched_controls): eval split doc_id%10==0,
+    pool the rest, caliper 25 chars — the bucketed as-of match with 2x
+    pool replication, no single-task sort. Unmatched eval docs stay in
+    with NULL controls."""
+    from stockpy_spark.operators.sampling import matched_controls
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    pool = docs.filter(F.col("doc_id") % 10 != 0)
+    return matched_controls(ev, pool, "doc_id", "n_chars", tolerance=25.0)
+
+
+SQL_MATCHED = """
+WITH e AS (
+    SELECT doc_id, CAST(n_chars AS DOUBLE) AS v
+    FROM documents WHERE doc_id % 10 = 0
+), p AS (
+    SELECT doc_id, CAST(n_chars AS DOUBLE) AS v
+    FROM documents WHERE doc_id % 10 <> 0
+), m AS (
+    SELECT e.doc_id AS eval_id, e.v AS eval_val,
+           p.doc_id AS control_id, p.v AS control_val,
+           e.v - p.v AS gap,
+           row_number() OVER (PARTITION BY e.doc_id
+                              ORDER BY p.v DESC, p.doc_id DESC) AS rn
+    FROM e LEFT JOIN p ON p.v <= e.v AND p.v >= e.v - 25.0
+)
+SELECT eval_id, eval_val, control_id, control_val, gap
+FROM m WHERE rn = 1
+"""
+
+
+# --- training-mixture planner --------------------------------------------
+
+_MIX_WEIGHTS = {
+    "src0": 0.3,
+    "src1": 0.2,
+    "src2": 0.2,
+    "src3": 0.1,
+    "src4": 0.1,
+    "src5": 0.05,
+    "srcX": 0.05,  # deliberately absent from the data: zero-inventory row
+}
+
+
+def q_plan_domain_mixture(spark, sf_dir):
+    """Mixture plan toward a 20k-char budget over six weighted sources
+    (operators/sampling.py:mixture_plan): census join against the
+    broadcast weight table; unweighted sources rate 0, the
+    deliberately-missing srcX reports capped with zero inventory."""
+    from stockpy_spark.operators.sampling import mixture_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_plan(
+        docs, "source", _MIX_WEIGHTS, budget_tokens=20000.0,
+        size_col="n_chars",
+    )
+
+
+def _mix_sql() -> str:
+    vals = ", ".join(
+        f"('{k}', CAST({v} AS DOUBLE))" for k, v in sorted(_MIX_WEIGHTS.items())
+    )
+    return f"""
+WITH w(domain, target_share) AS (VALUES {vals}),
+inv AS (
+    SELECT source AS domain, CAST(sum(n_chars) AS DOUBLE) AS available_tokens
+    FROM documents GROUP BY source
+), grid AS (
+    SELECT coalesce(inv.domain, w.domain) AS domain,
+           coalesce(available_tokens, 0.0) AS available_tokens,
+           coalesce(target_share, 0.0) AS target_share
+    FROM inv FULL JOIN w ON inv.domain = w.domain
+)
+SELECT domain,
+       round(available_tokens, 6) AS available_tokens,
+       round(target_share, 6) AS target_share,
+       round(target_share * 20000.0, 6) AS quota_tokens,
+       round(CASE WHEN available_tokens > 0
+                  THEN least(1.0, target_share * 20000.0 / available_tokens)
+                  ELSE 0.0 END, 6) AS rate,
+       round(CASE WHEN available_tokens > 0
+                  THEN least(1.0, target_share * 20000.0 / available_tokens)
+                  ELSE 0.0 END * available_tokens, 6) AS expected_tokens,
+       target_share * 20000.0 > available_tokens AS capped
+FROM grid
+"""
+
+
+SQL_MIXTURE = _mix_sql()
+
+
+R6E_QUERIES.update(
+    {
+        "sample_matched_controls": (q_sample_matched_controls, SQL_MATCHED),
+        "plan_domain_mixture": (q_plan_domain_mixture, SQL_MIXTURE),
+    }
+)

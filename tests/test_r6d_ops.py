@@ -377,3 +377,69 @@ def test_top_movers_includes_collapsed_keys(spark):
         ("k3", 30.0, 3),
     ]
     assert out[0].metric_a == 500.0 and out[0].metric_b == 0.0
+
+
+# --- matched_controls -------------------------------------------------------
+
+def test_matched_controls_nearest_below_with_caliper(spark):
+    from stockpy_spark.operators.sampling import matched_controls
+
+    ev = spark.createDataFrame(
+        [(100, 50), (200, 7), (300, 500)], ["doc_id", "n"]
+    )
+    pool = spark.createDataFrame(
+        [(1, 40), (2, 48), (3, 49), (4, 60), (5, 100)], ["doc_id", "n"]
+    )
+    out = {
+        r.eval_id: (r.control_id, r.gap)
+        for r in matched_controls(ev, pool, "doc_id", "n", 25.0).collect()
+    }
+    assert out[100] == (3, 1.0)       # nearest below 50 is 49
+    assert out[200] == (None, None)   # nothing <= 7
+    assert out[300] == (None, None)   # nearest below is 100: beyond caliper
+    assert len(out) == 3              # unmatched rows kept
+
+
+def test_matched_controls_tie_and_equal_value(spark):
+    from stockpy_spark.operators.sampling import matched_controls
+
+    ev = spark.createDataFrame([(9, 50)], ["doc_id", "n"])
+    pool = spark.createDataFrame(
+        [(1, 50), (2, 50), (3, 30)], ["doc_id", "n"]
+    )
+    row = matched_controls(ev, pool, "doc_id", "n", 25.0).collect()[0]
+    # equal value eligible; tie resolves to the largest pool id
+    assert row.control_id == 2 and row.gap == 0.0
+
+
+def test_matched_controls_cross_bucket_boundary(spark):
+    from stockpy_spark.operators.sampling import matched_controls
+
+    # eval at 101 (bucket 4 with tol=25), pool at 99 (bucket 3): the
+    # replication into the next bucket must carry it across
+    ev = spark.createDataFrame([(7, 101)], ["doc_id", "n"])
+    pool = spark.createDataFrame([(1, 99)], ["doc_id", "n"])
+    row = matched_controls(ev, pool, "doc_id", "n", 25.0).collect()[0]
+    assert row.control_id == 1 and row.gap == 2.0
+
+
+# --- mixture_plan -----------------------------------------------------------
+
+def test_mixture_plan_rates_and_caps(spark):
+    from stockpy_spark.operators.sampling import mixture_plan
+
+    df = spark.createDataFrame(
+        [("a", 100), ("a", 100), ("b", 50), ("c", 1000)], ["dom", "sz"]
+    )
+    out = {
+        r.domain: r
+        for r in mixture_plan(
+            df, "dom", {"a": 0.5, "b": 0.5, "missing": 0.0},
+            budget_tokens=300.0, size_col="sz",
+        ).collect()
+    }
+    assert out["a"].rate == 0.75 and out["a"].expected_tokens == 150.0
+    assert out["b"].rate == 1.0 and out["b"].capped  # quota 150 > 50
+    assert out["c"].rate == 0.0  # unweighted domain excluded
+    assert out["missing"].available_tokens == 0.0
+    assert not out["missing"].capped  # zero quota needs zero inventory
