@@ -478,3 +478,32 @@ def cusum_changepoint(
             "first_alarm_idx"
         ),
     )
+
+
+def merge_aggregate_state(
+    existing: DataFrame, delta: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Incremental view maintenance for a partials table: combine an
+    EXISTING rollup (the continuous_aggregate layout: n, sum_v, min_v,
+    max_v, sumsq_v per key) with a freshly-aggregated DELTA batch
+    without rescanning history — the algebra that lets a 100 TB
+    hypertable absorb a daily ingest in ingest-sized work.
+
+    Every statistic in the layout is a commutative monoid (count/sum
+    add, min/max combine, sumsq adds), so the merge is a unionByName +
+    one groupBy over the two partials frames; keys present in only one
+    side pass through. Derived stats stay derived (mean/variance from
+    the merged partials are EXACT — no drift from repeated merging,
+    which is why the layout stores sums, never means).
+
+    The correctness bar is equality with a full recompute over
+    (history + batch) — exactly what the driver oracle checks.
+    """
+    both = existing.unionByName(delta)
+    return both.groupBy(*keys).agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("sum_v").alias("sum_v"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+        F.sum("sumsq_v").alias("sumsq_v"),
+    )

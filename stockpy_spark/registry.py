@@ -34,8 +34,13 @@ _ALL = {**CORE_QUERIES, **EXT_QUERIES, **TPCH2_QUERIES, **HIVE_QUERIES, **TS_QUE
 # terms, native session windows, JPEG fidelity gate, VARIANT, EWMA,
 # column profiling, OLS trend, composed training-prep pipeline), then
 # the 6 second-wave round-6 rows (q2/q11 shapes, BM25, k-means x2,
-# robust clip) close the 50-window exactly; the r04-green block and the
-# 50 r05-fresh rows follow (r04 rows are first in line for round 7).
+# robust clip) close the 50-window exactly. Past the window, the
+# round-7 queue leads with the 40 still-rowless round-6 queries
+# (behavioral/graph/corpus third wave through the r6d/r6e waves:
+# similarity join, drift, association stats, CUSUM, t-test,
+# Mahalanobis, entropy, negatives, skew, Gini, movers, matched
+# controls, mixture plan, incremental state), then the r04-green
+# block, then the r05-fresh rows.
 DRIVER_PRIORITY = [
     # r03-stale, first in line (24)
     "w6_rank_family",
@@ -135,6 +140,7 @@ DRIVER_PRIORITY = [
     "agg_top_movers",
     "sample_matched_controls",
     "plan_domain_mixture",
+    "ts_incremental_state",
     # r04-green (exactly two rounds old — next in line for round 7)
     "a2_count_star",
     "a3_distinct",

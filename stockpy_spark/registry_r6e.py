@@ -425,3 +425,62 @@ R6E_QUERIES.update(
         "plan_domain_mixture": (q_plan_domain_mixture, SQL_MIXTURE),
     }
 )
+
+
+# --- incremental aggregate-state maintenance ------------------------------
+
+_SPLIT_EPOCH = 1706000000  # 2024-01-23T08:53:20Z — inside the event range
+
+
+def q_ts_incremental_state(spark, sf_dir):
+    """Incremental rollup maintenance
+    (operators/timeseries.py:merge_aggregate_state): the 6-hour
+    partials table built from HISTORY (ts < split) absorbs a freshly
+    aggregated BATCH (ts >= split) through the monoid merge — history
+    is never rescanned. The oracle recomputes the same rollup from ALL
+    raw events in one pass, so a hash match proves the merge algebra
+    is exact (including the split-straddling buckets, which exist in
+    both inputs and must combine)."""
+    from stockpy_spark.operators.timeseries import (
+        continuous_aggregate,
+        merge_aggregate_state,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    split = F.col("ts").cast("timestamp").cast("long") < _SPLIT_EPOCH
+    hist = continuous_aggregate(
+        ev.filter(split), "ts", 21600, ["event_type"], "value"
+    )
+    batch = continuous_aggregate(
+        ev.filter(~split), "ts", 21600, ["event_type"], "value"
+    )
+    merged = merge_aggregate_state(
+        hist, batch, ["bucket_start", "event_type"]
+    )
+    return merged.select(
+        "bucket_start",
+        "event_type",
+        "n",
+        F.round("sum_v", 4).alias("sum_value"),
+        F.round("min_v", 4).alias("min_value"),
+        F.round("max_v", 4).alias("max_value"),
+    )
+
+
+SQL_INCR_STATE = """
+SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS bucket_start,
+       event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 4) AS sum_value,
+       ROUND(MIN(value), 4) AS min_value,
+       ROUND(MAX(value), 4) AS max_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+R6E_QUERIES.update(
+    {
+        "ts_incremental_state": (q_ts_incremental_state, SQL_INCR_STATE),
+    }
+)

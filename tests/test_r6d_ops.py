@@ -443,3 +443,42 @@ def test_mixture_plan_rates_and_caps(spark):
     assert out["c"].rate == 0.0  # unweighted domain excluded
     assert out["missing"].available_tokens == 0.0
     assert not out["missing"].capped  # zero quota needs zero inventory
+
+
+# --- merge_aggregate_state --------------------------------------------------
+
+def test_merge_aggregate_state_equals_full_recompute(spark):
+    from stockpy_spark.operators.timeseries import (
+        continuous_aggregate,
+        merge_aggregate_state,
+    )
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2024, 1, d, h), "t%d" % (d % 2), float(d * 10 + h))
+        for d in range(1, 6)
+        for h in (0, 7, 13, 23)
+    ]
+    df = spark.createDataFrame(rows, ["ts", "k", "v"])
+    split = dt.datetime(2024, 1, 3, 12)  # mid-day: straddles a bucket
+    hist = continuous_aggregate(
+        df.filter(F.col("ts") < split), "ts", 86400, ["k"], "v"
+    )
+    batch = continuous_aggregate(
+        df.filter(F.col("ts") >= split), "ts", 86400, ["k"], "v"
+    )
+    merged = {
+        (r.bucket_start, r.k): (r.n, r.sum_v, r.min_v, r.max_v, r.sumsq_v)
+        for r in merge_aggregate_state(
+            hist, batch, ["bucket_start", "k"]
+        ).collect()
+    }
+    full = {
+        (r.bucket_start, r.k): (r.n, r.sum_v, r.min_v, r.max_v, r.sumsq_v)
+        for r in continuous_aggregate(df, "ts", 86400, ["k"], "v").collect()
+    }
+    assert merged == full
+    # sanity: the split really did straddle at least one (bucket, key)
+    h_keys = {(r.bucket_start, r.k) for r in hist.collect()}
+    b_keys = {(r.bucket_start, r.k) for r in batch.collect()}
+    assert h_keys & b_keys
