@@ -1,0 +1,145 @@
+"""Distributed BPE (byte-pair-encoding) merge training.
+
+The tokenizer-training stage of an LLM data pipeline (Sennrich et al.
+2016; GPT-2's byte-level variant): starting from a base symbol
+inventory, repeatedly (1) count every ADJACENT symbol pair across the
+corpus, (2) pick the most frequent pair, (3) merge its occurrences into
+a new symbol, k times. The merge table (rank -> pair) IS the tokenizer.
+
+Spark-first shape — the corpus never leaves the cluster and the driver
+holds exactly one (pair, count) row per iteration:
+
+* pair counting is ``explode(zip_with(seq, tail))`` + one
+  map-side-combined groupBy — a narrow ~1x fan-out of the token
+  stream, NOT a self-join;
+* the winning pair (max count, then lexicographically smallest pair —
+  a total order, so ties are deterministic) comes back via
+  ``orderBy().limit(1)`` (per-partition heaps, 1 row to the driver);
+* the merge applies as a builtin-expression LEFT FOLD (``aggregate``)
+  over each row's symbol array: greedy left-to-right, non-overlapping
+  — "a a a" under merge (a,a) becomes ["aa", "a"], the standard BPE
+  convention. Per-row state only; no UDF, no Python in the hot path.
+
+Each iteration materializes the re-segmented corpus with
+``localCheckpoint`` — the same lineage-truncation discipline as the
+connected-components rounds (operators/graph.py): without it iteration
+k replays all k-1 previous folds over the raw corpus.
+
+The k-round loop is driver-side control flow over fully distributed
+steps, like PageRank/k-means/CC in this repo. The greedy fold is not
+expressible in DuckDB 1.0 SQL (its list_reduce cannot seed a list
+accumulator, and mis-evaluates struct accumulators — BASELINE.md §4),
+so this family is pytest-verified against a pure-Python reference
+implementation and driver-checked rows-only, like the other iterative
+algorithms the SQL oracle cannot replay.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SEP = "\x1e"  # joins merged symbols; never appears in whitespace tokens
+
+
+def _pair_counts(seg: DataFrame) -> DataFrame:
+    """(a, b, n) for every adjacent symbol pair across the corpus."""
+    pairs = seg.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("syms"), 1, F.greatest(F.size("syms") - 1, F.lit(0))),
+                F.slice(F.col("syms"), 2, F.greatest(F.size("syms") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def _apply_merge(seg: DataFrame, a: str, b: str) -> DataFrame:
+    """Greedy left-to-right non-overlapping replacement of (a, b) with
+    the merged symbol, as a builtin-expression fold per row."""
+    merged = a + SEP + b
+    empty = F.array().cast("array<string>")
+
+    def step(acc, v):
+        can = (
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (v == F.lit(b))
+        )
+        return F.when(
+            can,
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(v)))
+
+    return seg.select(
+        "doc",
+        F.aggregate(F.col("syms"), empty, step).alias("syms"),
+    )
+
+
+def train_bpe_merges(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_merges: int,
+    min_count: int = 2,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges over the corpus; symbols start as
+    the characters of each lowercase whitespace token (tokens are
+    merge boundaries, the word-level BPE convention — pairs never span
+    tokens, which is why the symbol stream restarts per token).
+
+    Returns the merge table: (rank, left, right, pair_count) with rank
+    1 = first (most frequent) merge. Stops early when no pair reaches
+    ``min_count`` — a merge that fires once is noise, and the early
+    stop is what bounds the loop on tiny corpora.
+
+    Scale: each round is one narrow pair fan-out + one groupBy + a
+    1-row top-k + one narrow fold — all linear in corpus size; round
+    count is the caller's ``n_merges`` budget. The re-segmented corpus
+    is localCheckpoint-ed per round (lineage truncation, the CC
+    discipline).
+    """
+    from stockpy_spark.functions.text import tokenize
+
+    seg = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokenize(F.lower(F.col(text_col)))).alias("tok"),
+    ).select(
+        "doc",
+        # split keeps a trailing "" (limit=-1 semantics) — drop it, or
+        # the empty string becomes a phantom symbol that wins tie-breaks
+        F.filter(
+            F.split(F.col("tok"), "(?!^)"), lambda s: s != F.lit("")
+        ).alias("syms"),
+    )
+    seg = seg.localCheckpoint(eager=False)
+
+    spark = df.sparkSession
+    rows = []
+    for rank in range(1, n_merges + 1):
+        top = (
+            _pair_counts(seg)
+            .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < min_count:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], top[0]["n"]
+        rows.append((rank, a, b, int(n)))
+        seg = _apply_merge(seg, a, b).localCheckpoint(eager=True)
+    schema = "rank INT, left STRING, right STRING, pair_count LONG"
+    return spark.createDataFrame(rows, schema).select(
+        "rank",
+        # merged symbols carry the internal separator; strip for output
+        F.regexp_replace("left", SEP, "").alias("left"),
+        F.regexp_replace("right", SEP, "").alias("right"),
+        "pair_count",
+    )

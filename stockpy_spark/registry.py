@@ -141,6 +141,8 @@ DRIVER_PRIORITY = [
     "sample_matched_controls",
     "plan_domain_mixture",
     "ts_incremental_state",
+    "mm_audio_dsp",
+    "text_bpe_merges",
     # r04-green (exactly two rounds old — next in line for round 7)
     "a2_count_star",
     "a3_distinct",

@@ -484,3 +484,87 @@ R6E_QUERIES.update(
         "ts_incremental_state": (q_ts_incremental_state, SQL_INCR_STATE),
     }
 )
+
+
+# --- audio DSP screens ---------------------------------------------------
+
+def q_mm_audio_dsp(spark, sf_dir):
+    """Signal-level audio curation screens over real decoded WAVs
+    (operators/multimodal.py:extract_audio_dsp): zero-crossing count,
+    peak amplitude, and loudest 16-sample frame energy — numpy DSP in
+    Arrow-batched mapInPandas, hash-gated because the synthetic sample
+    pattern ((doc_id*7 + i*13) % 2048 - 1024) lets the oracle recompute
+    every integer exactly."""
+    from stockpy_spark.operators.multimodal import (
+        attach_wav_payload,
+        extract_audio_dsp,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return extract_audio_dsp(attach_wav_payload(docs, "doc_id"))
+
+
+SQL_AUDIO_DSP = """
+WITH n AS (
+    SELECT doc_id, doc_id % 32 + 16 AS ns FROM documents
+), s AS (
+    SELECT n.doc_id, n.ns, i.i,
+           (n.doc_id * 7 + i.i * 13) % 2048 - 1024 AS v,
+           i.i // 16 AS frame
+    FROM n JOIN generate_series(0, 47) i(i) ON i.i < n.ns
+), flags AS (
+    SELECT doc_id, ns, i, v, frame,
+           CASE WHEN i > 0 AND (v >= 0) <>
+                (lag(v) OVER (PARTITION BY doc_id ORDER BY i) >= 0)
+                THEN 1 ELSE 0 END AS crossed
+    FROM s
+), per_doc AS (
+    SELECT doc_id, max(ns) AS ns,
+           CAST(sum(crossed) AS INT) AS zero_crossings,
+           CAST(max(abs(v)) AS INT) AS peak_amp,
+           CAST(count(DISTINCT frame) AS INT) AS n_frames
+    FROM flags GROUP BY doc_id
+), fr AS (
+    SELECT doc_id, frame, sum(v * v) AS energy,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY sum(v * v) DESC, frame) AS rn
+    FROM s GROUP BY doc_id, frame
+)
+SELECT p.doc_id,
+       CAST(p.ns AS INT) AS n_samples,
+       p.zero_crossings, p.peak_amp, p.n_frames,
+       CAST(fr.energy AS BIGINT) AS max_frame_energy,
+       CAST(fr.frame AS INT) AS loudest_frame
+FROM per_doc p JOIN fr ON p.doc_id = fr.doc_id AND fr.rn = 1
+"""
+
+
+R6E_QUERIES.update(
+    {
+        "mm_audio_dsp": (q_mm_audio_dsp, SQL_AUDIO_DSP),
+    }
+)
+
+
+# --- BPE merge training (rows-only: iterative greedy fold, not SQL) -------
+
+def q_text_bpe_merges(spark, sf_dir):
+    """Learn 12 BPE merges over the document corpus
+    (operators/bpe.py:train_bpe_merges): per-round pair counting is one
+    narrow zip_with fan-out + groupBy; the greedy non-overlapping merge
+    applies as a builtin-expression fold; re-segmented corpus
+    localCheckpoint-ed per round. DuckDB 1.0 cannot replay the greedy
+    list fold (no seedable list_reduce), so this iterative family is
+    rows-only at the driver and pytest-verified against a pure-Python
+    reference trainer (test_bpe_matches_reference_trainer)."""
+    from stockpy_spark.operators.bpe import train_bpe_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    return train_bpe_merges(docs, "text", "doc_id", n_merges=12)
+
+
+R6E_QUERIES.update(
+    {
+        "text_bpe_merges": (q_text_bpe_merges, None),
+    }
+)

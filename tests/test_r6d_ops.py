@@ -482,3 +482,113 @@ def test_merge_aggregate_state_equals_full_recompute(spark):
     h_keys = {(r.bucket_start, r.k) for r in hist.collect()}
     b_keys = {(r.bucket_start, r.k) for r in batch.collect()}
     assert h_keys & b_keys
+
+
+# --- extract_audio_dsp ------------------------------------------------------
+
+def test_audio_dsp_matches_numpy_reference(spark):
+    import numpy as np
+
+    from stockpy_spark.operators.multimodal import (
+        _fake_samples,
+        attach_wav_payload,
+        extract_audio_dsp,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in (3, 17, 40)], ["doc_id"])
+    out = {
+        r.doc_id: r
+        for r in extract_audio_dsp(
+            attach_wav_payload(docs, "doc_id")
+        ).collect()
+    }
+    for i in (3, 17, 40):
+        s = _fake_samples(i).astype(np.int64)
+        nonneg = s >= 0
+        assert out[i].zero_crossings == int((nonneg[1:] != nonneg[:-1]).sum())
+        assert out[i].peak_amp == int(np.abs(s).max())
+        energies = [
+            int((s[j : j + 16] ** 2).sum()) for j in range(0, len(s), 16)
+        ]
+        assert out[i].n_frames == len(energies)
+        assert out[i].max_frame_energy == max(energies)
+        assert out[i].loudest_frame == energies.index(max(energies))
+
+
+# --- train_bpe_merges -------------------------------------------------------
+
+def _bpe_reference(texts, n_merges, min_count=2, sep="\x1e"):
+    """Pure-Python BPE trainer mirroring the operator's conventions."""
+    corpus = []
+    for t in texts:
+        for tok in t.lower().split():
+            corpus.append(list(tok))
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for syms in corpus:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+        if not counts:
+            break
+        # max count, then lexicographically smallest (a, b)
+        (a, b), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if n < min_count:
+            break
+        merges.append((a, b, n))
+        merged = a + sep + b
+        out = []
+        for syms in corpus:
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(merged)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            out.append(res)
+        corpus = out
+    return [
+        (r + 1, a.replace(sep, ""), b.replace(sep, ""), n)
+        for r, (a, b, n) in enumerate(merges)
+    ]
+
+
+def test_bpe_matches_reference_trainer(spark):
+    from stockpy_spark.operators.bpe import train_bpe_merges
+
+    texts = [
+        "the cat sat on the mat",
+        "the bat and the cat chat",
+        "that hat is flat",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = [
+        (r.rank, r.left, r.right, r.pair_count)
+        for r in train_bpe_merges(df, "text", "doc_id", n_merges=6)
+            .orderBy("rank").collect()
+    ]
+    assert got == _bpe_reference(texts, 6)
+    # the corpus is 'at'-heavy: the first merge must be (a, t)
+    assert got[0][1:3] == ("a", "t")
+
+
+def test_bpe_greedy_nonoverlap_and_early_stop(spark):
+    from stockpy_spark.operators.bpe import train_bpe_merges
+
+    # "aaaa": greedy left-to-right gives two 'aa' per word, no overlap
+    df = spark.createDataFrame([(1, "aaaa aaaa")], ["doc_id", "text"])
+    got = [
+        (r.rank, r.left, r.right, r.pair_count)
+        for r in train_bpe_merges(df, "text", "doc_id", n_merges=10)
+            .orderBy("rank").collect()
+    ]
+    assert got == _bpe_reference(["aaaa aaaa"], 10)
+    assert got[0] == (1, "a", "a", 6)      # 3 adjacent pairs x 2 words
+    assert got[1] == (2, "aa", "aa", 2)    # then the merged pair
+    assert len(got) < 10                   # early stop when below min_count
