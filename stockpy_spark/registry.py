@@ -143,6 +143,7 @@ DRIVER_PRIORITY = [
     "ts_incremental_state",
     "mm_audio_dsp",
     "text_bpe_merges",
+    "gate_pca_variance",
     # r04-green (exactly two rounds old — next in line for round 7)
     "a2_count_star",
     "a3_distinct",

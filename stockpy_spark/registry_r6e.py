@@ -568,3 +568,34 @@ R6E_QUERIES.update(
         "text_bpe_merges": (q_text_bpe_merges, None),
     }
 )
+
+
+# --- PCA gate (rows-only family twin: eigen step not SQL-expressible) -----
+
+def q_gate_pca_variance(spark, sf_dir):
+    """Self-certifying distributed PCA (operators/pca.py): top-4
+    components of the 64-d embeddings via per-batch X^T X moment
+    partials (one numpy GEMM per Arrow batch, ~33 KB driver state) +
+    driver eigh + distributed projection. The gate row per component
+    asserts the projected sample variance equals the eigenvalue
+    (rel 1e-6) and the basis is orthonormal — the identity that fails
+    if ANY of the three phases is wrong. Oracle pins the expected gate
+    rows (an eigendecomposition has no SQL replay)."""
+    from stockpy_spark.operators.pca import pca_gate
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pca_gate(emb, "embedding", "vec_id", k=4)
+
+
+SQL_GATE_PCA = """
+SELECT CAST(i AS INT) AS component,
+       true AS var_match_ok, true AS ortho_ok
+FROM generate_series(1, 4) t(i)
+"""
+
+
+R6E_QUERIES.update(
+    {
+        "gate_pca_variance": (q_gate_pca_variance, SQL_GATE_PCA),
+    }
+)

@@ -592,3 +592,50 @@ def test_bpe_greedy_nonoverlap_and_early_stop(spark):
     assert got[0] == (1, "a", "a", 6)      # 3 adjacent pairs x 2 words
     assert got[1] == (2, "aa", "aa", 2)    # then the merged pair
     assert len(got) < 10                   # early stop when below min_count
+
+
+# --- PCA --------------------------------------------------------------------
+
+def test_pca_matches_numpy_reference(spark):
+    import numpy as np
+
+    from stockpy_spark.operators.pca import pca_fit, pca_project
+
+    rng = np.random.RandomState(7)
+    # anisotropic 6-d cloud with a dominant direction
+    base = rng.randn(300, 6) * np.array([5.0, 2.0, 1.0, 0.5, 0.2, 0.1])
+    rows = [(i, base[i].astype("float32").tolist()) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    model = pca_fit(df, "embedding", k=3)
+    X = np.stack([np.array(r[1], dtype=np.float64) for r in rows])
+    cov = np.cov(X, rowvar=False, ddof=1)
+    evals = np.sort(np.linalg.eigvalsh(cov))[::-1][:3]
+    assert np.allclose(model["eigenvalues"], evals, rtol=1e-8)
+    assert np.allclose(
+        model["components"] @ model["components"].T, np.eye(3), atol=1e-8
+    )
+    # projection variance per component == eigenvalue
+    proj = pca_project(df, "embedding", "vec_id", model, dp=12)
+    P = np.array(
+        [r.proj for r in proj.orderBy("id").collect()], dtype=np.float64
+    )
+    assert np.allclose(P.var(axis=0, ddof=1), evals, rtol=1e-6)
+    # projection equals the numpy projection up to rounding
+    ref = (X - X.mean(axis=0)) @ model["components"].T
+    assert np.allclose(P, np.round(ref, 12), atol=1e-9)
+
+
+def test_pca_gate_all_green(spark):
+    from stockpy_spark.operators.pca import pca_gate
+
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rows = [
+        (i, (rng.randn(8) * (np.arange(8) + 1.0)).astype("float32").tolist())
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    out = pca_gate(df, "embedding", "vec_id", k=2).collect()
+    assert len(out) == 2
+    assert all(r.var_match_ok and r.ortho_ok for r in out)
