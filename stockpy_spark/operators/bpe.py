@@ -143,3 +143,66 @@ def train_bpe_merges(
         F.regexp_replace("right", SEP, "").alias("right"),
         "pair_count",
     )
+
+
+def apply_bpe_merges(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Segment the corpus with a learned merge table: the k merges
+    apply IN RANK ORDER, each as the same greedy left-to-right fold
+    used in training — but unlike training there is no pair-count
+    barrier between rounds, so all k folds chain into ONE narrow
+    per-row pipeline (a single stage; no shuffles, no checkpoints).
+
+    ``merges`` holds (left, right) in rank order with symbols in their
+    DISPLAY form (as train_bpe_merges returns them); internal SEP
+    bookkeeping is reconstructed here, because a rank-j symbol is a
+    concatenation of base characters that must match the fold state
+    exactly.
+
+    Returns (doc, sym) — one row per output symbol occurrence, the
+    encoded stream a token-frequency vocabulary or a length histogram
+    aggregates from.
+    """
+    from stockpy_spark.functions.text import tokenize
+
+    # rebuild internal symbol forms: replay display->internal mapping
+    internal: dict[str, str] = {}
+
+    def to_internal(sym: str) -> str:
+        if sym in internal:
+            return internal[sym]
+        if len(sym) != 1:
+            raise ValueError(
+                f"merge operand {sym!r} is neither a base character nor "
+                "a previously learned merge — table out of order?"
+            )
+        return sym
+
+    seg = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokenize(F.lower(F.col(text_col)))).alias("tok"),
+    ).select(
+        "doc",
+        F.filter(
+            F.split(F.col("tok"), "(?!^)"), lambda s: s != F.lit("")
+        ).alias("syms"),
+    )
+    for left, right in merges:
+        a, b = to_internal(left), to_internal(right)
+        seg = _apply_merge(seg, a, b)
+        display = left + right
+        if display in internal:
+            raise ValueError(
+                f"display form {display!r} produced by two different "
+                "merges — the table cannot be replayed from display "
+                "strings alone"
+            )
+        internal[display] = a + SEP + b
+    return seg.select(
+        "doc",
+        F.explode("syms").alias("s"),
+    ).select("doc", F.regexp_replace("s", SEP, "").alias("sym"))

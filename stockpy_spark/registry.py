@@ -144,6 +144,7 @@ DRIVER_PRIORITY = [
     "mm_audio_dsp",
     "text_bpe_merges",
     "gate_pca_variance",
+    "text_bpe_vocab",
     # r04-green (exactly two rounds old — next in line for round 7)
     "a2_count_star",
     "a3_distinct",

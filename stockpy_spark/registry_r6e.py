@@ -599,3 +599,72 @@ R6E_QUERIES.update(
         "gate_pca_variance": (q_gate_pca_variance, SQL_GATE_PCA),
     }
 )
+
+
+# --- BPE encoding with a fixed merge table (FULL oracle) ------------------
+
+# fixed English-bigram table: exercises chained merges ((t,h)->th then
+# (th,e); (a,n)->an then (an,d)) and rank-order application
+_BPE_TABLE = [
+    ("t", "h"),
+    ("th", "e"),
+    ("i", "n"),
+    ("a", "n"),
+    ("an", "d"),
+    ("e", "r"),
+]
+
+
+def q_text_bpe_vocab(spark, sf_dir):
+    """Encode the corpus with a FIXED 6-merge table
+    (operators/bpe.py:apply_bpe_merges) and count the resulting symbol
+    vocabulary. Unlike training (rows-only), the ENCODER has a full
+    oracle: with single-character placeholders, the greedy
+    left-to-right non-overlapping fold over atomic symbols is exactly
+    chained string replace() — so DuckDB replays the segmentation with
+    6 replaces and hash-checks every symbol count."""
+    from stockpy_spark.operators.bpe import apply_bpe_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    enc = apply_bpe_merges(docs, "text", "doc_id", _BPE_TABLE)
+    return enc.groupBy("sym").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_BPE_VOCAB = r"""
+WITH toks AS (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+    FROM documents WHERE len(trim(text)) > 0
+), enc AS (
+    SELECT replace(replace(replace(replace(replace(replace(
+               tok,
+               'th', chr(1)),
+               chr(1) || 'e', chr(2)),
+               'in', chr(3)),
+               'an', chr(4)),
+               chr(4) || 'd', chr(5)),
+               'er', chr(6)) AS e
+    FROM toks
+), syms AS (
+    SELECT unnest([e[i] for i in range(1, len(e) + 1)]) AS ch
+    FROM enc
+)
+SELECT CASE ch
+         WHEN chr(1) THEN 'th'
+         WHEN chr(2) THEN 'the'
+         WHEN chr(3) THEN 'in'
+         WHEN chr(4) THEN 'an'
+         WHEN chr(5) THEN 'and'
+         WHEN chr(6) THEN 'er'
+         ELSE ch
+       END AS sym,
+       count(*) AS n
+FROM syms
+GROUP BY 1
+"""
+
+
+R6E_QUERIES.update(
+    {
+        "text_bpe_vocab": (q_text_bpe_vocab, SQL_BPE_VOCAB),
+    }
+)

@@ -639,3 +639,38 @@ def test_pca_gate_all_green(spark):
     out = pca_gate(df, "embedding", "vec_id", k=2).collect()
     assert len(out) == 2
     assert all(r.var_match_ok and r.ortho_ok for r in out)
+
+
+def test_bpe_apply_matches_reference_encode(spark):
+    from stockpy_spark.operators.bpe import apply_bpe_merges
+
+    texts = ["the cat in the hat", "a thin band and another thing"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    table = [("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d")]
+    got = sorted(
+        (r.doc, r.sym)
+        for r in apply_bpe_merges(df, "text", "doc_id", table).collect()
+    )
+    # reference: greedy left-to-right replace chain with placeholders
+    reps = [("th", "\x01"), ("\x01e", "\x02"), ("in", "\x03"),
+            ("an", "\x04"), ("\x04d", "\x05")]
+    disp = {"\x01": "th", "\x02": "the", "\x03": "in",
+            "\x04": "an", "\x05": "and"}
+    want = []
+    for i, t in enumerate(texts):
+        for tok in t.lower().split():
+            for pat, ph in reps:
+                tok = tok.replace(pat, ph)
+            for ch in tok:
+                want.append((i, disp.get(ch, ch)))
+    assert got == sorted(want)
+
+
+def test_bpe_apply_rejects_unknown_operand(spark):
+    from stockpy_spark.operators.bpe import apply_bpe_merges
+
+    df = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="neither a base character"):
+        apply_bpe_merges(df, "text", "doc_id", [("ab", "c")])
