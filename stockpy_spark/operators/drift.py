@@ -74,7 +74,14 @@ def population_stability_index(
 
     def binned(df: DataFrame, out: str) -> DataFrame:
         width = (F.col("mx") - F.col("mn")) / F.lit(float(n_bins))
-        b = F.floor((v - F.col("mn")) / width).cast("int")
+        # constant reference (mx == mn): zero width would NaN the whole
+        # grid; the point mass is bin 0 and current values ABOVE it
+        # clamp to the top bin (the same out-of-range treatment as a
+        # normal grid's edges)
+        b = F.when(
+            F.col("mx") == F.col("mn"),
+            F.when(v <= F.col("mn"), F.lit(0)).otherwise(F.lit(n_bins - 1)),
+        ).otherwise(F.floor((v - F.col("mn")) / width).cast("int"))
         return (
             df.filter(v.isNotNull())
             .crossJoin(F.broadcast(census))

@@ -83,8 +83,10 @@ WITH census AS (
     SELECT min(value) AS mn, max(value) AS mx
     FROM events WHERE event_type = 'click' AND value IS NOT NULL
 ), binned AS (
-    SELECT least(9, greatest(0, CAST(floor((value - mn) / ((mx - mn) / 10.0))
-                                     AS INT))) AS bin,
+    SELECT least(9, greatest(0,
+               CASE WHEN mx = mn THEN (CASE WHEN value <= mn THEN 0 ELSE 9 END)
+                    ELSE CAST(floor((value - mn) / ((mx - mn) / 10.0)) AS INT)
+               END)) AS bin,
            CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_ref
     FROM events, census
     WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL

@@ -228,9 +228,10 @@ WITH counts AS (
            max(n_rows) AS max_rows
     FROM counts
 ), top AS (
-    SELECT key, n_rows FROM counts ORDER BY n_rows DESC, key LIMIT 5
+    SELECT key, n_rows FROM counts
+    ORDER BY n_rows DESC, key NULLS FIRST LIMIT 5
 )
-SELECT row_number() OVER (ORDER BY n_rows DESC, key) AS rank,
+SELECT row_number() OVER (ORDER BY n_rows DESC, key NULLS FIRST) AS rank,
        key, n_rows,
        round(n_rows / total, 6) AS share,
        n_keys,

@@ -674,3 +674,16 @@ def test_bpe_apply_rejects_unknown_operand(spark):
     df = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="neither a base character"):
         apply_bpe_merges(df, "text", "doc_id", [("ab", "c")])
+
+
+def test_psi_constant_reference_degenerate(spark):
+    from stockpy_spark.operators.drift import population_stability_index
+
+    ref = spark.createDataFrame([(5.0,)] * 100, ["v"])
+    cur = spark.createDataFrame([(5.0,)] * 50 + [(9.0,)] * 50, ["v"])
+    out = {r.bin: r for r in population_stability_index(ref, cur, "v").collect()}
+    # constant ref: all ref mass in bin 0; moved current mass clamps
+    # to the top bin (out-of-range-above), none of it NaN/NULL-binned
+    assert out[0].n_ref == 100 and out[0].n_cur == 50
+    assert out[9].n_cur == 50 and out[9].n_ref == 0
+    assert all(r.psi is not None for r in out.values())
