@@ -190,3 +190,65 @@ def top_movers(
     return top.withColumn("rank", F.row_number().over(w)).select(
         "key", "metric_a", "metric_b", "delta", "rank"
     )
+
+
+def price_volume_decomposition(
+    df: DataFrame,
+    dim_col: str,
+    period_col,
+    period_a,
+    period_b,
+    qty_col: str,
+    revenue_col: str,
+    dp: int = 6,
+) -> DataFrame:
+    """Period-over-period revenue-change decomposition per dimension
+    value — the "why did revenue move" report: for each segment,
+    delta = volume_effect + price_effect with
+
+        volume_effect = (q1 - q0) * p0      (more/fewer units at the
+                                             old average price)
+        price_effect  = q1 * (p1 - p0)      (new units at the price
+                                             change)
+
+    where p = revenue / quantity per period. The identity is exact
+    (v + p = q1*p1 - q0*p0 = delta), so the output self-reconciles.
+    Segments present in only one period get the whole delta as
+    volume_effect (there is no old/new price to compare against —
+    reported, not NaN-ed).
+
+    One conditional aggregate over a period-filtered scan (no
+    two-subquery self-join), one shuffle on the dimension.
+    Returns (dim, qty_a, qty_b, rev_a, rev_b, delta, volume_effect,
+    price_effect); money-magnitude outputs round to cents, the
+    stats.gini_by_group precision rule.
+    """
+    in_a = F.col("__p") == F.lit(period_a)
+    base = df.filter(period_col.isin([period_a, period_b])).select(
+        F.col(dim_col).alias("dim"),
+        period_col.alias("__p"),
+        F.col(qty_col).cast("double").alias("__q"),
+        F.col(revenue_col).cast("double").alias("__r"),
+    )
+    per = base.groupBy("dim").agg(
+        F.sum(F.when(in_a, F.col("__q")).otherwise(0.0)).alias("q0"),
+        F.sum(F.when(~in_a, F.col("__q")).otherwise(0.0)).alias("q1"),
+        F.sum(F.when(in_a, F.col("__r")).otherwise(0.0)).alias("r0"),
+        F.sum(F.when(~in_a, F.col("__r")).otherwise(0.0)).alias("r1"),
+    )
+    p0 = F.col("r0") / F.col("q0")
+    p1 = F.col("r1") / F.col("q1")
+    delta = F.col("r1") - F.col("r0")
+    both = (F.col("q0") > 0) & (F.col("q1") > 0)
+    vol = F.when(both, (F.col("q1") - F.col("q0")) * p0).otherwise(delta)
+    prc = F.when(both, F.col("q1") * (p1 - p0)).otherwise(F.lit(0.0))
+    return per.select(
+        "dim",
+        F.round("q0", 2).alias("qty_a"),
+        F.round("q1", 2).alias("qty_b"),
+        F.round("r0", 2).alias("rev_a"),
+        F.round("r1", 2).alias("rev_b"),
+        F.round(delta, 2).alias("delta"),
+        F.round(vol, 2).alias("volume_effect"),
+        F.round(prc, 2).alias("price_effect"),
+    )

@@ -145,6 +145,7 @@ DRIVER_PRIORITY = [
     "text_bpe_merges",
     "gate_pca_variance",
     "text_bpe_vocab",
+    "agg_price_volume",
     # r04-green (exactly two rounds old — next in line for round 7)
     "a2_count_star",
     "a3_distinct",

@@ -669,3 +669,60 @@ R6E_QUERIES.update(
         "text_bpe_vocab": (q_text_bpe_vocab, SQL_BPE_VOCAB),
     }
 )
+
+
+# --- price/volume revenue decomposition -----------------------------------
+
+def q_agg_price_volume(spark, sf_dir):
+    """1996-vs-1997 revenue-change decomposition per return flag
+    (operators/aggregate.py:price_volume_decomposition): exact
+    volume-at-old-price / price-at-new-volume split, one conditional
+    aggregate, self-reconciling (delta = volume + price)."""
+    from stockpy_spark.operators.aggregate import price_volume_decomposition
+
+    li = _t(spark, sf_dir, "lineitem")
+    return price_volume_decomposition(
+        li,
+        dim_col="l_returnflag",
+        period_col=F.year("l_shipdate"),
+        period_a=1996,
+        period_b=1997,
+        qty_col="l_quantity",
+        revenue_col="l_extendedprice",
+    )
+
+
+SQL_PRICE_VOLUME = """
+WITH per AS (
+    SELECT l_returnflag AS dim,
+           sum(CASE WHEN EXTRACT(year FROM l_shipdate) = 1996
+                    THEN l_quantity ELSE 0.0 END) AS q0,
+           sum(CASE WHEN EXTRACT(year FROM l_shipdate) = 1997
+                    THEN l_quantity ELSE 0.0 END) AS q1,
+           sum(CASE WHEN EXTRACT(year FROM l_shipdate) = 1996
+                    THEN l_extendedprice ELSE 0.0 END) AS r0,
+           sum(CASE WHEN EXTRACT(year FROM l_shipdate) = 1997
+                    THEN l_extendedprice ELSE 0.0 END) AS r1
+    FROM lineitem
+    WHERE EXTRACT(year FROM l_shipdate) IN (1996, 1997)
+    GROUP BY l_returnflag
+)
+SELECT dim,
+       round(q0, 2) AS qty_a, round(q1, 2) AS qty_b,
+       round(r0, 2) AS rev_a, round(r1, 2) AS rev_b,
+       round(r1 - r0, 2) AS delta,
+       round(CASE WHEN q0 > 0 AND q1 > 0
+                  THEN (q1 - q0) * (r0 / q0) ELSE r1 - r0 END, 2)
+           AS volume_effect,
+       round(CASE WHEN q0 > 0 AND q1 > 0
+                  THEN q1 * (r1 / q1 - r0 / q0) ELSE 0.0 END, 2)
+           AS price_effect
+FROM per
+"""
+
+
+R6E_QUERIES.update(
+    {
+        "agg_price_volume": (q_agg_price_volume, SQL_PRICE_VOLUME),
+    }
+)

@@ -687,3 +687,32 @@ def test_psi_constant_reference_degenerate(spark):
     assert out[0].n_ref == 100 and out[0].n_cur == 50
     assert out[9].n_cur == 50 and out[9].n_ref == 0
     assert all(r.psi is not None for r in out.values())
+
+
+# --- price_volume_decomposition ---------------------------------------------
+
+def test_price_volume_reconciles_and_handles_one_sided(spark):
+    from stockpy_spark.operators.aggregate import price_volume_decomposition
+
+    rows = [
+        # dim "x": 10 units @ 2.0 -> 12 units @ 2.5
+        ("x", 2020, 10.0, 20.0), ("x", 2021, 12.0, 30.0),
+        # dim "new": appears only in period B
+        ("new", 2021, 5.0, 50.0),
+        # dim "gone": only in period A
+        ("gone", 2020, 4.0, 8.0),
+    ]
+    df = spark.createDataFrame(rows, ["d", "y", "q", "r"])
+    out = {
+        r.dim: r
+        for r in price_volume_decomposition(
+            df, "d", F.col("y"), 2020, 2021, "q", "r"
+        ).collect()
+    }
+    x = out["x"]
+    assert x.delta == 10.0
+    assert x.volume_effect == 4.0      # (12-10) * 2.0
+    assert x.price_effect == 6.0       # 12 * (2.5 - 2.0)
+    assert round(x.volume_effect + x.price_effect, 2) == x.delta
+    assert out["new"].volume_effect == 50.0 and out["new"].price_effect == 0.0
+    assert out["gone"].volume_effect == -8.0 and out["gone"].price_effect == 0.0
