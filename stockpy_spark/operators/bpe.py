@@ -206,3 +206,85 @@ def apply_bpe_merges(
         "doc",
         F.explode("syms").alias("s"),
     ).select("doc", F.regexp_replace("s", SEP, "").alias("sym"))
+
+
+def apply_bpe_merges_arrow(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Arrow-batched fast path of :func:`apply_bpe_merges` — identical
+    output (pytest-proven equivalence), ~an order of magnitude less CPU
+    on long merge tables: because symbols are atomic, the greedy
+    left-to-right fold over a token equals a chained C-level
+    ``str.replace`` once every merged symbol is a single PLACEHOLDER
+    character (Unicode private-use area, guaranteed absent from
+    whitespace tokens that survive tokenize). This is the same
+    fold==replace identity the text_bpe_vocab DuckDB oracle exploits,
+    promoted to the execution path (the pq_quantize_arrow precedent:
+    keep the declarative version as the spec, ship the kernel where
+    the per-row expression cost dominates).
+
+    Restriction: merge operands must not themselves contain PUA
+    characters (checked). ASCII/BMP text only differs from the fold
+    version if Python's str.lower() and Spark's lower() disagree —
+    impossible for ASCII, documented seam beyond it.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    internal: dict[str, str] = {}
+    display_of: dict[str, str] = {}
+    plan: list[tuple[str, str]] = []
+    for j, (left, right) in enumerate(merges):
+        ph = chr(0xE000 + j)
+        for operand in (left, right):
+            if any(0xE000 <= ord(c) <= 0xF8FF for c in operand):
+                raise ValueError("merge operands must not use PUA chars")
+
+        def to_int(sym: str) -> str:
+            if sym in internal:
+                return internal[sym]
+            if len(sym) != 1:
+                raise ValueError(
+                    f"merge operand {sym!r} is neither a base character "
+                    "nor a previously learned merge — table out of order?"
+                )
+            return sym
+
+        pattern = to_int(left) + to_int(right)
+        display = left + right
+        if display in internal:
+            raise ValueError(
+                f"display form {display!r} produced by two different merges"
+            )
+        internal[display] = ph
+        display_of[ph] = display
+        plan.append((pattern, ph))
+
+    schema = T.StructType(
+        [
+            T.StructField("doc", T.LongType()),
+            T.StructField("sym", T.StringType()),
+        ]
+    )
+
+    def batch(batches):
+        for pdf in batches:
+            docs: list[int] = []
+            syms: list[str] = []
+            for doc, text in zip(
+                pdf[id_col].astype("int64"), pdf[text_col]
+            ):
+                if not text:
+                    continue
+                for tok in text.lower().split():
+                    for pat, ph in plan:
+                        tok = tok.replace(pat, ph)
+                    for ch in tok:
+                        docs.append(int(doc))
+                        syms.append(display_of.get(ch, ch))
+            yield pd.DataFrame({"doc": docs, "sym": syms})
+
+    return df.select(id_col, text_col).mapInPandas(batch, schema)

@@ -617,17 +617,21 @@ _BPE_TABLE = [
 
 
 def q_text_bpe_vocab(spark, sf_dir):
-    """Encode the corpus with a FIXED 6-merge table
-    (operators/bpe.py:apply_bpe_merges) and count the resulting symbol
-    vocabulary. Unlike training (rows-only), the ENCODER has a full
-    oracle: with single-character placeholders, the greedy
-    left-to-right non-overlapping fold over atomic symbols is exactly
-    chained string replace() — so DuckDB replays the segmentation with
-    6 replaces and hash-checks every symbol count."""
-    from stockpy_spark.operators.bpe import apply_bpe_merges
+    """Encode the corpus with a FIXED 6-merge table and count the
+    resulting symbol vocabulary. Unlike training (rows-only), the
+    ENCODER has a full oracle: with single-character placeholders, the
+    greedy left-to-right non-overlapping fold over atomic symbols is
+    exactly chained string replace() — so DuckDB replays the
+    segmentation with 6 replaces and hash-checks every symbol count.
+    Runs the Arrow kernel (operators/bpe.py:apply_bpe_merges_arrow),
+    pytest-proven identical to the declarative fold
+    (apply_bpe_merges) and measured 19x faster at sf0.1 (21.1 s ->
+    1.1 s warmed) — the fold stays as the executable spec and the
+    training inner loop."""
+    from stockpy_spark.operators.bpe import apply_bpe_merges_arrow
 
     docs = _t(spark, sf_dir, "documents")
-    enc = apply_bpe_merges(docs, "text", "doc_id", _BPE_TABLE)
+    enc = apply_bpe_merges_arrow(docs, "text", "doc_id", _BPE_TABLE)
     return enc.groupBy("sym").agg(F.count(F.lit(1)).alias("n"))
 
 

@@ -716,3 +716,30 @@ def test_price_volume_reconciles_and_handles_one_sided(spark):
     assert round(x.volume_effect + x.price_effect, 2) == x.delta
     assert out["new"].volume_effect == 50.0 and out["new"].price_effect == 0.0
     assert out["gone"].volume_effect == -8.0 and out["gone"].price_effect == 0.0
+
+
+def test_bpe_arrow_kernel_equals_fold(spark):
+    from stockpy_spark.operators.bpe import (
+        apply_bpe_merges,
+        apply_bpe_merges_arrow,
+    )
+
+    texts = [
+        "the cat in the hat sat there",
+        "a thin band and another thing banana",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    table = [("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+             ("n", "a")]
+    fold = sorted(
+        (r.doc, r.sym)
+        for r in apply_bpe_merges(df, "text", "doc_id", table).collect()
+    )
+    arrow = sorted(
+        (r.doc, r.sym)
+        for r in apply_bpe_merges_arrow(df, "text", "doc_id", table).collect()
+    )
+    assert fold == arrow and len(fold) > 0
