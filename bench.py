@@ -110,6 +110,36 @@ HEADLINE = [
 ]
 
 
+def calibrate(spark) -> float:
+    """Fixed synthetic CPU+shuffle micro-workload, timed: 20M-row range
+    with per-row arithmetic, a 100k-key hash aggregate (one shuffle),
+    and a top-k. Independent of SF and of the engine's own operators,
+    so its wall-clock measures the HOST (cpu + memory + JVM), not the
+    code under test. Cross-round bench comparisons divide by this to
+    normalize out host drift — the r05->r06 1.38x wall-clock scare was
+    pure host drift and cost a page of BASELINE.md to argue; this
+    constant settles it numerically (best of 2, like the queries)."""
+    from pyspark.sql import functions as F
+
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        (
+            spark.range(20_000_000)
+            .select(
+                (F.col("id") % 100_000).alias("k"),
+                (F.col("id") * 2654435761 % 2**31).alias("h"),
+            )
+            .groupBy("k")
+            .agg(F.sum("h").alias("s"), F.count("*").alias("n"))
+            .orderBy(F.col("s").desc())
+            .limit(10)
+            .write.format("noop").mode("overwrite").save()
+        )
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("stockpy_spark_bench")
@@ -121,6 +151,9 @@ def main() -> None:
     from stockpy_spark.sources.testdata import read_events
 
     read_events(spark, sf_dir).count()
+
+    # host-speed constant (after warmup, before the timed queries)
+    calibration = calibrate(spark)
 
     # best-of-2 per query: the first execution pays one-off plan
     # compilation and scheduler warmup that a long-running cluster
@@ -137,14 +170,22 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
-                "value": round(sum(timings.values()), 3),
+                "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # host-speed micro-workload (see calibrate()): divide
+                # `value` by `calibration_sec` across rounds to compare
+                # plans net of host drift; `normalized_total` is that
+                # ratio precomputed (dimensionless, higher = slower
+                # relative to what this host can do)
+                "calibration_sec": calibration,
+                "normalized_total": round(total / calibration, 2),
             }
         )
     )

@@ -110,6 +110,7 @@ def association_rules(
     item_col: str,
     min_co: int = 2,
     dp: int = 6,
+    max_basket_items: int | None = None,
 ) -> DataFrame:
     """Market-basket association rules over (basket, item) rows:
     (antecedent, consequent, co_count, support, confidence, lift),
@@ -120,21 +121,55 @@ def association_rules(
     in that exact order so a SQL oracle reproduces the doubles, then
     rounded to ``dp``.
 
+    ``max_basket_items`` caps the pair fan-out per basket at the
+    standard Apriori working set: keep each basket's top-m items by
+    GLOBAL frequency (ties to the lowest item id — deterministic, so
+    an SQL oracle reproduces the cut exactly), enumerate pairs only
+    among those. Pairs involving an item truncated from an oversized
+    basket undercount by that basket — the documented, bounded
+    approximation every large-scale basket miner makes; singleton
+    marginals (support/confidence/lift denominators) stay EXACT,
+    computed from the uncapped items. With the cap, pair-aggregate
+    input is <= m*(m-1) rows per basket and the distinct-pair group
+    space drops with the rare-pair tail — the r06 verdict's 6.6x
+    100x-scale spot for the uncapped edge-sized aggregate.
+
+    After the cap (order matters for output stability) items whose
+    global count < min_co are pruned OUTPUT-INVARIANTLY: any pair they
+    join has co_count <= count(item) < min_co and dies in the HAVING
+    anyway — Apriori downward closure, purely a perf cut.
+
     Scale shape: one distinct to collapse repeated items per basket,
-    one self-join keyed on the basket id (fan-out bounded by basket
-    size, the classic market-basket assumption), one (ante, cons)
-    aggregate, then broadcast joins of the per-item count frame and the
-    1-row basket total. No driver actions, no candidate explosion
-    beyond pairs — this is the pair-rule core of Apriori with the
-    frequent-item pruning left to the min_co filter.
+    one self-join keyed on the basket id (fan-out bounded by
+    ``max_basket_items`` or basket size), one (ante, cons) aggregate,
+    then broadcast joins of the per-item count frame and the 1-row
+    basket total. No driver actions, no candidate explosion beyond
+    pairs.
     """
     items = baskets.select(
         F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
     ).distinct()
     nb = items.agg(F.countDistinct("__b").alias("__nb"))
     item_cnt = items.groupBy("__i").agg(F.count(F.lit(1)).alias("__cnt"))
-    a = items.alias("a")
-    b = items.alias("b")
+    pair_src = items
+    if max_basket_items is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("__b").orderBy(
+            F.col("__cnt").desc(), F.col("__i")
+        )
+        pair_src = (
+            items.join(item_cnt, "__i")
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_basket_items)
+            .select("__b", "__i")
+        )
+    # downward-closure prune (exact): item count < min_co can't reach
+    # co_count >= min_co
+    frequent = item_cnt.filter(F.col("__cnt") >= min_co).select("__i")
+    pair_src = pair_src.join(frequent, "__i").select("__b", "__i")
+    a = pair_src.alias("a")
+    b = pair_src.alias("b")
     co = (
         a.join(
             b,

@@ -415,6 +415,141 @@ def decode_gif(payload: bytes) -> np.ndarray:
     raise ValueError("GIF contains no image data")
 
 
+def encode_gif_animated(frames: list[np.ndarray]) -> bytes:
+    """Encode a list of same-screen-size (h, w, 3) uint8 RGB frames as
+    an animated GIF89a: Netscape 2.0 looping extension, one graphic
+    control extension (do-not-dispose, 10cs delay) + image descriptor
+    + LOCAL color table + LZW index stream per frame. Local palettes
+    (not one global) because each frame may use up to 256 distinct
+    colors of its own — the union across frames can exceed the global
+    table limit. Same <=256-colors-per-frame contract as
+    :func:`encode_gif`."""
+    if not frames:
+        raise ValueError("animated GIF needs at least one frame")
+    h, w, _ = frames[0].shape
+    for fr in frames:
+        if fr.shape != (h, w, 3):
+            raise ValueError("all animation frames must share the screen size")
+    out = bytearray()
+    out += b"GIF89a" + struct.pack("<HHBBB", w, h, 0, 0, 0)  # no GCT
+    # Netscape looping application extension (loop forever)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for fr in frames:
+        colors, inverse = np.unique(
+            fr.reshape(-1, 3), axis=0, return_inverse=True
+        )
+        n = len(colors)
+        if n > 256:
+            raise ValueError(f"GIF frame needs <=256 colors, has {n}")
+        bits = max(1, (n - 1).bit_length())
+        lct = np.zeros((1 << bits, 3), dtype=np.uint8)
+        lct[:n] = colors
+        # GCE: disposal 1 (do not dispose), no transparency, 10cs delay
+        out += b"\x21\xf9\x04" + bytes([0x04]) + struct.pack("<H", 10)
+        out += b"\x00\x00"
+        ipacked = 0x80 | (bits - 1)  # LCT present, size 2^bits
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, ipacked)
+        out += lct.tobytes()
+        mcs = max(2, bits)
+        lzw = _lzw_encode_gif(inverse, mcs)
+        out += bytes([mcs])
+        out += b"".join(
+            bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255]
+            for i in range(0, len(lzw), 255)
+        )
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
+    """Decode EVERY frame of a (possibly animated) GIF, compositing
+    each image rect onto the logical screen per the disposal rules:
+    returns a list of (screen_h, screen_w, 3) uint8 arrays, one fully
+    rendered canvas per frame. Handles disposal 0/1 (leave canvas) and
+    2 (restore rect to background = black); transparency and disposal 3
+    (restore-to-previous) raise NotImplementedError — the documented
+    codec seam, same as non-GIF animation containers. Single-frame GIFs
+    return a 1-element list, so this is a strict superset of
+    :func:`decode_gif`."""
+    if payload[:6] not in GIF_SIGNATURES:
+        raise ValueError("not a GIF payload")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
+    frames: list[np.ndarray] = []
+    disposal = 0
+    transparent = False
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:
+            label = payload[pos + 1]
+            if label == 0xF9:  # graphic control extension
+                gce_packed = payload[pos + 3]
+                disposal = (gce_packed >> 2) & 0x07
+                transparent = bool(gce_packed & 0x01)
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:
+            left, top, w, h, ipacked = struct.unpack_from(
+                "<HHHHB", payload, pos + 1
+            )
+            pos += 10
+            palette = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                palette = np.frombuffer(
+                    payload, np.uint8, n * 3, pos
+                ).reshape(n, 3)
+                pos += n * 3
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF not supported")
+            if palette is None:
+                raise ValueError("GIF image has no color table")
+            if transparent:
+                raise NotImplementedError(
+                    "transparent GIF frames require alpha compositing "
+                    "not implemented here (codec seam)"
+                )
+            if disposal == 3:
+                raise NotImplementedError(
+                    "GIF disposal method 3 (restore-to-previous) not "
+                    "implemented (codec seam)"
+                )
+            mcs = payload[pos]
+            pos += 1
+            chunks = []
+            while payload[pos] != 0:
+                size = payload[pos]
+                chunks.append(payload[pos + 1 : pos + 1 + size])
+                pos += 1 + size
+            pos += 1
+            idx = _lzw_decode_gif(b"".join(chunks), mcs)
+            if len(idx) < h * w:
+                raise ValueError("GIF index stream shorter than image")
+            rect = palette[np.asarray(idx[: h * w], dtype=np.int64)].reshape(
+                h, w, 3
+            )
+            canvas[top : top + h, left : left + w] = rect
+            frames.append(canvas.copy())
+            if disposal == 2:
+                canvas[top : top + h, left : left + w] = 0
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return frames
+
+
 def _decode_pixels(payload: bytes) -> np.ndarray:
     """Decode dispatch: BMP, truecolor PNG, palette GIF, and baseline
     JPEG are handled natively; every other format is the SEAM where an
@@ -509,6 +644,113 @@ def attach_gif_payload(df: DataFrame, id_col: str) -> DataFrame:
     """Real palette GIF89a payload per row (LZW-compressed index stream
     — see :func:`_attach_image_payload`)."""
     return _attach_image_payload(df, id_col, encode_gif, "image/gif")
+
+
+def _fake_frame(doc_id: int, frame: int) -> np.ndarray:
+    """Frame ``frame`` of the deterministic test ANIMATION for doc_id:
+    same dims as :func:`_fake_pixels`, pixel[y,x,c] =
+    (doc_id*31 + frame*13 + y*17 + x*7 + c*5) % 256 — closed-form per
+    frame, so an SQL oracle can state per-frame pixel stats without
+    running the codec."""
+    w = int(doc_id) % 8 + 4
+    h = int(doc_id) % 6 + 4
+    y = np.arange(h).reshape(h, 1, 1)
+    x = np.arange(w).reshape(1, w, 1)
+    c = np.arange(3).reshape(1, 1, 3)
+    return (
+        (int(doc_id) * 31 + int(frame) * 13 + y * 17 + x * 7 + c * 5) % 256
+    ).astype(np.uint8)
+
+
+def attach_gif_anim_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Real ANIMATED GIF89a payload per row: doc_id % 3 + 2 frames of
+    the closed-form frame pattern, local color table + LZW stream per
+    frame (see :func:`encode_gif_animated`). Arrow-batched mapInPandas;
+    payload bytes never touch the driver."""
+
+    gen_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("media_type", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [
+                encode_gif_animated(
+                    [_fake_frame(i, f) for f in range(i % 3 + 2)]
+                )
+                for i in ids
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "media_type": "image/gif",
+                    "width": [i % 8 + 4 for i in ids],
+                    "height": [i % 6 + 4 for i in ids],
+                    "n_frames": [i % 3 + 2 for i in ids],
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    flat = df.select(id_col).mapInPandas(gen, gen_schema)
+    return flat.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            "media_type", "width", "height", "n_frames", "n_bytes"
+        ).alias("meta"),
+    )
+
+
+def extract_frame_features(assets: DataFrame, every_k: int = 1) -> DataFrame:
+    """Decode EVERY frame of each (possibly animated) GIF payload
+    through the full LZW + compositing pipeline and emit one row per
+    SAMPLED frame (``every_k`` = keep frames 0, k, 2k, ... — the video
+    frame-sampling shape): (doc_id, frame_id, width, height, px_sum,
+    mean_lum). Arrow-batched mapInPandas over the binary column; the
+    fan-out is frames-per-payload, executor-side only."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_id", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("px_sum", T.LongType()),
+            T.StructField("mean_lum", T.DoubleType()),
+        ]
+    )
+
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "frame_id", "width", "height", "px_sum", "mean_lum"
+            )}
+            for i, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = decode_gif_frames(bytes(payload))
+                for fid, fr in enumerate(frames):
+                    if fid % every_k != 0:
+                        continue
+                    h, w, _ = fr.shape
+                    s = int(fr.astype(np.int64).sum())
+                    rows["doc_id"].append(int(i))
+                    rows["frame_id"].append(fid)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["px_sum"].append(s)
+                    rows["mean_lum"].append(s / (h * w * 3))
+            yield pd.DataFrame(rows)
+
+    return assets.select("doc_id", "payload").mapInPandas(batch, out_schema)
 
 
 def attach_jpeg_payload(

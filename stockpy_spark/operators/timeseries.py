@@ -208,6 +208,7 @@ def interval_concurrency(
     start_col: str,
     end_col: str,
     keys: list[str],
+    n_buckets: int = 64,
 ) -> DataFrame:
     """Sweep-line concurrency: for every boundary instant, how many
     intervals are open per key group — the classic "max concurrent
@@ -218,12 +219,23 @@ def interval_concurrency(
     same-instant deltas are summed FIRST (half-open semantics fall out:
     an interval ending exactly when another starts nets to zero), then
     a running sum ordered by instant per key gives the level active
-    during [instant, next instant). One explode (map-side fan-out x2),
-    one groupBy (map-side combined, shrinks to distinct boundary
-    instants), one window — the window's running sum is the only
-    sequential dependency, partitioned per key, so the 100 TB shape
-    holds as long as single keys stay reducer-sized (millions of
-    boundary instants), which "per user"/"per host" keys do.
+    during [instant, next instant).
+
+    Scale shape: a plain per-key running-sum window funnels every key
+    through ONE task, which with a low-cardinality key (event_type:
+    ~5 values) is five single-task sorts of data-sized boundary frames
+    at 100 TB. Instead the time axis is range-bucketed from a broadcast
+    per-key (min, max) census — the same bucketed prefix-aggregate that
+    took Gini from 14.2x to 3.6x at 100x (stats.py gini_by_group,
+    skyline.py): each (key, bucket) runs its running sum LOCALLY in
+    parallel, the per-bucket net totals close into global offsets
+    through a keys-x-buckets-sized window (KBs, one task but tiny), and
+    the local sums shift by their bucket's offset. One data shuffle
+    into (key, bucket) sorts; nothing downstream is data-sized in a
+    single task.
+
+    ``start_col``/``end_col`` must be numeric or timestamp (bucketing
+    casts through DOUBLE; a timestamp casts to epoch seconds).
 
     Returns (keys..., at_ts, concurrent) — exactly one row per distinct
     boundary instant per key. Max-over-key is a one-line groupBy for
@@ -245,15 +257,47 @@ def interval_concurrency(
     net = boundaries.groupBy(*keys, "at_ts").agg(
         F.sum("delta").alias("__net")
     )
-    w = (
-        Window.partitionBy(*keys)
+    # broadcast census -> equal-width time buckets per key
+    v = F.col("at_ts").cast("double")
+    census = net.groupBy(*keys).agg(
+        F.min(v).alias("__mn"), F.max(v).alias("__mx")
+    )
+    width = (F.col("__mx") - F.col("__mn")) / F.lit(float(n_buckets))
+    bkt = F.when(F.col("__mx") == F.col("__mn"), F.lit(0)).otherwise(
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor((v - F.col("__mn")) / width).cast("int"),
+        )
+    )
+    bucketed = (
+        net.join(F.broadcast(census), keys)
+        if keys
+        else net.crossJoin(F.broadcast(census))
+    ).select(*keys, "at_ts", "__net", bkt.alias("__bkt"))
+    wloc = (
+        Window.partitionBy(*keys, "__bkt")
         .orderBy("at_ts")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return net.select(
+    local = bucketed.withColumn("__run_loc", F.sum("__net").over(wloc))
+    per_bucket = bucketed.groupBy(*keys, "__bkt").agg(
+        F.sum("__net").alias("__bnet")
+    )
+    # exclusive prefix over the K x B frame -> per-bucket global offset
+    woff = (
+        Window.partitionBy(*keys)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = per_bucket.select(
+        *keys,
+        "__bkt",
+        (F.sum("__bnet").over(woff) - F.col("__bnet")).alias("__off"),
+    )
+    return local.join(F.broadcast(offsets), [*keys, "__bkt"]).select(
         *keys,
         "at_ts",
-        F.sum("__net").over(w).cast("long").alias("concurrent"),
+        (F.col("__run_loc") + F.col("__off")).cast("long").alias("concurrent"),
     )
 
 

@@ -17,90 +17,36 @@ from stockpy_spark.registry_r6b import R6B_QUERIES
 from stockpy_spark.registry_r6c import R6C_QUERIES
 from stockpy_spark.registry_r6d import R6D_QUERIES
 from stockpy_spark.registry_r6e import R6E_QUERIES
+from stockpy_spark.registry_r7 import R7_QUERIES
 
 try:
     from stockpy_spark.registry_ext import EXT_QUERIES
 except ImportError:  # extensions land incrementally
     EXT_QUERIES = {}
 
-_ALL = {**CORE_QUERIES, **EXT_QUERIES, **TPCH2_QUERIES, **HIVE_QUERIES, **TS_QUERIES, **GRAPH_QUERIES, **STREAM_QUERIES, **R6_QUERIES, **R6B_QUERIES, **R6C_QUERIES, **R6D_QUERIES, **R6E_QUERIES}
+_ALL = {**CORE_QUERIES, **EXT_QUERIES, **TPCH2_QUERIES, **HIVE_QUERIES, **TS_QUERIES, **GRAPH_QUERIES, **STREAM_QUERIES, **R6_QUERIES, **R6B_QUERIES, **R6C_QUERIES, **R6D_QUERIES, **R6E_QUERIES, **R7_QUERIES}
 
 # The driver's correctness gate checks the FIRST 50 queries in dict
-# insertion order. Round-6 rotation (oldest-green-first keeps every row
-# fresh within two rounds): the 24 r03-stale queries lead, then the 20
-# new round-6 rows (5 streaming gates incl. stream-static enrich and
-# the arbitrary-stateful running stats, mm_decode_gif, chunking,
-# concurrency, HLL gate, PQ, incremental dedup, weighted sample, top
-# terms, native session windows, JPEG fidelity gate, VARIANT, EWMA,
-# column profiling, OLS trend, composed training-prep pipeline), then
-# the 6 second-wave round-6 rows (q2/q11 shapes, BM25, k-means x2,
-# robust clip) close the 50-window exactly. Past the window, the
-# round-7 queue leads with the 40 still-rowless round-6 queries
-# (behavioral/graph/corpus third wave through the r6d/r6e waves:
-# similarity join, drift, association stats, CUSUM, t-test,
-# Mahalanobis, entropy, negatives, skew, Gini, movers, matched
-# controls, mixture plan, incremental state), then the r04-green
-# block, then the r05-fresh rows.
+# insertion order. Round-7 rotation: the 4 rows that went red in r06 on
+# harness-compat (now emitting epoch BIGINTs / a joined string) lead so
+# the fixes get driver confirmation, then the ONE new round-7 query
+# (animated-GIF frame extraction), then ALL 45 late-round-6 queries
+# that have never had a driver row (third through fifth r6 waves:
+# behavioral analytics, PageRank, SCD2, perplexity, corpus curation,
+# skyline, BFS, drift/stats/DQ shelf, BPE, PCA gate) — 50 slots
+# exactly, leaving every registered query with at least one driver row
+# after this round. Past the window the queue is oldest-first: the
+# r04-green block (three rounds old, next in line for round 8), then
+# r05-fresh, then the r06-green rows freshest-last.
 DRIVER_PRIORITY = [
-    # r03-stale, first in line (24)
-    "w6_rank_family",
-    "w7_range_frame",
-    "p10_unpivot",
-    "f8_math_funcs",
-    "f9_posexplode_tokens",
-    "p1_conditional_cast",
-    "p8_p9_dropna_cast",
-    "j1_broadcast_enrich",
-    "j2_agg_backjoin",
-    "j2w_window_stats",
-    "j3_inner_join_agg",
-    "j4_semi_join",
-    "j5_anti_join",
-    "a1_group_agg",
-    "a4_dedup_first",
-    "a6_count_distinct",
-    "a7_minmax_stddev",
-    "a8_rollup",
-    "a9_cube",
-    "a10_pivot",
-    "w1_lag_delta",
-    "w2_rolling_mean",
-    "w3_topk_per_group",
-    "w4_running_sum",
-    # brand-new round-6 rows (no driver row yet)
-    "stream_hourly_agg",
-    "stream_hopping_agg",
-    "mm_decode_gif",
-    "chunk_documents",
+    # r06-red on harness compat, re-fixed — first in line (4)
     "ev_concurrency",
     "gate_hll_rollup",
-    "emb_pq_codes",
-    "dedup_incremental",
-    "sample_weighted",
-    "text_top_terms",
     "ts_session_window",
-    "gate_jpeg_fidelity",
     "stream_dedup_keys",
-    "f14_variant_props",
-    "ts_ewma",
-    "profile_events",
-    "stream_static_enrich",
-    "ts_trend",
-    "pipeline_training_prep",
-    "stream_running_stats",
-    # second-wave round-6 rows (no driver row yet): TPC-H q2/q11 shapes,
-    # BM25 retrieval, deterministic k-means clustering, robust clipping
-    "q2_min_cost_supplier",
-    "q11_important_parts",
-    "text_bm25_topk",
-    "emb_kmeans_assign",
-    "emb_kmeans_summary",
-    "quality_robust_clip",
-    # --- first-50 window closes at quality_robust_clip above ---
-    # third/fourth/fifth-wave round-6 rows (behavioral analytics,
-    # PageRank, SCD2, perplexity, corpus curation, skyline, BFS):
-    # just past the window, so they head the round-7 queue together
-    # with the r04-green block below
+    # new round-7 query (1)
+    "mm_gif_frames",
+    # never-driver-checked late-round-6 waves (45)
     "funnel_conversion",
     "cohort_retention_weekly",
     "part_pagerank",
@@ -146,7 +92,8 @@ DRIVER_PRIORITY = [
     "gate_pca_variance",
     "text_bpe_vocab",
     "agg_price_volume",
-    # r04-green (exactly two rounds old — next in line for round 7)
+    # --- first-50 window closes at agg_price_volume above ---
+    # r04-green (three rounds old — next in line for round 8)
     "a2_count_star",
     "a3_distinct",
     "p2_rename_literal",
@@ -248,6 +195,53 @@ DRIVER_PRIORITY = [
     "j6_salted_join",
     "a11_percentiles",
     "a12_grouping_sets",
+    # r06-green, freshest last
+    "w6_rank_family",
+    "w7_range_frame",
+    "p10_unpivot",
+    "f8_math_funcs",
+    "f9_posexplode_tokens",
+    "p1_conditional_cast",
+    "p8_p9_dropna_cast",
+    "j1_broadcast_enrich",
+    "j2_agg_backjoin",
+    "j2w_window_stats",
+    "j3_inner_join_agg",
+    "j4_semi_join",
+    "j5_anti_join",
+    "a1_group_agg",
+    "a4_dedup_first",
+    "a6_count_distinct",
+    "a7_minmax_stddev",
+    "a8_rollup",
+    "a9_cube",
+    "a10_pivot",
+    "w1_lag_delta",
+    "w2_rolling_mean",
+    "w3_topk_per_group",
+    "w4_running_sum",
+    "stream_hourly_agg",
+    "stream_hopping_agg",
+    "mm_decode_gif",
+    "chunk_documents",
+    "emb_pq_codes",
+    "dedup_incremental",
+    "sample_weighted",
+    "text_top_terms",
+    "gate_jpeg_fidelity",
+    "f14_variant_props",
+    "ts_ewma",
+    "profile_events",
+    "stream_static_enrich",
+    "ts_trend",
+    "pipeline_training_prep",
+    "stream_running_stats",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "text_bm25_topk",
+    "emb_kmeans_assign",
+    "emb_kmeans_summary",
+    "quality_robust_clip",
 ]
 
 _ORDERED = {name: _ALL[name] for name in DRIVER_PRIORITY if name in _ALL}

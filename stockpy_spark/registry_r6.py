@@ -72,7 +72,14 @@ def q_ev_concurrency(spark, sf_dir):
     """Concurrent open sessions per event_type: each event opens an
     interval of ``value`` whole seconds (derived identically on both
     engines via epoch arithmetic); sweep line gives the concurrency
-    level at every boundary instant (operators/timeseries.py)."""
+    level at every boundary instant (operators/timeseries.py).
+
+    Boundary instants surface as epoch-second BIGINTs, not timestamps:
+    the r06 driver row went red because DuckDB ``to_timestamp()``
+    returns TIMESTAMP WITH TIME ZONE and the driver's pandas-dtype
+    schema check rejects tz-aware-vs-naive — epoch integers are the
+    tz-proof cross-engine surface (the green SQL_STREAM_HOPPING
+    pattern)."""
     ev = _t(spark, sf_dir, "events").where(
         F.col("ts").isNotNull() & F.col("value").isNotNull()
     )
@@ -81,33 +88,33 @@ def q_ev_concurrency(spark, sf_dir):
     sec = F.col("ts").cast("timestamp").cast("long")
     iv = ev.select(
         "event_type",
-        F.timestamp_seconds(sec).alias("start_ts"),
-        F.timestamp_seconds(
-            sec + F.floor(F.col("value")).cast("long")
-        ).alias("end_ts"),
+        sec.alias("start_s"),
+        (sec + F.floor(F.col("value")).cast("long")).alias("end_s"),
     )
-    out = interval_concurrency(iv, "start_ts", "end_ts", ["event_type"])
-    return out.select("event_type", "at_ts", "concurrent")
+    out = interval_concurrency(iv, "start_s", "end_s", ["event_type"])
+    return out.select(
+        "event_type", F.col("at_ts").alias("at_epoch"), "concurrent"
+    )
 
 
 SQL_CONCURRENCY = """
 WITH iv AS (
     SELECT event_type,
-           to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)) AS start_ts,
-           to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)
-                        + CAST(floor(value) AS BIGINT)) AS end_ts
+           CAST(floor(epoch(ts)) AS BIGINT) AS start_s,
+           CAST(floor(epoch(ts)) AS BIGINT)
+               + CAST(floor(value) AS BIGINT) AS end_s
     FROM events
     WHERE ts IS NOT NULL AND value IS NOT NULL
 ), b AS (
-    SELECT event_type, start_ts AS at_ts, 1 AS delta FROM iv
+    SELECT event_type, start_s AS at_epoch, 1 AS delta FROM iv
     UNION ALL
-    SELECT event_type, end_ts AS at_ts, -1 AS delta FROM iv
+    SELECT event_type, end_s AS at_epoch, -1 AS delta FROM iv
 ), net AS (
-    SELECT event_type, at_ts, SUM(delta) AS net
-    FROM b GROUP BY event_type, at_ts
+    SELECT event_type, at_epoch, SUM(delta) AS net
+    FROM b GROUP BY event_type, at_epoch
 )
-SELECT event_type, at_ts,
-       CAST(SUM(net) OVER (PARTITION BY event_type ORDER BY at_ts
+SELECT event_type, at_epoch,
+       CAST(SUM(net) OVER (PARTITION BY event_type ORDER BY at_epoch
                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS concurrent
 FROM net
 """
@@ -119,29 +126,37 @@ def q_gate_hll_rollup(spark, sf_dir):
     """Two-level distinct-user rollup: daily HLL sketches unioned to
     weekly WITHOUT rescanning raw events (operators/sketches.py), gated
     against the exact weekly distinct at 5% relative error. Spark's HLL
-    is seed-fixed, so the gate rows are deterministic."""
+    is seed-fixed, so the gate rows are deterministic. Bucket starts
+    surface as epoch BIGINTs (tz-proof — DuckDB to_timestamp() is
+    tz-aware and fails the driver's pandas-dtype schema check)."""
     # null-ts rows would bucket to NULL and diverge between the inner
     # join (Spark) and GROUP BY (SQL) — scope the query to timestamped
     # rows so a regenerated fixture with nulls can't flip the gate
     ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
-    return hll_rollup_quality(
+    out = hll_rollup_quality(
         ev, "ts", "user_id",
         fine_seconds=86_400, coarse_seconds=604_800, max_rel_err=0.05,
+    )
+    return out.select(
+        F.col("bucket_start").cast("long").alias("bucket_epoch"),
+        "exact_distinct",
+        "n_fine_buckets",
+        "gate_rel_err_ok",
     )
 
 
 SQL_GATE_HLL = """
 WITH wk AS (
-    SELECT to_timestamp(CAST(floor(epoch(ts)) AS BIGINT) // 604800 * 604800) AS bucket_start,
-           to_timestamp(CAST(floor(epoch(ts)) AS BIGINT) // 86400 * 86400)   AS day_start,
+    SELECT CAST(floor(epoch(ts)) AS BIGINT) // 604800 * 604800 AS bucket_epoch,
+           CAST(floor(epoch(ts)) AS BIGINT) // 86400 * 86400   AS day_start,
            user_id
     FROM events WHERE ts IS NOT NULL
 )
-SELECT bucket_start,
+SELECT bucket_epoch,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
        CAST(COUNT(DISTINCT day_start) AS BIGINT) AS n_fine_buckets,
        1 AS gate_rel_err_ok
-FROM wk GROUP BY bucket_start
+FROM wk GROUP BY bucket_epoch
 """
 
 
@@ -284,7 +299,8 @@ def q_ts_session_window(spark, sf_dir):
     which is exactly what the DuckDB oracle computes; a hash match
     proves the native operator and the classic formulation agree.
     Events are second-truncated so the gap arithmetic is integral on
-    both engines."""
+    both engines; session starts surface as epoch BIGINTs (tz-proof —
+    see q_ev_concurrency)."""
     ev = _t(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     sec = F.col("ts").cast("timestamp").cast("long")
     ev = ev.select(
@@ -298,7 +314,7 @@ def q_ts_session_window(spark, sf_dir):
         )
         .select(
             "user_id",
-            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.start").cast("long").alias("session_epoch"),
             "n_events",
             "sum_value",
         )
@@ -308,7 +324,7 @@ def q_ts_session_window(spark, sf_dir):
 SQL_SESSION_WINDOW = """
 WITH ev AS (
     SELECT user_id,
-           to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)) AS tss,
+           CAST(floor(epoch(ts)) AS BIGINT) AS tss,
            value
     FROM events WHERE ts IS NOT NULL
 ), flagged AS (
@@ -316,7 +332,7 @@ WITH ev AS (
            -- Spark's session window is half-open: an event exactly
            -- `gap` after the previous one starts a NEW session
            CASE WHEN tss - LAG(tss) OVER (PARTITION BY user_id ORDER BY tss)
-                     >= INTERVAL 30 MINUTE
+                     >= 1800
                 OR LAG(tss) OVER (PARTITION BY user_id ORDER BY tss) IS NULL
                 THEN 1 ELSE 0 END AS new_session
     FROM ev
@@ -327,7 +343,7 @@ WITH ev AS (
     FROM flagged
 )
 SELECT user_id,
-       MIN(tss) AS session_start,
+       MIN(tss) AS session_epoch,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        round(SUM(value), 4) AS sum_value
 FROM sessions GROUP BY user_id, sid

@@ -394,9 +394,21 @@ def q_text_inverted_index(spark, sf_dir):
     (operators/textstats.py:build_inverted_index): df is the true
     document frequency, postings the first 20 doc ids per term — the
     cap applies in a constant-state row_number stream BEFORE any array
-    exists, so Zipf-head terms never build corpus-sized state."""
+    exists, so Zipf-head terms never build corpus-sized state.
+
+    Postings surface as a comma-joined STRING: the driver's pandas
+    canonicalizer cannot sort list cells (the r06 stream_dedup_keys
+    red row), so array-typed output columns are banned at the query
+    registry surface — tools/check.py's schema lint enforces it."""
     docs = _t(spark, sf_dir, "documents")
-    return build_inverted_index(docs, "text", "doc_id", max_postings=20)
+    idx = build_inverted_index(docs, "text", "doc_id", max_postings=20)
+    return idx.select(
+        "term",
+        "df",
+        F.array_join(
+            F.transform("postings", lambda x: x.cast("string")), ","
+        ).alias("postings"),
+    )
 
 
 SQL_INVERTED = f"""
@@ -409,7 +421,8 @@ WITH toks AS (
     FROM toks
 )
 SELECT term, count(*) AS df,
-       list(doc ORDER BY doc) FILTER (WHERE rn <= 20) AS postings
+       array_to_string(list(CAST(doc AS VARCHAR) ORDER BY doc)
+                       FILTER (WHERE rn <= 20), ',') AS postings
 FROM ranked GROUP BY term
 """
 

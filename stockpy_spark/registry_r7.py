@@ -1,0 +1,64 @@
+"""Round-7 query families.
+
+mm_gif_frames closes the last multimodal gap the round-6 verdict named:
+multi-frame (video-like) decode behind the codec seam. The payload is a
+REAL animated GIF89a (Netscape loop extension, per-frame graphic
+control + local color table + LZW stream — operators/multimodal.py
+encode_gif_animated), decoded frame-by-frame through the compositing
+decoder (decode_gif_frames) and frame-SAMPLED (every 2nd frame — the
+video frame-sampling shape). The frame pattern is closed-form, so the
+oracle states every sampled frame's pixel stats arithmetically; a hash
+match proves the multi-frame container roundtrip, the canvas
+compositing, and the sampling grid all at once.
+
+Reference parity: none (the reference is tabular-only); this is the
+multimodal extension surface of SURVEY.md §2's LLM-pipeline shelf.
+"""
+
+from __future__ import annotations
+
+from stockpy_spark.operators.multimodal import (
+    attach_gif_anim_payload,
+    extract_frame_features,
+)
+from stockpy_spark.registry_ext import _t
+
+
+def q_mm_gif_frames(spark, sf_dir):
+    """Animated-GIF frame extraction: encode doc_id % 3 + 2 closed-form
+    frames per document, decode ALL frames back (LZW + compositing),
+    keep every 2nd frame, and emit per-frame pixel stats."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    assets = attach_gif_anim_payload(docs, "doc_id")
+    return extract_frame_features(assets, every_k=2)
+
+
+SQL_MM_GIF_FRAMES = """
+WITH dims AS (
+    SELECT doc_id, doc_id % 8 + 4 AS w, doc_id % 6 + 4 AS h,
+           doc_id % 3 + 2 AS nf
+    FROM documents
+), px AS (
+    SELECT d.doc_id, f.f AS frame_id, d.w, d.h,
+           SUM((d.doc_id * 31 + f.f * 13 + y.y * 17 + x.x * 7 + c.c * 5)
+               % 256) AS px_sum
+    FROM dims d
+    JOIN generate_series(0, 3) f(f) ON f.f < d.nf AND f.f % 2 = 0
+    JOIN generate_series(0, 8) y(y) ON y.y < d.h
+    JOIN generate_series(0, 10) x(x) ON x.x < d.w
+    JOIN generate_series(0, 2) c(c) ON TRUE
+    GROUP BY d.doc_id, f.f, d.w, d.h
+)
+SELECT doc_id,
+       CAST(frame_id AS INTEGER) AS frame_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(px_sum AS BIGINT) AS px_sum,
+       CAST(px_sum AS DOUBLE) / CAST(w * h * 3 AS DOUBLE) AS mean_lum
+FROM px
+"""
+
+
+R7_QUERIES: dict[str, tuple] = {
+    "mm_gif_frames": (q_mm_gif_frames, SQL_MM_GIF_FRAMES),
+}

@@ -184,16 +184,21 @@ def q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .awaitTermination()
     )
     sunk = spark.read.parquet(os.path.join(out, "sink"))
+    # the key set surfaces as a sorted comma-joined STRING, not
+    # array<string>: the driver's pandas canonicalizer cannot sort list
+    # cells (r06 row went red with "unhashable type: 'list'")
     return sunk.groupBy("user_id").agg(
         F.count("*").cast("long").alias("n_types"),
-        F.sort_array(F.collect_set("event_type")).alias("types"),
+        F.array_join(
+            F.sort_array(F.collect_set("event_type")), ","
+        ).alias("types"),
     )
 
 
 SQL_STREAM_DEDUP = """
 SELECT user_id,
        COUNT(DISTINCT event_type) AS n_types,
-       list_sort(list(DISTINCT event_type)) AS types
+       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
 FROM events
 WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
 GROUP BY user_id

@@ -157,6 +157,31 @@ class TestAssociationRules:
         assert bb["co_count"] == 2 and bb["confidence"] == 1.0
         assert bb["lift"] == 1.5  # 1.0 / (2/3)
 
+    def test_basket_cap_truncates_by_global_frequency(self, spark):
+        from stockpy_spark.operators.behavior import association_rules
+
+        # basket 1 has 3 items; 'rare' is globally least frequent so a
+        # cap of 2 drops it there; marginals stay exact (from uncapped)
+        rows = [
+            (1, "a"), (1, "b"), (1, "rare"),
+            (2, "a"), (2, "b"),
+            (3, "a"), (3, "rare2"),
+        ]
+        df = spark.createDataFrame(rows, "b int, i string")
+        out = {
+            (r["antecedent"], r["consequent"]): r
+            for r in association_rules(
+                df, "b", "i", min_co=1, max_basket_items=2
+            ).collect()
+        }
+        assert out[("a", "b")]["co_count"] == 2
+        # 'rare' truncated out of basket 1 -> no pair survives for it
+        # (basket 3's 'rare2' keeps its pair: 2 items, cap doesn't bite)
+        assert not any(k == "rare" for pair in out for k in pair)
+        assert ("a", "rare2") in out
+        # support denominator is the UNCAPPED basket count (3)
+        assert out[("a", "b")]["support"] == round(2 / 3, 6)
+
 
 class TestTransitions:
     def test_rows_normalize(self, spark, sf_dir):

@@ -527,6 +527,90 @@ def test_gif_decoder_skips_extensions_and_rejects_corruption():
         decode_gif(good[: idx + 12])
 
 
+def test_gif_animated_roundtrip_and_seams():
+    """Animated GIF89a: every composited frame decodes bit-exact;
+    single-frame payloads from the still encoder are a 1-frame
+    animation; disposal 2 restores the rect to background; the
+    transparency and disposal-3 seams raise NotImplementedError."""
+    import numpy as np
+    import pytest
+
+    from stockpy_spark.operators.multimodal import (
+        _fake_frame,
+        _fake_pixels,
+        decode_gif,
+        decode_gif_frames,
+        encode_gif,
+        encode_gif_animated,
+    )
+
+    for i in (0, 3, 11, 499):
+        frames = [_fake_frame(i, f) for f in range(i % 3 + 2)]
+        payload = encode_gif_animated(frames)
+        decoded = decode_gif_frames(payload)
+        assert len(decoded) == len(frames), i
+        for f, (a, b) in enumerate(zip(frames, decoded)):
+            assert np.array_equal(a, b), (i, f)
+        # the still decoder reads frame 0 of an animated payload
+        assert np.array_equal(decode_gif(payload), frames[0]), i
+
+    # still encoder -> 1-frame animation
+    px = _fake_frame(7, 0)
+    assert np.array_equal(decode_gif_frames(encode_gif(px))[0], px)
+
+    # mismatched frame sizes refuse
+    with pytest.raises(ValueError, match="screen size"):
+        encode_gif_animated([_fake_pixels(0), _fake_pixels(1)])
+
+    # disposal 2 (restore to background) zeroes the rect AFTER the
+    # frame is emitted: patch the first GCE's packed byte (disposal
+    # bits 2-4) from 0x04 (disposal 1) to 0x08 (disposal 2)
+    frames = [_fake_frame(4, 0), np.full(_fake_frame(4, 0).shape, 9, np.uint8)]
+    payload = bytearray(encode_gif_animated(frames))
+    gce_at = payload.index(b"\x21\xf9\x04")
+    assert payload[gce_at + 3] == 0x04
+    payload[gce_at + 3] = 0x08
+    decoded = decode_gif_frames(bytes(payload))
+    assert np.array_equal(decoded[0], frames[0])
+    assert np.array_equal(decoded[1], frames[1])  # full-rect repaint
+
+    # transparency flag -> documented seam
+    payload[gce_at + 3] = 0x04 | 0x01
+    with pytest.raises(NotImplementedError, match="transparent"):
+        decode_gif_frames(bytes(payload))
+    # disposal 3 (restore to previous) -> documented seam
+    payload[gce_at + 3] = 0x0C
+    with pytest.raises(NotImplementedError, match="disposal"):
+        decode_gif_frames(bytes(payload))
+
+
+def test_extract_frame_features_sampling(spark):
+    """Frame sampling keeps frames 0, k, 2k...; stats match the
+    closed-form pattern per sampled frame."""
+    from stockpy_spark.operators.multimodal import (
+        _fake_frame,
+        attach_gif_anim_payload,
+        extract_frame_features,
+    )
+
+    docs = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+    assets = attach_gif_anim_payload(docs, "doc_id")
+    out = extract_frame_features(assets, every_k=2).collect()
+    got = {(r.doc_id, r.frame_id): r for r in out}
+    import numpy as np
+
+    expected_keys = set()
+    for i in range(12):
+        for f in range(i % 3 + 2):
+            if f % 2 == 0:
+                expected_keys.add((i, f))
+    assert set(got) == expected_keys
+    for (i, f), r in got.items():
+        fr = _fake_frame(i, f).astype(np.int64)
+        assert r.px_sum == int(fr.sum()), (i, f)
+        assert r.width == i % 8 + 4 and r.height == i % 6 + 4
+
+
 def test_png_decoder_rejects_corruption():
     import numpy as np
     import pytest

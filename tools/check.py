@@ -1,10 +1,22 @@
 """Local mirror of the driver's t2 correctness gate.
 
 Runs every __spark_entry__.queries() entry on Spark and its oracle_sql()
-twin on DuckDB at sf0.01, compares row count, sorted column names, and an
-order-insensitive canonical value hash. Stricter than any reasonable
-driver hash: values are canonicalized to strings (floats via repr after
-round-trip) and must match exactly.
+twin on DuckDB at sf0.01, compares row count, sorted column names, a
+driver-style OUTPUT-TYPE lint, and an order-insensitive canonical value
+hash (floats via repr after round-trip).
+
+The type lint is the round-7 lesson: the driver compares pandas dtypes
+(tz-awareness included) and sorts rows through pandas, so an oracle
+built with DuckDB ``to_timestamp()`` (TIMESTAMP WITH TIME ZONE ->
+datetime64[us, Etc/UTC]) fails schema_match against Spark's naive
+timestamps even when every value matches, and an array-typed output
+column crashes the canonicalizer ("unhashable type: 'list'"). The old
+canon_cell here strftime-dropped tzinfo and happily serialized lists,
+so local green did not predict driver green — four r06 rows went red
+that way. Now both result schemas are mapped to canonical type classes
+BEFORE hashing and the run fails on: tz-aware timestamps, array/map/
+struct columns, DECIMAL/HUGEINT (driver-hostile since round 2), or any
+per-column class mismatch (int width included) between engines.
 
 Usage: python tools/check.py [query_name ...]
 """
@@ -45,6 +57,62 @@ def canon_cell(v) -> str:
     return str(v)
 
 
+# Spark simpleString -> canonical class. Anything not listed is
+# driver-hostile (array/map/struct crash the pandas canonicalizer;
+# decimal/binary hash engine-specifically). Integer and float WIDTHS
+# deliberately collapse to one class each: rows that mixed int32/int64
+# across engines (f9_posexplode_tokens, f7_string_funcs, q8, q9, ...)
+# were hash-green at the driver in r04-r06, so the driver is
+# width-lenient — while naive-vs-tz-aware datetimes (same value set)
+# went red, so tz-awareness stays a hard failure.
+_SPARK_CLASS = {
+    "tinyint": "int", "smallint": "int", "int": "int",
+    "bigint": "int", "float": "float", "double": "float",
+    "string": "str", "boolean": "bool", "date": "date",
+    "timestamp": "ts", "timestamp_ntz": "ts",
+}
+
+# DuckDB type str -> canonical class. TIMESTAMP WITH TIME ZONE is
+# deliberately ABSENT: it reaches pandas tz-aware and fails the
+# driver's dtype comparison against Spark's naive timestamps.
+_DUCK_CLASS = {
+    "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int",
+    "BIGINT": "int", "FLOAT": "float", "DOUBLE": "float",
+    "VARCHAR": "str", "BOOLEAN": "bool", "DATE": "date",
+    "TIMESTAMP": "ts",
+}
+
+
+def schema_lint(
+    scols: list[str],
+    stypes: list[str],
+    dcols: list[str],
+    dtypes: list[str],
+) -> list[str]:
+    """Driver-style output-type check. Returns a list of problems
+    (empty = clean): unsupported/driver-hostile types on either side,
+    and per-column canonical-class mismatches between the engines."""
+    problems = []
+    smap, dmap = {}, {}
+    for c, t in zip(scols, stypes):
+        cls = _SPARK_CLASS.get(t)
+        if cls is None:
+            problems.append(f"spark col {c}: driver-hostile type {t}")
+        smap[c] = cls
+    for c, t in zip(dcols, dtypes):
+        cls = _DUCK_CLASS.get(t)
+        if cls is None:
+            problems.append(f"duck col {c}: driver-hostile type {t}")
+        dmap[c] = cls
+    for c in sorted(set(smap) & set(dmap)):
+        if smap[c] and dmap[c] and smap[c] != dmap[c]:
+            problems.append(
+                f"col {c}: spark {smap[c]} vs duck {dmap[c]} "
+                "(pandas dtypes will differ at the driver)"
+            )
+    return problems
+
+
 def canon_rows(cols: list[str], rows: list[tuple]) -> tuple[str, int]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted("\x1f".join(canon_cell(r[i]) for i in order) for r in rows)
@@ -72,33 +140,33 @@ def main() -> int:
         try:
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
+            stypes = [f.dataType.simpleString() for f in sdf.schema.fields]
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as ex:
             print(f"FAIL  {name}: spark error: {ex}")
             failures.append(name)
             continue
         if name not in oracles:
+            # rows-only queries still pass through the driver's pandas
+            # canonicalizer — lint the Spark side alone
+            bad = [
+                f"{c}: driver-hostile type {t}"
+                for c, t in zip(scols, stypes)
+                if t not in _SPARK_CLASS
+            ]
+            if bad:
+                print(f"FAIL  {name}: {bad}")
+                failures.append(name)
+                continue
             print(f"ok*   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
             rel = con.sql(oracles[name])
             dcols = list(rel.columns)
-            # Guard (round-2 lesson): DuckDB HUGEINT (sum of ints) and
-            # DECIMAL aggregates hash differently from Spark's
-            # bigint/double at the driver even when values are
-            # bit-identical. Our str() canonicalization masks that, so
-            # reject the TYPES outright — oracles must emit
-            # BIGINT/DOUBLE/VARCHAR/DATE/TIMESTAMP-class columns only.
-            bad_types = [
-                f"{c}:{t}"
-                for c, t in zip(dcols, (str(t) for t in rel.types))
-                if "HUGEINT" in t or t.startswith("DECIMAL")
-            ]
-            if bad_types:
-                print(
-                    f"FAIL  {name}: oracle emits driver-hostile types "
-                    f"{bad_types} — CAST to BIGINT/DOUBLE in the SQL"
-                )
+            dtypes = [str(t) for t in rel.types]
+            problems = schema_lint(scols, stypes, dcols, dtypes)
+            if problems:
+                print(f"FAIL  {name}: schema lint: {problems}")
                 failures.append(name)
                 continue
             drows = rel.fetchall()
