@@ -107,6 +107,13 @@ HEADLINE = [
     # melt-once entropy profile
     "stats_welch_ttest",
     "profile_entropy",
+    # round 7: the re-shaped sweep-line concurrency (bucketed prefix
+    # aggregate), the capped basket miner (top-m Apriori working set,
+    # no item-frame broadcast), and cluster-blocked semantic dedup
+    # (k-means blocks bound the pair quadratic)
+    "ev_concurrency",
+    "basket_rules",
+    "semdedup_prune",
 ]
 
 

@@ -111,6 +111,7 @@ def association_rules(
     min_co: int = 2,
     dp: int = 6,
     max_basket_items: int | None = None,
+    rank_by: str = "frequency",
 ) -> DataFrame:
     """Market-basket association rules over (basket, item) rows:
     (antecedent, consequent, co_count, support, confidence, lift),
@@ -139,13 +140,40 @@ def association_rules(
     join has co_count <= count(item) < min_co and dies in the HAVING
     anyway — Apriori downward closure, purely a perf cut.
 
-    Scale shape: one distinct to collapse repeated items per basket,
-    one self-join keyed on the basket id (fan-out bounded by
-    ``max_basket_items`` or basket size), one (ante, cons) aggregate,
-    then broadcast joins of the per-item count frame and the 1-row
-    basket total. No driver actions, no candidate explosion beyond
-    pairs.
+    ``rank_by`` picks the cap's ranking — and with it the plan shape:
+
+    - ``"frequency"`` (default): the Apriori-standard working set.
+      Needs the global item counts joined back per row + a per-basket
+      window — three data-sized shuffles before pair enumeration.
+    - ``"id"``: keep each basket's ``max_basket_items`` LOWEST item
+      ids — ranking needs nothing global, so the whole miner collapses
+      to the array formulation: ONE shuffle folds raw rows into
+      per-basket item arrays (collect_set dedups in-aggregate — the
+      separate distinct disappears), the cap is an array_sort+slice
+      expression, pairs generate IN-ARRAY as UNDIRECTED x<y structs
+      (half the pair volume of directed enumeration; co_count is
+      symmetric so both directions re-emit from the tiny post-HAVING
+      frame), and marginals explode from the same arrays. Two
+      data-sized shuffles total, no join-back, no window. This is the
+      scale path; the measured sf10 profile showed the frequency
+      ranking's join+window chain costing more than the cap saved.
+
+    Scale shape (both modes): pair fan-out bounded by
+    ``max_basket_items`` (or basket size); the (ante, cons) aggregate
+    is the intrinsic cost — on mostly-unique pairs map-side combine
+    cannot shrink it, which is why halving enumeration via undirected
+    pairs matters. Per-basket state in the array path is one item
+    array (the market-basket boundedness assumption, documented).
+    No driver actions.
     """
+    if rank_by not in ("frequency", "id"):
+        raise ValueError(f"rank_by must be 'frequency' or 'id', got {rank_by!r}")
+    if rank_by == "id":
+        if max_basket_items is None:
+            raise ValueError("rank_by='id' requires max_basket_items")
+        return _association_rules_arrays(
+            baskets, basket_col, item_col, min_co, dp, max_basket_items
+        )
     items = baskets.select(
         F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
     ).distinct()
@@ -190,9 +218,88 @@ def association_rules(
         F.col("__i").alias("consequent"), F.col("__cnt").alias("__cb")
     )
     conf = F.col("co_count") / F.col("__ca")
+    # ca/cb are ITEM-sized (catalog-scale: millions at 100x) — never
+    # force-broadcast them; the q3 lesson (session.py) is that a
+    # "small" frame that scales with the data is a fact in disguise.
+    # Plain equi-joins let AQE broadcast them only while they fit.
     return (
-        co.join(F.broadcast(ca), "antecedent")
-        .join(F.broadcast(cb), "consequent")
+        co.join(ca, "antecedent")
+        .join(cb, "consequent")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "antecedent",
+            "consequent",
+            "co_count",
+            F.round(F.col("co_count") / F.col("__nb"), dp).alias("support"),
+            F.round(conf, dp).alias("confidence"),
+            F.round(conf / (F.col("__cb") / F.col("__nb")), dp).alias("lift"),
+        )
+    )
+
+
+def _association_rules_arrays(
+    baskets: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_co: int,
+    dp: int,
+    max_basket_items: int,
+) -> DataFrame:
+    """rank_by='id' plan of :func:`association_rules` (see its
+    docstring): basket arrays -> in-array undirected pair explode ->
+    pair aggregate; marginals from the same arrays."""
+    arrs = (
+        baskets.select(
+            F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+        )
+        .groupBy("__b")
+        .agg(F.collect_set("__i").alias("__arr"))
+    )
+    nb = arrs.agg(F.count(F.lit(1)).alias("__nb"))
+    item_cnt = (
+        arrs.select(F.explode("__arr").alias("__i"))
+        .groupBy("__i")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    capped = F.slice(F.array_sort("__arr"), 1, max_basket_items)
+    pair_structs = F.flatten(
+        F.transform(
+            capped,
+            lambda x: F.transform(
+                F.filter(capped, lambda y: y > x),
+                lambda y: F.struct(x.alias("lo"), y.alias("hi")),
+            ),
+        )
+    )
+    co_u = (
+        arrs.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.lo").alias("lo"), F.col("p.hi").alias("hi"))
+        .agg(F.count(F.lit(1)).alias("co_count"))
+        .filter(F.col("co_count") >= min_co)
+    )
+    # co_count is symmetric: re-emit both directions from the tiny
+    # post-HAVING frame
+    co = co_u.select(
+        F.col("lo").alias("antecedent"),
+        F.col("hi").alias("consequent"),
+        "co_count",
+    ).unionByName(
+        co_u.select(
+            F.col("hi").alias("antecedent"),
+            F.col("lo").alias("consequent"),
+            "co_count",
+        )
+    )
+    ca = item_cnt.select(
+        F.col("__i").alias("antecedent"), F.col("__cnt").alias("__ca")
+    )
+    cb = item_cnt.select(
+        F.col("__i").alias("consequent"), F.col("__cnt").alias("__cb")
+    )
+    conf = F.col("co_count") / F.col("__ca")
+    return (
+        co.join(ca, "antecedent")
+        .join(cb, "consequent")
         .crossJoin(F.broadcast(nb))
         .select(
             "antecedent",

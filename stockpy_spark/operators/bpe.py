@@ -226,13 +226,33 @@ def apply_bpe_merges_arrow(
     keep the declarative version as the spec, ship the kernel where
     the per-row expression cost dominates).
 
-    Restriction: merge operands must not themselves contain PUA
-    characters (checked). ASCII/BMP text only differs from the fold
-    version if Python's str.lower() and Spark's lower() disagree —
-    impossible for ASCII, documented seam beyond it.
+    Restrictions (each either checked or a documented seam):
+
+    - merge operands must not themselves contain PUA characters
+      (checked — ValueError).
+    - ``id_col`` must be an integral type: the kernel materializes it
+      as int64 (checked — ValueError; the fold version preserves any
+      id type).
+    - ASCII text is bit-identical to the fold version; beyond ASCII
+      two seams exist and are accepted, not silently different:
+      Python's str.lower() vs Spark's lower() can disagree on locale-
+      special casings, and Python's str.split() splits on UNICODE
+      whitespace while Spark's split('\\s+') (Java regex, no
+      UNICODE_CHARACTER_CLASS) splits only on ASCII whitespace — a
+      U+00A0-separated token pair is one token to the fold, two to
+      this kernel.
     """
     import pandas as pd
     from pyspark.sql import types as T
+
+    id_type = df.schema[id_col].dataType
+    if not isinstance(
+        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise ValueError(
+            f"apply_bpe_merges_arrow requires an integral id column; "
+            f"{id_col} is {id_type.simpleString()} — use apply_bpe_merges"
+        )
 
     internal: dict[str, str] = {}
     display_of: dict[str, str] = {}

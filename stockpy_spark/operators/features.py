@@ -32,12 +32,14 @@ def quantile_bucketize(
     sort-based exact percentile is a heavier aggregate than a sketch,
     which is the price of determinism (swap in approx_percentile when
     binning 100 TB and bit-stability across engines isn't required).
-    NULL values get a NULL bin.
+    NULL values get a NULL bin (an SQL twin must carry the same CASE —
+    a bare ``len(list_filter(...))`` would yield bin 0 for NULLs).
     """
     plist = ", ".join(repr(float(p)) for p in probs)
+    qcol = f"`{value_col}`"  # survive names needing quoting in expr()
     bounds = df.agg(
         F.transform(
-            F.expr(f"percentile({value_col}, array({plist}))"),
+            F.expr(f"percentile({qcol}, array({plist}))"),
             lambda b: F.round(b, decimals),
         ).alias("__bs")
     )

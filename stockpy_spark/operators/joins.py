@@ -265,8 +265,9 @@ def blocked_fuzzy_join(
     to trade cost for recall on head-noisy data), and
     (2) a length band: |len(a) - len(b)| <= max_dist is implied by edit
     distance, so the equi-join key rounds length down to a
-    (max_dist+1)-wide band and probes the adjacent band too (explode of
-    2 keys per dirty row). The pair (prefix, band) is an EQUI-join key
+    (max_dist+1)-wide band and probes both adjacent bands too (explode
+    of 3 band keys per dirty row). The pair (prefix, band) is an
+    EQUI-join key
     -> shuffle hash join, never BroadcastNestedLoopJoin; the expensive
     ``levenshtein`` runs only on in-block candidates.
 

@@ -86,16 +86,27 @@ def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
     The single ``agg`` is the point: Catalyst fuses all N metrics into
     one partial-aggregate scan, so adding a constraint costs a column,
     not a pass over 100 TB.
+
+    NULL-aggregate guard: on empty input (or an all-NULL column) avg/
+    sum aggregates return NULL, which would make ``passed`` NULL —
+    neither true nor false, silently invisible to a ``passed = false``
+    pipeline gate. Metrics coalesce to 0.0 BEFORE the verdict, so the
+    long frame never carries NULL verdicts (vacuous suites pass
+    explicitly; min_rows still fails on empty input because count is
+    0, not NULL).
     """
     wide = df.agg(
         *[c.metric.alias(f"__m{i}") for i, c in enumerate(checks)]
+    )
+    metric = lambda i: F.coalesce(  # noqa: E731
+        F.col(f"__m{i}").cast("double"), F.lit(0.0)
     )
     rows = F.array(
         *[
             F.struct(
                 F.lit(c.name).alias("constraint"),
-                F.col(f"__m{i}").cast("double").alias("metric"),
-                c.passes(F.col(f"__m{i}")).alias("passed"),
+                metric(i).alias("metric"),
+                c.passes(metric(i)).alias("passed"),
             )
             for i, c in enumerate(checks)
         ]

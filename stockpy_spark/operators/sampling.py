@@ -232,8 +232,9 @@ def negative_pair_sample(
     window cascade inside each shard (one sort, per-row state), no
     self-join, no global permutation index. The last rows of a shard
     have fewer than k successors and emit fewer pairs (no wraparound —
-    the loss is exactly k(k+1)/2 pairs per shard, negligible at corpus
-    scale and exactly reproduced by the oracle).
+    the loss is at most k(k+1)/2 pairs per shard — exactly that when
+    the shard has more than k rows — negligible at corpus scale and
+    exactly reproduced by the oracle).
 
     Returns (anchor_id, negative_id, neg_rank) with neg_rank 1..k.
     """
@@ -312,16 +313,21 @@ def matched_controls(
 
     tol = float(tolerance)
     v_e = F.col(match_col).cast("double")
+    # pool ids keep their NATIVE type (string/UUID ids survive; a long
+    # cast would NULL them silently and break the tie-break); the
+    # "largest pid" tie-break is the type's own ordering — numeric for
+    # ints, lexicographic for strings
+    pid_type = pool_df.schema[id_col].dataType
     ev = eval_df.select(
         F.col(id_col).alias("eval_id"),
         v_e.alias("v"),
         F.floor(v_e / tol).cast("long").alias("bkt"),
         F.lit(1).alias("is_eval"),
-        F.lit(None).cast("long").alias("pid"),
+        F.lit(None).cast(pid_type).alias("pid"),
     )
     pool = (
         pool_df.select(
-            F.col(id_col).cast("long").alias("pid"),
+            F.col(id_col).alias("pid"),
             F.col(match_col).cast("double").alias("v"),
         )
         .select(

@@ -393,6 +393,67 @@ def kmeans_assign(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    threshold: float,
+    dp: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster embeddings with
+    the deterministic k-means (:func:`kmeans_assign`), then prune
+    within-cluster near-duplicates — a vector is dropped when a
+    LOWER-ID member of its own cluster has cosine >= ``threshold``
+    (the repo-wide min-id keeper rule, so the survivor set is
+    order-free and an SQL engine replays it exactly). Returns the
+    SURVIVORS as (id_col, cid, sim) — the cluster id and
+    centroid-similarity ride along for downstream stratification.
+
+    This is the cluster-blocked scale path of
+    ``dedup.embedding_cosine_pairs``: the all-pairs O(n^2) cosine is
+    confined to cluster blocks (expected n^2/k pair candidates on
+    balanced clusters), which is the whole SemDeDup trick — raise
+    ``k`` with the corpus (the published recipe uses k ~ sqrt(n) or
+    larger) and the per-block quadratic stays bounded while the
+    cross-cluster pairs (by construction far apart) are never
+    enumerated. Pairing is one cid-keyed equi-join; the cosine is a
+    post-join expression filter, so Catalyst keeps it a shuffle hash
+    join, never a nested loop. Greedy-sequential SemDeDup (drop against
+    KEPT items only) would chain per-cluster; the min-id rule
+    over-prunes only in chains (a~b, b~c, a!~c drops both b and c) —
+    the standard transitive-conservative trade, same as the LSH
+    bucket-min assignment."""
+    assigned = kmeans_assign(corpus, vec_col, id_col, k, dp=dp)
+    vecs = corpus.select(
+        F.col(id_col).alias("__rid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__vec"),
+    )
+    members = assigned.join(
+        vecs, assigned[id_col] == vecs["__rid"]
+    ).select(F.col(id_col).alias("__mid"), "cid", "sim", "__vec")
+    a = members.alias("a")
+    b = members.alias("b")
+    pruned = (
+        a.join(b, F.col("a.cid") == F.col("b.cid"))
+        .filter(F.col("a.__mid") < F.col("b.__mid"))
+        .filter(
+            F.round(
+                cosine_similarity(F.col("a.__vec"), F.col("b.__vec")), dp
+            )
+            >= threshold
+        )
+        .select(F.col("b.__mid").alias("__pruned"))
+        .distinct()
+    )
+    return (
+        members.join(
+            pruned, members["__mid"] == pruned["__pruned"], "left_anti"
+        )
+        .select(F.col("__mid").alias(id_col), "cid", "sim")
+    )
+
+
 def pq_codebooks(
     corpus: DataFrame,
     vec_col: str,

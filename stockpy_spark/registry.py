@@ -93,6 +93,8 @@ DRIVER_PRIORITY = [
     "text_bpe_vocab",
     "agg_price_volume",
     # --- first-50 window closes at agg_price_volume above ---
+    # new round-7 queries past the window — they head the round-8 queue
+    "semdedup_prune",
     # r04-green (three rounds old — next in line for round 8)
     "a2_count_star",
     "a3_distinct",

@@ -479,18 +479,21 @@ R6B_QUERIES.update(
 # --- market-basket association rules ------------------------------------
 
 def q_basket_rules(spark, sf_dir):
-    """Pair association rules with the top-5-per-basket Apriori cap
-    (operators/behavior.py association_rules): pairs enumerate only
-    among each basket's 5 globally-most-frequent items (ties to lowest
-    part id), singleton marginals stay exact — the documented bounded
-    approximation that keeps the pair aggregate off the r06 verdict's
-    6.6x 100x-scale spot. The oracle reproduces the same deterministic
-    cut, so the cap itself is under the hash gate."""
+    """Pair association rules with the 5-per-basket Apriori cap in the
+    array formulation (operators/behavior.py association_rules,
+    rank_by='id'): one shuffle folds rows into basket arrays, pairs
+    enumerate in-array among each basket's 5 lowest item ids as
+    UNDIRECTED structs (both directions re-emitted after the HAVING),
+    singleton marginals stay exact. Bounds the pair fan-out that made
+    the uncapped miner the r06 verdict's 6.6x 100x-scale spot. The
+    oracle reproduces the same deterministic cut, so the cap itself is
+    under the hash gate."""
     from stockpy_spark.operators.behavior import association_rules
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     return association_rules(
-        li, "l_orderkey", "l_partkey", min_co=3, max_basket_items=5
+        li, "l_orderkey", "l_partkey", min_co=3,
+        max_basket_items=5, rank_by="id",
     )
 
 
@@ -503,10 +506,9 @@ WITH items AS (
     SELECT i, count(*) AS c FROM items GROUP BY 1
 ), capped AS (
     SELECT b, i FROM (
-        SELECT items.b, items.i,
-               row_number() OVER (PARTITION BY items.b
-                                  ORDER BY cnt.c DESC, items.i) AS rn
-        FROM items JOIN cnt ON items.i = cnt.i
+        SELECT b, i,
+               row_number() OVER (PARTITION BY b ORDER BY i) AS rn
+        FROM items
     ) WHERE rn <= 5
 ), co AS (
     SELECT a.i AS antecedent, b.i AS consequent, count(*) AS co_count

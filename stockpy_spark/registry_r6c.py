@@ -496,7 +496,11 @@ WITH b AS (
     FROM events
 )
 SELECT event_type,
-       CAST(len(list_filter(b.bs, x -> value >= x)) AS INT) AS bin,
+       -- NULL values must bin to NULL like the Spark side; a bare
+       -- list_filter length would score them as bin 0
+       CASE WHEN value IS NULL THEN NULL
+            ELSE CAST(len(list_filter(b.bs, x -> value >= x)) AS INT)
+       END AS bin,
        count(*) AS n
 FROM events, b GROUP BY 1, 2
 """

@@ -22,6 +22,7 @@ from stockpy_spark.operators.multimodal import (
     extract_frame_features,
 )
 from stockpy_spark.registry_ext import _t
+from stockpy_spark.registry_r6b import _SQL_KMEANS_CTES
 
 
 def q_mm_gif_frames(spark, sf_dir):
@@ -59,6 +60,36 @@ FROM px
 """
 
 
+def q_semdedup_prune(spark, sf_dir):
+    """SemDeDup over the embeddings table: deterministic k-means into 8
+    clusters, then within-cluster min-id pruning at cosine >= 0.4
+    (operators/similarity.py semantic_dedup). The oracle replays the
+    full pipeline — the same k-means CTE chain the emb_kmeans_* gates
+    pin, plus a NOT EXISTS over cluster-mates — so the iterative
+    clustering AND the pruning rule sit under one exact hash."""
+    from stockpy_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, "embedding", "vec_id", k=8, threshold=0.4)
+
+
+SQL_SEMDEDUP = _SQL_KMEANS_CTES + """
+, mem AS (
+    SELECT f.vec_id, f.cid, f.sim, vv.ev
+    FROM (SELECT vec_id, cid, sim FROM fin WHERE rn = 1) f
+    JOIN v vv ON vv.vec_id = f.vec_id
+)
+SELECT a.vec_id, a.cid, a.sim
+FROM mem a
+WHERE NOT EXISTS (
+    SELECT 1 FROM mem b
+    WHERE b.cid = a.cid AND b.vec_id < a.vec_id
+      AND round(list_cosine_similarity(b.ev, a.ev), 6) >= 0.4
+)
+"""
+
+
 R7_QUERIES: dict[str, tuple] = {
     "mm_gif_frames": (q_mm_gif_frames, SQL_MM_GIF_FRAMES),
+    "semdedup_prune": (q_semdedup_prune, SQL_SEMDEDUP),
 }

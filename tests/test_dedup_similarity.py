@@ -230,3 +230,31 @@ def test_simhash64_blocked_equals_bruteforce(spark):
         F.max("sim_lo").alias("ml"), F.min("sim_lo").alias("nl"),
     ).collect()[0]
     assert 0 <= row.nh and row.mh < 2**32 and 0 <= row.nl and row.ml < 2**32
+
+
+def test_semantic_dedup_prunes_within_cluster_only(spark):
+    """Min-id pruning fires only against CLUSTER-mates: two near-identical
+    vectors in the same cluster keep the lower id; a near-identical pair
+    split across clusters is never compared (the SemDeDup blocking
+    semantics, documented over-prune trade included)."""
+    from stockpy_spark.operators.similarity import semantic_dedup
+
+    # two tight groups on orthogonal axes; ids 0,1 nearly parallel
+    # (cos ~1) and 10,11 nearly parallel; k=2 seeds = ids 0,1 -> the
+    # one Lloyd pass pulls cluster 1's centroid toward the y-axis group
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),
+        (10, [0.0, 1.0, 0.0, 0.0]),
+        (11, [0.0, 0.999, 0.01, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, "embedding", "vec_id", k=2, threshold=0.9)
+    kept = {r.vec_id for r in out.collect()}
+    # each near-parallel pair collapses to its min id
+    assert 0 in kept and 10 in kept
+    assert 1 not in kept and 11 not in kept
+
+    # high threshold keeps everything
+    out_all = semantic_dedup(df, "embedding", "vec_id", k=2, threshold=0.9999999)
+    assert {r.vec_id for r in out_all.collect()} == {0, 1, 10, 11}
