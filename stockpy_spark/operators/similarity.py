@@ -413,11 +413,15 @@ def semantic_dedup(
     This is the cluster-blocked scale path of
     ``dedup.embedding_cosine_pairs``: the all-pairs O(n^2) cosine is
     confined to cluster blocks (expected n^2/k pair candidates on
-    balanced clusters), which is the whole SemDeDup trick — raise
-    ``k`` with the corpus (the published recipe uses k ~ sqrt(n) or
-    larger) and the per-block quadratic stays bounded while the
+    balanced clusters), which is the whole SemDeDup trick — ``k`` MUST
+    rise with the corpus (k ~ sqrt(n), the published recipe's order:
+    assignment work n*k and pair work n^2/k then balance at n^1.5,
+    the same intrinsic exponent as triangle counting) while the
     cross-cluster pairs (by construction far apart) are never
-    enumerated. Pairing is one cid-keyed equi-join; the cosine is a
+    enumerated. A FIXED k is quadratic-over-k in disguise: k=8 at 500k
+    vectors is ~31G pair candidates — measured and recorded in
+    BASELINE.md §4; the registered sf0.01 query pins k=8 only because
+    its exact oracle replays that k. Pairing is one cid-keyed equi-join; the cosine is a
     post-join expression filter, so Catalyst keeps it a shuffle hash
     join, never a nested loop. Greedy-sequential SemDeDup (drop against
     KEPT items only) would chain per-cluster; the min-id rule

@@ -22,6 +22,14 @@ computing the exact side with real SQL.
 Reference parity: none (the reference has no sketches); extension
 surface per the LLM-pipeline brief (corpus-scale distinct counting:
 unique users/domains/fingerprints per shard, rolled up without rescan).
+
+Round 7 widens the shelf to the other two Datasketches families Spark 4
+ships as built-ins: KLL quantile sketches (``kll_sketch_agg_double`` /
+``kll_merge_agg_double`` / ``kll_sketch_get_quantile_double`` —
+mergeable percentiles, :func:`kll_rollup_quality`) and theta sketches
+(``theta_sketch_agg`` + ``theta_union``/``theta_intersection``/
+``theta_difference`` — distinct counting WITH set algebra,
+:func:`theta_overlap_quality`). Same gate scheme for all three.
 """
 
 from __future__ import annotations
@@ -127,3 +135,181 @@ def hll_rollup_quality(
             ).cast("int").alias("gate_rel_err_ok"),
         )
     )
+
+
+def kll_rollup_quality(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    fine_seconds: int,
+    coarse_seconds: int,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    max_rank_err: float = 0.05,
+) -> DataFrame:
+    """Two-level QUANTILE rollup via mergeable KLL sketches — the
+    percentile twin of the HLL distinct rollup: one
+    ``kll_sketch_agg_double`` per fine bucket (KB of state), merged
+    upward with ``kll_merge_agg_double`` so the coarse percentiles read
+    fine SKETCHES, never raw data. Exact percentiles are holistic
+    (sort-based, non-decomposable) — the sketch algebra is what makes
+    "weekly p50/p99 latency over 100 TB" a MB-sized rollup.
+
+    Quality contract (the hash-checkable part, same scheme as
+    :func:`hll_rollup_quality`): per coarse bucket and per requested
+    quantile p, the verify-tier pass computes the TRUE rank of the
+    sketch's estimate — the exact fraction of values <= estimate — and
+    gates |true_rank - p| <= ``max_rank_err`` (KLL's default-k rank
+    error is ~1.3%, the gate default is generous at 5%). Emitted
+    columns are exact-side values + gate flags only, so the driver hash
+    is stable even where the estimate itself could wobble. Returns
+    (bucket_epoch, n_rows, n_fine_buckets, ok_q<pct>...).
+    """
+    if coarse_seconds % fine_seconds != 0:
+        raise ValueError(
+            f"coarse grid {coarse_seconds}s is not a multiple of the fine "
+            f"grid {fine_seconds}s"
+        )
+    sec = F.col(time_col).cast("timestamp").cast("long")
+    base = df.select(
+        (sec / fine_seconds).cast("long").alias("__fine"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    fine = base.groupBy("__fine").agg(
+        F.kll_sketch_agg_double("__v").alias("sk"),
+        F.count("__v").alias("__n"),
+    )
+    coarse_expr = (
+        (F.col("__fine") * fine_seconds / coarse_seconds).cast("long")
+        * coarse_seconds
+    ).alias("bucket_epoch")
+    merged = fine.groupBy(coarse_expr).agg(
+        F.expr("kll_merge_agg_double(sk)").alias("m"),
+        F.sum("__n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_fine_buckets"),
+    )
+    ests = merged.select(
+        "bucket_epoch",
+        "n_rows",
+        "n_fine_buckets",
+        *[
+            F.kll_sketch_get_quantile_double("m", F.lit(float(p))).alias(
+                f"__est{i}"
+            )
+            for i, p in enumerate(probs)
+        ],
+    )
+    # verify tier: one conditional aggregate computes every estimate's
+    # exact rank (only run at test SF / audit time; production trusts
+    # the sketch bound)
+    with_bucket = base.select(
+        ((F.col("__fine") * fine_seconds / coarse_seconds).cast("long")
+         * coarse_seconds).alias("bucket_epoch"),
+        "__v",
+    )
+    joined = with_bucket.join(F.broadcast(ests), "bucket_epoch")
+    return (
+        joined.groupBy("bucket_epoch")
+        .agg(
+            F.first("n_rows").alias("n_rows"),
+            F.first("n_fine_buckets").alias("n_fine_buckets"),
+            *[
+                (
+                    F.abs(
+                        F.avg(
+                            (F.col("__v") <= F.col(f"__est{i}")).cast("double")
+                        )
+                        - F.lit(float(p))
+                    )
+                    <= F.lit(float(max_rank_err))
+                ).cast("int").alias(f"ok_q{int(round(p * 100))}")
+                for i, p in enumerate(probs)
+            ],
+        )
+    )
+
+
+def theta_overlap_quality(
+    df: DataFrame,
+    segment_col: str,
+    key_col: str,
+    seg_a: str,
+    seg_b: str,
+    max_rel_err: float = 0.05,
+) -> DataFrame:
+    """Audience-overlap algebra via theta sketches — the sketch family
+    whose point over HLL is SET OPERATIONS: one ``theta_sketch_agg``
+    per segment, then ``theta_union`` / ``theta_intersection`` /
+    ``theta_difference`` between segment sketches answer "users who
+    viewed AND purchased / viewed but never purchased" without ever
+    joining raw data against raw data. At 100 TB each segment's sketch
+    is KBs and the set algebra is driver-trivial; the exact
+    formulation is a distinct-key semi/anti join per question.
+
+    Quality contract: the verify-tier exact counts (distinct keys in
+    a, in b, in both, in either, in a-only) gate the four estimates at
+    ``max_rel_err`` relative error (intersections of similar-sized
+    segments sit well inside theta's error envelope). NULL keys are
+    excluded on both tiers (the sketch skips them; the exact side must
+    count the same population). Returns one row per measure:
+    (measure STRING, exact BIGINT, gate_ok INT) — exact values + flags
+    only, hash-stable."""
+    keyed = df.select(
+        F.col(segment_col).alias("__seg"), F.col(key_col).alias("__k")
+    ).where(
+        F.col(segment_col).isin([seg_a, seg_b])
+        & F.col(key_col).isNotNull()
+    )
+    sk = keyed.groupBy("__seg").agg(
+        F.theta_sketch_agg("__k").alias("sk")
+    )
+    a_sk = sk.where(F.col("__seg") == seg_a).select(F.col("sk").alias("a"))
+    b_sk = sk.where(F.col("__seg") == seg_b).select(F.col("sk").alias("b"))
+    both = a_sk.crossJoin(b_sk).select(
+        F.theta_sketch_estimate("a").alias("__ea"),
+        F.theta_sketch_estimate("b").alias("__eb"),
+        F.theta_sketch_estimate(F.expr("theta_union(a, b)")).alias("__eu"),
+        F.theta_sketch_estimate(
+            F.expr("theta_intersection(a, b)")
+        ).alias("__ei"),
+        F.theta_sketch_estimate(
+            F.expr("theta_difference(a, b)")
+        ).alias("__ed"),
+    )
+    ka = keyed.where(F.col("__seg") == seg_a).select("__k").distinct()
+    kb = keyed.where(F.col("__seg") == seg_b).select("__k").distinct()
+    exact = (
+        ka.agg(F.count(F.lit(1)).alias("x_a"))
+        .crossJoin(kb.agg(F.count(F.lit(1)).alias("x_b")))
+        .crossJoin(
+            ka.join(kb, "__k", "inner").agg(F.count(F.lit(1)).alias("x_i"))
+        )
+        .crossJoin(
+            ka.join(kb, "__k", "left_anti").agg(F.count(F.lit(1)).alias("x_d"))
+        )
+    ).withColumn("x_u", F.col("x_a") + F.col("x_b") - F.col("x_i"))
+    out = both.crossJoin(F.broadcast(exact))
+    tol = F.lit(float(max_rel_err))
+
+    def gate(est, ex):
+        return (
+            F.abs(F.col(est) - F.col(ex)) <= F.greatest(F.col(ex) * tol, F.lit(1.0))
+        ).cast("int")
+
+    measures = [
+        (seg_a, "__ea", "x_a"),
+        (seg_b, "__eb", "x_b"),
+        ("union", "__eu", "x_u"),
+        ("intersection", "__ei", "x_i"),
+        ("difference", "__ed", "x_d"),
+    ]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("measure"),
+                F.col(ex).cast("long").alias("exact"),
+                gate(est, ex).alias("gate_ok"),
+            )
+            for name, est, ex in measures
+        ]
+    )
+    return out.select(F.explode(rows).alias("r")).select("r.*")

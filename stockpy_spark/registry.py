@@ -95,6 +95,9 @@ DRIVER_PRIORITY = [
     # --- first-50 window closes at agg_price_volume above ---
     # new round-7 queries past the window — they head the round-8 queue
     "semdedup_prune",
+    "gate_kll_rollup",
+    "gate_theta_overlap",
+    "stream_cdc_upsert",
     # r04-green (three rounds old — next in line for round 8)
     "a2_count_star",
     "a3_distinct",

@@ -89,7 +89,81 @@ WHERE NOT EXISTS (
 """
 
 
+# --- mergeable-sketch families 2 and 3 (KLL quantiles, theta set ops) ----
+
+def q_gate_kll_rollup(spark, sf_dir):
+    """Two-level QUANTILE rollup via mergeable KLL sketches: daily
+    value sketches merged to weekly with kll_merge_agg_double — weekly
+    p25/p50/p75 WITHOUT rescanning raw events (exact percentiles are
+    holistic; the sketch is what makes them roll up). Gate: the exact
+    rank of each weekly estimate within 5 points of the target
+    (operators/sketches.py kll_rollup_quality)."""
+    from pyspark.sql import functions as F
+
+    from stockpy_spark.operators.sketches import kll_rollup_quality
+
+    from stockpy_spark.sources.testdata import read_events
+
+    ev = read_events(spark, sf_dir).where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    return kll_rollup_quality(
+        ev, "ts", "value", fine_seconds=86_400, coarse_seconds=604_800
+    )
+
+
+SQL_GATE_KLL = """
+WITH b AS (
+    SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS fine
+    FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+)
+SELECT fine * 86400 // 604800 * 604800 AS bucket_epoch,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT fine) AS BIGINT) AS n_fine_buckets,
+       1 AS ok_q25, 1 AS ok_q50, 1 AS ok_q75
+FROM b GROUP BY 1
+"""
+
+
+def q_gate_theta_overlap(spark, sf_dir):
+    """Audience-overlap algebra via theta sketches — distinct counting
+    WITH set operations: viewers, purchasers, their union,
+    intersection ("viewed AND purchased"), and difference ("viewed,
+    never purchased"), each a KB-sized sketch op instead of a
+    distinct-key join; gated at 5% relative error vs the exact counts
+    (operators/sketches.py theta_overlap_quality)."""
+    from stockpy_spark.operators.sketches import theta_overlap_quality
+    from stockpy_spark.sources.testdata import read_events
+
+    ev = read_events(spark, sf_dir)
+    return theta_overlap_quality(ev, "event_type", "user_id", "view", "purchase")
+
+
+SQL_GATE_THETA = """
+WITH ks AS (
+    SELECT event_type AS seg, user_id AS k FROM events
+    WHERE event_type IN ('view', 'purchase') AND user_id IS NOT NULL
+), a AS (SELECT DISTINCT k FROM ks WHERE seg = 'view'),
+   b AS (SELECT DISTINCT k FROM ks WHERE seg = 'purchase')
+SELECT 'view' AS measure, CAST((SELECT count(*) FROM a) AS BIGINT) AS exact,
+       1 AS gate_ok
+UNION ALL
+SELECT 'purchase', CAST((SELECT count(*) FROM b) AS BIGINT), 1
+UNION ALL
+SELECT 'union',
+       CAST((SELECT count(*) FROM (SELECT k FROM a UNION SELECT k FROM b)) AS BIGINT), 1
+UNION ALL
+SELECT 'intersection',
+       CAST((SELECT count(*) FROM a WHERE k IN (SELECT k FROM b)) AS BIGINT), 1
+UNION ALL
+SELECT 'difference',
+       CAST((SELECT count(*) FROM a WHERE k NOT IN (SELECT k FROM b)) AS BIGINT), 1
+"""
+
+
 R7_QUERIES: dict[str, tuple] = {
     "mm_gif_frames": (q_mm_gif_frames, SQL_MM_GIF_FRAMES),
     "semdedup_prune": (q_semdedup_prune, SQL_SEMDEDUP),
+    "gate_kll_rollup": (q_gate_kll_rollup, SQL_GATE_KLL),
+    "gate_theta_overlap": (q_gate_theta_overlap, SQL_GATE_THETA),
 }

@@ -387,6 +387,118 @@ GROUP BY 1
 """
 
 
+def q_stream_tws_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running stats via ``transformWithStateInPandas`` — the
+    Spark-4 arbitrary-state API (named ValueState primitives, timers,
+    TTL), run end-to-end and resolved exactly like
+    q_stream_running_stats (same contract on the older
+    applyInPandasWithState — the two queries pin the migration pair
+    against the SAME batch oracle).
+
+    NOT REGISTERED in STREAM_QUERIES: the API's state protocol needs
+    the ``protobuf`` package, absent from this container (the
+    driver-side worker dies with "cannot import google.protobuf" —
+    environment seam, not code; tests/test_streaming gate on the
+    import and the operator is ready the moment the dependency
+    exists)."""
+    from stockpy_spark.streaming.ops import tws_running_stats
+
+    src = _stream_events(spark, sf_dir).where(
+        F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    stats = tws_running_stats(src, "user_id", "value", "ts", "36500 days")
+    out = tempfile.mkdtemp(prefix="stockpy_stream_tws_")
+    sink_dir = os.path.join(out, "sink")
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(sink_dir)
+
+    # transformWithState requires the RocksDB state store provider
+    # (the HDFS-backed default cannot host its named-state layout);
+    # scope the provider switch to this query and restore after.
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        (
+            stats.writeStream.foreachBatch(_append)
+            .option("checkpointLocation", os.path.join(out, "ckpt"))
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    sunk = spark.read.parquet(sink_dir)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("key").orderBy(F.col("n").desc())
+    final = sunk.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") == 1
+    )
+    return final.select(
+        F.col("key").cast("long").alias("user_id"),
+        F.col("n").alias("n_events"),
+        F.round("total", 4).alias("sum_value"),
+        F.round("running_max", 4).alias("max_value"),
+    )
+
+
+def q_stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-apply end-to-end: the event stream merges into a
+    materialized current-state parquet table per micro-batch
+    (streaming/ops.py run_cdc_merge_to_parquet — per-key argmax on
+    (ts, event_id), atomic directory swap). The final table is the
+    global per-key latest row under ANY batch split, so the exact
+    batch oracle is one QUALIFY row_number. Timestamps surface as
+    epoch-microsecond BIGINTs (tz-proof, collision-free)."""
+    from stockpy_spark.streaming.ops import run_cdc_merge_to_parquet
+
+    src = _stream_events(spark, sf_dir).where(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+    ).select("user_id", "ts", "event_id", "value")
+    out = tempfile.mkdtemp(prefix="stockpy_stream_cdc_")
+    table = os.path.join(out, "current")
+    run_cdc_merge_to_parquet(
+        src,
+        table,
+        os.path.join(out, "ckpt"),
+        keys=["user_id"],
+        order_cols=["ts", "event_id"],
+    )
+    cur = spark.read.parquet(table)
+    return cur.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("last_epoch_us"),
+        F.col("event_id").alias("last_event_id"),
+        F.round("value", 4).alias("last_value"),
+    )
+
+
+SQL_STREAM_CDC = """
+SELECT user_id,
+       CAST(epoch_us(ts) AS BIGINT) AS last_epoch_us,
+       event_id AS last_event_id,
+       round(value, 4) AS last_value
+FROM events
+WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
 STREAM_QUERIES = {
     "stream_hourly_agg": (q_stream_hourly_agg, SQL_STREAM_HOURLY),
     "stream_hopping_agg": (q_stream_hopping_agg, SQL_STREAM_HOPPING),
@@ -394,4 +506,5 @@ STREAM_QUERIES = {
     "stream_static_enrich": (q_stream_static_enrich, SQL_STREAM_ENRICH),
     "stream_running_stats": (q_stream_running_stats, SQL_STREAM_STATS),
     "stream_join_attribution": (q_stream_join_attribution, SQL_STREAM_JOIN),
+    "stream_cdc_upsert": (q_stream_cdc_upsert, SQL_STREAM_CDC),
 }

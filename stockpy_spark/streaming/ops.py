@@ -378,3 +378,162 @@ def file_stream(spark: SparkSession, path: str, schema) -> DataFrame:
     """File-based streaming source (the local stand-in for Kafka; same
     DataFrame surface downstream)."""
     return spark.readStream.schema(schema).parquet(path)
+
+
+def tws_running_stats(
+    stream: DataFrame,
+    key: str,
+    value: str,
+    ts: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per-key running (count, sum, max) via ``transformWithStateInPandas``
+    — the Spark 4 successor to ``applyInPandasWithState``
+    (:func:`stateful_running_stats` is the same contract on the old
+    API; both live here so the engine demonstrates the migration pair).
+    What the new API adds over GroupState: NAMED state primitives
+    (value/list/map) with per-state TTL instead of one opaque tuple +
+    per-key timeout, first-class timers, and initial-state bootstrap —
+    the shape long-lived production state machines want. Output
+    semantics here are identical: one cumulative row per key per
+    micro-batch, so the final per-key row (max count) equals the batch
+    aggregate under ANY micro-batch split — the same exact oracle.
+
+    Environment: the API's state protocol is protobuf-based and needs
+    the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``); fail fast with
+    a clear message instead of the opaque driver-worker crash.
+    """
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(its state protocol is protobuf-serialized); install it or "
+            "use stateful_running_stats (applyInPandasWithState), which "
+            "has no such dependency"
+        ) from e
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+            StructField("running_max", DoubleType()),
+        ]
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "stats", "n LONG, total DOUBLE, running_max DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            if self._state.exists():
+                n, total, mx = self._state.get()
+            else:
+                n, total, mx = 0, 0.0, float("-inf")
+            for pdf in rows:
+                vals = pdf["__v"].dropna()
+                n += int(len(vals))
+                if len(vals):
+                    total += float(vals.sum())
+                    mx = max(mx, float(vals.max()))
+            self._state.update((n, total, mx))
+            yield pd.DataFrame(
+                [{"key": key[0], "n": n, "total": total, "running_max": mx}]
+            )
+
+        def close(self) -> None:
+            pass
+
+    prepared = stream.withWatermark(ts, watermark).select(
+        F.col(key).cast("string").alias("__k"),
+        F.col(value).cast("double").alias("__v"),
+    )
+    return prepared.groupBy("__k").transformWithStateInPandas(
+        statefulProcessor=RunningStats(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def run_cdc_merge_to_parquet(
+    updates: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    order_cols: list[str],
+) -> None:
+    """CDC-apply sink: drive an update stream into a MATERIALIZED
+    current-state parquet table with per-batch MERGE semantics — the
+    Delta-MERGE pattern without a table format. Each micro-batch:
+
+    1. collapse the batch to its per-key winner (greatest
+       ``order_cols`` tuple, all DESC),
+    2. merge against the table's current state with the same argmax
+       rule (an update only wins if strictly newer — so the final
+       state is the global per-key argmax, deterministic under ANY
+       micro-batch split or arrival order, which is what puts this
+       sink under an exact batch oracle),
+    3. write to a temp dir and atomically swap directories (write
+       never reads what it overwrites; a crash between renames leaves
+       either the old or the new table, never a half-written one).
+
+    Scale shape: the table re-merge is one shuffle on the key per
+    batch over (current keys + batch keys); a table format (Delta/
+    Iceberg) would turn step 3 into a metadata commit and step 2 into
+    a file-pruned merge — this sink is the engine-native equivalent
+    with the same observable semantics."""
+    import os
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    order = [F.col(c).desc() for c in order_cols]
+
+    def latest(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*keys).orderBy(*order)
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        merged = latest(batch_df)
+        if os.path.isdir(table_dir):
+            base = spark.read.parquet(table_dir)
+            merged = latest(base.unionByName(merged))
+        tmp = f"{table_dir}.tmp-{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = f"{table_dir}.old-{batch_id}"
+        if os.path.isdir(table_dir):
+            os.rename(table_dir, old)
+        os.rename(tmp, table_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    (
+        updates.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -323,3 +323,52 @@ def test_write_with_metrics_single_action(spark, tmp_path):
     assert got["n"] == 1000 == back.count()
     assert got["null_v"] == 100
     assert got["sum_v"] == back.agg(F.sum("v")).first()[0]
+
+
+def test_kll_rollup_quality_grid_and_gates(spark):
+    """Weekly KLL rollup over a known distribution: the merged sketch's
+    quantile estimates must land within the rank-error gate, the grid
+    must count its fine buckets, and a mis-multiple grid must refuse."""
+    from datetime import datetime, timedelta
+
+    import pytest
+
+    from stockpy_spark.operators.sketches import kll_rollup_quality
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (base + timedelta(days=d, seconds=i), float(i % 100))
+        for d in range(7)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, v double")
+    out = kll_rollup_quality(
+        df, "ts", "v", fine_seconds=86_400, coarse_seconds=604_800
+    ).collect()
+    assert len(out) >= 1
+    for r in out:
+        assert r.ok_q25 == 1 and r.ok_q50 == 1 and r.ok_q75 == 1
+        assert r.n_fine_buckets >= 1 and r.n_rows >= 200
+
+    with pytest.raises(ValueError, match="multiple"):
+        kll_rollup_quality(df, "ts", "v", 86_400, 100_000)
+
+
+def test_theta_overlap_exact_algebra(spark):
+    """Theta set-op gates on a small exactly-known overlap: a={1..40},
+    b={21..60} -> |a|=40, |b|=40, union=60, intersection=20,
+    difference=20; every gate must pass and NULL keys are excluded."""
+    from stockpy_spark.operators.sketches import theta_overlap_quality
+
+    rows = (
+        [("a", i) for i in range(1, 41)]
+        + [("b", i) for i in range(21, 61)]
+        + [("a", None), ("c", 7)]  # null key + foreign segment: ignored
+    )
+    df = spark.createDataFrame(rows, "seg string, k int")
+    out = {r.measure: (r.exact, r.gate_ok)
+           for r in theta_overlap_quality(df, "seg", "k", "a", "b").collect()}
+    assert out["a"] == (40, 1) and out["b"] == (40, 1)
+    assert out["union"] == (60, 1)
+    assert out["intersection"] == (20, 1)
+    assert out["difference"] == (20, 1)

@@ -736,3 +736,72 @@ def test_stream_events_handles_directory_layout(spark, tmp_path):
         .awaitTermination()
     )
     assert spark.read.parquet(sink).count() == 200
+
+
+def test_tws_running_stats_batch_parity_or_documented_seam(spark, sf_dir):
+    """transformWithStateInPandas (Spark-4 arbitrary state): when the
+    protobuf dependency exists, final per-key state must equal the
+    batch aggregate (same contract as stateful_running_stats); without
+    it, the operator must fail fast with the documented message, not
+    the opaque driver-worker crash."""
+    import pytest
+
+    from stockpy_spark.streaming.ops import tws_running_stats
+
+    try:
+        import google.protobuf  # noqa: F401
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+
+    if not has_protobuf:
+        from stockpy_spark.sources.testdata import read_events
+
+        batch = read_events(spark, sf_dir)
+        src = spark.readStream.schema(batch.schema).parquet(sf_dir)
+        with pytest.raises(ImportError, match="protobuf"):
+            tws_running_stats(src, "user_id", "value", "ts")
+        return
+
+    from stockpy_spark.registry_stream import q_stream_tws_stats
+    from stockpy_spark.registry_stream import q_stream_running_stats
+
+    got = {
+        r.user_id: (r.n_events, r.sum_value, r.max_value)
+        for r in q_stream_tws_stats(spark, sf_dir).collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.sum_value, r.max_value)
+        for r in q_stream_running_stats(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_cdc_merge_multi_batch_latest_wins(spark, tmp_path):
+    """CDC-apply sink: with batches forced to split (maxFilesPerTrigger=1)
+    and the newer row arriving in the EARLIER batch, the final table is
+    still the global per-key argmax — update-only-if-newer semantics."""
+    from stockpy_spark.streaming.ops import run_cdc_merge_to_parquet
+
+    rows1 = [(10, "u1", 9.0, "2024-01-02 00:00:00")]   # newest u1, arrives first
+    rows2 = [(5, "u1", 1.0, "2024-01-01 00:00:00"),    # older u1 must NOT win
+             (6, "u2", 2.0, "2024-01-01 00:00:00")]
+    schema_s = "event_id long, user string, value double, ts_s string"
+    src = str(tmp_path / "cdc_src")
+    for rows in (rows1, rows2):
+        (spark.createDataFrame(rows, schema_s)
+         .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+         .coalesce(1).write.mode("append").parquet(src))
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    table = str(tmp_path / "cdc_table")
+    run_cdc_merge_to_parquet(
+        stream, table, str(tmp_path / "cdc_ckpt"),
+        keys=["user"], order_cols=["ts", "event_id"],
+    )
+    got = {r.user: (r.event_id, r.value) for r in spark.read.parquet(table).collect()}
+    assert got == {"u1": (10, 9.0), "u2": (6, 2.0)}
