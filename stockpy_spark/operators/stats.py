@@ -412,3 +412,114 @@ def gini_by_group(
             dp,
         ).alias("gini"),
     )
+
+
+def ols2_by_group(
+    df: DataFrame,
+    group_col: str,
+    y_col: str,
+    x1_col: str,
+    x2_col: str,
+    dp: int = 6,
+) -> DataFrame:
+    """Per-group TWO-feature OLS ``y = b0 + b1*x1 + b2*x2`` solved in
+    closed form from one decomposable aggregation pass — the step past
+    the SQL-standard single-regressor ``regr_slope`` family (ts_trend):
+    the 3x3 normal equations need only the nine moment sums
+    (n, Sx1, Sx2, Sy, Sx1x1, Sx2x2, Sx1x2, Sx1y, Sx2y), all
+    map-side-combinable, and Cramer's rule turns them into
+    coefficients with no iteration and no driver linear algebra —
+    at 100 TB this is ONE narrow shuffle of nine partials per group
+    (the same moment-partials idea as the PCA GEMM, closed over 3
+    features instead of eigensolved over 64).
+
+    Cross-engine exactness contract (what lets the full result sit
+    under a value-hash oracle instead of a tolerance gate):
+    ``x1_col``/``x2_col`` must be INTEGER-typed and ``y_col``
+    DECIMAL-typed (pre-round upstream) — every moment sum is then
+    exact (integer / decimal arithmetic, order-independent), both
+    engines derive coefficients from bit-identical sums, and only the
+    final doubles are rounded to ``dp``. Raises on non-conforming
+    types rather than silently accumulating order-dependent doubles.
+    Groups with a singular system (collinear or constant features)
+    emit NULL coefficients (det rounds to 0 at ``dp``).
+
+    Returns (group, n, b0, b1, b2).
+    """
+    from pyspark.sql import types as T
+
+    int_types = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    for c in (x1_col, x2_col):
+        if not isinstance(df.schema[c].dataType, int_types):
+            raise ValueError(
+                f"ols2_by_group: {c} must be integer-typed for exact "
+                f"moments, got {df.schema[c].dataType.simpleString()}"
+            )
+    if not isinstance(df.schema[y_col].dataType, T.DecimalType):
+        raise ValueError(
+            f"ols2_by_group: {y_col} must be DECIMAL-typed (pre-rounded) "
+            f"for exact moments, got {df.schema[y_col].dataType.simpleString()}"
+        )
+    g = F.col(group_col).alias("grp")
+    x1, x2, y = F.col(x1_col), F.col(x2_col), F.col(y_col)
+    m = df.groupBy(g).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x1).alias("sx1"),
+        F.sum(x2).alias("sx2"),
+        F.sum(y).alias("sy"),
+        F.sum(x1 * x1).alias("sx11"),
+        F.sum(x2 * x2).alias("sx22"),
+        F.sum(x1 * x2).alias("sx12"),
+        F.sum(x1 * y).alias("sx1y"),
+        F.sum(x2 * y).alias("sx2y"),
+    )
+    # Cramer over the (symmetric) normal matrix, in doubles built from
+    # the exact sums
+    n = F.col("n").cast("double")
+    a = [
+        [n, F.col("sx1").cast("double"), F.col("sx2").cast("double")],
+        [
+            F.col("sx1").cast("double"),
+            F.col("sx11").cast("double"),
+            F.col("sx12").cast("double"),
+        ],
+        [
+            F.col("sx2").cast("double"),
+            F.col("sx12").cast("double"),
+            F.col("sx22").cast("double"),
+        ],
+    ]
+    b = [
+        F.col("sy").cast("double"),
+        F.col("sx1y").cast("double"),
+        F.col("sx2y").cast("double"),
+    ]
+
+    def det3(m3):
+        return (
+            m3[0][0] * (m3[1][1] * m3[2][2] - m3[1][2] * m3[2][1])
+            - m3[0][1] * (m3[1][0] * m3[2][2] - m3[1][2] * m3[2][0])
+            + m3[0][2] * (m3[1][0] * m3[2][1] - m3[1][1] * m3[2][0])
+        )
+
+    def replace_col(m3, j):
+        return [
+            [b[i] if k == j else m3[i][k] for k in range(3)]
+            for i in range(3)
+        ]
+
+    det = det3(a)
+    singular = F.round(det, dp) == 0
+    coef = [
+        F.when(singular, F.lit(None)).otherwise(
+            F.round(det3(replace_col(a, j)) / det, dp)
+        )
+        for j in range(3)
+    ]
+    return m.select(
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        coef[0].alias("b0"),
+        coef[1].alias("b1"),
+        coef[2].alias("b2"),
+    )

@@ -98,6 +98,7 @@ DRIVER_PRIORITY = [
     "gate_kll_rollup",
     "gate_theta_overlap",
     "stream_cdc_upsert",
+    "stats_ols2",
     # r04-green (three rounds old — next in line for round 8)
     "a2_count_star",
     "a3_distinct",

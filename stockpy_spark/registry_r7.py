@@ -161,9 +161,91 @@ SELECT 'difference',
 """
 
 
+# --- two-feature OLS from exact moments ----------------------------------
+
+def q_stats_ols2(spark, sf_dir):
+    """Per-event-type two-feature OLS value ~ b0 + b1*day + b2*hour
+    from ONE moment-aggregation pass (operators/stats.py ols2_by_group
+    — Cramer over the 3x3 normal equations; integer features + decimal
+    target make every moment sum exact on both engines, so the whole
+    fit sits under the value-hash oracle, not a tolerance gate)."""
+    from pyspark.sql import functions as F
+
+    from stockpy_spark.operators.stats import ols2_by_group
+    from stockpy_spark.sources.testdata import read_events
+
+    ev = read_events(spark, sf_dir).where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    sec = F.col("ts").cast("timestamp").cast("long")
+    prepared = ev.select(
+        "event_type",
+        F.floor(sec / 86400).cast("int").alias("x1"),
+        F.floor((sec % 86400) / 3600).cast("int").alias("x2"),
+        F.round(F.col("value"), 4).cast("decimal(18,4)").alias("y"),
+    )
+    out = ols2_by_group(prepared, "event_type", "y", "x1", "x2")
+    return out.withColumnRenamed("grp", "event_type")
+
+
+# The doubles must match bit-for-bit, so the Cramer expansion below is
+# written term-for-term in the SAME operation order as the Python det3
+# template: m00*(m11*m22 - m12*m21) - m01*(m10*m22 - m12*m20)
+#         + m02*(m10*m21 - m11*m20).
+SQL_OLS2 = """
+WITH p AS (
+    SELECT event_type,
+           CAST(CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS INTEGER) AS x1,
+           CAST(CAST(floor(epoch(ts)) AS BIGINT) % 86400 // 3600 AS INTEGER) AS x2,
+           CAST(round(value, 4) AS DECIMAL(18,4)) AS y
+    FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+), ms AS (
+    SELECT event_type, count(*) AS n,
+           sum(x1) AS sx1, sum(x2) AS sx2, sum(y) AS sy,
+           sum(x1 * x1) AS sx11, sum(x2 * x2) AS sx22,
+           sum(x1 * x2) AS sx12,
+           sum(x1 * y) AS sx1y, sum(x2 * y) AS sx2y
+    FROM p GROUP BY event_type
+), d AS (
+    SELECT event_type, n,
+           CAST(n AS DOUBLE) AS dn,
+           CAST(sx1 AS DOUBLE) AS s1, CAST(sx2 AS DOUBLE) AS s2,
+           CAST(sy AS DOUBLE) AS sy,
+           CAST(sx11 AS DOUBLE) AS s11, CAST(sx22 AS DOUBLE) AS s22,
+           CAST(sx12 AS DOUBLE) AS s12,
+           CAST(sx1y AS DOUBLE) AS s1y, CAST(sx2y AS DOUBLE) AS s2y
+    FROM ms
+), dets AS (
+    SELECT event_type, n,
+           dn * (s11 * s22 - s12 * s12)
+             - s1 * (s1 * s22 - s12 * s2)
+             + s2 * (s1 * s12 - s11 * s2) AS det,
+           sy * (s11 * s22 - s12 * s12)
+             - s1 * (s1y * s22 - s12 * s2y)
+             + s2 * (s1y * s12 - s11 * s2y) AS det0,
+           dn * (s1y * s22 - s12 * s2y)
+             - sy * (s1 * s22 - s12 * s2)
+             + s2 * (s1 * s2y - s1y * s2) AS det1,
+           dn * (s11 * s2y - s1y * s12)
+             - s1 * (s1 * s2y - s1y * s2)
+             + sy * (s1 * s12 - s11 * s2) AS det2
+    FROM d
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       CASE WHEN round(det, 6) = 0 THEN NULL
+            ELSE round(det0 / det, 6) END AS b0,
+       CASE WHEN round(det, 6) = 0 THEN NULL
+            ELSE round(det1 / det, 6) END AS b1,
+       CASE WHEN round(det, 6) = 0 THEN NULL
+            ELSE round(det2 / det, 6) END AS b2
+FROM dets
+"""
+
+
 R7_QUERIES: dict[str, tuple] = {
     "mm_gif_frames": (q_mm_gif_frames, SQL_MM_GIF_FRAMES),
     "semdedup_prune": (q_semdedup_prune, SQL_SEMDEDUP),
     "gate_kll_rollup": (q_gate_kll_rollup, SQL_GATE_KLL),
     "gate_theta_overlap": (q_gate_theta_overlap, SQL_GATE_THETA),
+    "stats_ols2": (q_stats_ols2, SQL_OLS2),
 }

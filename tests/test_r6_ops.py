@@ -372,3 +372,35 @@ def test_theta_overlap_exact_algebra(spark):
     assert out["union"] == (60, 1)
     assert out["intersection"] == (20, 1)
     assert out["difference"] == (20, 1)
+
+
+def test_ols2_exact_fit_and_singular_guard(spark):
+    """y = 3 + 2*x1 - 1*x2 exactly -> coefficients recover exactly;
+    collinear features -> NULL coefficients; type contract enforced."""
+    import pytest
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from stockpy_spark.operators.stats import ols2_by_group
+
+    rows = []
+    for x1 in range(6):
+        for x2 in range(4):
+            rows.append(("g", x1, x2, Decimal(3 + 2 * x1 - x2)))
+    # collinear group: x2 = 2*x1 everywhere -> singular normal matrix
+    rows += [("s", i, 2 * i, Decimal(i)) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "grp string, x1 int, x2 int, y decimal(18,4)"
+    )
+    out = {r.grp: r for r in ols2_by_group(df, "grp", "y", "x1", "x2").collect()}
+    assert out["g"].n == 24
+    assert (out["g"].b0, out["g"].b1, out["g"].b2) == (3.0, 2.0, -1.0)
+    assert out["s"].b0 is None and out["s"].b1 is None and out["s"].b2 is None
+
+    with pytest.raises(ValueError, match="integer-typed"):
+        ols2_by_group(df.withColumn("x1", F.col("x1").cast("double")),
+                      "grp", "y", "x1", "x2")
+    with pytest.raises(ValueError, match="DECIMAL-typed"):
+        ols2_by_group(df.withColumn("y", F.col("y").cast("double")),
+                      "grp", "y", "x1", "x2")
