@@ -436,6 +436,12 @@ def semantic_dedup(
     members = assigned.join(
         vecs, assigned[id_col] == vecs["__rid"]
     ).select(F.col(id_col).alias("__mid"), "cid", "sim", "__vec")
+    # the assignment tower (n x k scoring + per-row argmax) feeds THREE
+    # consumers (both pair-join sides + the survivor anti-join); without
+    # materialization Spark re-executes it per consumer (measured 3
+    # duplicate subplans in the physical plan). localCheckpoint runs the
+    # n*k pass once — same move as graph.py's frontier loop.
+    members = members.localCheckpoint(eager=True)
     a = members.alias("a")
     b = members.alias("b")
     pruned = (

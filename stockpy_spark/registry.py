@@ -99,6 +99,7 @@ DRIVER_PRIORITY = [
     "gate_theta_overlap",
     "stream_cdc_upsert",
     "stats_ols2",
+    "fmt_xml_events",
     # r04-green (three rounds old — next in line for round 8)
     "a2_count_star",
     "a3_distinct",

@@ -336,6 +336,16 @@ def q_fmt_orc_events(spark, sf_dir):
     return _fmt_agg(events_from_orc(spark, sf_dir))
 
 
+def q_fmt_xml_events(spark, sf_dir):
+    """Same round-trip through XML (Spark 4's native xml source, one
+    <event> element per row) — entity escaping on the special-character
+    props column is what a sloppy serializer corrupts
+    (sources/format_fixture.py events_from_xml)."""
+    from stockpy_spark.sources.format_fixture import events_from_xml
+
+    return _fmt_agg(events_from_xml(spark, sf_dir))
+
+
 # --- emb: exact per-label centroids -------------------------------------
 
 
@@ -568,6 +578,7 @@ TS_QUERIES = {
     "fmt_csv_events": (q_fmt_csv_events, SQL_FMT),
     "fmt_json_events": (q_fmt_json_events, SQL_FMT),
     "fmt_orc_events": (q_fmt_orc_events, SQL_FMT),
+    "fmt_xml_events": (q_fmt_xml_events, SQL_FMT),
     "emb_label_centroids": (q_emb_label_centroids, SQL_EMB_CENTROIDS),
     "merge_incremental_upsert": (q_merge_incremental_upsert, SQL_MERGE),
     "sample_stratified": (q_sample_stratified, SQL_STRATIFIED),

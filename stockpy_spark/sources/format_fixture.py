@@ -117,6 +117,29 @@ def events_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.to_timestamp("ts", TS_FMT))
 
 
+def events_from_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events round-tripped through XML (Spark 4's native xml source):
+    one <event> element per row, entity-escaping stressed by the
+    quote/brace/ampersand-riddled props JSON column; ts travels as the
+    explicit micros string like CSV/JSON."""
+    from stockpy_spark.sources.readers import read_xml
+
+    path = f"{FIXTURE_ROOT}/{_sf_name(sf_dir)}/events_xml"
+    if path not in _built or not os.path.isdir(path):
+        shutil.rmtree(path, ignore_errors=True)
+        (
+            _textified(spark, sf_dir)
+            .write.mode("overwrite")
+            .format("xml")
+            .option("rootTag", "events")
+            .option("rowTag", "event")
+            .save(path)
+        )
+        _built.add(path)
+    raw = read_xml(spark, path, TEXT_EVENTS_SCHEMA, row_tag="event")
+    return raw.withColumn("ts", F.to_timestamp("ts", TS_FMT))
+
+
 def events_from_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events round-tripped through ORC — typed columnar, so timestamps
     travel natively (no string leg): the round-trip proves the ORC

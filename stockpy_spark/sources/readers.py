@@ -77,6 +77,23 @@ def read_orc(
     return reader.orc(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    row_tag: str = "row",
+) -> DataFrame:
+    """XML scan via Spark 4's NATIVE xml source (the spark-xml package
+    folded into core) — explicit schema like the other text readers
+    (inference is a full extra pass), one row per ``row_tag`` element.
+    Ingestion-edge format: row-oriented, no pushdown — rewrite as
+    parquet first thing, like CSV/JSON."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
 def read_partition(
     spark: SparkSession,
     path: str,

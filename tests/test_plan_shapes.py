@@ -458,3 +458,68 @@ def test_gini_data_sort_is_bucket_partitioned(spark):
 
     m = re.search(r"Exchange hashpartitioning\(grp#\d+, bkt#\d+", p)
     assert m, "local rank window lost its (grp, bkt) partitioning"
+
+
+def test_concurrency_data_window_is_bucket_partitioned(spark):
+    # the rewritten sweep line: the data-sized running-sum window must
+    # partition on (key, __bkt) — a key-only window would serialize a
+    # 100 TB key into one task (the ev_concurrency r6 perf flag);
+    # the key-only offset window runs over the KB-sized bucket frame
+    import re
+
+    p = plan(QUERIES["ev_concurrency"](spark, SF_DIR), "simple")
+    assert re.search(
+        r"Exchange hashpartitioning\(event_type#\d+, __bkt#\d+", p
+    ), "local running-sum window lost its (key, bucket) partitioning"
+    # both census and offsets come back as broadcasts, never shuffles
+    assert p.count("BroadcastExchange") >= 2
+
+
+def test_semantic_dedup_pairs_equi_join_not_nested_loop(spark):
+    # within-cluster pair enumeration must be a cid-keyed equi join
+    # with the cosine as a post-join filter — a nested-loop pair scan
+    # is the all-pairs O(n^2) this operator exists to avoid. The only
+    # nested-loop joins allowed are the k-row codebook broadcasts
+    # inside kmeans_assign (BuildRight, Cross over a KB frame).
+    import re
+
+    p = plan(QUERIES["semdedup_prune"](spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in p
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin) \[cid", p), (
+        "pair enumeration lost its cid equi-join"
+    )
+    for line in p.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "BuildRight, Cross" in line  # bounded codebook cross
+    # the assignment tower materializes once (localCheckpoint), not
+    # once per consumer
+    assert p.count("windowspecdefinition(__rid") <= 1
+
+
+def test_basket_rules_single_data_shuffle_no_window(spark):
+    # the rank_by='id' array miner: pair generation happens IN-ARRAY,
+    # so the plan has no row_number window at all and no join between
+    # data-sized frames — only the basket fold, the pair aggregate,
+    # the marginal aggregate, the tiny post-HAVING joins, and the
+    # 1-row basket-census cross
+    p = plan(QUERIES["basket_rules"](spark, SF_DIR), "simple")
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+    for line in p.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "BuildRight, Cross" in line  # the 1-row nb census
+
+
+def test_kll_rollup_partial_agg_before_exchange(spark):
+    # fine sketches must partial-aggregate map-side (KB of state per
+    # bucket pre-shuffle), like the HLL twin
+    p = plan(QUERIES["gate_kll_rollup"](spark, SF_DIR), "formatted")
+    assert "kll_sketch_agg_double" in p.lower() or "kllsketchagg" in p.lower()
+    assert "partial" in p.lower()
+
+
+def test_ols2_single_aggregate_scan(spark):
+    # nine moments, one scan, one shuffle: more than one data exchange
+    # means the moment pass stopped fusing
+    p = plan(QUERIES["stats_ols2"](spark, SF_DIR), "simple")
+    assert p.count("Exchange hashpartitioning") == 1

@@ -220,13 +220,20 @@ def test_multi_format_round_trip(spark, tmp_path):
     src = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
     expected = sorted(tuple(r) for r in src.collect())
 
+    from stockpy_spark.sources.readers import read_xml
+
     for fmt, reader in [
         ("csv", lambda p: read_csv(spark, p, src.schema)),
         ("json", lambda p: read_json(spark, p, src.schema)),
         ("orc", lambda p: read_orc(spark, p, src.schema)),
+        ("xml", lambda p: read_xml(spark, p, src.schema)),
     ]:
         dest = str(tmp_path / fmt)
-        write_format_partitioned(src, dest, fmt, **({"header": "true"} if fmt == "csv" else {}))
+        write_format_partitioned(
+            src, dest, fmt,
+            **({"header": "true"} if fmt == "csv" else {}),
+            **({"rowTag": "row"} if fmt == "xml" else {}),
+        )
         got = sorted(tuple(r) for r in reader(dest).collect())
         assert got == expected, fmt
 
