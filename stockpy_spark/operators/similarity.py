@@ -393,6 +393,96 @@ def kmeans_assign(
     )
 
 
+def kmeans_assign_arrow(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    dp: int = 6,
+) -> DataFrame:
+    """Arrow-batched twin of :func:`kmeans_assign` — identical output
+    (same seeds, same DataFrame centroid recompute, same rounded-cosine
+    argmax with ties to the lowest cid; pytest-pinned equality), but
+    the n x k cosine scoring runs as one numpy matmul per batch inside
+    mapInPandas instead of interpreted ``aggregate(zip_with(...))``
+    higher-order expressions — the third instance of the PQ/BPE
+    boundary finding: dense numeric kernels are where Arrow beats
+    expression trees (HOFs are evaluated per element, never
+    codegen'd). Plan: a KB codebook in the closure + one narrow scan
+    per assignment pass, no crossJoin, no per-row window.
+
+    Requires an integral id column (the kernel materializes int64,
+    like apply_bpe_merges_arrow)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    if not isinstance(
+        corpus.schema[id_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    ):
+        raise ValueError(
+            f"kmeans_assign_arrow requires an integral id column; "
+            f"{id_col} is {corpus.schema[id_col].dataType.simpleString()}"
+        )
+    vecs = corpus.select(
+        F.col(id_col).alias("__rid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__vec"),
+    )
+    seed_rows = vecs.orderBy("__rid").limit(k).collect()
+    seed_rows.sort(key=lambda r: r["__rid"])
+    C0 = np.stack([np.asarray(r["__vec"], dtype=np.float64) for r in seed_rows])
+    cids0 = np.arange(len(seed_rows), dtype=np.int64)
+
+    def assign_with(C: "np.ndarray", cids: "np.ndarray") -> DataFrame:
+        nb = np.sqrt((C * C).sum(axis=1))
+
+        def batch(it):
+            for pdf in it:
+                if not len(pdf):
+                    yield pd.DataFrame(
+                        {"__rid": [], "cid": [], "sim": []}
+                    ).astype({"__rid": "int64", "cid": "int32", "sim": "float64"})
+                    continue
+                V = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["__vec"]]
+                )
+                na = np.sqrt((V * V).sum(axis=1))
+                S = np.round((V @ C.T) / (na[:, None] * nb[None, :]), dp)
+                pos = S.argmax(axis=1)  # first max = lowest cid (sorted)
+                yield pd.DataFrame(
+                    {
+                        "__rid": pdf["__rid"].values,
+                        "cid": cids[pos].astype("int32"),
+                        "sim": S[np.arange(len(pdf)), pos],
+                    }
+                )
+
+        return vecs.mapInPandas(batch, "__rid long, cid int, sim double")
+
+    a1 = assign_with(C0, cids0)
+    refined = (
+        a1.join(vecs, "__rid")
+        .select("cid", F.posexplode("__vec").alias("pos", "val"))
+        .groupBy("cid", "pos")
+        .agg(F.round(F.avg("val"), dp).alias("m"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("__cvec")
+        )
+    )
+    rows = sorted(
+        ((int(r["cid"]), list(r["__cvec"])) for r in refined.collect())
+    )
+    C1 = np.stack([np.asarray(v, dtype=np.float64) for _, v in rows])
+    cids1 = np.asarray([c for c, _ in rows], dtype=np.int64)
+    return assign_with(C1, cids1).withColumnRenamed("__rid", id_col)
+
+
 def semantic_dedup(
     corpus: DataFrame,
     vec_col: str,
@@ -400,6 +490,7 @@ def semantic_dedup(
     k: int,
     threshold: float,
     dp: int = 6,
+    engine: str = "expr",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster embeddings with
     the deterministic k-means (:func:`kmeans_assign`), then prune
@@ -427,7 +518,20 @@ def semantic_dedup(
     KEPT items only) would chain per-cluster; the min-id rule
     over-prunes only in chains (a~b, b~c, a!~c drops both b and c) —
     the standard transitive-conservative trade, same as the LSH
-    bucket-min assignment."""
+    bucket-min assignment.
+
+    ``engine``: "expr" is the declarative spec (everything builtin
+    expressions); "arrow" runs both dense cosine stages as numpy
+    kernels (assignment via :func:`kmeans_assign_arrow`, pruning via a
+    per-cluster applyInPandas pairwise matrix) — pytest-pinned to
+    produce identical survivors. Per-cluster state in the arrow prune
+    is one (cluster x dim) block, bounded by design when k ~ sqrt(n)."""
+    if engine not in ("expr", "arrow"):
+        raise ValueError(f"engine must be 'expr' or 'arrow', got {engine!r}")
+    if engine == "arrow":
+        return _semantic_dedup_arrow(
+            corpus, vec_col, id_col, k, threshold, dp
+        )
     assigned = kmeans_assign(corpus, vec_col, id_col, k, dp=dp)
     vecs = corpus.select(
         F.col(id_col).alias("__rid"),
@@ -461,6 +565,47 @@ def semantic_dedup(
             pruned, members["__mid"] == pruned["__pruned"], "left_anti"
         )
         .select(F.col("__mid").alias(id_col), "cid", "sim")
+    )
+
+
+def _semantic_dedup_arrow(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    threshold: float,
+    dp: int,
+) -> DataFrame:
+    """engine='arrow' plan of :func:`semantic_dedup`: Arrow k-means
+    assignment, then ONE applyInPandas pass per cluster computing the
+    pairwise rounded-cosine matrix and the min-id prune mask — no pair
+    join, no interpreted higher-order cosines."""
+    import numpy as np
+    import pandas as pd
+
+    assigned = kmeans_assign_arrow(corpus, vec_col, id_col, k, dp=dp)
+    vecs = corpus.select(
+        F.col(id_col).alias("__rid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__vec"),
+    )
+    members = assigned.join(vecs, assigned[id_col] == vecs["__rid"]).select(
+        F.col(id_col).alias("__mid"), "cid", "sim", "__vec"
+    )
+
+    def prune(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("__mid").reset_index(drop=True)
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__vec"]])
+        n = np.sqrt((V * V).sum(axis=1))
+        S = np.round((V @ V.T) / (n[:, None] * n[None, :]), dp)
+        # column j pruned if any EARLIER (lower-id) row i has S >= t
+        dup = np.triu(S >= threshold, k=1).any(axis=0)
+        keep = pdf.loc[~dup, ["__mid", "cid", "sim"]]
+        return keep
+
+    return (
+        members.groupBy("cid")
+        .applyInPandas(prune, "__mid long, cid int, sim double")
+        .withColumnRenamed("__mid", id_col)
     )
 
 

@@ -63,14 +63,21 @@ FROM px
 def q_semdedup_prune(spark, sf_dir):
     """SemDeDup over the embeddings table: deterministic k-means into 8
     clusters, then within-cluster min-id pruning at cosine >= 0.4
-    (operators/similarity.py semantic_dedup). The oracle replays the
-    full pipeline — the same k-means CTE chain the emb_kmeans_* gates
-    pin, plus a NOT EXISTS over cluster-mates — so the iterative
-    clustering AND the pruning rule sit under one exact hash."""
+    (operators/similarity.py semantic_dedup). Runs the ARROW engine —
+    numpy matmul cosine kernels for assignment and the per-cluster
+    prune matrix, pytest-pinned identical to the expression spec and
+    41x faster at the synthetic sf10 (204 -> 5.0 s; interpreted
+    zip_with/aggregate HOFs were the whole cost — BASELINE.md §4). The
+    oracle replays the full pipeline — the same k-means CTE chain the
+    emb_kmeans_* gates pin, plus a NOT EXISTS over cluster-mates — so
+    the iterative clustering AND the pruning rule sit under one exact
+    hash."""
     from stockpy_spark.operators.similarity import semantic_dedup
 
     emb = _t(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, "embedding", "vec_id", k=8, threshold=0.4)
+    return semantic_dedup(
+        emb, "embedding", "vec_id", k=8, threshold=0.4, engine="arrow"
+    )
 
 
 SQL_SEMDEDUP = _SQL_KMEANS_CTES + """

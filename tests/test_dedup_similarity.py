@@ -258,3 +258,28 @@ def test_semantic_dedup_prunes_within_cluster_only(spark):
     # high threshold keeps everything
     out_all = semantic_dedup(df, "embedding", "vec_id", k=2, threshold=0.9999999)
     assert {r.vec_id for r in out_all.collect()} == {0, 1, 10, 11}
+
+
+def test_kmeans_and_semdedup_arrow_parity(spark):
+    """The Arrow kernels are drop-ins: identical assignment table and
+    identical survivor set on the real embeddings fixture (the PQ/BPE
+    bit-parity convention — kernel is the fast path, expressions are
+    the spec)."""
+    from stockpy_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_assign_arrow,
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = {(r.vec_id, r.cid, r.sim)
+         for r in kmeans_assign(emb, "embedding", "vec_id", k=8).collect()}
+    b = {(r.vec_id, r.cid, r.sim)
+         for r in kmeans_assign_arrow(emb, "embedding", "vec_id", k=8).collect()}
+    assert a == b and len(a) > 0
+
+    s_expr = {(r.vec_id, r.cid, r.sim) for r in semantic_dedup(
+        emb, "embedding", "vec_id", k=8, threshold=0.4).collect()}
+    s_arrow = {(r.vec_id, r.cid, r.sim) for r in semantic_dedup(
+        emb, "embedding", "vec_id", k=8, threshold=0.4, engine="arrow").collect()}
+    assert s_expr == s_arrow and 0 < len(s_expr) <= len(a)

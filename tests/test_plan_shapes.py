@@ -475,15 +475,32 @@ def test_concurrency_data_window_is_bucket_partitioned(spark):
     assert p.count("BroadcastExchange") >= 2
 
 
-def test_semantic_dedup_pairs_equi_join_not_nested_loop(spark):
-    # within-cluster pair enumeration must be a cid-keyed equi join
-    # with the cosine as a post-join filter — a nested-loop pair scan
-    # is the all-pairs O(n^2) this operator exists to avoid. The only
-    # nested-loop joins allowed are the k-row codebook broadcasts
-    # inside kmeans_assign (BuildRight, Cross over a KB frame).
+def test_semantic_dedup_arrow_no_pair_join_no_hof(spark):
+    # the registered query runs the ARROW engine: pair enumeration is
+    # a per-cluster FlatMapGroupsInPandas (one cid shuffle), assignment
+    # is a mapInPandas scan — no pair join, no crossJoin towers, no
+    # interpreted higher-order cosine expressions anywhere
+    p = plan(QUERIES["semdedup_prune"](spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "FlatMapGroupsInPandas" in p  # the per-cluster prune
+    assert "zip_with" not in p  # the interpreted cosine is gone
+
+
+def test_semantic_dedup_expr_pairs_equi_join_not_nested_loop(spark):
+    # the expression SPEC path: within-cluster pair enumeration must be
+    # a cid-keyed equi join with the cosine as a post-join filter — a
+    # nested-loop pair scan is the all-pairs O(n^2) this operator
+    # exists to avoid. The only nested-loop joins allowed are the k-row
+    # codebook broadcasts inside kmeans_assign (BuildRight, Cross over
+    # a KB frame).
     import re
 
-    p = plan(QUERIES["semdedup_prune"](spark, SF_DIR), "simple")
+    from stockpy_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    df = semantic_dedup(emb, "embedding", "vec_id", k=8, threshold=0.4)
+    p = plan(df, "simple")
     assert "CartesianProduct" not in p
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin) \[cid", p), (
         "pair enumeration lost its cid equi-join"
