@@ -432,3 +432,83 @@ def bfs_hops(
         if frontier.isEmpty():
             break
     return labels
+
+
+def weighted_sssp_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    seed_col: str = "v",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Multi-source WEIGHTED shortest paths bounded at ``max_hops``
+    edges — Bellman-Ford with the delta-frontier discipline of
+    :func:`bfs_hops`: each round relaxes only from vertices whose
+    distance IMPROVED last round (round 1: the seeds at 0), takes
+    min(dist + w) per neighbor, and full-outer-merges into the label
+    frame. Unlike BFS a settled vertex can improve again (a longer-hop
+    path can be cheaper), so the frontier test is "new OR strictly
+    better", not "new". After r rounds dist[v] is exactly the min cost
+    over paths of <= r edges (induction: an unimproved vertex already
+    relaxed at its current distance), which is what makes a bounded
+    recursive-CTE oracle replay it exactly.
+
+    ``weight`` should be integer-typed for a value-hash oracle (exact
+    sums; double costs work but reintroduce summation-order care).
+    Duplicate edges are tolerated (min-plus absorbs multiplicity
+    map-side — same policy as bfs_hops; don't pre-distinct dup-heavy
+    derivations). Per-round cost: one frontier-edges hash join + one
+    key shuffle, frontier-sized. Rounds are localCheckpoint-bounded.
+
+    Returns (v, dist) over the reachable set.
+    """
+    und = (
+        edges.select(
+            F.col(src).alias("a"), F.col(dst).alias("b"),
+            F.col(weight).alias("w"),
+        )
+        .union(
+            edges.select(
+                F.col(dst).alias("a"), F.col(src).alias("b"),
+                F.col(weight).alias("w"),
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    dist = (
+        seeds.select(F.col(seed_col).alias("v"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for _rnd in range(1, max_hops + 1):
+        relaxed = (
+            und.join(
+                frontier.select(F.col("v").alias("fv"), "dist"),
+                und["a"] == F.col("fv"),
+            )
+            .groupBy(F.col("b").alias("v"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("nd"))
+        )
+        merged = (
+            dist.join(relaxed, "v", "full")
+            .select(
+                "v",
+                F.least(
+                    F.coalesce("dist", F.col("nd")),
+                    F.coalesce("nd", F.col("dist")),
+                ).alias("dist"),
+                F.col("dist").alias("__old"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        frontier = merged.where(
+            F.col("__old").isNull() | (F.col("dist") < F.col("__old"))
+        ).select("v", "dist")
+        dist = merged.drop("__old")
+        if frontier.isEmpty():
+            break
+    return dist

@@ -100,6 +100,7 @@ DRIVER_PRIORITY = [
     "stream_cdc_upsert",
     "stats_ols2",
     "fmt_xml_events",
+    "graph_sssp_weighted",
     # r04-green (three rounds old — next in line for round 8)
     "a2_count_star",
     "a3_distinct",

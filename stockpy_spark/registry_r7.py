@@ -249,10 +249,70 @@ FROM dets
 """
 
 
+# --- bounded weighted shortest paths -------------------------------------
+
+def q_graph_sssp_weighted(spark, sf_dir):
+    """Multi-source WEIGHTED shortest paths (<= 2 edges) over the
+    co-purchase graph from the p_size=50 seed parts, edge cost
+    (src + dst) % 7 + 1 — Bellman-Ford delta-frontier rounds
+    (operators/graph.py weighted_sssp_hops), the weighted
+    generalization of graph_bfs_hops, under the exact recursive-CTE
+    oracle (integer costs -> exact min-plus sums). Fifth iterative
+    distributed algorithm under a full value hash."""
+    from pyspark.sql import functions as F
+
+    from stockpy_spark.operators.graph import weighted_sssp_hops
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    # a<b orientation; the operator symmetrizes. NO .distinct() — the
+    # min-plus rounds absorb duplicate edges map-side (bfs_hops policy)
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("src"),
+        F.col("b.l_partkey").alias("dst"),
+        ((F.col("a.l_partkey") + F.col("b.l_partkey")) % 7 + 1)
+        .cast("long")
+        .alias("w"),
+    )
+    seeds = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 50)
+        .select(F.col("p_partkey").alias("v"))
+    )
+    out = weighted_sssp_hops(edges, seeds, max_hops=2)
+    return out.select(F.col("v").alias("part"), F.col("dist").alias("dist"))
+
+
+SQL_SSSP = """
+WITH RECURSIVE e AS (
+    SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d,
+           (a.l_partkey + b.l_partkey) % 7 + 1 AS w
+    FROM lineitem a
+    JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                   AND a.l_partkey <> b.l_partkey
+), seeds AS (
+    SELECT DISTINCT p_partkey AS v FROM part WHERE p_size = 50
+), walk(v, dist, hops) AS (
+    SELECT v, CAST(0 AS BIGINT), 0 FROM seeds
+    UNION
+    SELECT e.d, walk.dist + e.w, hops + 1
+    FROM walk JOIN e ON e.s = walk.v
+    WHERE hops < 2
+)
+SELECT v AS part, CAST(min(dist) AS BIGINT) AS dist
+FROM walk GROUP BY v
+"""
+
+
 R7_QUERIES: dict[str, tuple] = {
     "mm_gif_frames": (q_mm_gif_frames, SQL_MM_GIF_FRAMES),
     "semdedup_prune": (q_semdedup_prune, SQL_SEMDEDUP),
     "gate_kll_rollup": (q_gate_kll_rollup, SQL_GATE_KLL),
     "gate_theta_overlap": (q_gate_theta_overlap, SQL_GATE_THETA),
     "stats_ols2": (q_stats_ols2, SQL_OLS2),
+    "graph_sssp_weighted": (q_graph_sssp_weighted, SQL_SSSP),
 }

@@ -98,3 +98,31 @@ def test_star_edges_give_same_components_as_all_pairs(spark):
     }
     assert cc_star == cc_pairs
     assert any(v != k for k, v in cc_star.items())  # non-trivial clusters exist
+
+
+def test_weighted_sssp_longer_hop_can_be_cheaper(spark):
+    """The property BFS lacks: a 2-edge path (1+1=2) beats the direct
+    1-edge cost-10 path, so the vertex must IMPROVE in round 2 and
+    re-enter the frontier; unreachable-within-hops vertices are absent;
+    seeds sit at 0."""
+    from stockpy_spark.operators.graph import weighted_sssp_hops
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2, 10),  # direct but expensive
+            (1, 3, 1),
+            (3, 2, 1),   # cheap detour: dist(2) = 2, found in round 2
+            (2, 4, 1),   # within 3 hops via the detour: dist(4) = 3
+            (5, 6, 1),   # disconnected from the seed
+        ],
+        "src long, dst long, w long",
+    )
+    seeds = spark.createDataFrame([(1,)], "v long")
+    out = {r.v: r.dist for r in
+           weighted_sssp_hops(edges, seeds, max_hops=3).collect()}
+    assert out == {1: 0, 3: 1, 2: 2, 4: 3}
+
+    # hop bound respected: with max_hops=1 the expensive direct edge wins
+    out1 = {r.v: r.dist for r in
+            weighted_sssp_hops(edges, seeds, max_hops=1).collect()}
+    assert out1 == {1: 0, 2: 10, 3: 1}
