@@ -109,11 +109,15 @@ HEADLINE = [
     "profile_entropy",
     # round 7: the re-shaped sweep-line concurrency (bucketed prefix
     # aggregate), the capped basket miner (top-m Apriori working set,
-    # no item-frame broadcast), and cluster-blocked semantic dedup
-    # (k-means blocks bound the pair quadratic)
+    # no item-frame broadcast), cluster-blocked semantic dedup (Arrow
+    # cosine kernels; k-means blocks bound the pair quadratic), and the
+    # multi-frame codec path (pure-Python LZW + compositing per frame —
+    # the Arrow-batched per-row-CPU plan shape, absent from the
+    # headline until now)
     "ev_concurrency",
     "basket_rules",
     "semdedup_prune",
+    "mm_gif_frames",
 ]
 
 

@@ -551,3 +551,69 @@ def merge_aggregate_state(
         F.max("max_v").alias("max_v"),
         F.sum("sumsq_v").alias("sumsq_v"),
     )
+
+
+def seasonal_outlier_counts(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    key_col: str,
+    period_buckets: int = 168,
+    bucket_seconds: int = 3600,
+    n_sigma: float = 3.0,
+    dp: int = 6,
+) -> DataFrame:
+    """Seasonality-adjusted outlier screen: learn the per-key seasonal
+    profile (mean value per (key, phase) where phase = hour-of-week by
+    default), then count events whose |value - seasonal_mean| exceeds
+    ``n_sigma`` times the key's residual-free global stddev — the
+    telemetry question "is 3am Sunday traffic low, or LOW EVEN FOR 3am
+    Sunday?" that a raw z-score (ts_anomaly_zscore's rolling window)
+    answers wrongly during normal seasonal swings.
+
+    Two aggregation passes, both decomposable: (1) the profile census —
+    per (key, phase) count/mean plus per-key stddev, a keys x period
+    frame (KBs); (2) one scan joining the broadcast profile back and
+    counting threshold crossings. No windows, no sorts; the profile is
+    the only state, so the 100 TB shape is a broadcast join over a
+    narrow scan. Phase arithmetic is integral epoch math (identical
+    cross-engine); means/stddevs round to ``dp`` BEFORE the threshold
+    comparison so both engines gate on the same literals.
+
+    Returns (key, phase, n, seasonal_mean, n_outliers).
+    """
+    sec = F.col(ts_col).cast("timestamp").cast("long")
+    phase = (
+        F.floor(sec / bucket_seconds) % period_buckets
+    ).cast("int").alias("phase")
+    base = df.where(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("key"),
+        phase,
+        F.col(value_col).cast("double").alias("v"),
+    )
+    profile = base.groupBy("key", "phase").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("v"), dp).alias("seasonal_mean"),
+    )
+    spread = base.groupBy("key").agg(
+        F.round(F.stddev_samp("v"), dp).alias("sigma")
+    )
+    joined = base.join(F.broadcast(profile), ["key", "phase"]).join(
+        F.broadcast(spread), "key"
+    )
+    out = joined.groupBy("key", "phase").agg(
+        F.first("n").alias("n"),
+        F.first("seasonal_mean").alias("seasonal_mean"),
+        F.sum(
+            (
+                F.abs(F.col("v") - F.col("seasonal_mean"))
+                > F.lit(float(n_sigma)) * F.col("sigma")
+            ).cast("long")
+        ).alias("n_outliers"),
+    )
+    return out.select(
+        F.col("key").alias(key_col), "phase", "n", "seasonal_mean",
+        "n_outliers",
+    )

@@ -101,6 +101,7 @@ DRIVER_PRIORITY = [
     "stats_ols2",
     "fmt_xml_events",
     "graph_sssp_weighted",
+    "ts_seasonal_outliers",
     # r04-green (three rounds old — next in line for round 8)
     "a2_count_star",
     "a3_distinct",

@@ -308,6 +308,49 @@ FROM walk GROUP BY v
 """
 
 
+# --- seasonality-adjusted outlier screen ----------------------------------
+
+def q_ts_seasonal_outliers(spark, sf_dir):
+    """Hour-of-week seasonal profile per event_type + count of events
+    beyond 3 sigma of THEIR OWN phase's mean (operators/timeseries.py
+    seasonal_outlier_counts) — the screen that distinguishes "low" from
+    "low even for 3am Sunday", which a raw rolling z-score flags
+    wrongly during normal seasonal swings. Two decomposable passes, a
+    KB profile broadcast, no windows."""
+    from pyspark.sql import functions as F
+
+    from stockpy_spark.operators.timeseries import seasonal_outlier_counts
+    from stockpy_spark.sources.testdata import read_events
+
+    ev = read_events(spark, sf_dir)
+    return seasonal_outlier_counts(ev, "ts", "value", "event_type")
+
+
+SQL_SEASONAL = """
+WITH base AS (
+    SELECT event_type AS key,
+           CAST(CAST(floor(epoch(ts)) AS BIGINT) // 3600 % 168 AS INTEGER)
+               AS phase,
+           CAST(value AS DOUBLE) AS v
+    FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+), prof AS (
+    SELECT key, phase, count(*) AS n, round(avg(v), 6) AS seasonal_mean
+    FROM base GROUP BY 1, 2
+), sp AS (
+    SELECT key, round(stddev_samp(v), 6) AS sigma FROM base GROUP BY 1
+)
+SELECT b.key AS event_type, b.phase,
+       CAST(min(p.n) AS BIGINT) AS n,
+       min(p.seasonal_mean) AS seasonal_mean,
+       CAST(SUM(CASE WHEN abs(b.v - p.seasonal_mean) > 3.0 * s.sigma
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM base b
+JOIN prof p ON b.key = p.key AND b.phase = p.phase
+JOIN sp s ON b.key = s.key
+GROUP BY 1, 2
+"""
+
+
 R7_QUERIES: dict[str, tuple] = {
     "mm_gif_frames": (q_mm_gif_frames, SQL_MM_GIF_FRAMES),
     "semdedup_prune": (q_semdedup_prune, SQL_SEMDEDUP),
@@ -315,4 +358,5 @@ R7_QUERIES: dict[str, tuple] = {
     "gate_theta_overlap": (q_gate_theta_overlap, SQL_GATE_THETA),
     "stats_ols2": (q_stats_ols2, SQL_OLS2),
     "graph_sssp_weighted": (q_graph_sssp_weighted, SQL_SSSP),
+    "ts_seasonal_outliers": (q_ts_seasonal_outliers, SQL_SEASONAL),
 }

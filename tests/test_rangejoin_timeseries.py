@@ -335,3 +335,31 @@ def test_rolling_fingerprint_matches_pure_python(spark):
 
     for i, t in enumerate(texts):
         assert got[i] == py_hash(t), repr(t)
+
+
+def test_seasonal_outlier_counts_distinguishes_phase(spark):
+    """A value normal for ITS phase but abnormal globally is NOT an
+    outlier; a value abnormal for its phase is — the screen a raw
+    z-score cannot express."""
+    from datetime import datetime, timedelta
+
+    from stockpy_spark.operators.timeseries import seasonal_outlier_counts
+
+    base = datetime(2024, 1, 1)  # Monday 00:00 UTC
+    rows = []
+    # phase 0 (hour 0 of week): always ~100; phase 1: always ~1
+    for wk in range(6):
+        rows.append(("k", base + timedelta(weeks=wk), 100.0))
+        rows.append(("k", base + timedelta(weeks=wk, hours=1), 1.0))
+    # one event at phase 1 with value 100: normal globally-ish, wildly
+    # abnormal FOR ITS PHASE
+    rows.append(("k", base + timedelta(weeks=6, hours=1), 100.0))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    out = {(r.phase): r for r in seasonal_outlier_counts(
+        df, "ts", "value", "event_type", n_sigma=1.0).collect()}
+    # phases anchor to the epoch grid: Monday 00:00 UTC is hour-of-week
+    # 96 (1970-01-01 was a Thursday), the next hour 97
+    p0 = int(base.timestamp()) // 3600 % 168
+    assert out[p0].n_outliers == 0         # the 100s are their phase's norm
+    assert out[p0 + 1].n_outliers == 1     # the stray 100 at phase p0+1
+    assert out[p0 + 1].n == 7 and out[p0].n == 6
