@@ -223,3 +223,66 @@ def key_skew_profile(
         F.round(mean_rows, dp).alias("mean_rows"),
         F.round(F.col("max_rows") / mean_rows, dp).alias("skew_ratio"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Table-version diff — the regression check between two snapshots
+    of the same keyed table (yesterday's build vs today's): one
+    full-outer join on the key, then ONE aggregate classifying every
+    key as added / removed / changed / unchanged, plus per-column
+    change counts so "changed" is attributable without a second pass.
+
+    NULL-safe value comparison (``eqNullSafe``): a column going NULL ->
+    non-NULL (or back) counts as a change, never as "unchanged by
+    three-valued logic" — the silent miss a plain ``=`` would make.
+    Duplicate keys within a snapshot are a modeling error this check
+    cannot absorb (the join would fan out); pre-dedup or fix upstream.
+
+    Scale shape: one key shuffle (the join), one aggregate over the
+    joined frame with every classification as a conditional sum —
+    map-side combined, output is a single row regardless of input
+    size. Returns (n_old, n_new, n_added, n_removed, n_changed,
+    n_unchanged, changed_<col>...).
+    """
+    o = old.select(
+        *[F.col(c) for c in key_cols],
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(c) for c in key_cols],
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_new"),
+    )
+    j = o.join(n, key_cols, "full")
+    col_changed = [
+        (
+            F.col("__in_old").isNotNull()
+            & F.col("__in_new").isNotNull()
+            & ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        ).cast("long").alias(f"__chg_{c}")
+        for c in compare_cols
+    ]
+    j = j.select("__in_old", "__in_new", *col_changed)
+    any_changed = sum(
+        (F.col(f"__chg_{c}") for c in compare_cols[1:]),
+        F.col(f"__chg_{compare_cols[0]}"),
+    ) > 0
+    both = F.col("__in_old").isNotNull() & F.col("__in_new").isNotNull()
+    return j.agg(
+        F.sum(F.coalesce("__in_old", F.lit(0))).cast("long").alias("n_old"),
+        F.sum(F.coalesce("__in_new", F.lit(0))).cast("long").alias("n_new"),
+        F.sum((F.col("__in_old").isNull()).cast("long")).alias("n_added"),
+        F.sum((F.col("__in_new").isNull()).cast("long")).alias("n_removed"),
+        F.sum((both & any_changed).cast("long")).alias("n_changed"),
+        F.sum((both & ~any_changed).cast("long")).alias("n_unchanged"),
+        *[
+            F.sum(f"__chg_{c}").cast("long").alias(f"changed_{c}")
+            for c in compare_cols
+        ],
+    )

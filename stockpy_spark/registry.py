@@ -102,6 +102,7 @@ DRIVER_PRIORITY = [
     "fmt_xml_events",
     "graph_sssp_weighted",
     "ts_seasonal_outliers",
+    "dq_snapshot_diff",
     # r04-green (three rounds old — next in line for round 8)
     "a2_count_star",
     "a3_distinct",

@@ -351,6 +351,73 @@ GROUP BY 1, 2
 """
 
 
+# --- snapshot diff (table-version regression check) ----------------------
+
+def q_dq_snapshot_diff(spark, sf_dir):
+    """Diff two deterministic 'snapshots' of orders (old drops keys
+    %97==0; new drops %89==0 and bumps o_totalprice by 10% on %7==0):
+    one full-outer key join + ONE classifying aggregate ->
+    added/removed/changed/unchanged + per-column change counts
+    (operators/quality.py snapshot_diff, NULL-safe comparisons). The
+    regression check a daily rebuild runs before publishing."""
+    from pyspark.sql import functions as F
+
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.where(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    new = orders.where(F.col("o_orderkey") % 89 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 7 == 0,
+            F.round(F.col("o_totalprice") * 1.1, 2),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    from stockpy_spark.operators.quality import snapshot_diff
+
+    return snapshot_diff(
+        old, new, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+
+
+# only COUNTS surface, so the 10%-bump value itself (whose half-up vs
+# half-even rounding could differ cross-engine on exact boundaries)
+# never reaches the hash — changed-ness is identical either way.
+SQL_SNAPSHOT_DIFF = """
+WITH o AS (
+    SELECT o_orderkey AS k, o_totalprice AS p, o_orderstatus AS s
+    FROM orders WHERE o_orderkey % 97 <> 0
+), n AS (
+    SELECT o_orderkey AS k,
+           CASE WHEN o_orderkey % 7 = 0 THEN round(o_totalprice * 1.1, 2)
+                ELSE o_totalprice END AS p,
+           o_orderstatus AS s
+    FROM orders WHERE o_orderkey % 89 <> 0
+), j AS (
+    SELECT o.k IS NOT NULL AS io, n.k IS NOT NULL AS inw,
+           CASE WHEN o.k IS NOT NULL AND n.k IS NOT NULL
+                     AND o.p IS DISTINCT FROM n.p THEN 1 ELSE 0 END AS cp,
+           CASE WHEN o.k IS NOT NULL AND n.k IS NOT NULL
+                     AND o.s IS DISTINCT FROM n.s THEN 1 ELSE 0 END AS cs
+    FROM o FULL JOIN n ON o.k = n.k
+)
+SELECT CAST(SUM(CASE WHEN io THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+       CAST(SUM(CASE WHEN inw THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(SUM(CASE WHEN NOT io THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       CAST(SUM(CASE WHEN NOT inw THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST(SUM(CASE WHEN io AND inw AND cp + cs > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_changed,
+       CAST(SUM(CASE WHEN io AND inw AND cp + cs = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_unchanged,
+       CAST(SUM(cp) AS BIGINT) AS changed_o_totalprice,
+       CAST(SUM(cs) AS BIGINT) AS changed_o_orderstatus
+FROM j
+"""
+
+
 R7_QUERIES: dict[str, tuple] = {
     "mm_gif_frames": (q_mm_gif_frames, SQL_MM_GIF_FRAMES),
     "semdedup_prune": (q_semdedup_prune, SQL_SEMDEDUP),
@@ -359,4 +426,5 @@ R7_QUERIES: dict[str, tuple] = {
     "stats_ols2": (q_stats_ols2, SQL_OLS2),
     "graph_sssp_weighted": (q_graph_sssp_weighted, SQL_SSSP),
     "ts_seasonal_outliers": (q_ts_seasonal_outliers, SQL_SEASONAL),
+    "dq_snapshot_diff": (q_dq_snapshot_diff, SQL_SNAPSHOT_DIFF),
 }

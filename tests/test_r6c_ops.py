@@ -370,3 +370,27 @@ def test_quantile_bucketize_null_safe(spark):
     df = spark.createDataFrame([Row(i=0, v=1.0), Row(i=1, v=None), Row(i=2, v=2.0)])
     out = {r.i: r.bin for r in quantile_bucketize(df, "v").collect()}
     assert out[1] is None
+
+
+def test_snapshot_diff_null_safe_classification(spark):
+    """NULL -> value and value -> NULL are CHANGES (eqNullSafe), adds/
+    removes/unchanged classified per key, per-column counts attribute
+    the change."""
+    from stockpy_spark.operators.quality import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, None, "B"), (3, 30.0, "C"), (4, 40.0, "D")],
+        "k long, p double, s string",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0, "A"),      # unchanged
+         (2, 20.0, "B"),      # NULL -> value: changed (p)
+         (3, 30.0, None),     # value -> NULL: changed (s)
+         (5, 50.0, "E")],     # added; key 4 removed
+        "k long, p double, s string",
+    )
+    r = snapshot_diff(old, new, ["k"], ["p", "s"]).collect()[0]
+    assert (r.n_old, r.n_new) == (4, 4)
+    assert (r.n_added, r.n_removed) == (1, 1)
+    assert (r.n_changed, r.n_unchanged) == (2, 1)
+    assert r.changed_p == 1 and r.changed_s == 1
