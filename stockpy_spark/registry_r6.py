@@ -594,9 +594,18 @@ def q_ts_ewma(spark, sf_dir):
     — the right tool when per-key series fit an executor (user/device
     telemetry); an unbounded-key variant would ride
     applyInPandasWithState (streaming/ops.py stateful_running_stats is
-    that shape)."""
+    that shape).
+
+    ts is declared non-null for this query: Spark's array_sort places
+    a null-ts struct FIRST while DuckDB's ORDER BY places NULLS LAST
+    (probed empirically), so a regenerated fixture with null
+    timestamps would silently reorder the fold between engines — the
+    filter pins the contract instead (same defensive move as
+    gate_hll_rollup's)."""
     ev = _t(spark, sf_dir, "events").where(
-        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+        F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
     )
     ordered = ev.groupBy("user_id").agg(
         F.array_sort(
@@ -621,7 +630,7 @@ WITH seq AS (
     SELECT user_id,
            list(value ORDER BY ts, event_id) AS vals
     FROM events
-    WHERE user_id IS NOT NULL AND value IS NOT NULL
+    WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
     GROUP BY user_id
 )
 SELECT user_id,
