@@ -59,24 +59,27 @@ def robust_clip_outliers(
 
     Scale shape: two grouped aggregates over the fact table (each one
     shuffle on the group key, map-side combined) — quantiles first,
-    then MAD against the broadcast medians; the flagging pass is a
-    narrow broadcast join. Exact percentile keeps the oracle exact; at
-    100 TB swap approx_percentile in for the same plan shape with
-    bounded memory.
+    then MAD against the joined medians. The stats frames are NOT
+    force-broadcast: they are GROUP-cardinality-sized, KBs for event
+    types but fact-sized for per-user groups — the q3/basket "fact in
+    disguise" lesson; plain equi-joins let AQE broadcast them only
+    while they fit. Exact percentile keeps the oracle exact; at 100 TB
+    swap approx_percentile in for the same plan shape with bounded
+    memory.
     """
     stats = df.groupBy(*group_cols).agg(
         F.round(F.expr(f"percentile({value_col}, {lo_q})"), dp).alias("__lo"),
         F.round(F.expr(f"percentile({value_col}, {hi_q})"), dp).alias("__hi"),
         F.round(F.expr(f"percentile({value_col}, 0.5)"), dp).alias("__med"),
     )
-    with_med = df.join(F.broadcast(stats), group_cols)
+    with_med = df.join(stats, group_cols)
     mad = (
         with_med.withColumn("__adev", F.abs(F.col(value_col) - F.col("__med")))
         .groupBy(*group_cols)
         .agg(F.round(F.expr("percentile(__adev, 0.5)"), dp).alias("__mad"))
     )
     return (
-        with_med.join(F.broadcast(mad), group_cols)
+        with_med.join(mad, group_cols)
         .withColumn(
             "clipped",
             F.round(

@@ -600,9 +600,12 @@ def seasonal_outlier_counts(
     spread = base.groupBy("key").agg(
         F.round(F.stddev_samp("v"), dp).alias("sigma")
     )
-    joined = base.join(F.broadcast(profile), ["key", "phase"]).join(
-        F.broadcast(spread), "key"
-    )
+    # NO forced broadcast: the profile is keys x period — KBs for
+    # low-cardinality keys (event types, hosts) but users x 168 for
+    # per-user keys, where a broadcast hint would be the q3/basket
+    # "fact in disguise" mistake. Plain equi-joins let AQE broadcast
+    # only while the census actually fits.
+    joined = base.join(profile, ["key", "phase"]).join(spread, "key")
     out = joined.groupBy("key", "phase").agg(
         F.first("n").alias("n"),
         F.first("seasonal_mean").alias("seasonal_mean"),

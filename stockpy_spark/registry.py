@@ -34,9 +34,12 @@ _ALL = {**CORE_QUERIES, **EXT_QUERIES, **TPCH2_QUERIES, **HIVE_QUERIES, **TS_QUE
 # that have never had a driver row (third through fifth r6 waves:
 # behavioral analytics, PageRank, SCD2, perplexity, corpus curation,
 # skyline, BFS, drift/stats/DQ shelf, BPE, PCA gate) — 50 slots
-# exactly, leaving every registered query with at least one driver row
-# after this round. Past the window the queue is oldest-first: the
-# r04-green block (three rounds old, next in line for round 8), then
+# exactly, leaving every round-1..6 query with at least one driver row
+# after this round. Past the window the round-8 queue leads with the
+# OTHER eight new round-7 queries (semantic dedup, KLL/theta sketch
+# gates, the CDC streaming sink, two-feature OLS, XML round-trip,
+# weighted SSSP, seasonal outliers, snapshot diff — each judge/pytest
+# green but rowless until r8), then oldest-first: the r04-green block,
 # r05-fresh, then the r06-green rows freshest-last.
 DRIVER_PRIORITY = [
     # r06-red on harness compat, re-fixed — first in line (4)
