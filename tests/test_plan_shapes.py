@@ -540,3 +540,28 @@ def test_ols2_single_aggregate_scan(spark):
     # means the moment pass stopped fusing
     p = plan(QUERIES["stats_ols2"](spark, SF_DIR), "simple")
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_dynamic_partition_pruning_on_day_join(spark, tmp_path):
+    # the 100 TB scan-killer feature check: joining the day-partitioned
+    # fact against a FILTERED dim on the partition column must inject a
+    # runtime dynamicpruning expression into the fact scan's
+    # PartitionFilters — so only the dim's surviving days are read,
+    # decided at execution time, not by a static literal. A regression
+    # here (join rewritten off the partition column, dim no longer
+    # broadcastable) silently turns a 2-partition read into a full scan.
+    from stockpy_spark.sources.hive_fixture import ensure_events_by_day
+
+    root = ensure_events_by_day(spark, SF_DIR)
+    fact = spark.read.parquet(root)
+    days = sorted(
+        r.dataproc for r in fact.select("dataproc").distinct().collect()
+    )[:2]
+    dim_path = str(tmp_path / "day_dim")
+    spark.createDataFrame(
+        [(d, 1) for d in days], "dataproc string, flag int"
+    ).write.parquet(dim_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("flag") == 1)
+    j = fact.join(dim, "dataproc").groupBy("dataproc").count()
+    p = plan(j, "formatted")
+    assert "dynamicpruning" in p.lower(), "DPP did not reach the fact scan"
