@@ -791,3 +791,43 @@ def shingle_containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("src", "dst", "containment")
     )
+
+
+def temporal_dedup_first(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    tolerance_seconds: int,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Burst dedup: keep only the FIRST event of each per-key burst,
+    where an event belongs to its predecessor's burst when it arrives
+    within ``tolerance_seconds`` of it — the telemetry double-fire /
+    retry-storm cleaner (a user double-clicking "purchase" three times
+    in two seconds is one intent). Distinct from exact_dedup (identical
+    payloads) and dedup_within_watermark (streaming keyed dedup): here
+    the duplicates are near-in-TIME, not equal-in-value.
+
+    Chained semantics (each event compares to its immediate
+    predecessor, so an hour-long burst of 2-second-spaced events stays
+    ONE burst — the retry-storm case; a fixed-window rule would
+    resurrect it every ``tolerance``). Survivor = any event farther
+    than ``tolerance`` from its predecessor. One lag window per key
+    (single shuffle, streaming frame); gap arithmetic on integral
+    epoch seconds so an SQL engine replays the exact boundary;
+    ``tiebreak_col`` pins same-instant ordering.
+
+    Returns the surviving rows (all original columns).
+    """
+    sec = F.col(ts_col).cast("timestamp").cast("long")
+    w = Window.partitionBy(*keys).orderBy(sec.asc(), F.col(tiebreak_col).asc())
+    prev = F.lag(sec).over(w)
+    return (
+        df.withColumn("__prev_s", prev)
+        .withColumn("__cur_s", sec)
+        .filter(
+            F.col("__prev_s").isNull()
+            | (F.col("__cur_s") - F.col("__prev_s") > tolerance_seconds)
+        )
+        .drop("__prev_s", "__cur_s")
+    )

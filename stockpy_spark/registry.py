@@ -106,6 +106,7 @@ DRIVER_PRIORITY = [
     "graph_sssp_weighted",
     "ts_seasonal_outliers",
     "dq_snapshot_diff",
+    "dedup_temporal",
     # r04-green (three rounds old — next in line for round 8)
     "a2_count_star",
     "a3_distinct",

@@ -418,6 +418,51 @@ FROM j
 """
 
 
+# --- temporal burst dedup -------------------------------------------------
+
+def q_dedup_temporal(spark, sf_dir):
+    """First-of-burst keeper over (user_id, event_type) with a 1-day
+    chain tolerance (operators/dedup.py temporal_dedup_first) — the
+    double-fire/retry-storm cleaner: near-in-TIME duplicates, not
+    equal-in-value ones. Surfaces the surviving events' identity with
+    epoch BIGINTs."""
+    from pyspark.sql import functions as F
+
+    from stockpy_spark.operators.dedup import temporal_dedup_first
+    from stockpy_spark.sources.testdata import read_events
+
+    ev = read_events(spark, sf_dir).where(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    kept = temporal_dedup_first(
+        ev, ["user_id", "event_type"], "ts", 86_400, "event_id"
+    )
+    return kept.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp").cast("long").alias("epoch_s"),
+    )
+
+
+SQL_DEDUP_TEMPORAL = """
+WITH seq AS (
+    SELECT event_id, user_id, event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+           lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
+           ) AS prev_s
+    FROM events
+    WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
+)
+SELECT event_id, user_id, event_type, epoch_s
+FROM seq WHERE prev_s IS NULL OR epoch_s - prev_s > 86400
+"""
+
+
 R7_QUERIES: dict[str, tuple] = {
     "mm_gif_frames": (q_mm_gif_frames, SQL_MM_GIF_FRAMES),
     "semdedup_prune": (q_semdedup_prune, SQL_SEMDEDUP),
@@ -427,4 +472,5 @@ R7_QUERIES: dict[str, tuple] = {
     "graph_sssp_weighted": (q_graph_sssp_weighted, SQL_SSSP),
     "ts_seasonal_outliers": (q_ts_seasonal_outliers, SQL_SEASONAL),
     "dq_snapshot_diff": (q_dq_snapshot_diff, SQL_SNAPSHOT_DIFF),
+    "dedup_temporal": (q_dedup_temporal, SQL_DEDUP_TEMPORAL),
 }

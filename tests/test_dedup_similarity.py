@@ -283,3 +283,30 @@ def test_kmeans_and_semdedup_arrow_parity(spark):
     s_arrow = {(r.vec_id, r.cid, r.sim) for r in semantic_dedup(
         emb, "embedding", "vec_id", k=8, threshold=0.4, engine="arrow").collect()}
     assert s_expr == s_arrow and 0 < len(s_expr) <= len(a)
+
+
+def test_temporal_dedup_chained_burst_semantics(spark):
+    """The chain rule: a long storm of closely-spaced events is ONE
+    burst (each event within tolerance of its predecessor), even when
+    it spans many tolerance windows end-to-end; a gap > tolerance opens
+    a new burst; different keys never interact."""
+    from datetime import datetime, timedelta
+
+    from stockpy_spark.operators.dedup import temporal_dedup_first
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # storm: 10 events 2s apart (18s span > 5s tolerance end-to-end)
+    for i in range(10):
+        rows.append((i, "u1", "click", t0 + timedelta(seconds=2 * i)))
+    # new burst 100s later
+    rows.append((20, "u1", "click", t0 + timedelta(seconds=120)))
+    # other key at the same instants: its own burst
+    rows.append((30, "u2", "click", t0))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, event_type string, ts timestamp"
+    )
+    kept = temporal_dedup_first(
+        df, ["user_id", "event_type"], "ts", 5, "event_id"
+    )
+    assert sorted(r.event_id for r in kept.collect()) == [0, 20, 30]
