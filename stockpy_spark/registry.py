@@ -107,6 +107,7 @@ DRIVER_PRIORITY = [
     "ts_seasonal_outliers",
     "dq_snapshot_diff",
     "dedup_temporal",
+    "gate_hll_by_type",
     # r04-green (three rounds old — next in line for round 8)
     "a2_count_star",
     "a3_distinct",

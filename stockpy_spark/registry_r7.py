@@ -418,6 +418,66 @@ FROM j
 """
 
 
+# --- grouped HLL rollup (dimension axis of the sketch shelf) --------------
+
+def q_gate_hll_by_type(spark, sf_dir):
+    """Per-(event_type, week) distinct-user rollup from daily HLL
+    sketches — the GROUPED axis of hll_bucket_sketches/hll_merge_rollup
+    (the r6 gate exercised only the global grid): sketches keyed by a
+    dimension merge within their dimension, the per-segment
+    distinct-users-per-week question every product dashboard asks.
+    Same 5% gate vs the exact verify tier, epoch-BIGINT surface."""
+    from pyspark.sql import functions as F
+
+    from stockpy_spark.operators.sketches import (
+        hll_bucket_sketches,
+        hll_merge_rollup,
+    )
+    from stockpy_spark.sources.testdata import read_events
+
+    ev = read_events(spark, sf_dir).where(F.col("ts").isNotNull())
+    fine = hll_bucket_sketches(
+        ev, "ts", "user_id", 86_400, group_cols=["event_type"]
+    )
+    merged = hll_merge_rollup(fine, 604_800, group_cols=["event_type"])
+    coarse = F.timestamp_seconds(
+        (F.col("ts").cast("timestamp").cast("long") / 604_800).cast("long")
+        * 604_800
+    )
+    exact = ev.groupBy("event_type", coarse.alias("bucket_start")).agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        merged.join(exact, ["event_type", "bucket_start"])
+        .select(
+            "event_type",
+            F.col("bucket_start").cast("long").alias("bucket_epoch"),
+            "exact_distinct",
+            "n_fine_buckets",
+            (
+                F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+                <= F.col("exact_distinct") * F.lit(0.05)
+            ).cast("int").alias("gate_rel_err_ok"),
+        )
+    )
+
+
+SQL_GATE_HLL_TYPE = """
+WITH wk AS (
+    SELECT event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) // 604800 * 604800 AS bucket_epoch,
+           CAST(floor(epoch(ts)) AS BIGINT) // 86400 * 86400   AS day_start,
+           user_id
+    FROM events WHERE ts IS NOT NULL
+)
+SELECT event_type, bucket_epoch,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+       CAST(COUNT(DISTINCT day_start) AS BIGINT) AS n_fine_buckets,
+       1 AS gate_rel_err_ok
+FROM wk GROUP BY event_type, bucket_epoch
+"""
+
+
 # --- temporal burst dedup -------------------------------------------------
 
 def q_dedup_temporal(spark, sf_dir):
@@ -473,4 +533,5 @@ R7_QUERIES: dict[str, tuple] = {
     "ts_seasonal_outliers": (q_ts_seasonal_outliers, SQL_SEASONAL),
     "dq_snapshot_diff": (q_dq_snapshot_diff, SQL_SNAPSHOT_DIFF),
     "dedup_temporal": (q_dedup_temporal, SQL_DEDUP_TEMPORAL),
+    "gate_hll_by_type": (q_gate_hll_by_type, SQL_GATE_HLL_TYPE),
 }
