@@ -426,7 +426,11 @@ def q_gate_hll_by_type(spark, sf_dir):
     (the r6 gate exercised only the global grid): sketches keyed by a
     dimension merge within their dimension, the per-segment
     distinct-users-per-week question every product dashboard asks.
-    Same 5% gate vs the exact verify tier, epoch-BIGINT surface."""
+    Same 5% gate vs the exact verify tier, epoch-BIGINT surface.
+    event_type is declared non-null: the sketch-vs-exact INNER JOIN
+    would drop a NULL dimension group that the oracle's GROUP BY keeps
+    (null join keys never match in Spark) — same regeneration-proofing
+    as ts_ewma's ts contract."""
     from pyspark.sql import functions as F
 
     from stockpy_spark.operators.sketches import (
@@ -435,7 +439,9 @@ def q_gate_hll_by_type(spark, sf_dir):
     )
     from stockpy_spark.sources.testdata import read_events
 
-    ev = read_events(spark, sf_dir).where(F.col("ts").isNotNull())
+    ev = read_events(spark, sf_dir).where(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
     fine = hll_bucket_sketches(
         ev, "ts", "user_id", 86_400, group_cols=["event_type"]
     )
@@ -468,7 +474,7 @@ WITH wk AS (
            CAST(floor(epoch(ts)) AS BIGINT) // 604800 * 604800 AS bucket_epoch,
            CAST(floor(epoch(ts)) AS BIGINT) // 86400 * 86400   AS day_start,
            user_id
-    FROM events WHERE ts IS NOT NULL
+    FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
 )
 SELECT event_type, bucket_epoch,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
