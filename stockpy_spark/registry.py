@@ -27,76 +27,18 @@ except ImportError:  # extensions land incrementally
 _ALL = {**CORE_QUERIES, **EXT_QUERIES, **TPCH2_QUERIES, **HIVE_QUERIES, **TS_QUERIES, **GRAPH_QUERIES, **STREAM_QUERIES, **R6_QUERIES, **R6B_QUERIES, **R6C_QUERIES, **R6D_QUERIES, **R6E_QUERIES, **R7_QUERIES}
 
 # The driver's correctness gate checks the FIRST 50 queries in dict
-# insertion order. Round-7 rotation: the 4 rows that went red in r06 on
-# harness-compat (now emitting epoch BIGINTs / a joined string) lead so
-# the fixes get driver confirmation, then the ONE new round-7 query
-# (animated-GIF frame extraction), then ALL 45 late-round-6 queries
-# that have never had a driver row (third through fifth r6 waves:
-# behavioral analytics, PageRank, SCD2, perplexity, corpus curation,
-# skyline, BFS, drift/stats/DQ shelf, BPE, PCA gate) — 50 slots
-# exactly, leaving every round-1..6 query with at least one driver row
-# after this round. Past the window the round-8 queue leads with the
-# OTHER eight new round-7 queries (semantic dedup, KLL/theta sketch
-# gates, the CDC streaming sink, two-feature OLS, XML round-trip,
-# weighted SSSP, seasonal outliers, snapshot diff — each judge/pytest
-# green but rowless until r8), then oldest-first: the r04-green block,
-# r05-fresh, then the r06-green rows freshest-last.
+# insertion order. Round-8 rotation: the 11 round-7 queries that are
+# judge/pytest green but never got a driver row lead the window, then
+# the 39 oldest driver-green queries (the r04 block, four rounds
+# stale). Past the window: the 7 r04 queries that didn't fit (they
+# head the round-9 window), then r05/r06/r07 blocks freshest-last,
+# and the five rows-only queries (no SQL oracle by design) pinned
+# PERMANENTLY at the end so the driver never burns a sampled slot on
+# a guaranteed `no_oracle` err row again (r07's only non-green row).
 DRIVER_PRIORITY = [
-    # r06-red on harness compat, re-fixed — first in line (4)
-    "ev_concurrency",
-    "gate_hll_rollup",
-    "ts_session_window",
-    "stream_dedup_keys",
-    # new round-7 query (1)
-    "mm_gif_frames",
-    # never-driver-checked late-round-6 waves (45)
-    "funnel_conversion",
-    "cohort_retention_weekly",
-    "part_pagerank",
-    "scd2_event_history",
-    "basket_rules",
-    "event_transitions",
-    "graph_triangles",
-    "stream_join_attribution",
-    "text_lm_perplexity",
-    "decontaminate_eval",
-    "w9_rank_fractions",
-    "hist_event_values",
-    "corpus_line_dedup",
-    "sample_temperature",
-    "er_fuzzy_match",
-    "ts_gap_fill_linear",
-    "ts_anomaly_zscore",
-    "dq_constraint_suite",
-    "pareto_frontier",
-    "text_inverted_index",
-    "graph_bfs_hops",
-    "feat_quantile_bins",
-    "dedup_containment",
-    "dq_benford_prices",
-    "setsim_jaccard_join",
-    "drift_psi_value",
-    "drift_ks_value",
-    "stats_corr_matrix",
-    "stats_cat_association",
-    "ts_cusum_alarm",
-    "stats_welch_ttest",
-    "dq_mahalanobis_outliers",
-    "profile_entropy",
-    "sample_negative_pairs",
-    "dq_key_skew",
-    "stats_gini_revenue",
-    "agg_top_movers",
-    "sample_matched_controls",
-    "plan_domain_mixture",
-    "ts_incremental_state",
-    "mm_audio_dsp",
-    "text_bpe_merges",
-    "gate_pca_variance",
-    "text_bpe_vocab",
-    "agg_price_volume",
-    # --- first-50 window closes at agg_price_volume above ---
-    # new round-7 queries past the window — they head the round-8 queue
+    # --- round-8 window (50, all oracle-backed) ---
+    # the 11 round-7 queries still without a driver row (judge+pytest
+    # green since r7; CORRECTNESS_r08 is their first driver hash)
     "semdedup_prune",
     "gate_kll_rollup",
     "gate_theta_overlap",
@@ -108,7 +50,8 @@ DRIVER_PRIORITY = [
     "dq_snapshot_diff",
     "dedup_temporal",
     "gate_hll_by_type",
-    # r04-green (three rounds old — next in line for round 8)
+    # r04-stale refresh, oldest-first (39) — newest driver row is r04,
+    # four rounds old; this rotation re-pins them
     "a2_count_star",
     "a3_distinct",
     "p2_rename_literal",
@@ -147,19 +90,18 @@ DRIVER_PRIORITY = [
     "dedup_simhash",
     "dedup_simhash64",
     "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
     "sim_cosine_topk",
-    "sim_ann_lsh",
-    "sim_ivf_topk",
+    # --- first-50 window closes at sim_cosine_topk above ---
+    # round-9 queue head: the 7 remaining r04-stale queries (oracle-
+    # backed; they just didn't fit the 50-slot window this round)
     "text_token_count",
     "text_quality_score",
     "text_lang_id",
     "text_tfidf",
     "text_redact_pii",
     "asof_purchase_view",
-    "approx_distinct_users",
     "pipeline_clean_corpus",
-    # r05-fresh, freshest last
+    # r05-green block
     "mm_decode_features",
     "text_fingerprint",
     "text_repetition",
@@ -210,7 +152,7 @@ DRIVER_PRIORITY = [
     "j6_salted_join",
     "a11_percentiles",
     "a12_grouping_sets",
-    # r06-green, freshest last
+    # r06-green block
     "w6_rank_family",
     "w7_range_frame",
     "p10_unpivot",
@@ -257,6 +199,66 @@ DRIVER_PRIORITY = [
     "emb_kmeans_assign",
     "emb_kmeans_summary",
     "quality_robust_clip",
+    # r07-green block, freshest rows last
+    "ev_concurrency",
+    "gate_hll_rollup",
+    "ts_session_window",
+    "stream_dedup_keys",
+    "mm_gif_frames",
+    "funnel_conversion",
+    "cohort_retention_weekly",
+    "part_pagerank",
+    "scd2_event_history",
+    "basket_rules",
+    "event_transitions",
+    "graph_triangles",
+    "stream_join_attribution",
+    "text_lm_perplexity",
+    "decontaminate_eval",
+    "w9_rank_fractions",
+    "hist_event_values",
+    "corpus_line_dedup",
+    "sample_temperature",
+    "er_fuzzy_match",
+    "ts_gap_fill_linear",
+    "ts_anomaly_zscore",
+    "dq_constraint_suite",
+    "pareto_frontier",
+    "text_inverted_index",
+    "graph_bfs_hops",
+    "feat_quantile_bins",
+    "dedup_containment",
+    "dq_benford_prices",
+    "setsim_jaccard_join",
+    "drift_psi_value",
+    "drift_ks_value",
+    "stats_corr_matrix",
+    "stats_cat_association",
+    "ts_cusum_alarm",
+    "stats_welch_ttest",
+    "dq_mahalanobis_outliers",
+    "profile_entropy",
+    "sample_negative_pairs",
+    "dq_key_skew",
+    "stats_gini_revenue",
+    "agg_top_movers",
+    "sample_matched_controls",
+    "plan_domain_mixture",
+    "ts_incremental_state",
+    "mm_audio_dsp",
+    "gate_pca_variance",
+    "text_bpe_vocab",
+    "agg_price_volume",
+    # rows-only queries (no SQL-expressible oracle by design) are
+    # PERMANENTLY last: a driver row for them can only be a `no_oracle`
+    # err, and their hash-green gate twins (text_bpe_vocab,
+    # gate_embedding_lsh_recall, gate_ann_recall, gate_ivf_recall,
+    # gate_approx_distinct_err) carry the correctness signal instead.
+    "text_bpe_merges",
+    "dedup_embedding_lsh",
+    "sim_ann_lsh",
+    "sim_ivf_topk",
+    "approx_distinct_users",
 ]
 
 _ORDERED = {name: _ALL[name] for name in DRIVER_PRIORITY if name in _ALL}
