@@ -491,15 +491,27 @@ def run_cdc_merge_to_parquet(
        state is the global per-key argmax, deterministic under ANY
        micro-batch split or arrival order, which is what puts this
        sink under an exact batch oracle),
-    3. write to a temp dir and atomically swap directories (write
-       never reads what it overwrites; a crash between renames leaves
-       either the old or the new table, never a half-written one).
+    3. write a new immutable snapshot dir and flip ``table_dir`` — a
+       symlink acting as the current-snapshot pointer — onto it with
+       one atomic ``os.replace``. There is no window in which the
+       table is absent: a crash at any point leaves the pointer on
+       either the old or the new snapshot, never on a half-written or
+       missing one (the failure mode of a rename-away-then-rename-in
+       directory swap, where a crash between the two renames makes a
+       restart silently rebuild state from replayed batches only).
+       Startup recovers from pre-pointer crashes: a missing pointer
+       with surviving ``.snap-*`` dirs re-links the newest one that
+       has a ``_SUCCESS`` marker.
 
-    Scale shape: the table re-merge is one shuffle on the key per
-    batch over (current keys + batch keys); a table format (Delta/
-    Iceberg) would turn step 3 into a metadata commit and step 2 into
-    a file-pruned merge — this sink is the engine-native equivalent
-    with the same observable semantics."""
+    Readers keep the plain ``spark.read.parquet(table_dir)`` API (the
+    local filesystem follows the symlink). Scale shape: the table
+    re-merge is one shuffle on the key per batch over (current keys +
+    batch keys); a table format (Delta/Iceberg) would turn step 3
+    into a metadata commit and step 2 into a file-pruned merge — this
+    sink is the engine-native local-FS equivalent with the same
+    observable semantics (object stores have no atomic rename, so
+    there the table-format route is the only correct one)."""
+    import glob
     import os
     import shutil
 
@@ -515,19 +527,51 @@ def run_cdc_merge_to_parquet(
             .drop("__rn")
         )
 
+    def flip_pointer(snap: str, tag: str) -> None:
+        """Point table_dir at snap with a single atomic os.replace."""
+        link_tmp = f"{table_dir}.lnk-{tag}"
+        if os.path.lexists(link_tmp):
+            os.remove(link_tmp)
+        os.symlink(os.path.abspath(snap), link_tmp)
+        os.replace(link_tmp, table_dir)
+
+    def recover_pointer() -> None:
+        """Crash recovery: no pointer but committed snapshots survive
+        (e.g. a legacy directory-swap sink died between its renames).
+        Re-link the newest complete snapshot so prior keys are not
+        silently lost to a replay-only rebuild."""
+        if os.path.exists(table_dir):
+            return
+        snaps = [
+            s
+            for s in glob.glob(f"{table_dir}.snap-*") + glob.glob(f"{table_dir}.tmp-*")
+            if os.path.exists(os.path.join(s, "_SUCCESS"))
+        ]
+        if snaps:
+            flip_pointer(max(snaps, key=os.path.getmtime), "recover")
+
+    recover_pointer()
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         merged = latest(batch_df)
-        if os.path.isdir(table_dir):
-            base = spark.read.parquet(table_dir)
+        if os.path.isdir(table_dir) and not os.path.islink(table_dir):
+            # Migrate a plain-directory table (pre-pointer layout) into
+            # a snapshot; recover_pointer() covers a crash mid-migration.
+            base_snap = f"{table_dir}.snap-base-{batch_id}"
+            os.rename(table_dir, base_snap)
+            flip_pointer(base_snap, f"migrate-{batch_id}")
+        prev_snap = os.path.realpath(table_dir) if os.path.isdir(table_dir) else None
+        if prev_snap:
+            base = spark.read.parquet(prev_snap)
             merged = latest(base.unionByName(merged))
-        tmp = f"{table_dir}.tmp-{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        old = f"{table_dir}.old-{batch_id}"
-        if os.path.isdir(table_dir):
-            os.rename(table_dir, old)
-        os.rename(tmp, table_dir)
-        shutil.rmtree(old, ignore_errors=True)
+        snap = f"{table_dir}.snap-{batch_id}"
+        merged.write.mode("overwrite").parquet(snap)
+        flip_pointer(snap, str(batch_id))
+        current = os.path.realpath(table_dir)
+        for stale in glob.glob(f"{table_dir}.snap-*") + glob.glob(f"{table_dir}.tmp-*"):
+            if os.path.realpath(stale) != current:
+                shutil.rmtree(stale, ignore_errors=True)
 
     (
         updates.writeStream.foreachBatch(sink)

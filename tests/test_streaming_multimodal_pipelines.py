@@ -812,3 +812,69 @@ def test_cdc_merge_multi_batch_latest_wins(spark, tmp_path):
     )
     got = {r.user: (r.event_id, r.value) for r in spark.read.parquet(table).collect()}
     assert got == {"u1": (10, 9.0), "u2": (6, 2.0)}
+
+
+def test_cdc_merge_recovers_after_pointer_loss(spark, tmp_path):
+    """Atomicity seam (round-8 ADVICE): if the table pointer vanishes
+    mid-crash but a committed snapshot survives, a sink restart must
+    re-link the snapshot and KEEP prior keys rather than silently
+    rebuilding from the replayed batch only."""
+    import os
+
+    from stockpy_spark.streaming.ops import run_cdc_merge_to_parquet
+
+    schema_s = "event_id long, user string, value double, ts_s string"
+    src1 = str(tmp_path / "cdc_src1")
+    (spark.createDataFrame([(1, "u1", 5.0, "2024-01-01 00:00:00")], schema_s)
+     .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+     .coalesce(1).write.mode("append").parquet(src1))
+    schema = spark.read.parquet(src1).schema
+    table = str(tmp_path / "cdc_table")
+    run_cdc_merge_to_parquet(
+        spark.readStream.schema(schema).parquet(src1),
+        table, str(tmp_path / "cdc_ckpt1"),
+        keys=["user"], order_cols=["ts", "event_id"],
+    )
+    assert os.path.islink(table)
+    # Simulate the fatal window of the old two-rename swap: the live
+    # pointer is gone, only the committed snapshot directory remains.
+    snap = os.path.realpath(table)
+    os.remove(table)
+    assert not os.path.exists(table) and os.path.isdir(snap)
+    # Restart the sink on a NEW source+checkpoint carrying only u2;
+    # u1 must survive via pointer recovery, not via batch replay.
+    src2 = str(tmp_path / "cdc_src2")
+    (spark.createDataFrame([(2, "u2", 7.0, "2024-01-02 00:00:00")], schema_s)
+     .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+     .coalesce(1).write.mode("append").parquet(src2))
+    run_cdc_merge_to_parquet(
+        spark.readStream.schema(schema).parquet(src2),
+        table, str(tmp_path / "cdc_ckpt2"),
+        keys=["user"], order_cols=["ts", "event_id"],
+    )
+    got = {r.user: (r.event_id, r.value) for r in spark.read.parquet(table).collect()}
+    assert got == {"u1": (1, 5.0), "u2": (2, 7.0)}
+
+
+def test_cdc_merge_migrates_plain_directory_table(spark, tmp_path):
+    """A pre-pointer plain-directory table is absorbed as the base
+    snapshot on the first batch instead of breaking the pointer flip."""
+    from stockpy_spark.streaming.ops import run_cdc_merge_to_parquet
+
+    schema_s = "event_id long, user string, value double, ts_s string"
+    table = str(tmp_path / "cdc_table")
+    (spark.createDataFrame([(1, "u1", 5.0, "2024-01-01 00:00:00")], schema_s)
+     .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+     .coalesce(1).write.mode("overwrite").parquet(table))
+    src = str(tmp_path / "cdc_src")
+    (spark.createDataFrame([(2, "u2", 7.0, "2024-01-02 00:00:00")], schema_s)
+     .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+     .coalesce(1).write.mode("append").parquet(src))
+    schema = spark.read.parquet(src).schema
+    run_cdc_merge_to_parquet(
+        spark.readStream.schema(schema).parquet(src),
+        table, str(tmp_path / "cdc_ckpt"),
+        keys=["user"], order_cols=["ts", "event_id"],
+    )
+    got = {r.user: (r.event_id, r.value) for r in spark.read.parquet(table).collect()}
+    assert got == {"u1": (1, 5.0), "u2": (2, 7.0)}
