@@ -129,11 +129,17 @@ def calibrate(spark) -> float:
     code under test. Cross-round bench comparisons divide by this to
     normalize out host drift — the r05->r06 1.38x wall-clock scare was
     pure host drift and cost a page of BASELINE.md to argue; this
-    constant settles it numerically (best of 2, like the queries)."""
+    constant settles it numerically. MEDIAN of 3, not best-of-2: the
+    normalized series moved +-5% between r7 and r8 on identical benched
+    code, and the r7 judge measured calibration 1.79 vs the driver's
+    1.43 an hour apart on the same build — a min over 2 samples tracks
+    the host's best moment, the median tracks its typical one, which is
+    what the queries (best-of-2 of longer runs) actually experience.
+    Anchors + the measured noise band live in BASELINE.md §5."""
     from pyspark.sql import functions as F
 
-    best = float("inf")
-    for _ in range(2):
+    samples = []
+    for _ in range(3):
         t0 = time.time()
         (
             spark.range(20_000_000)
@@ -147,8 +153,8 @@ def calibrate(spark) -> float:
             .limit(10)
             .write.format("noop").mode("overwrite").save()
         )
-        best = min(best, time.time() - t0)
-    return round(best, 3)
+        samples.append(time.time() - t0)
+    return round(sorted(samples)[1], 3)
 
 
 def main() -> None:

@@ -415,38 +415,60 @@ def decode_gif(payload: bytes) -> np.ndarray:
     raise ValueError("GIF contains no image data")
 
 
-def encode_gif_animated(frames: list[np.ndarray]) -> bytes:
+def encode_gif_animated(
+    frames: list[np.ndarray],
+    transparent_masks: list[np.ndarray | None] | None = None,
+    disposals: list[int] | None = None,
+) -> bytes:
     """Encode a list of same-screen-size (h, w, 3) uint8 RGB frames as
     an animated GIF89a: Netscape 2.0 looping extension, one graphic
-    control extension (do-not-dispose, 10cs delay) + image descriptor
-    + LOCAL color table + LZW index stream per frame. Local palettes
-    (not one global) because each frame may use up to 256 distinct
-    colors of its own — the union across frames can exceed the global
-    table limit. Same <=256-colors-per-frame contract as
-    :func:`encode_gif`."""
+    control extension + image descriptor + LOCAL color table + LZW
+    index stream per frame. Local palettes (not one global) because
+    each frame may use up to 256 distinct colors of its own — the
+    union across frames can exceed the global table limit.
+
+    ``transparent_masks[f]`` is an optional (h, w) bool array marking
+    pixels of frame f as TRANSPARENT (a dedicated palette entry is
+    appended and flagged in that frame's GCE; the pixel's RGB value in
+    ``frames[f]`` is ignored at those positions). ``disposals[f]`` is
+    the frame's GCE disposal method (default 1 = do not dispose; 2 =
+    restore rect to background; 3 = restore to previous canvas).
+    Opaque colors + the transparent slot must fit 256 entries."""
     if not frames:
         raise ValueError("animated GIF needs at least one frame")
     h, w, _ = frames[0].shape
     for fr in frames:
         if fr.shape != (h, w, 3):
             raise ValueError("all animation frames must share the screen size")
+    if transparent_masks is None:
+        transparent_masks = [None] * len(frames)
+    if disposals is None:
+        disposals = [1] * len(frames)
     out = bytearray()
     out += b"GIF89a" + struct.pack("<HHBBB", w, h, 0, 0, 0)  # no GCT
     # Netscape looping application extension (loop forever)
     out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
-    for fr in frames:
+    for fr, mask, disposal in zip(frames, transparent_masks, disposals):
         colors, inverse = np.unique(
             fr.reshape(-1, 3), axis=0, return_inverse=True
         )
         n = len(colors)
+        trans_idx = None
+        if mask is not None and mask.any():
+            trans_idx = n  # dedicated slot after the opaque colors
+            inverse = inverse.copy()
+            inverse[mask.reshape(-1)] = trans_idx
+            n += 1
         if n > 256:
-            raise ValueError(f"GIF frame needs <=256 colors, has {n}")
+            raise ValueError(f"GIF frame needs <=256 palette slots, has {n}")
         bits = max(1, (n - 1).bit_length())
         lct = np.zeros((1 << bits, 3), dtype=np.uint8)
-        lct[:n] = colors
-        # GCE: disposal 1 (do not dispose), no transparency, 10cs delay
-        out += b"\x21\xf9\x04" + bytes([0x04]) + struct.pack("<H", 10)
-        out += b"\x00\x00"
+        lct[: len(colors)] = colors
+        gce_packed = ((disposal & 0x07) << 2) | (
+            0x01 if trans_idx is not None else 0x00
+        )
+        out += b"\x21\xf9\x04" + bytes([gce_packed]) + struct.pack("<H", 10)
+        out += bytes([trans_idx or 0, 0x00])
         ipacked = 0x80 | (bits - 1)  # LCT present, size 2^bits
         out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, ipacked)
         out += lct.tobytes()
@@ -466,11 +488,13 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
     """Decode EVERY frame of a (possibly animated) GIF, compositing
     each image rect onto the logical screen per the disposal rules:
     returns a list of (screen_h, screen_w, 3) uint8 arrays, one fully
-    rendered canvas per frame. Handles disposal 0/1 (leave canvas) and
-    2 (restore rect to background = black); transparency and disposal 3
-    (restore-to-previous) raise NotImplementedError — the documented
-    codec seam, same as non-GIF animation containers. Single-frame GIFs
-    return a 1-element list, so this is a strict superset of
+    rendered canvas per frame. Handles the full GIF89a compositing
+    model: disposal 0/1 (leave canvas), 2 (restore rect to background
+    = black), 3 (restore rect to the canvas as it was BEFORE this
+    frame rendered), and GCE transparency (pixels at the flagged
+    palette index are not drawn — the prior canvas shows through).
+    Interlaced streams remain the one unsupported layout. Single-frame
+    GIFs return a 1-element list, so this is a strict superset of
     :func:`decode_gif`."""
     if payload[:6] not in GIF_SIGNATURES:
         raise ValueError("not a GIF payload")
@@ -484,7 +508,7 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
     canvas = np.zeros((sh, sw, 3), dtype=np.uint8)
     frames: list[np.ndarray] = []
     disposal = 0
-    transparent = False
+    trans_idx = None
     while pos < len(payload):
         block = payload[pos]
         if block == 0x21:
@@ -492,7 +516,9 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
             if label == 0xF9:  # graphic control extension
                 gce_packed = payload[pos + 3]
                 disposal = (gce_packed >> 2) & 0x07
-                transparent = bool(gce_packed & 0x01)
+                trans_idx = (
+                    payload[pos + 6] if gce_packed & 0x01 else None
+                )
             pos += 2
             while payload[pos] != 0:
                 pos += 1 + payload[pos]
@@ -513,16 +539,6 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
                 raise ValueError("interlaced GIF not supported")
             if palette is None:
                 raise ValueError("GIF image has no color table")
-            if transparent:
-                raise NotImplementedError(
-                    "transparent GIF frames require alpha compositing "
-                    "not implemented here (codec seam)"
-                )
-            if disposal == 3:
-                raise NotImplementedError(
-                    "GIF disposal method 3 (restore-to-previous) not "
-                    "implemented (codec seam)"
-                )
             mcs = payload[pos]
             pos += 1
             chunks = []
@@ -534,13 +550,25 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
             idx = _lzw_decode_gif(b"".join(chunks), mcs)
             if len(idx) < h * w:
                 raise ValueError("GIF index stream shorter than image")
-            rect = palette[np.asarray(idx[: h * w], dtype=np.int64)].reshape(
-                h, w, 3
-            )
+            idx_arr = np.asarray(idx[: h * w], dtype=np.int64).reshape(h, w)
+            region = canvas[top : top + h, left : left + w]
+            # disposal 3 restores the canvas as it was BEFORE this
+            # frame rendered — snapshot the rect before compositing
+            prev = region.copy() if disposal == 3 else None
+            if trans_idx is not None:
+                # transparent pixels are not drawn: prior canvas shows
+                opaque = (idx_arr != trans_idx)[:, :, None]
+                rect = np.where(opaque, palette[idx_arr], region)
+            else:
+                rect = palette[idx_arr]
             canvas[top : top + h, left : left + w] = rect
             frames.append(canvas.copy())
             if disposal == 2:
                 canvas[top : top + h, left : left + w] = 0
+            elif disposal == 3:
+                canvas[top : top + h, left : left + w] = prev
+            # a GCE governs only the image that follows it
+            disposal, trans_idx = 0, None
         elif block == 0x3B:
             break
         else:
@@ -665,7 +693,15 @@ def _fake_frame(doc_id: int, frame: int) -> np.ndarray:
 def attach_gif_anim_payload(df: DataFrame, id_col: str) -> DataFrame:
     """Real ANIMATED GIF89a payload per row: doc_id % 3 + 2 frames of
     the closed-form frame pattern, local color table + LZW stream per
-    frame (see :func:`encode_gif_animated`). Arrow-batched mapInPandas;
+    frame (see :func:`encode_gif_animated`). Frame 0 is a plain opaque
+    base (disposal 1); every later frame f exercises the FULL
+    compositing model — its pixels at (x + y + f) % 2 == 0 are flagged
+    TRANSPARENT and the frame carries disposal 3 (restore-to-previous),
+    so the rendered canvas for f >= 1 is closed-form: base-frame pixels
+    where transparent, frame-f pattern elsewhere, with the canvas
+    restored to the base before the next frame (a decoder that ignores
+    disposal 3 leaks frame f-1's pattern into frame f's transparent
+    holes and hash-mismatches the oracle). Arrow-batched mapInPandas;
     payload bytes never touch the driver."""
 
     gen_schema = T.StructType(
@@ -683,12 +719,20 @@ def attach_gif_anim_payload(df: DataFrame, id_col: str) -> DataFrame:
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids = pdf[id_col].astype("int64")
-            payloads = [
-                encode_gif_animated(
-                    [_fake_frame(i, f) for f in range(i % 3 + 2)]
+
+            def anim(i: int) -> bytes:
+                nf = i % 3 + 2
+                h, w = i % 6 + 4, i % 8 + 4
+                yy = np.arange(h).reshape(h, 1)
+                xx = np.arange(w).reshape(1, w)
+                return encode_gif_animated(
+                    [_fake_frame(i, f) for f in range(nf)],
+                    transparent_masks=[None]
+                    + [(xx + yy + f) % 2 == 0 for f in range(1, nf)],
+                    disposals=[1] + [3] * (nf - 1),
                 )
-                for i in ids
-            ]
+
+            payloads = [anim(i) for i in ids]
             yield pd.DataFrame(
                 {
                     "doc_id": ids,

@@ -249,6 +249,11 @@ def snapshot_diff(
     size. Returns (n_old, n_new, n_added, n_removed, n_changed,
     n_unchanged, changed_<col>...).
     """
+    if not compare_cols:
+        raise ValueError(
+            "snapshot_diff requires at least one compare column; with "
+            "none, changed/unchanged is undefined"
+        )
     o = old.select(
         *[F.col(c) for c in key_cols],
         *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
@@ -274,15 +279,18 @@ def snapshot_diff(
         F.col(f"__chg_{compare_cols[0]}"),
     ) > 0
     both = F.col("__in_old").isNotNull() & F.col("__in_new").isNotNull()
+
+    def cnt(expr, name):
+        # ungrouped SUM over zero rows is NULL; two empty snapshots
+        # must report 0 everywhere, not a row of NULL counts.
+        return F.coalesce(F.sum(expr).cast("long"), F.lit(0).cast("long")).alias(name)
+
     return j.agg(
-        F.sum(F.coalesce("__in_old", F.lit(0))).cast("long").alias("n_old"),
-        F.sum(F.coalesce("__in_new", F.lit(0))).cast("long").alias("n_new"),
-        F.sum((F.col("__in_old").isNull()).cast("long")).alias("n_added"),
-        F.sum((F.col("__in_new").isNull()).cast("long")).alias("n_removed"),
-        F.sum((both & any_changed).cast("long")).alias("n_changed"),
-        F.sum((both & ~any_changed).cast("long")).alias("n_unchanged"),
-        *[
-            F.sum(f"__chg_{c}").cast("long").alias(f"changed_{c}")
-            for c in compare_cols
-        ],
+        cnt(F.coalesce("__in_old", F.lit(0)), "n_old"),
+        cnt(F.coalesce("__in_new", F.lit(0)), "n_new"),
+        cnt((F.col("__in_old").isNull()).cast("long"), "n_added"),
+        cnt((F.col("__in_new").isNull()).cast("long"), "n_removed"),
+        cnt((both & any_changed).cast("long"), "n_changed"),
+        cnt((both & ~any_changed).cast("long"), "n_unchanged"),
+        *[cnt(F.col(f"__chg_{c}"), f"changed_{c}") for c in compare_cols],
     )

@@ -257,7 +257,7 @@ def interval_concurrency(
     net = boundaries.groupBy(*keys, "at_ts").agg(
         F.sum("delta").alias("__net")
     )
-    # broadcast census -> equal-width time buckets per key
+    # census -> equal-width time buckets per key
     v = F.col("at_ts").cast("double")
     census = net.groupBy(*keys).agg(
         F.min(v).alias("__mn"), F.max(v).alias("__mx")
@@ -269,11 +269,28 @@ def interval_concurrency(
             F.floor((v - F.col("__mn")) / width).cast("int"),
         )
     )
+    # Keyed path: NO forced broadcast — census and offsets are sized
+    # by key cardinality (one row per key / key x bucket), which for
+    # per-user or per-host keys is a fact in disguise; a broadcast
+    # hint there is an executor-OOM at 100x. Plain equi-joins let AQE
+    # broadcast only while they actually fit. The keyless census is
+    # exactly ONE row by construction, so its crossJoin broadcast is
+    # bounded and stays.
     bucketed = (
-        net.join(F.broadcast(census), keys)
+        net.join(census, keys)
         if keys
         else net.crossJoin(F.broadcast(census))
     ).select(*keys, "at_ts", "__net", bkt.alias("__bkt"))
+    # Pin the data-sized running-sum window to (key, bucket) tasks
+    # EXPLICITLY: a window satisfies its clustering requirement on any
+    # SUBSET of its partition keys, and the census join's output is
+    # typically partitioned by key alone — without this repartition the
+    # optimizer happily runs the window key-partitioned, serializing
+    # each key into one task at 100 TB (the very shape the bucket
+    # decomposition exists to avoid). This shuffle replaces the
+    # ENSURE_REQUIREMENTS exchange the window needed anyway; it is not
+    # an extra one.
+    bucketed = bucketed.repartition(*keys, "__bkt")
     wloc = (
         Window.partitionBy(*keys, "__bkt")
         .orderBy("at_ts")
@@ -294,7 +311,14 @@ def interval_concurrency(
         "__bkt",
         (F.sum("__bnet").over(woff) - F.col("__bnet")).alias("__off"),
     )
-    return local.join(F.broadcast(offsets), [*keys, "__bkt"]).select(
+    # same policy for offsets: keyless is <= n_buckets rows (bounded
+    # constant, safe to hint); keyed is keys x buckets -> AQE decides.
+    off_joined = (
+        local.join(offsets, [*keys, "__bkt"])
+        if keys
+        else local.join(F.broadcast(offsets), ["__bkt"])
+    )
+    return off_joined.select(
         *keys,
         "at_ts",
         (F.col("__run_loc") + F.col("__off")).cast("long").alias("concurrent"),
@@ -610,10 +634,17 @@ def seasonal_outlier_counts(
         F.first("n").alias("n"),
         F.first("seasonal_mean").alias("seasonal_mean"),
         F.sum(
-            (
-                F.abs(F.col("v") - F.col("seasonal_mean"))
-                > F.lit(float(n_sigma)) * F.col("sigma")
-            ).cast("long")
+            # coalesce per row, matching the oracle's CASE WHEN ..
+            # ELSE 0: a singleton key has NULL stddev_samp, making the
+            # predicate NULL — without the coalesce SUM over all-NULL
+            # returns NULL n_outliers where the SQL twin returns 0.
+            F.coalesce(
+                (
+                    F.abs(F.col("v") - F.col("seasonal_mean"))
+                    > F.lit(float(n_sigma)) * F.col("sigma")
+                ).cast("long"),
+                F.lit(0),
+            )
         ).alias("n_outliers"),
     )
     return out.select(

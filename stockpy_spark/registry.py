@@ -27,73 +27,18 @@ except ImportError:  # extensions land incrementally
 _ALL = {**CORE_QUERIES, **EXT_QUERIES, **TPCH2_QUERIES, **HIVE_QUERIES, **TS_QUERIES, **GRAPH_QUERIES, **STREAM_QUERIES, **R6_QUERIES, **R6B_QUERIES, **R6C_QUERIES, **R6D_QUERIES, **R6E_QUERIES, **R7_QUERIES}
 
 # The driver's correctness gate checks the FIRST 50 queries in dict
-# insertion order. Round-8 rotation: the 11 round-7 queries that are
-# judge/pytest green but never got a driver row lead the window, then
-# the 39 oldest driver-green queries (the r04 block, four rounds
-# stale). Past the window: the 7 r04 queries that didn't fit (they
-# head the round-9 window), then r05/r06/r07 blocks freshest-last,
-# and the five rows-only queries (no SQL oracle by design) pinned
-# PERMANENTLY at the end so the driver never burns a sampled slot on
-# a guaranteed `no_oracle` err row again (r07's only non-green row).
+# insertion order. Round-9 rotation: the 7 remaining r04-stale queries
+# lead (after this, no query's newest driver row is older than r05),
+# then the 5 queries whose CODE changed this round so the driver
+# re-validates the new code, then 38 of the 50 r05-green queries,
+# oldest rows first. Past the window: r05 spill heads the round-10
+# queue, then r06/r07/r08 blocks freshest-last, and the five
+# rows-only queries (no SQL oracle by design) pinned PERMANENTLY at
+# the end so the driver never burns a sampled slot on a guaranteed
+# `no_oracle` err row (r07's only non-green row).
 DRIVER_PRIORITY = [
-    # --- round-8 window (50, all oracle-backed) ---
-    # the 11 round-7 queries still without a driver row (judge+pytest
-    # green since r7; CORRECTNESS_r08 is their first driver hash)
-    "semdedup_prune",
-    "gate_kll_rollup",
-    "gate_theta_overlap",
-    "stream_cdc_upsert",
-    "stats_ols2",
-    "fmt_xml_events",
-    "graph_sssp_weighted",
-    "ts_seasonal_outliers",
-    "dq_snapshot_diff",
-    "dedup_temporal",
-    "gate_hll_by_type",
-    # r04-stale refresh, oldest-first (39) — newest driver row is r04,
-    # four rounds old; this rotation re-pins them
-    "a2_count_star",
-    "a3_distinct",
-    "p2_rename_literal",
-    "p6_filter_range",
-    "p7_cross_column_equal",
-    "f12_conditional",
-    "hive_prune_day",
-    "hive_partition_counts",
-    "hive_prune_range",
-    "hive_incremental_cycle",
-    "mm_decode_png",
-    "flagship_event_enrichment",
-    "q1_pricing_summary",
-    "q3_top_unshipped",
-    "o1_topk",
-    "set1_union_by_name",
-    "f1_regexp_date_json",
-    "f7_string_funcs",
-    "p4_fuzzy_align",
-    "pipeline_extract_stocks",
-    "mm_decode_pixels",
-    "q8_market_share",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q19_disjunctive",
-    "q21_blame_supplier",
-    "q16_supplier_variety",
-    "q20_heavy_shippers",
-    "f13_array_funcs",
-    "dedup_exact_stats",
-    "dedup_exact_docs",
-    "dedup_word_jaccard",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_minhash_assign",
-    "dedup_simhash",
-    "dedup_simhash64",
-    "dedup_embedding_cosine",
-    "sim_cosine_topk",
-    # --- first-50 window closes at sim_cosine_topk above ---
-    # round-9 queue head: the 7 remaining r04-stale queries (oracle-
-    # backed; they just didn't fit the 50-slot window this round)
+    # --- round-9 window (50, all oracle-backed) ---
+    # the 7 remaining r04-stale queries (newest driver row is r04)
     "text_token_count",
     "text_quality_score",
     "text_lang_id",
@@ -101,7 +46,18 @@ DRIVER_PRIORITY = [
     "text_redact_pii",
     "asof_purchase_view",
     "pipeline_clean_corpus",
-    # r05-green block
+    # round-9 code changes: the seasonal NULL-sigma coalesce, the
+    # snapshot_diff empty-input guards, the interval_concurrency
+    # broadcast-policy rework, the CDC sink's collision-safe
+    # snapshot naming + marker-based recovery, and the GIF
+    # transparency/disposal-3 compositing (new fixture + oracle) --
+    # each needs a fresh driver row on the NEW code
+    "ts_seasonal_outliers",
+    "dq_snapshot_diff",
+    "stream_cdc_upsert",
+    "ev_concurrency",
+    "mm_gif_frames",
+    # r05-green refresh, oldest rows first (38 fit the window)
     "mm_decode_features",
     "text_fingerprint",
     "text_repetition",
@@ -141,6 +97,7 @@ DRIVER_PRIORITY = [
     "set2_intersect",
     "set3_except",
     "f10_string_funcs",
+    # --- first-50 window closes above; r05 spill heads the r10 queue ---
     "f11_date_funcs",
     "q13_custdist",
     "q17_small_qty",
@@ -199,12 +156,10 @@ DRIVER_PRIORITY = [
     "emb_kmeans_assign",
     "emb_kmeans_summary",
     "quality_robust_clip",
-    # r07-green block, freshest rows last
-    "ev_concurrency",
+    # r07-green block
     "gate_hll_rollup",
     "ts_session_window",
     "stream_dedup_keys",
-    "mm_gif_frames",
     "funnel_conversion",
     "cohort_retention_weekly",
     "part_pagerank",
@@ -249,11 +204,57 @@ DRIVER_PRIORITY = [
     "gate_pca_variance",
     "text_bpe_vocab",
     "agg_price_volume",
-    # rows-only queries (no SQL-expressible oracle by design) are
-    # PERMANENTLY last: a driver row for them can only be a `no_oracle`
-    # err, and their hash-green gate twins (text_bpe_vocab,
-    # gate_embedding_lsh_recall, gate_ann_recall, gate_ivf_recall,
-    # gate_approx_distinct_err) carry the correctness signal instead.
+    # r08-green block (freshest driver rows)
+    "semdedup_prune",
+    "gate_kll_rollup",
+    "gate_theta_overlap",
+    "stats_ols2",
+    "fmt_xml_events",
+    "graph_sssp_weighted",
+    "dedup_temporal",
+    "gate_hll_by_type",
+    "a2_count_star",
+    "a3_distinct",
+    "p2_rename_literal",
+    "p6_filter_range",
+    "p7_cross_column_equal",
+    "f12_conditional",
+    "hive_prune_day",
+    "hive_partition_counts",
+    "hive_prune_range",
+    "hive_incremental_cycle",
+    "mm_decode_png",
+    "flagship_event_enrichment",
+    "q1_pricing_summary",
+    "q3_top_unshipped",
+    "o1_topk",
+    "set1_union_by_name",
+    "f1_regexp_date_json",
+    "f7_string_funcs",
+    "p4_fuzzy_align",
+    "pipeline_extract_stocks",
+    "mm_decode_pixels",
+    "q8_market_share",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q19_disjunctive",
+    "q21_blame_supplier",
+    "q16_supplier_variety",
+    "q20_heavy_shippers",
+    "f13_array_funcs",
+    "dedup_exact_stats",
+    "dedup_exact_docs",
+    "dedup_word_jaccard",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_minhash_assign",
+    "dedup_simhash",
+    "dedup_simhash64",
+    "dedup_embedding_cosine",
+    "sim_cosine_topk",
+    # rows-only queries (no SQL-expressible oracle by design) pinned
+    # PERMANENTLY last so the driver never burns a sampled slot on a
+    # guaranteed no_oracle row
     "text_bpe_merges",
     "dedup_embedding_lsh",
     "sim_ann_lsh",

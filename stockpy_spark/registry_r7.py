@@ -27,8 +27,13 @@ from stockpy_spark.registry_r6b import _SQL_KMEANS_CTES
 
 def q_mm_gif_frames(spark, sf_dir):
     """Animated-GIF frame extraction: encode doc_id % 3 + 2 closed-form
-    frames per document, decode ALL frames back (LZW + compositing),
-    keep every 2nd frame, and emit per-frame pixel stats."""
+    frames per document — frame 0 opaque, every later frame carrying
+    GCE TRANSPARENCY (checkerboard holes showing the base frame) and
+    DISPOSAL 3 (restore-to-previous) — decode ALL frames back (LZW +
+    full compositing model), keep every 2nd frame, and emit per-frame
+    pixel stats. The oracle states each composited canvas arithmetically
+    (transparent positions resolve to the frame-0 pattern), so a decoder
+    that drops transparency or mishandles disposal 3 hash-mismatches."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     assets = attach_gif_anim_payload(docs, "doc_id")
     return extract_frame_features(assets, every_k=2)
@@ -41,7 +46,10 @@ WITH dims AS (
     FROM documents
 ), px AS (
     SELECT d.doc_id, f.f AS frame_id, d.w, d.h,
-           SUM((d.doc_id * 31 + f.f * 13 + y.y * 17 + x.x * 7 + c.c * 5)
+           SUM((d.doc_id * 31
+                + CASE WHEN f.f > 0 AND (x.x + y.y + f.f) % 2 = 0
+                       THEN 0 ELSE f.f END * 13
+                + y.y * 17 + x.x * 7 + c.c * 5)
                % 256) AS px_sum
     FROM dims d
     JOIN generate_series(0, 3) f(f) ON f.f < d.nf AND f.f % 2 = 0

@@ -500,8 +500,26 @@ def run_cdc_merge_to_parquet(
        directory swap, where a crash between the two renames makes a
        restart silently rebuild state from replayed batches only).
        Startup recovers from pre-pointer crashes: a missing pointer
-       with surviving ``.snap-*`` dirs re-links the newest one that
-       has a ``_SUCCESS`` marker.
+       with surviving ``.snap-*``/``.tmp-*``/``.old-*`` dirs re-links
+       the newest complete one. Completeness is judged by the sink's
+       OWN ``_CDC_COMMIT`` marker (written after every snapshot
+       parquet write, and into the table before migration renames),
+       not by Spark's ``_SUCCESS``, which is absent whenever
+       ``mapreduce.fileoutputcommitter.marksuccessfuljobs`` is
+       disabled or the table was produced by a non-Spark writer —
+       ``_SUCCESS`` is accepted as a fallback for snapshots written
+       by older versions of this sink. ``.old-*`` dirs (the legacy
+       two-rename sink's renamed-away prior table) are always
+       complete by construction and need no marker.
+
+    Snapshot names never collide with the LIVE snapshot: after a
+    crash between pointer flip and checkpoint commit (batch replay),
+    or a restart with a fresh checkpoint dir (batch_id restarts at
+    0), ``.snap-{batch_id}`` can equal the currently-linked dir —
+    writing there would delete the very files the merge is reading
+    mid-job. The writer suffixes ``-r`` until the target differs from
+    ``os.path.realpath(table_dir)``; it never skips the write (a
+    fresh-checkpoint batch 0 carries NEW data under a reused id).
 
     Readers keep the plain ``spark.read.parquet(table_dir)`` API (the
     local filesystem follows the symlink). Scale shape: the table
@@ -511,13 +529,42 @@ def run_cdc_merge_to_parquet(
     sink is the engine-native local-FS equivalent with the same
     observable semantics (object stores have no atomic rename, so
     there the table-format route is the only correct one)."""
-    import glob
     import os
     import shutil
 
     from pyspark.sql.window import Window
 
     order = [F.col(c).desc() for c in order_cols]
+    _MARKER = "_CDC_COMMIT"
+
+    def mark_committed(snap: str) -> None:
+        with open(os.path.join(snap, _MARKER), "w"):
+            pass
+
+    def is_complete(snap: str) -> bool:
+        """.old-* is a renamed-away LIVE table (complete by
+        construction); snapshots need the sink marker (or legacy
+        _SUCCESS from pre-marker versions of this sink)."""
+        if ".old-" in os.path.basename(snap):
+            return True
+        return any(
+            os.path.exists(os.path.join(snap, m))
+            for m in (_MARKER, "_SUCCESS")
+        )
+
+    def siblings() -> list[str]:
+        """All snapshot/tmp/old dirs beside table_dir. scandir +
+        startswith, NOT glob — a table path containing glob
+        metacharacters ([, ?, *) would make a glob pattern silently
+        match nothing, breaking both recovery and stale cleanup."""
+        abs_dir = os.path.abspath(table_dir)
+        parent, base = os.path.dirname(abs_dir), os.path.basename(abs_dir)
+        prefixes = tuple(f"{base}.{k}-" for k in ("snap", "tmp", "old"))
+        return [
+            e.path
+            for e in os.scandir(parent or ".")
+            if e.name.startswith(prefixes) and e.is_dir(follow_symlinks=False)
+        ]
 
     def latest(df: DataFrame) -> DataFrame:
         w = Window.partitionBy(*keys).orderBy(*order)
@@ -542,11 +589,7 @@ def run_cdc_merge_to_parquet(
         silently lost to a replay-only rebuild."""
         if os.path.exists(table_dir):
             return
-        snaps = [
-            s
-            for s in glob.glob(f"{table_dir}.snap-*") + glob.glob(f"{table_dir}.tmp-*")
-            if os.path.exists(os.path.join(s, "_SUCCESS"))
-        ]
+        snaps = [s for s in siblings() if is_complete(s)]
         if snaps:
             flip_pointer(max(snaps, key=os.path.getmtime), "recover")
 
@@ -558,7 +601,12 @@ def run_cdc_merge_to_parquet(
         if os.path.isdir(table_dir) and not os.path.islink(table_dir):
             # Migrate a plain-directory table (pre-pointer layout) into
             # a snapshot; recover_pointer() covers a crash mid-migration.
+            # The marker is written BEFORE the rename so it travels with
+            # the dir — a plain table written by a non-Spark tool has no
+            # _SUCCESS, and a crash between rename and flip must still
+            # leave a recoverable (marked) snapshot behind.
             base_snap = f"{table_dir}.snap-base-{batch_id}"
+            mark_committed(table_dir)
             os.rename(table_dir, base_snap)
             flip_pointer(base_snap, f"migrate-{batch_id}")
         prev_snap = os.path.realpath(table_dir) if os.path.isdir(table_dir) else None
@@ -566,10 +614,20 @@ def run_cdc_merge_to_parquet(
             base = spark.read.parquet(prev_snap)
             merged = latest(base.unionByName(merged))
         snap = f"{table_dir}.snap-{batch_id}"
+        # NEVER write onto the live snapshot: batch replay after a
+        # crash-between-flip-and-checkpoint, or a fresh-checkpoint
+        # restart reusing batch_id 0, makes .snap-{batch_id} the very
+        # dir the merge above is reading — an overwrite there deletes
+        # its input files mid-job and strands the pointer on a
+        # destroyed snapshot. Suffix until distinct; do not skip the
+        # write (a reused batch id can carry new data).
+        while prev_snap is not None and os.path.realpath(snap) == prev_snap:
+            snap += "-r"
         merged.write.mode("overwrite").parquet(snap)
+        mark_committed(snap)
         flip_pointer(snap, str(batch_id))
         current = os.path.realpath(table_dir)
-        for stale in glob.glob(f"{table_dir}.snap-*") + glob.glob(f"{table_dir}.tmp-*"):
+        for stale in siblings():
             if os.path.realpath(stale) != current:
                 shutil.rmtree(stale, ignore_errors=True)
 

@@ -467,12 +467,20 @@ def test_concurrency_data_window_is_bucket_partitioned(spark):
     # the key-only offset window runs over the KB-sized bucket frame
     import re
 
-    p = plan(QUERIES["ev_concurrency"](spark, SF_DIR), "simple")
+    df = QUERIES["ev_concurrency"](spark, SF_DIR)
+    p = plan(df, "simple")
     assert re.search(
         r"Exchange hashpartitioning\(event_type#\d+, __bkt#\d+", p
     ), "local running-sum window lost its (key, bucket) partitioning"
-    # both census and offsets come back as broadcasts, never shuffles
-    assert p.count("BroadcastExchange") >= 2
+    # round-9 policy: census and offsets are keys-sized frames, so they
+    # are plain equi-joins with NO forced broadcast hint (a hint there
+    # is an OOM for per-user keys at 100x). AQE must still turn them
+    # into broadcasts AT RUNTIME while they fit — assert on the
+    # executed adaptive plan, not the static one.
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("BroadcastHashJoin") >= 2, executed[:2000]
 
 
 def test_semantic_dedup_arrow_no_pair_join_no_hof(spark):

@@ -394,3 +394,28 @@ def test_snapshot_diff_null_safe_classification(spark):
     assert (r.n_added, r.n_removed) == (1, 1)
     assert (r.n_changed, r.n_unchanged) == (2, 1)
     assert r.changed_p == 1 and r.changed_s == 1
+
+
+def test_snapshot_diff_empty_snapshots_report_zero_counts(spark):
+    """Two empty snapshots: the ungrouped agg runs over zero rows, so
+    every SUM is NULL unless coalesced — the contract (and the DuckDB
+    oracle) says a single all-zero row (round-8 ADVICE)."""
+    from stockpy_spark.operators.quality import snapshot_diff
+
+    empty = spark.createDataFrame([], "k long, p double, s string")
+    r = snapshot_diff(empty, empty, ["k"], ["p", "s"]).collect()[0]
+    assert (r.n_old, r.n_new, r.n_added, r.n_removed) == (0, 0, 0, 0)
+    assert (r.n_changed, r.n_unchanged) == (0, 0)
+    assert (r.changed_p, r.changed_s) == (0, 0)
+
+
+def test_snapshot_diff_rejects_empty_compare_cols(spark):
+    """compare_cols=[] used to raise IndexError deep in expression
+    construction; it must be a clear ValueError at the API edge."""
+    import pytest
+
+    from stockpy_spark.operators.quality import snapshot_diff
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="compare column"):
+        snapshot_diff(df, df, ["k"], [])

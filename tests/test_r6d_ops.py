@@ -743,3 +743,24 @@ def test_bpe_arrow_kernel_equals_fold(spark):
         for r in apply_bpe_merges_arrow(df, "text", "doc_id", table).collect()
     )
     assert fold == arrow and len(fold) > 0
+
+
+def test_matched_controls_string_pool_ids(spark):
+    """Pool ids keep their native type: string/UUID ids must survive
+    (a silent long-cast would NULL them all) and the tie-break is the
+    string's own lexicographic ordering (round-7 promise)."""
+    from stockpy_spark.operators.sampling import matched_controls
+
+    ev = spark.createDataFrame([("e-1", 50), ("e-2", 7)], ["doc_id", "n"])
+    pool = spark.createDataFrame(
+        [("aa-40", 40), ("uuid-49", 49), ("zz-49", 49), ("big-100", 100)],
+        ["doc_id", "n"],
+    )
+    out = {
+        r.eval_id: (r.control_id, r.gap)
+        for r in matched_controls(ev, pool, "doc_id", "n", 25.0).collect()
+    }
+    # nearest below 50 is 49; the 49-tie resolves to the LEXICOGRAPHIC
+    # max id ("zz-49" > "uuid-49")
+    assert out["e-1"] == ("zz-49", 1.0)
+    assert out["e-2"] == (None, None)

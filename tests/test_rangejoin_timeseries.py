@@ -391,3 +391,26 @@ def test_ewma_arrow_matches_fold_within_ulp_tolerance(spark):
         n_a, e_a = arrow[uid]
         assert n_a == n_f
         assert abs(e_a - e_f) <= 1e-12 * max(1.0, abs(e_f)), uid
+
+
+def test_seasonal_outlier_counts_singleton_key_zero_not_null(spark):
+    """A key with exactly one row has NULL stddev_samp; the outlier
+    predicate is then NULL per row and an uncoalesced SUM would return
+    NULL n_outliers — the DuckDB oracle's CASE WHEN .. ELSE 0 says 0.
+    (round-8 ADVICE: latent driver red on a regenerated fixture)."""
+    from datetime import datetime, timedelta
+
+    from stockpy_spark.operators.timeseries import seasonal_outlier_counts
+
+    base = datetime(2024, 1, 1)
+    rows = [("solo", base, 42.0)]                    # singleton key
+    for wk in range(3):                              # plus a normal key
+        rows.append(("k", base + timedelta(weeks=wk), 10.0))
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double"
+    )
+    out = {r.event_type: r for r in seasonal_outlier_counts(
+        df, "ts", "value", "event_type").collect()}
+    assert out["solo"].n_outliers == 0               # NOT None
+    assert out["solo"].n == 1
+    assert out["k"].n_outliers == 0

@@ -537,8 +537,9 @@ def test_gif_decoder_skips_extensions_and_rejects_corruption():
 def test_gif_animated_roundtrip_and_seams():
     """Animated GIF89a: every composited frame decodes bit-exact;
     single-frame payloads from the still encoder are a 1-frame
-    animation; disposal 2 restores the rect to background; the
-    transparency and disposal-3 seams raise NotImplementedError."""
+    animation; disposal 2 restores the rect to background; GCE
+    transparency and disposal 3 composite correctly even when patched
+    into a foreign payload (round 9 closed these former seams)."""
     import numpy as np
     import pytest
 
@@ -581,14 +582,21 @@ def test_gif_animated_roundtrip_and_seams():
     assert np.array_equal(decoded[0], frames[0])
     assert np.array_equal(decoded[1], frames[1])  # full-rect repaint
 
-    # transparency flag -> documented seam
+    # transparency flag patched in: the GCE's transparent-index byte is
+    # 0, so palette slot 0's pixels show the (black) canvas through
     payload[gce_at + 3] = 0x04 | 0x01
-    with pytest.raises(NotImplementedError, match="transparent"):
-        decode_gif_frames(bytes(payload))
-    # disposal 3 (restore to previous) -> documented seam
+    decoded = decode_gif_frames(bytes(payload))
+    _, inverse = np.unique(
+        frames[0].reshape(-1, 3), axis=0, return_inverse=True
+    )
+    hole = (inverse == 0).reshape(frames[0].shape[:2])[:, :, None]
+    assert np.array_equal(decoded[0], np.where(hole, 0, frames[0]))
+    # disposal 3 (restore to previous): frame 0 renders, the canvas
+    # reverts to pre-frame black, frame 1's full repaint is unaffected
     payload[gce_at + 3] = 0x0C
-    with pytest.raises(NotImplementedError, match="disposal"):
-        decode_gif_frames(bytes(payload))
+    decoded = decode_gif_frames(bytes(payload))
+    assert np.array_equal(decoded[0], frames[0])
+    assert np.array_equal(decoded[1], frames[1])
 
 
 def test_extract_frame_features_sampling(spark):
@@ -614,6 +622,14 @@ def test_extract_frame_features_sampling(spark):
     assert set(got) == expected_keys
     for (i, f), r in got.items():
         fr = _fake_frame(i, f).astype(np.int64)
+        if f > 0:
+            # round 9: frames f >= 1 carry checkerboard transparency
+            # over the base frame (disposal 3 keeps the base current)
+            h, w = fr.shape[:2]
+            yy = np.arange(h).reshape(h, 1)
+            xx = np.arange(w).reshape(1, w)
+            hole = ((xx + yy + f) % 2 == 0)[:, :, None]
+            fr = np.where(hole, _fake_frame(i, 0).astype(np.int64), fr)
         assert r.px_sum == int(fr.sum()), (i, f)
         assert r.width == i % 8 + 4 and r.height == i % 6 + 4
 
@@ -878,3 +894,193 @@ def test_cdc_merge_migrates_plain_directory_table(spark, tmp_path):
     )
     got = {r.user: (r.event_id, r.value) for r in spark.read.parquet(table).collect()}
     assert got == {"u1": (1, 5.0), "u2": (2, 7.0)}
+
+
+def test_cdc_merge_never_overwrites_live_snapshot(spark, tmp_path):
+    """Round-8 ADVICE high: a fresh-checkpoint restart reuses batch_id
+    0, so the naive snapshot name equals the LIVE snapshot — writing
+    there deletes the merge's own input files mid-job (empirically
+    fatal with AQE off). The sink must write a differently-named
+    snapshot and keep both keys, with adaptive execution DISABLED so
+    nothing accidentally materializes the read first."""
+    import os
+
+    from stockpy_spark.streaming.ops import run_cdc_merge_to_parquet
+
+    schema_s = "event_id long, user string, value double, ts_s string"
+
+    def write_src(path, rows):
+        (spark.createDataFrame(rows, schema_s)
+         .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+         .coalesce(1).write.mode("append").parquet(path))
+        return spark.read.parquet(path).schema
+
+    table = str(tmp_path / "cdc_table")
+    src1 = str(tmp_path / "src1")
+    schema = write_src(src1, [(1, "u1", 5.0, "2024-01-01 00:00:00")])
+    run_cdc_merge_to_parquet(
+        spark.readStream.schema(schema).parquet(src1),
+        table, str(tmp_path / "ckpt1"),
+        keys=["user"], order_cols=["ts", "event_id"],
+    )
+    snap_before = os.path.realpath(table)
+    src2 = str(tmp_path / "src2")
+    write_src(src2, [(2, "u2", 7.0, "2024-01-02 00:00:00")])
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        # fresh checkpoint -> batch_id restarts at 0 == the live snap's id
+        run_cdc_merge_to_parquet(
+            spark.readStream.schema(schema).parquet(src2),
+            table, str(tmp_path / "ckpt2"),
+            keys=["user"], order_cols=["ts", "event_id"],
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    assert os.path.realpath(table) != snap_before
+    got = {r.user: r.value for r in spark.read.parquet(table).collect()}
+    assert got == {"u1": 5.0, "u2": 7.0}
+
+
+def test_cdc_merge_recovers_from_legacy_old_dir_without_success(spark, tmp_path):
+    """Round-8 ADVICE low: the legacy two-rename sink's crash leaves
+    the prior table only in .old-{batch_id} — with NO _SUCCESS if the
+    committer's marksuccessfuljobs was disabled. Recovery must accept
+    it (a renamed-away live table is complete by construction) and the
+    next commit must clean the stale .old-* up."""
+    import os
+
+    from stockpy_spark.streaming.ops import run_cdc_merge_to_parquet
+
+    schema_s = "event_id long, user string, value double, ts_s string"
+    table = str(tmp_path / "cdc_table")
+    old_dir = table + ".old-3"
+    (spark.createDataFrame([(1, "u1", 5.0, "2024-01-01 00:00:00")], schema_s)
+     .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+     .coalesce(1).write.mode("overwrite").parquet(old_dir))
+    success = os.path.join(old_dir, "_SUCCESS")
+    if os.path.exists(success):
+        os.remove(success)
+    assert not os.path.exists(table)
+    src = str(tmp_path / "src")
+    (spark.createDataFrame([(2, "u2", 7.0, "2024-01-02 00:00:00")], schema_s)
+     .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+     .coalesce(1).write.mode("append").parquet(src))
+    schema = spark.read.parquet(src).schema
+    run_cdc_merge_to_parquet(
+        spark.readStream.schema(schema).parquet(src),
+        table, str(tmp_path / "ckpt"),
+        keys=["user"], order_cols=["ts", "event_id"],
+    )
+    got = {r.user: r.value for r in spark.read.parquet(table).collect()}
+    assert got == {"u1": 5.0, "u2": 7.0}   # u1 via .old-* recovery
+    assert not os.path.exists(old_dir)     # stale legacy dir cleaned
+
+
+def test_cdc_merge_table_path_with_glob_metacharacters(spark, tmp_path):
+    """Round-8 ADVICE low: a table path containing glob metacharacters
+    ([, ?, *) used to make the Python-side recovery/cleanup glob
+    patterns silently match nothing (snapshots accumulate unbounded).
+    The scandir-based listing must still see siblings: a stale
+    uncommitted .tmp-* dir beside the weird path is skipped by
+    recovery (no commit marker) and removed by the first commit's
+    cleanup. Spark reads go through a clean alias symlink because
+    Hadoop ALSO globs read paths — the weird path is exercised only on
+    the Python side, which is where the bug lived."""
+    import os
+
+    from stockpy_spark.streaming.ops import run_cdc_merge_to_parquet
+
+    schema_s = "event_id long, user string, value double, ts_s string"
+    weird_parent = tmp_path / "run[7]"
+    weird_parent.mkdir()
+    table = str(weird_parent / "cdc_table")
+    stale_tmp = table + ".tmp-9"
+    os.makedirs(stale_tmp)
+    with open(os.path.join(stale_tmp, "junk.parquet"), "w") as f:
+        f.write("half-written")
+    src = str(tmp_path / "src")
+    (spark.createDataFrame([(1, "u1", 5.0, "2024-01-01 00:00:00")], schema_s)
+     .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+     .coalesce(1).write.mode("append").parquet(src))
+    schema = spark.read.parquet(src).schema
+    run_cdc_merge_to_parquet(
+        spark.readStream.schema(schema).parquet(src),
+        table, str(tmp_path / "ckpt"),
+        keys=["user"], order_cols=["ts", "event_id"],
+    )
+    # recovery did NOT link the uncommitted tmp; a fresh snapshot was
+    # written and the stale tmp was cleaned up
+    assert os.path.islink(table)
+    assert not os.path.exists(stale_tmp)
+    leftovers = [
+        e.name for e in os.scandir(weird_parent)
+        if e.name.startswith("cdc_table.")
+        and e.is_dir(follow_symlinks=False)
+    ]
+    assert len(leftovers) == 1, leftovers  # only the live snapshot
+    alias = str(tmp_path / "alias_table")
+    os.symlink(os.path.realpath(table), alias)
+    got = {r.user: r.value for r in spark.read.parquet(alias).collect()}
+    assert got == {"u1": 5.0}
+
+
+def test_gif_transparency_and_disposal3_compositing():
+    """Full GIF89a compositing model (round-9, closes the r7 codec
+    seam): transparent pixels show the prior canvas through; disposal 3
+    restores the canvas to its pre-frame state, so frame f's holes show
+    the BASE frame, never frame f-1's pattern."""
+    import numpy as np
+
+    from stockpy_spark.operators.multimodal import (
+        _fake_frame,
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+
+    for i in (0, 1, 5, 7, 23):
+        nf = i % 3 + 2
+        h, w = i % 6 + 4, i % 8 + 4
+        yy = np.arange(h).reshape(h, 1)
+        xx = np.arange(w).reshape(1, w)
+        masks = [None] + [(xx + yy + f) % 2 == 0 for f in range(1, nf)]
+        payload = encode_gif_animated(
+            [_fake_frame(i, f) for f in range(nf)],
+            transparent_masks=masks,
+            disposals=[1] + [3] * (nf - 1),
+        )
+        frames = decode_gif_frames(payload)
+        assert len(frames) == nf
+        base = _fake_frame(i, 0)
+        assert (frames[0] == base).all()
+        for f in range(1, nf):
+            hole = ((xx + yy + f) % 2 == 0)[:, :, None]
+            want = np.where(hole, base, _fake_frame(i, f))
+            # a do-not-dispose bug would leave frame f-1's pattern in
+            # frame f's holes instead of the base
+            assert (frames[f] == want).all(), (i, f)
+
+
+def test_gif_disposal2_restores_background_between_frames():
+    """Disposal 2 blanks the rect to background (black) before the next
+    frame; a following transparent frame's holes must show BLACK."""
+    import numpy as np
+
+    from stockpy_spark.operators.multimodal import (
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+
+    h = w = 6
+    f0 = np.full((h, w, 3), 200, np.uint8)
+    f1 = np.full((h, w, 3), 50, np.uint8)
+    yy = np.arange(h).reshape(h, 1)
+    xx = np.arange(w).reshape(1, w)
+    hole = (xx + yy) % 2 == 0
+    payload = encode_gif_animated(
+        [f0, f1], transparent_masks=[None, hole], disposals=[2, 1]
+    )
+    frames = decode_gif_frames(payload)
+    assert (frames[0] == f0).all()
+    want = np.where(hole[:, :, None], np.zeros_like(f1), f1)
+    assert (frames[1] == want).all()
