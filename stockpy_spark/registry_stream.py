@@ -499,6 +499,58 @@ QUALIFY row_number() OVER (PARTITION BY user_id
 """
 
 
+def q_stream_late_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked late-data accounting — the eighth streaming class:
+    replay the events table as THREE ordered arrival waves (last 7
+    days, then the 7-10-day band, then everything older than 10 days),
+    run an hourly windowed count under a 1-hour watermark, and emit
+    the audit row tying observe() ingest metrics, the state store's
+    numRowsDroppedByWatermark counter, and the materialized sink
+    together: n_late_rows = n_input - n_on_time, with n_dropped_groups
+    the distinct (window, key) groups among them. Wave 1 advances
+    the watermark to max(ts)-1h; wave 2 is late-but-ACCEPTED (Spark
+    4's late-record filter runs one batch behind the eviction
+    watermark — see run_windowed_late_accounting's docstring); wave 3
+    is refused by the now-active filter, every row, deterministically
+    (its windows closed ~10 days before the watermark). The oracle
+    recomputes every term from the raw table and the band rule
+    (streaming/ops.py run_windowed_late_accounting)."""
+    from stockpy_spark.streaming.ops import run_windowed_late_accounting
+
+    e = read_events(spark, sf_dir).where(F.col("ts").isNotNull()).select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    # bounded driver scalar (one max), same class as kmeans centroids
+    mx = e.agg(F.max(F.col("ts").cast("long"))).collect()[0][0]
+    sec = F.col("ts").cast("long")
+    recent = e.where(sec >= mx - 604_800)
+    margin = e.where((sec >= mx - 864_000) & (sec < mx - 604_800))
+    late = e.where(sec < mx - 864_000)
+    return run_windowed_late_accounting(
+        spark, [recent, margin, late], "ts", "event_type", "1 hour", "1 hour"
+    )
+
+
+SQL_STREAM_LATE = """
+WITH b AS (
+    SELECT CAST(floor(epoch(ts)) AS BIGINT) AS e, event_type
+    FROM events WHERE ts IS NOT NULL
+), mx AS (SELECT max(e) AS m FROM b),
+ontime AS (SELECT e, event_type FROM b, mx WHERE e >= m - 864000),
+late AS (SELECT e, event_type FROM b, mx WHERE e < m - 864000)
+SELECT CAST((SELECT count(*) FROM ontime)
+            + (SELECT count(*) FROM late) AS BIGINT) AS n_input,
+       CAST((SELECT count(*) FROM ontime) AS BIGINT) AS n_on_time,
+       CAST((SELECT count(*) FROM late) AS BIGINT) AS n_late_rows,
+       CAST((SELECT count(*) FROM (
+            SELECT DISTINCT e // 3600, event_type FROM late
+       )) AS BIGINT) AS n_dropped_groups,
+       CAST((SELECT count(*) FROM (
+            SELECT DISTINCT e // 3600, event_type FROM ontime
+       )) AS BIGINT) AS n_windows
+"""
+
+
 STREAM_QUERIES = {
     "stream_hourly_agg": (q_stream_hourly_agg, SQL_STREAM_HOURLY),
     "stream_hopping_agg": (q_stream_hopping_agg, SQL_STREAM_HOPPING),
@@ -507,4 +559,5 @@ STREAM_QUERIES = {
     "stream_running_stats": (q_stream_running_stats, SQL_STREAM_STATS),
     "stream_join_attribution": (q_stream_join_attribution, SQL_STREAM_JOIN),
     "stream_cdc_upsert": (q_stream_cdc_upsert, SQL_STREAM_CDC),
+    "stream_late_accounting": (q_stream_late_accounting, SQL_STREAM_LATE),
 }

@@ -639,3 +639,121 @@ def run_cdc_merge_to_parquet(
         .start()
         .awaitTermination()
     )
+
+
+def run_windowed_late_accounting(
+    spark: SparkSession,
+    batches: list[DataFrame],
+    ts: str,
+    key: str,
+    window_duration: str,
+    watermark: str,
+) -> DataFrame:
+    """Watermarked windowed aggregation WITH late-data accounting — the
+    batch-parity story for late arrivals, closing the streaming shelf's
+    eighth class. Production streams always drop *something* at the
+    watermark; a pipeline that cannot say HOW MUCH cannot be audited.
+    This runs one windowed count over an ordered file stream and ties
+    three independent instruments together under one result:
+
+    - ``observe()`` on the pre-aggregation stream (``n_input``): the
+      engine-side ingest meter, summed over micro-batch progress
+      events — no second pass over the data;
+    - the state store's ``numRowsDroppedByWatermark`` progress metric
+      (``n_dropped_groups``): what the aggregation refused. Measured
+      fact: this counts rows AFTER the map-side partial aggregate (the
+      watermark filter sits between partial_count and
+      StateStoreRestore in the physical plan), so it equals the number
+      of DISTINCT late (window, key) groups, not raw late rows —
+      verified against the oracle's exact distinct count;
+    - the materialized sink itself (``n_on_time`` = sum of the final
+      per-window counts, ``n_windows``): what actually reached state.
+
+    The audit identity the hash gate pins: ``n_late_rows = n_input -
+    n_on_time`` (ingest meter vs state content — two independent
+    instruments) and ``n_dropped_groups`` = the distinct-group count
+    of exactly those refused rows; the driver oracle recomputes every
+    term from the raw table and the arrival-band rule.
+
+    ``batches`` land as ONE parquet file each with strictly increasing
+    mtimes; the file source (``maxFilesPerTrigger=1``, oldest first)
+    then replays them in order. Spark 4's split-watermark semantics
+    (observed in the StateStoreSave node: ``eventTimeWatermarkForLate
+    Events`` vs ``ForEviction``): batch N's LATE-RECORD filter uses
+    the watermark as of the START of batch N-1 — one batch behind the
+    eviction watermark — so rows arriving in the batch immediately
+    after their window closed are still ACCEPTED, and drops begin one
+    batch later. A deterministic drop scenario therefore needs three
+    arrival waves: one to advance the watermark, one in between, and
+    the genuinely-late wave that the (now-active) filter refuses —
+    verified empirically: 2 waves drop nothing, 3 waves drop exactly
+    the deep-late wave. Scale shape: the accounting adds
+    ZERO work to the stream (observe() folds into the existing batch,
+    the drop counter is free from the state operator); the summary is
+    a driver-side constant row, the windowed state is the same
+    key-sharded store every windowed_agg carries."""
+    import glob
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    workdir = tempfile.mkdtemp(prefix="stockpy_late_acct_")
+    landing = os.path.join(workdir, "landing")
+    os.makedirs(landing)
+    schema = batches[0].schema
+    for i, b in enumerate(batches):
+        tmp = os.path.join(workdir, f"w{i}")
+        b.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(landing, f"batch-{i}.parquet")
+        shutil.move(part, dst)
+        # fixed synthetic mtimes: file-source order is (modTime, path),
+        # so this pins batch order deterministically
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    observed = stream.observe("ingest", F.count(F.lit(1)).alias("n_rows"))
+    agg = windowed_agg(
+        observed,
+        ts,
+        [key],
+        window_duration,
+        {"n_events": F.count("*").cast("long")},
+        watermark=watermark,
+    )
+    sink_path = os.path.join(workdir, "sink")
+    q = run_update_upsert_log_to_parquet(
+        agg, sink_path, os.path.join(workdir, "ckpt")
+    )
+    n_input = 0
+    n_dropped = 0
+    for p in q.recentProgress:
+        d = p if isinstance(p, dict) else json.loads(p.json)
+        ingest = (d.get("observedMetrics") or {}).get("ingest")
+        if ingest:
+            n_input += int(ingest["n_rows"])
+        for sop in d.get("stateOperators") or []:
+            n_dropped += int(sop.get("numRowsDroppedByWatermark", 0))
+    final = read_upsert_log_final(spark, sink_path, ["window_start", key])
+    sums = final.agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("n_events").alias("n_on_time"),
+    ).collect()[0]
+    n_on_time = int(sums["n_on_time"] or 0)
+    return spark.createDataFrame(
+        [
+            (
+                n_input,
+                n_on_time,
+                n_input - n_on_time,
+                n_dropped,
+                int(sums["n_windows"]),
+            )
+        ],
+        "n_input long, n_on_time long, n_late_rows long, "
+        "n_dropped_groups long, n_windows long",
+    )

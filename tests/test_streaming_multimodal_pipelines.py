@@ -1084,3 +1084,34 @@ def test_gif_disposal2_restores_background_between_frames():
     assert (frames[0] == f0).all()
     want = np.where(hole[:, :, None], np.zeros_like(f1), f1)
     assert (frames[1] == want).all()
+
+
+def test_late_accounting_three_wave_drop_semantics(spark, tmp_path):
+    """The eighth streaming class (round 9): observe() ingest metering
+    + numRowsDroppedByWatermark + sink content under one audit row.
+    Pins the MEASURED Spark 4 semantics: the late-record filter runs
+    one batch behind the eviction watermark, so wave 2 (late-but-
+    within-lag) is accepted and wave 3 is refused; the drop counter
+    counts distinct (window, key) groups, not raw rows (the filter
+    sits after the map-side partial aggregate)."""
+    from stockpy_spark.streaming.ops import run_windowed_late_accounting
+
+    def wave(rows):
+        return (
+            spark.createDataFrame(rows, "ts_s string, k string")
+            .select(F.to_timestamp("ts_s").alias("ts"), "k")
+        )
+
+    w1 = wave([("2024-01-10 12:00:00", "a"), ("2024-01-10 12:30:00", "b")])
+    w2 = wave([("2024-01-09 23:30:00", "a")])           # late, within lag
+    w3 = wave([("2024-01-01 00:10:00", "a"),            # deep-late: same
+               ("2024-01-01 00:20:00", "a"),            # window, 1 group
+               ("2024-01-02 05:00:00", "b")])           # 2nd group
+    out = run_windowed_late_accounting(
+        spark, [w1, w2, w3], "ts", "k", "1 hour", "1 hour"
+    ).collect()[0]
+    assert out.n_input == 6
+    assert out.n_on_time == 3          # waves 1+2 reached state
+    assert out.n_late_rows == 3        # wave 3, raw rows
+    assert out.n_dropped_groups == 2   # wave 3 collapsed to 2 groups
+    assert out.n_windows == 3          # (12h,a) (12h,b) (23h,a)
