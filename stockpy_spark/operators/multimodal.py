@@ -335,12 +335,30 @@ def _lzw_decode_gif(data: bytes, min_code_size: int) -> list[int]:
 GIF_SIGNATURES = (b"GIF87a", b"GIF89a")
 
 
-def encode_gif(pixels: np.ndarray) -> bytes:
+def _gif_interlace_order(h: int) -> np.ndarray:
+    """Row order of an interlaced GIF index stream (GIF89a appendix E):
+    pass 1 every 8th row from 0, pass 2 every 8th from 4, pass 3 every
+    4th from 2, pass 4 every 2nd from 1. ``order[i]`` is the CANVAS row
+    the i-th STREAM row lands on, so ``canvas[order] = stream`` is the
+    whole de-interlace and ``stream = canvas[order]`` the interlace."""
+    return np.concatenate(
+        [
+            np.arange(0, h, 8),
+            np.arange(4, h, 8),
+            np.arange(2, h, 4),
+            np.arange(1, h, 2),
+        ]
+    )
+
+
+def encode_gif(pixels: np.ndarray, interlace: bool = False) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array as a GIF89a with a global
     color table and a real LZW-compressed index stream (stdlib/numpy
     only). Requires <= 256 distinct colors — GIF is palette-based; a
     richer image needs quantization first, which is a modeling choice
-    the caller must make, so we raise instead of silently degrading."""
+    the caller must make, so we raise instead of silently degrading.
+    ``interlace=True`` writes the four-pass interlaced row order with
+    the image-descriptor flag set."""
     h, w, _ = pixels.shape
     colors, inverse = np.unique(pixels.reshape(-1, 3), axis=0, return_inverse=True)
     n = len(colors)
@@ -351,8 +369,11 @@ def encode_gif(pixels: np.ndarray) -> bytes:
     gct[:n] = colors
     packed = 0x80 | ((bits - 1) << 4) | (bits - 1)  # GCT present, size 2^bits
     lsd = struct.pack("<HHBBB", w, h, packed, 0, 0)
-    img_desc = struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+    ipacked = 0x40 if interlace else 0
+    img_desc = struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, ipacked)
     mcs = max(2, bits)  # spec minimum LZW code size is 2
+    if interlace:
+        inverse = inverse.reshape(h, w)[_gif_interlace_order(h)].reshape(-1)
     lzw = _lzw_encode_gif(inverse, mcs)
     blocks = b"".join(
         bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255]
@@ -365,10 +386,11 @@ def encode_gif(pixels: np.ndarray) -> bytes:
 
 
 def decode_gif(payload: bytes) -> np.ndarray:
-    """Decode a non-interlaced single-frame GIF into an (h, w, 3) uint8
-    RGB array: logical screen descriptor, global/local color table,
-    extension-block skipping, sub-block reassembly, LZW expansion.
-    Raises ValueError on malformed or unsupported (interlaced) input."""
+    """Decode a single-frame GIF into an (h, w, 3) uint8 RGB array:
+    logical screen descriptor, global/local color table, extension-
+    block skipping, sub-block reassembly, LZW expansion, four-pass
+    de-interlacing when the image-descriptor flag is set. Raises
+    ValueError on malformed input."""
     if payload[:6] not in GIF_SIGNATURES:
         raise ValueError("not a GIF payload")
     _sw, _sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
@@ -393,8 +415,6 @@ def decode_gif(payload: bytes) -> np.ndarray:
                 n = 2 << (ipacked & 0x07)
                 palette = np.frombuffer(payload, np.uint8, n * 3, pos).reshape(n, 3)
                 pos += n * 3
-            if ipacked & 0x40:
-                raise ValueError("interlaced GIF not supported")
             if palette is None:
                 raise ValueError("GIF image has no color table")
             mcs = payload[pos]
@@ -407,7 +427,12 @@ def decode_gif(payload: bytes) -> np.ndarray:
             idx = _lzw_decode_gif(b"".join(chunks), mcs)
             if len(idx) < h * w:
                 raise ValueError("GIF index stream shorter than image")
-            return palette[np.asarray(idx[: h * w], dtype=np.int64)].reshape(h, w, 3)
+            rect = palette[np.asarray(idx[: h * w], dtype=np.int64)].reshape(h, w, 3)
+            if ipacked & 0x40:
+                out = np.empty_like(rect)
+                out[_gif_interlace_order(h)] = rect
+                rect = out
+            return rect
         elif block == 0x3B:
             break
         else:
@@ -492,8 +517,8 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
     model: disposal 0/1 (leave canvas), 2 (restore rect to background
     = black), 3 (restore rect to the canvas as it was BEFORE this
     frame rendered), and GCE transparency (pixels at the flagged
-    palette index are not drawn — the prior canvas shows through).
-    Interlaced streams remain the one unsupported layout. Single-frame
+    palette index are not drawn — the prior canvas shows through),
+    and four-pass interlaced index streams. Single-frame
     GIFs return a 1-element list, so this is a strict superset of
     :func:`decode_gif`."""
     if payload[:6] not in GIF_SIGNATURES:
@@ -535,8 +560,6 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
                     payload, np.uint8, n * 3, pos
                 ).reshape(n, 3)
                 pos += n * 3
-            if ipacked & 0x40:
-                raise ValueError("interlaced GIF not supported")
             if palette is None:
                 raise ValueError("GIF image has no color table")
             mcs = payload[pos]
@@ -551,6 +574,10 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
             if len(idx) < h * w:
                 raise ValueError("GIF index stream shorter than image")
             idx_arr = np.asarray(idx[: h * w], dtype=np.int64).reshape(h, w)
+            if ipacked & 0x40:  # four-pass interlaced row order
+                tmp = np.empty_like(idx_arr)
+                tmp[_gif_interlace_order(h)] = idx_arr
+                idx_arr = tmp
             region = canvas[top : top + h, left : left + w]
             # disposal 3 restores the canvas as it was BEFORE this
             # frame rendered — snapshot the rect before compositing

@@ -1115,3 +1115,29 @@ def test_late_accounting_three_wave_drop_semantics(spark, tmp_path):
     assert out.n_late_rows == 3        # wave 3, raw rows
     assert out.n_dropped_groups == 2   # wave 3 collapsed to 2 groups
     assert out.n_windows == 3          # (12h,a) (12h,b) (23h,a)
+
+
+def test_gif_interlaced_roundtrip():
+    """Four-pass interlaced index streams (round 9, last native GIF
+    seam): the encoder writes the appendix-E row order with the flag
+    set; both decoders scatter it back. Odd heights exercise the
+    pass-boundary arithmetic."""
+    import numpy as np
+
+    from stockpy_spark.operators.multimodal import (
+        _fake_pixels,
+        _gif_interlace_order,
+        decode_gif,
+        decode_gif_frames,
+        encode_gif,
+    )
+
+    for h in (1, 2, 3, 7, 8, 9, 23):
+        order = _gif_interlace_order(h)
+        assert sorted(order.tolist()) == list(range(h))
+    for i in (0, 1, 5, 13, 499):
+        px = _fake_pixels(i)
+        payload = encode_gif(px, interlace=True)
+        assert np.array_equal(decode_gif(payload), px)
+        frames = decode_gif_frames(payload)
+        assert len(frames) == 1 and np.array_equal(frames[0], px)
