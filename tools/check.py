@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 import time
 from datetime import date, datetime
@@ -33,7 +34,11 @@ import duckdb
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = "/root/testdata/sf0.01"
+# override with STOCKPY_CHECK_SF_DIR to sweep other scales — sf0.001's
+# sparser distributions (more singleton groups, emptier joins) are the
+# edge-case sweep that caught the seasonal NULL-sigma class of
+# divergence (round 9)
+SF_DIR = os.environ.get("STOCKPY_CHECK_SF_DIR", "/root/testdata/sf0.01")
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
