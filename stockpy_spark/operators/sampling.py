@@ -425,3 +425,43 @@ def mixture_plan(
         F.round(rate * F.col("available_tokens"), dp).alias("expected_tokens"),
         (quota > F.col("available_tokens")).alias("capped"),
     )
+
+
+def group_train_test_split(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    test_fraction: float,
+    salt: str = "gsplit",
+) -> DataFrame:
+    """Leakage-guarded split: every row of a GROUP lands in the SAME
+    split. ``train_test_split`` hashes the row id, which is correct for
+    independent rows but leaks when the corpus contains near-duplicate
+    clusters, same-domain pages, or same-author documents — a test doc
+    whose twin sits in train inflates eval. Here the assignment is a
+    pure function of the group's canonical representative (its MIN id),
+    so a cluster can never straddle the boundary, reruns and
+    append-only ingest keep old assignments, and the test fraction
+    converges on the GROUP distribution (the honest unit when groups
+    are the leakage unit).
+
+    Scale shape: one aggregate for the representative frame (one row
+    per group) + one equi-join back — no forced broadcast (group
+    cardinality is data-sized, the q3 fact-in-disguise lesson); AQE
+    broadcasts the group frame while it fits. Returns df + ``split``.
+    """
+    thresh = int(round(test_fraction * _BUCKETS))
+    rep = (
+        df.groupBy(group_col)
+        .agg(F.min(id_col).alias("__rep"))
+        .select(
+            group_col,
+            F.when(
+                _hash_bucket(F.col("__rep"), salt) < F.lit(thresh),
+                F.lit("test"),
+            )
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        )
+    )
+    return df.join(rep, group_col)

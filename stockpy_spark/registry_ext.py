@@ -40,7 +40,12 @@ from stockpy_spark.operators.dedup import (
     word_jaccard_pairs,
 )
 from stockpy_spark.operators.joins import asof_join
-from stockpy_spark.operators.sampling import hash_sample, pack_sequences, train_test_split
+from stockpy_spark.operators.sampling import (
+    group_train_test_split,
+    hash_sample,
+    pack_sequences,
+    train_test_split,
+)
 from stockpy_spark.operators.aggregate import dedup_by_key_first
 from stockpy_spark.operators.multimodal import (
     attach_binary_payload,
@@ -889,6 +894,40 @@ FROM documents
 """
 
 
+def q_split_group_guard(spark, sf_dir):
+    """Leakage-guarded train/test split (operators/sampling.py
+    group_train_test_split): documents grouped by exact-text identity
+    (md5 of text — the corpus plants byte-identical duplicates), split
+    assigned from each group's MIN doc_id so duplicate clusters can
+    never straddle the boundary. The oracle replays grouping,
+    representative election, and the bucket rule, so a single member
+    leaking to the other split hash-mismatches."""
+    docs = _t(spark, sf_dir, "documents")
+    grouped = docs.select(
+        "doc_id", F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("grp")
+    )
+    return group_train_test_split(grouped, "doc_id", "grp", 0.2).select(
+        "doc_id", "split"
+    )
+
+
+SQL_SPLIT_GROUP = """
+WITH g AS (
+    SELECT doc_id, md5(coalesce(text, '')) AS grp FROM documents
+), rep AS (
+    SELECT grp, min(doc_id) AS rep FROM g GROUP BY 1
+), s AS (
+    SELECT grp,
+           CASE WHEN CAST(concat('0x', substr(md5('gsplit|' ||
+                     CAST(rep AS VARCHAR)), 1, 15)) AS BIGINT)
+                     % 10000 < 2000
+                THEN 'test' ELSE 'train' END AS split
+    FROM rep
+)
+SELECT g.doc_id, s.split FROM g JOIN s ON g.grp = s.grp
+"""
+
+
 def q_pack_context_bins(spark, sf_dir):
     """Context-window packing: hash-shard, per-shard running token sum,
     budget-quantized bin assignment."""
@@ -1172,6 +1211,7 @@ EXT_QUERIES: dict[str, tuple] = {
     "pipeline_extract_stocks": (q_pipeline_extract_stocks, SQL_EXTRACT_STOCKS),
     "sample_hash_docs": (q_sample_hash_docs, SQL_SAMPLE_HASH),
     "split_train_test": (q_split_train_test, SQL_SPLIT),
+    "split_group_guard": (q_split_group_guard, SQL_SPLIT_GROUP),
     "pack_context_bins": (q_pack_context_bins, SQL_PACK),
     "text_redact_pii": (q_text_redact_pii, SQL_REDACT),
     "pack_materialize": (q_pack_materialize, SQL_PACK_MAT),

@@ -764,3 +764,26 @@ def test_matched_controls_string_pool_ids(spark):
     # max id ("zz-49" > "uuid-49")
     assert out["e-1"] == ("zz-49", 1.0)
     assert out["e-2"] == (None, None)
+
+
+def test_group_train_test_split_no_straddle(spark):
+    """Leakage guard (round 9): every member of a group gets the SAME
+    split, assignment is deterministic across reruns, and singleton
+    groups follow their representative's bucket."""
+    from stockpy_spark.operators.sampling import group_train_test_split
+
+    rows = [(i, f"g{i % 7}") for i in range(200)] + [(900, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = group_train_test_split(df, "doc_id", "grp", 0.5)
+    per_group = {}
+    for r in out.collect():
+        per_group.setdefault(r.grp, set()).add(r.split)
+    assert all(len(s) == 1 for s in per_group.values()), per_group
+    assert out.count() == 201
+    # deterministic: a second run assigns identically
+    again = {r.doc_id: r.split for r in
+             group_train_test_split(df, "doc_id", "grp", 0.5).collect()}
+    first = {r.doc_id: r.split for r in out.collect()}
+    assert first == again
+    # both splits actually occur at fraction 0.5 over 8 groups
+    assert {s for ss in per_group.values() for s in ss} == {"test", "train"}
