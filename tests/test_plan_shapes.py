@@ -573,3 +573,49 @@ def test_dynamic_partition_pruning_on_day_join(spark, tmp_path):
     j = fact.join(dim, "dataproc").groupBy("dataproc").count()
     p = plan(j, "formatted")
     assert "dynamicpruning" in p.lower(), "DPP did not reach the fact scan"
+
+
+def test_runtime_bloom_filter_reaches_fact_scan(spark):
+    # the row-level twin of the DPP guard: a selective dim filter on a
+    # shuffle join must inject a runtime bloom filter on the fact side
+    # (BloomFilterMightContain over a bloom_filter_agg subquery), so
+    # fact rows that cannot match die before the shuffle instead of
+    # crossing the wire — at 100 TB the difference between shuffling
+    # the full fact and shuffling the matching slice. Thresholds are
+    # lowered because at test SF the fact scan is below the 10 GB
+    # application-side default; the PLAN SHAPE is what's pinned.
+    to_restore = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": None,
+        "spark.sql.autoBroadcastJoinThreshold": None,
+    }
+    for k in to_restore:
+        try:
+            to_restore[k] = spark.conf.get(k)
+        except Exception:
+            to_restore[k] = None
+    try:
+        assert spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled"
+        ) == "true"
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold", "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in opt.lower(), opt[:1500]
+    finally:
+        for k, v in to_restore.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
