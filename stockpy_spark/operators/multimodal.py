@@ -12,9 +12,10 @@ Five real codecs ARE implemented dependency-free:
   BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up BGR rows, 4-byte row
   padding);
 - 8-bit truecolor PNG (stdlib zlib + struct — chunk framing with CRC
-  verification, IDAT deflate, and a full scanline unfilter supporting
-  all five PNG filter types, so third-party-encoded truecolor PNGs
-  decode too, not just our own filter-0 output);
+  verification, IDAT deflate, a full scanline unfilter supporting
+  all five PNG filter types, and Adam7 interlacing (seven
+  independently-filtered passes), so third-party-encoded truecolor
+  PNGs decode too, not just our own filter-0 output);
 - palette GIF89a (pure stdlib/numpy — logical screen descriptor,
   global/local color tables, extension skipping, sub-block
   reassembly, and a full GIF-variant LZW encoder/decoder with
@@ -138,15 +139,49 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(pixels: np.ndarray, compress_level: int = 6) -> bytes:
+# Adam7 pass geometry: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _adam7_pass_dims(h: int, w: int, p: int) -> tuple[int, int]:
+    x0, y0, dx, dy = _ADAM7[p]
+    return max(0, -(-(h - y0) // dy)), max(0, -(-(w - x0) // dx))
+
+
+def encode_png(
+    pixels: np.ndarray, compress_level: int = 6, interlace: bool = False
+) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array as an 8-bit truecolor PNG
-    (color type 2, no interlace, filter 0 scanlines). Stdlib zlib +
-    struct only — no image library."""
+    (color type 2, filter 0 scanlines). Stdlib zlib + struct only — no
+    image library. ``interlace=True`` writes the seven Adam7 passes
+    (each pass its own run of filtered scanlines over the pass
+    sub-image, empty passes omitted, per spec)."""
     h, w, _ = pixels.shape
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    rows = np.zeros((h, w * 3 + 1), dtype=np.uint8)  # leading filter byte 0
-    rows[:, 1:] = pixels.reshape(h, w * 3)
-    idat = zlib.compress(rows.tobytes(), compress_level)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlace else 0)
+    if interlace:
+        parts = []
+        for p, (x0, y0, dx, dy) in enumerate(_ADAM7):
+            sub = pixels[y0::dy, x0::dx]
+            hp, wp = sub.shape[0], sub.shape[1]
+            if hp == 0 or wp == 0:
+                continue
+            rows = np.zeros((hp, wp * 3 + 1), dtype=np.uint8)
+            rows[:, 1:] = sub.reshape(hp, wp * 3)
+            parts.append(rows.tobytes())
+        payload = b"".join(parts)
+    else:
+        rows = np.zeros((h, w * 3 + 1), dtype=np.uint8)  # filter byte 0
+        rows[:, 1:] = pixels.reshape(h, w * 3)
+        payload = rows.tobytes()
+    idat = zlib.compress(payload, compress_level)
     return (
         PNG_SIGNATURE
         + _png_chunk(b"IHDR", ihdr)
@@ -166,14 +201,11 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def decode_png(payload: bytes) -> np.ndarray:
-    """Decode an 8-bit truecolor (color type 2, non-interlaced) PNG into
-    an (h, w, 3) uint8 RGB array. Verifies chunk CRCs, concatenates
-    multiple IDAT chunks, and unfilters all five scanline filter types
-    (None/Sub/Up/Average/Paeth) — per-pixel recurrences run in small
-    Python loops, fine for the asset-thumbnail sizes this fixture path
-    handles; a production hot path would swap in a C codec at the same
-    dispatch seam. Raises ValueError on malformed or unsupported input.
-    """
+    """Decode an 8-bit truecolor (color type 2) PNG into an (h, w, 3)
+    uint8 RGB array — non-interlaced or Adam7. Verifies chunk CRCs,
+    concatenates multiple IDAT chunks, and unfilters all five scanline
+    filter types (None/Sub/Up/Average/Paeth) per pass. Raises
+    ValueError on malformed or unsupported input."""
     if payload[:8] != PNG_SIGNATURE:
         raise ValueError("not a PNG payload")
     pos, idat, dims = 8, [], None
@@ -188,12 +220,12 @@ def decode_png(payload: bytes) -> np.ndarray:
             w, h, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )
-            if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+            if (depth, color, comp, filt) != (8, 2, 0, 0) or interlace > 1:
                 raise ValueError(
                     "unsupported PNG variant (need 8-bit truecolor, "
                     f"got depth={depth} color={color} interlace={interlace})"
                 )
-            dims = (h, w)
+            dims = (h, w, interlace)
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -201,18 +233,45 @@ def decode_png(payload: bytes) -> np.ndarray:
         pos += 12 + length
     if dims is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
-    h, w = dims
-    stride = w * 3
+    h, w, interlace = dims
     raw = zlib.decompress(b"".join(idat))
-    if len(raw) != h * (stride + 1):
+    if not interlace:
+        if len(raw) != h * (w * 3 + 1):
+            raise ValueError("PNG scanline data has wrong length")
+        return _png_unfilter(raw, 0, h, w).reshape(h, w, 3)
+    # Adam7: seven independently-filtered sub-images (each pass's
+    # filters reference that pass's own previous scanline), scattered
+    # back onto the canvas by the pass grid; empty passes are absent
+    # from the stream per spec
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    off = 0
+    for p, (x0, y0, dx, dy) in enumerate(_ADAM7):
+        hp, wp = _adam7_pass_dims(h, w, p)
+        if hp == 0 or wp == 0:
+            continue
+        sub = _png_unfilter(raw, off, hp, wp).reshape(hp, wp, 3)
+        out[y0::dy, x0::dx] = sub
+        off += hp * (wp * 3 + 1)
+    if off != len(raw):
+        raise ValueError("PNG interlaced scanline data has wrong length")
+    return out
+
+
+def _png_unfilter(raw: bytes, off: int, h: int, w: int) -> np.ndarray:
+    """Unfilter ``h`` scanlines of ``w`` RGB pixels starting at byte
+    ``off`` (each line = 1 filter byte + w*3 data bytes), supporting
+    all five filter types. Per-pixel recurrences run in small Python
+    loops — fine at asset-thumbnail sizes; a production hot path swaps
+    in a C codec at the same dispatch seam."""
+    stride = w * 3
+    if off + h * (stride + 1) > len(raw):
         raise ValueError("PNG scanline data has wrong length")
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
     for y in range(h):
-        f = raw[y * (stride + 1)]
-        line = np.frombuffer(
-            raw, np.uint8, stride, y * (stride + 1) + 1
-        ).astype(np.int32)
+        base = off + y * (stride + 1)
+        f = raw[base]
+        line = np.frombuffer(raw, np.uint8, stride, base + 1).astype(np.int32)
         if f == 0:
             cur = line
         elif f == 2:  # Up
@@ -234,7 +293,7 @@ def decode_png(payload: bytes) -> np.ndarray:
                 cur[x] = v & 0xFF
         out[y] = cur
         prev = cur.astype(np.int32)
-    return out.reshape(h, w, 3)
+    return out
 
 
 def _lzw_encode_gif(indices: np.ndarray, min_code_size: int) -> bytes:

@@ -1141,3 +1141,71 @@ def test_gif_interlaced_roundtrip():
         assert np.array_equal(decode_gif(payload), px)
         frames = decode_gif_frames(payload)
         assert len(frames) == 1 and np.array_equal(frames[0], px)
+
+
+def test_png_adam7_interlaced_roundtrip_and_foreign_filters():
+    """Adam7 interlaced PNGs (round 9, the PNG twin of the GIF
+    interlace seam): seven independently-filtered passes scattered by
+    the pass grid. Roundtrip covers edge shapes where passes are
+    EMPTY (spec: absent from the stream); the hand-built payload uses
+    Sub/Up filters inside passes to prove the per-pass unfilter
+    doesn't assume our own filter-0 output."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from stockpy_spark.operators.multimodal import (
+        _ADAM7,
+        _adam7_pass_dims,
+        _fake_pixels,
+        _png_chunk,
+        PNG_SIGNATURE,
+        decode_png,
+        encode_png,
+    )
+
+    for h in (1, 3, 8, 23):
+        for w in (1, 5, 8):
+            assert sum(
+                _adam7_pass_dims(h, w, p)[0] * _adam7_pass_dims(h, w, p)[1]
+                for p in range(7)
+            ) == h * w
+    for i in (0, 1, 13, 499):
+        px = _fake_pixels(i)
+        assert np.array_equal(decode_png(encode_png(px, interlace=True)), px)
+    for shape in ((1, 1), (1, 9), (9, 1), (3, 5)):
+        px = np.arange(
+            shape[0] * shape[1] * 3, dtype=np.uint8
+        ).reshape(shape[0], shape[1], 3)
+        assert np.array_equal(decode_png(encode_png(px, interlace=True)), px)
+
+    # foreign-filter stream: Sub on even pass rows, Up on odd
+    px = _fake_pixels(13)
+    h, w, _ = px.shape
+    parts = []
+    for x0, y0, dx, dy in _ADAM7:
+        sub = px[y0::dy, x0::dx].astype(np.int32)
+        hp, wp = sub.shape[0], sub.shape[1]
+        if hp == 0 or wp == 0:
+            continue
+        flat = sub.reshape(hp, wp * 3)
+        prev = np.zeros(wp * 3, dtype=np.int32)
+        for y in range(hp):
+            line = flat[y]
+            if y % 2:
+                f, enc = 2, (line - prev) & 0xFF
+            else:
+                shifted = np.zeros_like(line)
+                shifted[3:] = line[:-3]
+                f, enc = 1, (line - shifted) & 0xFF
+            parts.append(bytes([f]) + bytes(enc.astype(np.uint8)))
+            prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+    payload = (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(parts)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(payload), px)
