@@ -172,19 +172,50 @@ def main() -> None:
     # host-speed constant (after warmup, before the timed queries)
     calibration = calibrate(spark)
 
+    def shuffle_totals() -> tuple[int, int]:
+        """Cumulative (shuffle_write_bytes, spilled_bytes) across all
+        stages so far, from the in-process AppStatusStore (the store
+        behind the UI/REST API — works with the UI disabled). Per-query
+        DELTAS of these are the drift-immune plan metric wall-clock is
+        not: shuffle volume is a property of the PLAN, identical across
+        reruns and hosts, so a cross-round diff flags a lost broadcast
+        or lost partial aggregate directly, with no calibration
+        division. Scala default args are fetched explicitly (py4j has
+        no default-arg support)."""
+        store = spark.sparkContext._jsc.sc().statusStore()
+        empty = spark.sparkContext._jvm.java.util.ArrayList()
+        stages = store.stageList(
+            empty,
+            *[getattr(store, f"stageList$default${i}")() for i in (2, 3, 4, 5)]
+        )
+        write = spill = 0
+        for i in range(stages.size()):
+            sd = stages.apply(i)
+            write += sd.shuffleWriteBytes()
+            spill += sd.memoryBytesSpilled() + sd.diskBytesSpilled()
+        return write, spill
+
     # best-of-2 per query: the first execution pays one-off plan
     # compilation and scheduler warmup that a long-running cluster
     # amortizes away; the min is the steady-state per-query cost. Each
     # run is still end-to-end (fresh plan, full computation, noop sink).
+    # Shuffle/spill deltas are taken over the LAST run only — the plan
+    # is the same both runs, so the bytes are too.
     timings: dict[str, float] = {}
+    shuffle_mb: dict[str, float] = {}
+    spill_mb: dict[str, float] = {}
     for name in names:
         best = float("inf")
         for _ in range(2):
+            w0, s0 = shuffle_totals()
             t0 = time.time()
             df = QUERIES[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
+            w1, s1 = shuffle_totals()
         timings[name] = round(best, 3)
+        shuffle_mb[name] = round((w1 - w0) / 1e6, 2)
+        spill_mb[name] = round((s1 - s0) / 1e6, 2)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
@@ -203,6 +234,13 @@ def main() -> None:
                 # relative to what this host can do)
                 "calibration_sec": calibration,
                 "normalized_total": round(total / calibration, 2),
+                # drift-immune plan metrics (see shuffle_totals):
+                # cross-round deltas here mean the PLAN changed, not
+                # the host
+                "shuffle_write_mb": shuffle_mb,
+                "spill_mb": spill_mb,
+                "total_shuffle_write_mb": round(sum(shuffle_mb.values()), 1),
+                "total_spill_mb": round(sum(spill_mb.values()), 1),
             }
         )
     )
