@@ -619,3 +619,41 @@ def test_runtime_bloom_filter_reaches_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_headline_corpus_no_unbounded_nested_loops(spark):
+    # standing corpus guard (round 9): across EVERY headline query's
+    # plan, no CartesianProduct at all, and BroadcastNestedLoopJoin
+    # only where the broadcast side is bounded BY CONSTRUCTION — a
+    # 1-row census/stat frame or a k-row codebook — never a data-sized
+    # frame. A new query (or a regression in an old one) that sneaks
+    # in an unbounded nested loop fails here by name.
+    from bench import HEADLINE
+
+    # each entry's BNLJ build side is a constant-size frame:
+    #   1-row corpus/stat censuses: bm25 idf base, psi/ks bin edges,
+    #     welch moment pair, pareto frontier census, lm vocab census,
+    #     basket N-baskets row, cosine query norms
+    #   k-row codebooks: kmeans centroids (k=8)
+    bounded_bnlj = {
+        "sim_cosine_topk",
+        "emb_kmeans_assign",
+        "text_bm25_topk",
+        "text_lm_perplexity",
+        "pareto_frontier",
+        "drift_psi_value",
+        "drift_ks_value",
+        "stats_welch_ttest",
+        "basket_rules",
+    }
+    offenders = {}
+    for name in HEADLINE:
+        p = plan(QUERIES[name](spark, SF_DIR), "simple")
+        flags = []
+        if "CartesianProduct" in p:
+            flags.append("cartesian")
+        if "BroadcastNestedLoopJoin" in p and name not in bounded_bnlj:
+            flags.append("unexpected-bnlj")
+        if flags:
+            offenders[name] = flags
+    assert not offenders, offenders
