@@ -24,8 +24,9 @@ Five real codecs ARE implemented dependency-free:
   Annex-K quantization + Huffman tables, 4:4:4 and 4:2:0 chroma,
   restart markers; validated against third-party-encoded JPEGs),
   the format real training corpora are overwhelmingly made of;
-- 16-bit mono PCM WAV (stdlib ``wave`` — RIFF container, real
-  bytes -> int16-sample decode), covering the audio modality.
+- PCM WAV (stdlib ``wave`` — RIFF container; 8/16/24/32-bit
+  widths, mono or interleaved multi-channel, 24-bit sign-extended
+  manually), covering the audio modality.
 
 So the ``use_codec=True`` path runs a genuine bytes -> pixels decode
 end-to-end for the image container formats, and
@@ -979,31 +980,65 @@ def extract_features(assets: DataFrame, use_codec: bool = False) -> DataFrame:
 WAV_SAMPLE_RATE = 8000
 
 
-def encode_wav(samples: np.ndarray, sample_rate: int = WAV_SAMPLE_RATE) -> bytes:
-    """Encode an int16 1-D sample array as 16-bit mono PCM WAV via the
-    stdlib ``wave`` module (RIFF/WAVE container, no external codec)."""
+def encode_wav(
+    samples: np.ndarray,
+    sample_rate: int = WAV_SAMPLE_RATE,
+    sampwidth: int = 2,
+) -> bytes:
+    """Encode an integer sample array as PCM WAV via the stdlib
+    ``wave`` module (RIFF/WAVE container, no external codec). 1-D input
+    is mono; (n_frames, n_channels) input interleaves channels.
+    ``sampwidth`` bytes per sample: 1 (unsigned 8-bit, stored +128 per
+    the PCM convention), 2, 3 (packed little-endian 24-bit), or 4."""
+    arr = np.asarray(samples)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, ch = arr.shape
+    if sampwidth == 1:
+        data = (arr.astype(np.int32) + 128).clip(0, 255).astype(np.uint8).tobytes()
+    elif sampwidth == 2:
+        data = arr.astype("<i2").tobytes()
+    elif sampwidth == 3:
+        # low 3 little-endian bytes of the int32 two's-complement value
+        flat = np.ascontiguousarray(arr.astype("<i4")).view(np.uint8)
+        data = flat.reshape(n * ch, 4)[:, :3].tobytes()
+    elif sampwidth == 4:
+        data = arr.astype("<i4").tobytes()
+    else:
+        raise ValueError(f"unsupported sample width {sampwidth}")
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
-        w.setnchannels(1)
-        w.setsampwidth(2)
+        w.setnchannels(ch)
+        w.setsampwidth(sampwidth)
         w.setframerate(sample_rate)
-        w.writeframes(samples.astype("<i2").tobytes())
+        w.writeframes(data)
     return buf.getvalue()
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """Decode a 16-bit mono PCM WAV payload into (int16 samples,
-    sample_rate). Raises ValueError on other widths/channel counts —
-    that (and compressed formats like MP3/FLAC) is the audio seam where
-    a real codec (torchaudio/soundfile) would plug in."""
+    """Decode a PCM WAV payload into (samples, sample_rate): 1-D for
+    mono (int16 for 16-bit input — the original contract — int16 for
+    8-bit after the -128 recenter, int32 for 24/32-bit), and
+    (n_frames, n_channels) for multi-channel. 24-bit frames are
+    unpacked and sign-extended manually (numpy has no 3-byte dtype).
+    Compressed formats (MP3/FLAC) remain the audio seam where a real
+    codec (torchaudio/soundfile) would plug in."""
     with wave.open(io.BytesIO(payload), "rb") as w:
-        if w.getnchannels() != 1 or w.getsampwidth() != 2:
-            raise ValueError(
-                "unsupported WAV variant (need 16-bit mono PCM, got "
-                f"{w.getnchannels()}ch x {w.getsampwidth()*8}-bit)"
-            )
+        ch, width, rate = w.getnchannels(), w.getsampwidth(), w.getframerate()
         raw = w.readframes(w.getnframes())
-        return np.frombuffer(raw, dtype="<i2"), w.getframerate()
+    if width == 1:  # PCM 8-bit is unsigned; recenter to signed
+        s = np.frombuffer(raw, np.uint8).astype(np.int16) - 128
+    elif width == 2:
+        s = np.frombuffer(raw, dtype="<i2")
+    elif width == 3:
+        b = np.frombuffer(raw, np.uint8).reshape(-1, 3).astype(np.int32)
+        s = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        s = (s ^ 0x800000) - 0x800000  # sign-extend bit 23
+    elif width == 4:
+        s = np.frombuffer(raw, dtype="<i4")
+    else:
+        raise ValueError(f"unsupported WAV sample width {width * 8}-bit")
+    return (s.reshape(-1, ch) if ch > 1 else s), rate
 
 
 def _fake_samples(doc_id: int) -> np.ndarray:

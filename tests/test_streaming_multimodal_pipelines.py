@@ -1209,3 +1209,33 @@ def test_png_adam7_interlaced_roundtrip_and_foreign_filters():
         + _png_chunk(b"IEND", b"")
     )
     assert np.array_equal(decode_png(payload), px)
+
+
+def test_wav_widths_and_channels_roundtrip():
+    """PCM WAV beyond 16-bit mono (round 9): 8-bit (unsigned storage,
+    signed recenter), packed 24-bit with manual sign extension, 32-bit,
+    and interleaved stereo all roundtrip; the original 16-bit-mono
+    contract (1-D int16) is unchanged."""
+    import numpy as np
+
+    from stockpy_spark.operators.multimodal import (
+        _fake_samples,
+        decode_wav,
+        encode_wav,
+    )
+
+    s = _fake_samples(13)
+    out, rate = decode_wav(encode_wav(s))
+    assert out.dtype == np.int16 and out.ndim == 1
+    assert np.array_equal(out, s)
+
+    s8 = np.array([-128, -1, 0, 1, 127], dtype=np.int16)
+    assert np.array_equal(decode_wav(encode_wav(s8, sampwidth=1))[0], s8)
+
+    s24 = np.array([-(1 << 23), -1, 0, 1, (1 << 23) - 1], dtype=np.int32)
+    out24 = decode_wav(encode_wav(s24, sampwidth=3))[0]
+    assert out24.dtype == np.int32 and np.array_equal(out24, s24)
+
+    stereo = np.stack([s24, s24[::-1]], axis=1)
+    out_st = decode_wav(encode_wav(stereo, sampwidth=4))[0]
+    assert out_st.shape == stereo.shape and np.array_equal(out_st, stereo)
