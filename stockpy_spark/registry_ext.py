@@ -631,6 +631,45 @@ def q_mm_decode_png(spark, sf_dir):
 SQL_MM_PNG = SQL_MM_PIXELS.replace("'image/bmp'", "'image/png'")
 
 
+def q_mm_blob_pointer_read(spark, sf_dir):
+    """The pointer-to-blob storage pattern end-to-end (multimodal.py
+    pack_blob_shards / read_blob_slices): per-document PNG payloads are
+    PACKED into 4 binary shard files (one concatenated blob per
+    partition, executor-side, crash-safe tmp+rename), the pointer index
+    (doc_id, uri, offset, length) — the only thing a 100 TB metadata
+    table stores — is materialized, payloads are re-read by SLICING the
+    shards (sequential within-shard reads), decoded, and hashed against
+    the same closed-form pixel oracle as mm_decode_png. A hash match
+    proves pack, pointer bookkeeping, slice reads, and decode are all
+    byte-faithful; shard layout is scratch (one dir per run)."""
+    import tempfile
+
+    from stockpy_spark.operators.multimodal import (
+        pack_blob_shards,
+        read_blob_slices,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    assets = attach_png_payload(docs, "doc_id")
+    out_dir = tempfile.mkdtemp(prefix="stockpy_blob_shards_")
+    index = pack_blob_shards(assets, "doc_id", out_dir, n_shards=4)
+    slices = read_blob_slices(index)
+    restored = slices.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("image/png").alias("media_type"),
+            (F.col("doc_id") % 8 + 4).cast("int").alias("width"),
+            (F.col("doc_id") % 6 + 4).cast("int").alias("height"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+    return extract_pixel_features(restored)
+
+
+SQL_MM_BLOB = SQL_MM_PIXELS.replace("'image/bmp'", "'image/png'")
+
+
 def q_mm_decode_gif(spark, sf_dir):
     """GIF twin of mm_decode_png: generate a palette GIF89a per document
     (same closed-form pixel pattern), decode it back through the
@@ -1205,6 +1244,7 @@ EXT_QUERIES: dict[str, tuple] = {
     "mm_decode_features": (q_mm_decode_features, SQL_MM_FEATURES),
     "mm_decode_pixels": (q_mm_decode_pixels, SQL_MM_PIXELS),
     "mm_decode_png": (q_mm_decode_png, SQL_MM_PNG),
+    "mm_blob_pointer_read": (q_mm_blob_pointer_read, SQL_MM_BLOB),
     "mm_decode_gif": (q_mm_decode_gif, SQL_MM_GIF),
     "approx_distinct_users": (q_approx_distinct_users, None),
     "pipeline_clean_corpus": (q_pipeline_clean_corpus, SQL_PIPELINE_CLEAN),

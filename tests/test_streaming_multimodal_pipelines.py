@@ -1239,3 +1239,44 @@ def test_wav_widths_and_channels_roundtrip():
     stereo = np.stack([s24, s24[::-1]], axis=1)
     out_st = decode_wav(encode_wav(stereo, sampwidth=4))[0]
     assert out_st.shape == stereo.shape and np.array_equal(out_st, stereo)
+
+
+def test_blob_shard_pack_and_slice_roundtrip(spark, tmp_path):
+    """Pointer-to-blob storage (round 9): payloads pack into few large
+    shard files + a (uri, offset, length) index; slicing the shards
+    restores every payload byte-for-byte; shard count and total bytes
+    match the index's own accounting."""
+    import os
+
+    from stockpy_spark.operators.multimodal import (
+        attach_png_payload,
+        pack_blob_shards,
+        read_blob_slices,
+    )
+
+    docs = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    assets = attach_png_payload(docs, "doc_id")
+    direct = {r.doc_id: bytes(r.payload) for r in assets.collect()}
+    out_dir = str(tmp_path / "shards")
+    index = pack_blob_shards(assets, "doc_id", out_dir, n_shards=3)
+    idx_rows = index.collect()
+    assert len(idx_rows) == 40
+    shards = sorted(os.listdir(out_dir))
+    assert len(shards) == 3 and all(s.startswith("shard-") for s in shards)
+    assert not any(".tmp-" in s for s in shards)  # renames completed
+    # index lengths account for every shard byte exactly
+    by_uri = {}
+    for r in idx_rows:
+        by_uri.setdefault(r.uri, []).append(r)
+    for uri, rows in by_uri.items():
+        assert os.path.getsize(uri) == sum(r.length for r in rows)
+        spans = sorted((r.offset, r.length) for r in rows)
+        pos = 0
+        for off, ln in spans:  # contiguous, no gaps or overlaps
+            assert off == pos
+            pos += ln
+    restored = {
+        r.doc_id: bytes(r.payload)
+        for r in read_blob_slices(index).collect()
+    }
+    assert restored == direct
