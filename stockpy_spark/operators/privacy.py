@@ -1,0 +1,89 @@
+"""Privacy-preserving release operators.
+
+The Laplace mechanism over grouped counts — the standard differential-
+privacy release for histograms (Dwork et al., "Calibrating Noise to
+Sensitivity in Private Data Analysis", TCC 2006): a count query has
+sensitivity 1, so adding Laplace(1/epsilon) noise to each group's count
+gives epsilon-DP per release.
+
+The noise here is REPRODUCIBLE by design: the Laplace draw is derived
+from the md5 of (salt, group key) through the inverse CDF, so the same
+release re-run on the same data produces the same table — what a
+training-data pipeline needs for auditable, replayable releases and
+what puts the operator under an exact cross-engine oracle. The
+trade-off is stated plainly: a hash of the group key is NOT a secret
+random seed, so this variant provides the *calibrated-noise shape* for
+pipeline plumbing, testing, and utility measurement; a production
+privacy release must swap the seeded uniform for a real CSPRNG draw
+(one-line change at ``_hash_uniform``), accepting non-reproducibility.
+
+Scale shape: noise is a per-group scalar expression on top of the
+grouped count — map-side combined aggregate plus narrow arithmetic,
+nothing new shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_GRAIN = 1_000_000
+
+
+def _hash_uniform(key: Column, salt: str) -> Column:
+    """Deterministic uniform in (0, 1): md5 of the salted key, first 15
+    hex chars (60 bits) modulo a 1e6 grid, offset to the cell midpoint
+    so 0 and 1 are unreachable (ln(0) below stays finite). Same formula
+    family as sampling._hash_bucket, so SQL replays it exactly."""
+    h = F.md5(F.concat(F.lit(salt + "|"), key.cast("string")))
+    v = F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % F.lit(_GRAIN)
+    return (v.cast("double") + F.lit(0.5)) / F.lit(float(_GRAIN))
+
+
+def laplace_noise(key: Column, scale: float, salt: str) -> Column:
+    """Laplace(scale) via the inverse CDF at a hash-seeded uniform:
+    ``-b * sgn(u - 1/2) * ln(1 - 2|u - 1/2|)``."""
+    u = _hash_uniform(key, salt)
+    centered = u - F.lit(0.5)
+    sign = F.when(centered >= 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    return (
+        F.lit(-float(scale))
+        * sign
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon: float,
+    salt: str = "dp",
+    dp: int = 6,
+) -> DataFrame:
+    """Epsilon-DP histogram release (Laplace mechanism, sensitivity 1):
+    per-group exact count plus Laplace(1/epsilon) noise seeded from the
+    group key (see module docstring for the reproducibility trade-off).
+    Emits both the noisy release and the noise-free count so utility
+    (absolute error vs epsilon) is measurable in the same frame —
+    drop ``n_true`` before an actual release.
+
+    Noise and the noisy count round to ``dp`` digits BEFORE release so
+    both engines gate on the same literals (ln differs in the last ulp
+    across libm implementations).
+
+    Returns (group_cols..., n_true, noise, n_noisy).
+    """
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be positive, got {epsilon}")
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in group_cols])
+    noise = F.round(laplace_noise(key, 1.0 / float(epsilon), salt), dp)
+    return (
+        df.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("n_true"))
+        .select(
+            *group_cols,
+            "n_true",
+            noise.alias("noise"),
+            F.round(F.col("n_true") + noise, dp).alias("n_noisy"),
+        )
+    )

@@ -967,6 +967,39 @@ SELECT g.doc_id, s.split FROM g JOIN s ON g.grp = s.grp
 """
 
 
+def q_dp_event_counts(spark, sf_dir):
+    """Epsilon-DP histogram release over event types (operators/
+    privacy.py dp_noisy_counts, epsilon=1): exact per-type counts plus
+    hash-seeded Laplace(1) noise through the inverse CDF — the
+    calibrated-noise release shape under an exact oracle (the seeded
+    uniform is what makes the release replayable AND cross-engine
+    hashable; the module docstring states the production trade-off)."""
+    from stockpy_spark.operators.privacy import dp_noisy_counts
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_type").isNotNull())
+    return dp_noisy_counts(ev, ["event_type"], epsilon=1.0)
+
+
+SQL_DP_COUNTS = """
+WITH g AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_true
+    FROM events WHERE event_type IS NOT NULL GROUP BY 1
+), u AS (
+    SELECT event_type, n_true,
+           (CAST(concat('0x', substr(md5('dp|' || event_type), 1, 15))
+                 AS BIGINT) % 1000000 + 0.5) / 1000000.0 AS uval
+    FROM g
+)
+SELECT event_type, n_true,
+       round(-(1.0) * (CASE WHEN uval >= 0.5 THEN 1.0 ELSE -1.0 END)
+             * ln(1 - 2 * abs(uval - 0.5)), 6) AS noise,
+       round(n_true + round(-(1.0)
+             * (CASE WHEN uval >= 0.5 THEN 1.0 ELSE -1.0 END)
+             * ln(1 - 2 * abs(uval - 0.5)), 6), 6) AS n_noisy
+FROM u
+"""
+
+
 def q_pack_context_bins(spark, sf_dir):
     """Context-window packing: hash-shard, per-shard running token sum,
     budget-quantized bin assignment."""
@@ -1252,6 +1285,7 @@ EXT_QUERIES: dict[str, tuple] = {
     "sample_hash_docs": (q_sample_hash_docs, SQL_SAMPLE_HASH),
     "split_train_test": (q_split_train_test, SQL_SPLIT),
     "split_group_guard": (q_split_group_guard, SQL_SPLIT_GROUP),
+    "dp_event_counts": (q_dp_event_counts, SQL_DP_COUNTS),
     "pack_context_bins": (q_pack_context_bins, SQL_PACK),
     "text_redact_pii": (q_text_redact_pii, SQL_REDACT),
     "pack_materialize": (q_pack_materialize, SQL_PACK_MAT),

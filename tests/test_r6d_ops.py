@@ -787,3 +787,30 @@ def test_group_train_test_split_no_straddle(spark):
     assert first == again
     # both splits actually occur at fraction 0.5 over 8 groups
     assert {s for ss in per_group.values() for s in ss} == {"test", "train"}
+
+
+def test_dp_noisy_counts_reproducible_and_calibrated(spark):
+    """Laplace-mechanism histogram release (round 9): same data ->
+    identical release (hash-seeded draws); noise magnitude tracks the
+    1/epsilon scale (empirical mean |noise| over 200 groups within 25%
+    of the Laplace mean b = 1/eps); exact counts preserved alongside;
+    epsilon <= 0 rejected."""
+    import pytest
+
+    from stockpy_spark.operators.privacy import dp_noisy_counts
+
+    df = spark.range(2000).select(
+        (F.col("id") % 200).cast("string").alias("g")
+    )
+    r1 = {r.g: r for r in dp_noisy_counts(df, ["g"], epsilon=1.0).collect()}
+    r2 = {r.g: r for r in dp_noisy_counts(df, ["g"], epsilon=1.0).collect()}
+    assert all(r1[g].n_noisy == r2[g].n_noisy for g in r1)   # replayable
+    assert all(r.n_true == 10 for r in r1.values())          # exact base
+    assert any(r.noise != 0.0 for r in r1.values())
+    mean_abs = sum(abs(r.noise) for r in r1.values()) / len(r1)
+    assert 0.75 < mean_abs < 1.25, mean_abs                  # b = 1/eps = 1
+    wide = dp_noisy_counts(df, ["g"], epsilon=0.1).collect() # b = 10
+    mean_abs_wide = sum(abs(r.noise) for r in wide) / len(wide)
+    assert 7.5 < mean_abs_wide < 12.5, mean_abs_wide
+    with pytest.raises(ValueError, match="epsilon"):
+        dp_noisy_counts(df, ["g"], epsilon=0.0)
