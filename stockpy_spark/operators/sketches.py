@@ -313,3 +313,71 @@ def theta_overlap_quality(
         ]
     )
     return out.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def heavy_hitters_quality(
+    df: DataFrame, col: str, k: int = 16
+) -> DataFrame:
+    """Misra-Gries heavy hitters — the FREQUENCY member of the
+    mergeable-sketch shelf (HLL = distinct, KLL = quantiles, theta =
+    set ops, this = top items): each partition keeps at most ``k``
+    counters (insert; when full, decrement all by the minimum and drop
+    zeros — Misra & Gries 1982), partial summaries merge by plain
+    summation WITHOUT re-trimming, so the merged estimate only ever
+    UNDERCOUNTS and by at most N/(k+1) regardless of partitioning.
+    That is the 100 TB shape: per-task state is k counters, the
+    shuffle is <= k rows per task, and the guarantee — every item with
+    true count > N/k survives with estimate within N/k — holds under
+    ANY partition layout, which is what makes the gate deterministic.
+
+    Quality contract (gate-style, like the HLL/KLL/theta rows): the
+    verify-tier EXACT counts find the true hitters (count * k > N,
+    integer arithmetic — no float threshold), then each is flagged
+    ``found`` (present in the sketch's candidate set) and ``est_ok``
+    ((exact - est) * k <= N, i.e. undercount within N/k; MG never
+    overcounts). Returns (item, exact, found, est_ok) for hitters
+    only — the candidate TAIL is partitioning-dependent by nature and
+    is not part of the deterministic surface.
+    """
+    import pandas as pd
+
+    vals = df.select(F.col(col).cast("string").alias("__v")).where(
+        F.col("__v").isNotNull()
+    )
+
+    def mg_partial(batches):
+        d: dict[str, int] = {}
+        for pdf in batches:
+            for item, w in pdf["__v"].value_counts().items():
+                d[item] = d.get(item, 0) + int(w)
+                if len(d) > k:
+                    m = min(d.values())
+                    d = {i: c - m for i, c in d.items() if c > m}
+        yield pd.DataFrame(
+            {"item": list(d.keys()), "w": list(d.values())}
+        )
+
+    cand = (
+        vals.mapInPandas(mg_partial, "item string, w long")
+        .groupBy("item")
+        .agg(F.sum("w").alias("est"))
+    )
+    census = vals.agg(F.count(F.lit(1)).alias("__n"))
+    exact = vals.groupBy(F.col("__v").alias("item")).agg(
+        F.count(F.lit(1)).alias("exact")
+    )
+    hitters = exact.crossJoin(F.broadcast(census)).where(
+        F.col("exact") * F.lit(k) > F.col("__n")
+    )
+    return (
+        hitters.join(cand, "item", "left")
+        .select(
+            "item",
+            "exact",
+            F.col("est").isNotNull().cast("int").alias("found"),
+            (
+                F.col("est").isNotNull()
+                & ((F.col("exact") - F.col("est")) * F.lit(k) <= F.col("__n"))
+            ).cast("int").alias("est_ok"),
+        )
+    )

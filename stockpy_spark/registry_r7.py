@@ -104,6 +104,36 @@ WHERE NOT EXISTS (
 """
 
 
+def q_gate_heavy_hitters(spark, sf_dir):
+    """Misra-Gries frequency sketch gate (operators/sketches.py
+    heavy_hitters_quality, k=16): the skewed item column
+    floor(sqrt(doc_id)) makes item v appear ~2v+1 times (linear skew),
+    so the true hitter set is exactly the items whose count * 16
+    exceeds the corpus size. Gate: every true hitter found in the
+    <= 16-counters-per-partition candidate set with undercount within
+    N/16 — the partitioning-independent MG guarantee, hashed against
+    the oracle's exact counts + literal flags."""
+    from pyspark.sql import functions as F
+
+    from stockpy_spark.operators.sketches import heavy_hitters_quality
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.floor(F.sqrt(F.col("doc_id"))).cast("long").alias("item")
+    )
+    return heavy_hitters_quality(docs, "item", k=16)
+
+
+SQL_GATE_MG = """
+WITH v AS (
+    SELECT CAST(CAST(floor(sqrt(doc_id)) AS BIGINT) AS VARCHAR) AS item
+    FROM documents WHERE doc_id IS NOT NULL
+), n AS (SELECT count(*) AS total FROM v),
+e AS (SELECT item, CAST(count(*) AS BIGINT) AS exact FROM v GROUP BY 1)
+SELECT e.item, e.exact, 1 AS found, 1 AS est_ok
+FROM e, n WHERE e.exact * 16 > n.total
+"""
+
+
 # --- mergeable-sketch families 2 and 3 (KLL quantiles, theta set ops) ----
 
 def q_gate_kll_rollup(spark, sf_dir):
@@ -542,6 +572,7 @@ R7_QUERIES: dict[str, tuple] = {
     "semdedup_prune": (q_semdedup_prune, SQL_SEMDEDUP),
     "gate_kll_rollup": (q_gate_kll_rollup, SQL_GATE_KLL),
     "gate_theta_overlap": (q_gate_theta_overlap, SQL_GATE_THETA),
+    "gate_heavy_hitters": (q_gate_heavy_hitters, SQL_GATE_MG),
     "stats_ols2": (q_stats_ols2, SQL_OLS2),
     "graph_sssp_weighted": (q_graph_sssp_weighted, SQL_SSSP),
     "ts_seasonal_outliers": (q_ts_seasonal_outliers, SQL_SEASONAL),

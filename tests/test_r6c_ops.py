@@ -419,3 +419,27 @@ def test_snapshot_diff_rejects_empty_compare_cols(spark):
     df = spark.createDataFrame([(1,)], "k long")
     with pytest.raises(ValueError, match="compare column"):
         snapshot_diff(df, df, ["k"], [])
+
+
+def test_heavy_hitters_mg_guarantee_under_any_partitioning(spark):
+    """Misra-Gries gate (round 9): every item with count > N/k is found
+    with undercount <= N/k regardless of partition layout — checked at
+    1, 3, and 16 partitions over a linear-skew column; the hitter set
+    itself matches the exact computation."""
+    from stockpy_spark.operators.sketches import heavy_hitters_quality
+
+    df = spark.range(500).select(
+        F.floor(F.sqrt(F.col("id"))).cast("long").alias("item")
+    )
+    n = 500
+    k = 16
+    exact = {}
+    for i in range(500):
+        v = int(i ** 0.5)
+        exact[v] = exact.get(v, 0) + 1
+    true_hitters = {str(v) for v, c in exact.items() if c * k > n}
+    for parts in (1, 3, 16):
+        out = heavy_hitters_quality(df.repartition(parts), "item", k=k)
+        rows = {r.item: r for r in out.collect()}
+        assert set(rows) == true_hitters, (parts, set(rows))
+        assert all(r.found == 1 and r.est_ok == 1 for r in rows.values()), parts
