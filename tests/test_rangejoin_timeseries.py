@@ -255,7 +255,10 @@ def test_wav_roundtrip_bytes_level():
     assert np.array_equal(decoded, samples)
 
 
-def test_wav_decode_rejects_stereo():
+def test_wav_decode_handles_stereo():
+    # round 9 widened the codec: interleaved stereo now decodes into
+    # (n_frames, n_channels) instead of raising (the old mono-only
+    # contract survives unchanged for 1-channel payloads)
     import io as _io
     import wave as _wave
 
@@ -264,9 +267,10 @@ def test_wav_decode_rejects_stereo():
         w.setnchannels(2)
         w.setsampwidth(2)
         w.setframerate(8000)
-        w.writeframes(b"\x00\x00" * 32)
-    with pytest.raises(ValueError, match="16-bit mono"):
-        decode_wav(buf.getvalue())
+        w.writeframes(b"\x01\x00\x02\x00" * 16)  # L=1, R=2 per frame
+    samples, rate = decode_wav(buf.getvalue())
+    assert samples.shape == (16, 2) and rate == 8000
+    assert (samples[:, 0] == 1).all() and (samples[:, 1] == 2).all()
 
 
 def test_gap_fill_locf_carries_and_leading_nulls(spark):
