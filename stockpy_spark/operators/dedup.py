@@ -831,3 +831,93 @@ def temporal_dedup_first(
         )
         .drop("__prev_s", "__cur_s")
     )
+
+
+def duplicated_span_coverage(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    dp: int = 6,
+) -> DataFrame:
+    """Substring-level duplication coverage — the measurement behind
+    "dedup exact substrings, not just documents" (Lee et al. 2021,
+    Deduplicating Training Data Makes Language Models Better): for each
+    document, the fraction of its tokens covered by some ``n``-token
+    gram that occurs MORE THAN ONCE in the corpus. Document-level dedup
+    misses boilerplate, quotes, and templated spans shared across
+    otherwise-distinct pages; this is the per-document meter that finds
+    them (a near-1.0 score on a "unique" doc means it is stitched from
+    repeated material).
+
+    Plan: tokenize -> explode gram START positions (one row per token,
+    same volume as MinHash shingling) -> corpus-wide gram count keeps
+    grams with count > 1 (map-side combined) -> semi-join marks each
+    duplicated occurrence as the span [s, s+n) -> per-document interval
+    UNION via one (id)-partitioned window (contribution = span end
+    minus the running max end of earlier spans, clipped at 0) so
+    overlapping spans never double-count. Per-doc state is one sorted
+    span list inside a window — no document ever needs more than its
+    own spans in memory; the gram aggregate is the only corpus-wide
+    shuffle, the same shape every shingle op here carries.
+
+    Returns (id, n_tokens, covered_tokens, dup_coverage) for EVERY
+    input document (no-dup and shorter-than-n docs score 0.0).
+    """
+    from pyspark.sql.window import Window
+
+    from stockpy_spark.functions.text import tokenize
+
+    base = df.select(
+        F.col(id_col).alias("__id"), tokenize(text_col).alias("__t")
+    ).withColumn("__nt", F.size("__t"))
+    grams = base.where(F.col("__nt") >= n).select(
+        "__id",
+        F.explode(F.sequence(F.lit(0), F.col("__nt") - n)).alias("s"),
+        F.col("__t").alias("__t"),
+    ).select(
+        "__id",
+        "s",
+        F.concat_ws(" ", F.slice("__t", F.col("s") + 1, n)).alias("gram"),
+    )
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") > 1)
+        .select("gram")
+    )
+    occ = grams.join(dup_grams, "gram", "left_semi").select(
+        "__id", "s", (F.col("s") + n).alias("e")
+    )
+    w = (
+        Window.partitionBy("__id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    covered = (
+        occ.withColumn("__pmax", F.max("e").over(w))
+        .select(
+            "__id",
+            F.greatest(
+                F.lit(0),
+                F.col("e")
+                - F.greatest(F.col("s"), F.coalesce("__pmax", F.col("s"))),
+            ).alias("__add"),
+        )
+        .groupBy("__id")
+        .agg(F.sum("__add").alias("covered_tokens"))
+    )
+    return base.join(covered, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.col("__nt").cast("long").alias("n_tokens"),
+        F.coalesce("covered_tokens", F.lit(0)).cast("long").alias(
+            "covered_tokens"
+        ),
+        F.round(
+            F.when(F.col("__nt") == 0, F.lit(0.0)).otherwise(
+                F.coalesce("covered_tokens", F.lit(0))
+                / F.col("__nt").cast("double")
+            ),
+            dp,
+        ).alias("dup_coverage"),
+    )

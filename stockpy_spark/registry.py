@@ -29,8 +29,8 @@ _ALL = {**CORE_QUERIES, **EXT_QUERIES, **TPCH2_QUERIES, **HIVE_QUERIES, **TS_QUE
 # The driver's correctness gate checks the FIRST 50 queries in dict
 # insertion order. Round-9 rotation: the 7 remaining r04-stale queries
 # lead (after this, no query's newest driver row is older than r05),
-# then the 5 changed + 5 NEW round-9 queries so the driver
-# validates the new code, then 33 of the 50 r05-green queries,
+# then the 5 changed + 6 NEW round-9 queries so the driver
+# validates the new code, then 32 of the 50 r05-green queries,
 # oldest rows first. Past the window: r05 spill heads the round-10
 # queue, then r06/r07/r08 blocks freshest-last, and the five
 # rows-only queries (no SQL oracle by design) pinned PERMANENTLY at
@@ -65,7 +65,8 @@ DRIVER_PRIORITY = [
     "mm_blob_pointer_read",
     "dp_event_counts",
     "gate_heavy_hitters",
-    # r05-green refresh, oldest rows first (33 fit the window)
+    "text_dup_spans",
+    # r05-green refresh, oldest rows first (32 fit the window)
     "mm_decode_features",
     "text_fingerprint",
     "text_repetition",
@@ -99,8 +100,8 @@ DRIVER_PRIORITY = [
     "gate_ivf_recall",
     "gate_embedding_lsh_recall",
     "gate_approx_distinct_err",
-    "q4_priority_exists",
     # --- first-50 window closes above; r05 spill heads the r10 queue ---
+    "q4_priority_exists",
     "q22_idle_rich_customers",
     "q10_returned_revenue",
     "set2_intersect",

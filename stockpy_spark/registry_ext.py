@@ -1032,6 +1032,65 @@ FROM c
 """
 
 
+def q_text_dup_spans(spark, sf_dir):
+    """Substring-level duplication meter (operators/dedup.py
+    duplicated_span_coverage, n=8): per-document fraction of tokens
+    covered by 8-token grams occurring more than once in the corpus —
+    the Lee-et-al span-dedup measurement document-level dedup misses
+    (boilerplate, quotes, templated spans). Exact interval-union
+    arithmetic under the oracle: gram extraction, the corpus count
+    filter, and the per-doc running-max union must all agree."""
+    from stockpy_spark.operators.dedup import duplicated_span_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicated_span_coverage(docs, "text", "doc_id", n=8)
+
+
+SQL_TEXT_DUP_SPANS = f"""
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN text IS NULL OR trim(text) = ''
+                THEN [] ELSE {_TOKENS_SQL} END AS toks,
+           CASE WHEN text IS NULL OR trim(text) = ''
+                THEN 0 ELSE len({_TOKENS_SQL}) END AS nt
+    FROM documents
+), mx AS (
+    SELECT GREATEST(max(nt) - 8, 0) AS hi FROM t
+), g AS (
+    -- DuckDB's generate_series takes no lateral column bound: use the
+    -- corpus-max bound and filter per row (same pattern as the pixel
+    -- oracles)
+    SELECT t.doc_id, t.nt, s.s AS s,
+           array_to_string(list_slice(t.toks, s.s + 1, s.s + 8), ' ') AS gram
+    FROM t, mx
+    JOIN generate_series(0, (SELECT hi FROM mx)) s(s) ON s.s <= t.nt - 8
+    WHERE t.nt >= 8
+), d AS (
+    SELECT gram FROM g GROUP BY gram HAVING count(*) > 1
+), occ AS (
+    SELECT g.doc_id, g.s, g.s + 8 AS e
+    FROM g JOIN d USING (gram)
+), u AS (
+    SELECT doc_id, s, e,
+           max(e) OVER (PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS pmax
+    FROM occ
+), c AS (
+    SELECT doc_id,
+           SUM(GREATEST(0, e - GREATEST(s, COALESCE(pmax, s)))) AS covered
+    FROM u GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(t.nt AS BIGINT) AS n_tokens,
+       CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered_tokens,
+       round(CASE WHEN t.nt = 0 THEN 0.0
+                  ELSE COALESCE(c.covered, 0) / CAST(t.nt AS DOUBLE) END,
+             6) AS dup_coverage
+FROM t LEFT JOIN c ON t.doc_id = c.doc_id
+"""
+
+
 def q_text_redact_pii(spark, sf_dir):
     """PII scrub parity check. The synthetic corpus contains no real
     PII, so each row's text is salted with a doc_id-derived email,
@@ -1286,6 +1345,7 @@ EXT_QUERIES: dict[str, tuple] = {
     "split_train_test": (q_split_train_test, SQL_SPLIT),
     "split_group_guard": (q_split_group_guard, SQL_SPLIT_GROUP),
     "dp_event_counts": (q_dp_event_counts, SQL_DP_COUNTS),
+    "text_dup_spans": (q_text_dup_spans, SQL_TEXT_DUP_SPANS),
     "pack_context_bins": (q_pack_context_bins, SQL_PACK),
     "text_redact_pii": (q_text_redact_pii, SQL_REDACT),
     "pack_materialize": (q_pack_materialize, SQL_PACK_MAT),
