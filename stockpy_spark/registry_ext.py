@@ -1054,17 +1054,18 @@ WITH t AS (
            CASE WHEN text IS NULL OR trim(text) = ''
                 THEN 0 ELSE len({_TOKENS_SQL}) END AS nt
     FROM documents
-), mx AS (
-    SELECT GREATEST(max(nt) - 8, 0) AS hi FROM t
+), starts AS (
+    -- per-row lateral expansion: unnest(generate_series(...)) in the
+    -- SELECT list takes a column bound (the chunking-oracle idiom,
+    -- SQL_CHUNKS); generate_series as a table function would reject
+    -- the subquery parameter at bind time
+    SELECT doc_id, nt, toks,
+           unnest(generate_series(0, nt - 8)) AS s
+    FROM t WHERE nt >= 8
 ), g AS (
-    -- DuckDB's generate_series takes no lateral column bound: use the
-    -- corpus-max bound and filter per row (same pattern as the pixel
-    -- oracles)
-    SELECT t.doc_id, t.nt, s.s AS s,
-           array_to_string(list_slice(t.toks, s.s + 1, s.s + 8), ' ') AS gram
-    FROM t, mx
-    JOIN generate_series(0, (SELECT hi FROM mx)) s(s) ON s.s <= t.nt - 8
-    WHERE t.nt >= 8
+    SELECT doc_id, nt, s,
+           array_to_string(list_slice(toks, s + 1, s + 8), ' ') AS gram
+    FROM starts
 ), d AS (
     SELECT gram FROM g GROUP BY gram HAVING count(*) > 1
 ), occ AS (

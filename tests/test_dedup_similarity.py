@@ -310,3 +310,39 @@ def test_temporal_dedup_chained_burst_semantics(spark):
         df, ["user_id", "event_type"], "ts", 5, "event_id"
     )
     assert sorted(r.event_id for r in kept.collect()) == [0, 20, 30]
+
+
+def test_duplicated_span_coverage_hand_computed(spark):
+    """Pins the interval-union arithmetic of duplicated_span_coverage
+    (n=3, hand-computed): overlapping spans never double-count,
+    disjoint repeats sum, an exactly-n fully-duplicated doc scores 1.0,
+    short/empty/all-unique docs score 0.0 — and EVERY input doc gets a
+    row regardless."""
+    from stockpy_spark.operators.dedup import duplicated_span_coverage
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),          # grams "a b c","b c d" dup -> [0,4)
+            (2, "a b c d x y"),          # same two dup grams -> [0,4)
+            (3, "a b c"),                # exactly n tokens, gram dup -> 1.0
+            (4, "p q"),                  # shorter than n -> 0.0
+            (5, ""),                     # empty -> n_tokens 0, 0.0
+            (6, "u v w z1 z2"),          # all grams unique -> 0.0
+            (7, "a b c q r s a b c"),    # disjoint repeats [0,3)+[6,9)
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.covered_tokens, r.dup_coverage)
+        for r in duplicated_span_coverage(docs, "text", "doc_id", n=3).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5, 6, 7}  # every doc gets a row
+    # overlapping spans [0,3) and [1,4) union to 4 tokens, not 6
+    assert out[1] == (6, 4, round(4 / 6, 6))
+    assert out[2] == (6, 4, round(4 / 6, 6))
+    assert out[3] == (3, 3, 1.0)               # exact-n doc fully covered
+    assert out[4] == (2, 0, 0.0)               # shorter than n
+    assert out[5] == (0, 0, 0.0)               # empty doc
+    assert out[6] == (5, 0, 0.0)               # no duplicated gram
+    # disjoint spans with a gap sum: [0,3) + [6,9) = 6 of 9
+    assert out[7] == (9, 6, round(6 / 9, 6))
