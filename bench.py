@@ -118,6 +118,12 @@ HEADLINE = [
     "basket_rules",
     "semdedup_prune",
     "mm_gif_frames",
+    # round 10: the Lee-et-al substring-duplication meter — gram-start
+    # explode (shingle-volume), corpus gram count (map-side combined),
+    # semi-join, one per-doc window union. The most shuffle-intensive
+    # new family of r9/r10; in the headline for the drift-immune
+    # shuffle-byte row.
+    "text_dup_spans",
 ]
 
 
@@ -219,6 +225,21 @@ def main() -> None:
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     total = round(sum(timings.values()), 3)
+    # Per-query plan-byte DETAIL goes on its own EARLIER line, nonzero
+    # entries only: the r9 artifact lost its headline numbers because
+    # the single JSON line (45 queries x 2 mostly-zero maps) outgrew the
+    # driver's 2000-char tail capture, which then kept the END of the
+    # line and truncated away value/queries/calibration_sec. The final
+    # line below is the compact contract object and must stay last.
+    print(
+        json.dumps(
+            {
+                "detail": "per_query_plan_bytes",
+                "shuffle_write_mb": {k: v for k, v in shuffle_mb.items() if v},
+                "spill_mb": {k: v for k, v in spill_mb.items() if v},
+            }
+        )
+    )
     print(
         json.dumps(
             {
@@ -234,11 +255,9 @@ def main() -> None:
                 # relative to what this host can do)
                 "calibration_sec": calibration,
                 "normalized_total": round(total / calibration, 2),
-                # drift-immune plan metrics (see shuffle_totals):
+                # drift-immune plan totals (see shuffle_totals):
                 # cross-round deltas here mean the PLAN changed, not
-                # the host
-                "shuffle_write_mb": shuffle_mb,
-                "spill_mb": spill_mb,
+                # the host; per-query detail is on the previous line
                 "total_shuffle_write_mb": round(sum(shuffle_mb.values()), 1),
                 "total_spill_mb": round(sum(spill_mb.values()), 1),
             }

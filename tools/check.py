@@ -19,6 +19,17 @@ struct columns, DECIMAL/HUGEINT (driver-hostile since round 2), or any
 per-column class mismatch (int width included) between engines.
 
 Usage: python tools/check.py [query_name ...]
+       python tools/check.py --new-since <git-rev>
+
+``--new-since`` is the round-9 landing rule made executable: the one
+red that round (text_dup_spans) was a query that entered
+DRIVER_PRIORITY in the end-of-round snapshot commit, AFTER the round's
+full check sweep — so every recorded gate was green while the tree
+carried a guaranteed driver failure. This mode diffs the registry's
+query keys against those at <git-rev> (e.g. the last round's final
+commit) and checks exactly the new ones, so "nothing enters
+DRIVER_PRIORITY without a same-session check green" is a 30-second
+command, not prose.
 """
 
 from __future__ import annotations
@@ -125,12 +136,50 @@ def canon_rows(cols: list[str], rows: list[tuple]) -> tuple[str, int]:
     return h, len(rows)
 
 
+def keys_at_rev(rev: str) -> set[str]:
+    """Registry query keys at a git revision, extracted textually from
+    the stockpy_spark/registry*.py dict literals (every entry is
+    ``"name": (q_fn, SQL_or_None)``) — no import of old code needed."""
+    import re
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ls = subprocess.run(
+        ["git", "ls-tree", "-r", "--name-only", rev, "stockpy_spark/"],
+        capture_output=True, text=True, cwd=repo, check=True,
+    ).stdout.split()
+    pat = re.compile(r'^\s*"([a-z0-9_]+)"\s*:\s*\(', re.M)
+    keys: set[str] = set()
+    for path in ls:
+        if "registry" not in os.path.basename(path):
+            continue
+        src = subprocess.run(
+            ["git", "show", f"{rev}:{path}"],
+            capture_output=True, text=True, cwd=repo, check=True,
+        ).stdout
+        keys.update(pat.findall(src))
+    return keys
+
+
 def main() -> int:
     import __spark_entry__ as e
     from stockpy_spark.session import get_spark
 
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
     qs, oracles = e.queries(), e.oracle_sql()
+    if args and args[0] == "--new-since":
+        old = keys_at_rev(args[1])
+        only = set(qs) - old
+        if not only:
+            print(f"no new registry keys since {args[1]} — nothing to check")
+            return 0
+        print(f"new since {args[1]}: {' '.join(sorted(only))}")
+    else:
+        only = set(args)
+        unknown = only - set(qs)
+        if unknown:
+            print(f"unknown query name(s): {' '.join(sorted(unknown))}")
+            return 1
 
     con = duckdb.connect()
     for t in TABLES:
@@ -138,9 +187,11 @@ def main() -> int:
 
     spark = get_spark("check")
     failures = []
+    checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        checked += 1
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR)
@@ -201,7 +252,7 @@ def main() -> int:
                         print(f"      duck : {b.replace(chr(31), ' | ')}")
                         break
             failures.append(name)
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries pass")
+    print(f"\n{checked - len(failures)}/{checked} queries pass")
     return 1 if failures else 0
 
 
