@@ -1293,16 +1293,25 @@ def pack_blob_shards(
     an object store the rename becomes a PUT of the completed part).
     The shard id comes from TaskContext.partitionId, so uris are
     deterministic per partitioning.
+
+    ``out_dir`` must be a path every executor AND the driver-side
+    reader can reach — a shared filesystem (NFS/DBFS/FUSE-mounted
+    object store) on a real cluster, any local path in local mode. The
+    returned uris are plain paths into that dir; on a cluster without
+    a shared mount the shards land on executor-local disks and
+    :func:`read_blob_slices` will fail to open them (loudly — the
+    open() raises, nothing reads wrong bytes). Same contract as the
+    CDC sink's snapshot dir. Each task makedirs inside the task so the
+    write degrades with that explicit error, not a driver-only dir.
     """
     import os
     import uuid
 
     from pyspark import TaskContext
 
-    os.makedirs(out_dir, exist_ok=True)
-
     def pack(rows):
         pid = TaskContext.get().partitionId()
+        os.makedirs(out_dir, exist_ok=True)
         final = os.path.join(out_dir, f"shard-{pid:05d}.bin")
         tmp = f"{final}.tmp-{uuid.uuid4().hex}"
         off = 0

@@ -449,13 +449,20 @@ def group_train_test_split(
     per group) + one equi-join back — no forced broadcast (group
     cardinality is data-sized, the q3 fact-in-disguise lesson); AQE
     broadcasts the group frame while it fits. Returns df + ``split``.
+
+    NULL group keys are a real group, not dropped rows: the back-join
+    is null-safe (``<=>`` is still a hash-join key, so the plan shape
+    is unchanged), so output row count always equals input row count —
+    the same every-row-gets-a-split contract as ``train_test_split``.
+    All NULL-keyed rows share one group (they are indistinguishable to
+    the leakage rule, so they must land on one side together).
     """
     thresh = int(round(test_fraction * _BUCKETS))
     rep = (
         df.groupBy(group_col)
         .agg(F.min(id_col).alias("__rep"))
         .select(
-            group_col,
+            F.col(group_col).alias("__grp"),
             F.when(
                 _hash_bucket(F.col("__rep"), salt) < F.lit(thresh),
                 F.lit("test"),
@@ -464,4 +471,4 @@ def group_train_test_split(
             .alias("split"),
         )
     )
-    return df.join(rep, group_col)
+    return df.join(rep, F.col(group_col).eqNullSafe(F.col("__grp"))).drop("__grp")

@@ -642,6 +642,8 @@ def q_mm_blob_pointer_read(spark, sf_dir):
     the same closed-form pixel oracle as mm_decode_png. A hash match
     proves pack, pointer bookkeeping, slice reads, and decode are all
     byte-faithful; shard layout is scratch (one dir per run)."""
+    import atexit
+    import shutil
     import tempfile
 
     from stockpy_spark.operators.multimodal import (
@@ -652,6 +654,10 @@ def q_mm_blob_pointer_read(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     assets = attach_png_payload(docs, "doc_id")
     out_dir = tempfile.mkdtemp(prefix="stockpy_blob_shards_")
+    # the returned DataFrame lazily slices the shard files, so the dir
+    # cannot be removed here; atexit bounds the scratch to one process
+    # lifetime (bench best-of-2 + driver reruns otherwise accumulate)
+    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
     index = pack_blob_shards(assets, "doc_id", out_dir, n_shards=4)
     slices = read_blob_slices(index)
     restored = slices.select(

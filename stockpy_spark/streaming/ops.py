@@ -692,13 +692,36 @@ def run_windowed_late_accounting(
     the drop counter is free from the state operator); the summary is
     a driver-side constant row, the windowed state is the same
     key-sharded store every windowed_agg carries."""
-    import glob
-    import json
-    import os
     import shutil
     import tempfile
 
     workdir = tempfile.mkdtemp(prefix="stockpy_late_acct_")
+    try:
+        return _run_windowed_late_accounting(
+            spark, batches, ts, key, window_duration, watermark, workdir
+        )
+    finally:
+        # everything the returned DataFrame carries is driver-side
+        # values (createDataFrame of collected scalars), so nothing
+        # lazy references the landing/sink/checkpoint files — repeated
+        # bench/driver runs must not accumulate scratch dirs
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def _run_windowed_late_accounting(
+    spark: SparkSession,
+    batches: list[DataFrame],
+    ts: str,
+    key: str,
+    window_duration: str,
+    watermark: str,
+    workdir: str,
+) -> DataFrame:
+    import glob
+    import json
+    import os
+    import shutil
+
     landing = os.path.join(workdir, "landing")
     os.makedirs(landing)
     schema = batches[0].schema

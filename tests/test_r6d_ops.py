@@ -789,6 +789,21 @@ def test_group_train_test_split_no_straddle(spark):
     assert {s for ss in per_group.values() for s in ss} == {"test", "train"}
 
 
+def test_group_train_test_split_null_group_preserved(spark):
+    """NULL group keys are one shared group, not silently dropped rows:
+    row count is preserved (null-safe back-join) and every NULL-keyed
+    row lands on the same side together."""
+    from stockpy_spark.operators.sampling import group_train_test_split
+
+    rows = [(1, "a"), (2, "a"), (3, None), (4, None), (5, "b")]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = group_train_test_split(df, "doc_id", "grp", 0.5)
+    got = {r.doc_id: (r.grp, r.split) for r in out.collect()}
+    assert set(got) == {1, 2, 3, 4, 5}  # no row lost
+    assert got[3][0] is None and got[4][0] is None
+    assert got[3][1] == got[4][1]  # NULL group moves as one unit
+
+
 def test_dp_noisy_counts_reproducible_and_calibrated(spark):
     """Laplace-mechanism histogram release (round 9): same data ->
     identical release (hash-seeded draws); noise magnitude tracks the
