@@ -921,3 +921,118 @@ def duplicated_span_coverage(
             dp,
         ).alias("dup_coverage"),
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """The INTERVENTION behind :func:`duplicated_span_coverage` (Lee et
+    al. 2021's ExactSubstr dedup, token-granular): cut every span of
+    tokens covered by an ``n``-gram occurring more than once in the
+    corpus out of each document and reassemble the survivors in order.
+    Document-level dedup deletes whole near-twins; this deletes the
+    boilerplate, quoted, and templated SPANS that remain inside
+    otherwise-unique documents — the operation, not just the meter.
+
+    Plan: the meter's gram machinery verbatim (tokenize -> gram-start
+    explode -> corpus count > 1, map-side combined -> semi-join marks
+    occurrences [s, s+n)) -> merge overlapping/adjacent spans per doc
+    with the classic two-window pass (running max end marks
+    merge-group starts; a running sum numbers the groups; group
+    min/max are the merged intervals) -> ONE builtin ``aggregate``
+    expression walks each doc's sorted merged intervals and
+    concatenates the uncovered slices (gap before each interval, tail
+    after the last) — no per-token explode, no Python in the loop. A
+    doc is one row end-to-end after the gram aggregate; per-doc state
+    is its own merged-interval list, document-sized.
+
+    Returns (id, n_tokens, kept_tokens, removed_tokens, text_kept) for
+    EVERY input document; docs with nothing duplicated pass through
+    with their (whitespace-normalized) token stream intact.
+    """
+    from pyspark.sql.window import Window
+
+    from stockpy_spark.functions.text import tokenize
+
+    base = df.select(
+        F.col(id_col).alias("__id"), tokenize(text_col).alias("__t")
+    ).withColumn("__nt", F.size("__t"))
+    grams = base.where(F.col("__nt") >= n).select(
+        "__id",
+        F.explode(F.sequence(F.lit(0), F.col("__nt") - n)).alias("s"),
+        F.col("__t").alias("__t"),
+    ).select(
+        "__id",
+        "s",
+        F.concat_ws(" ", F.slice("__t", F.col("s") + 1, n)).alias("gram"),
+    )
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") > 1)
+        .select("gram")
+    )
+    occ = grams.join(dup_grams, "gram", "left_semi").select(
+        "__id", "s", (F.col("s") + n).alias("e")
+    )
+    w_prev = (
+        Window.partitionBy("__id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("__id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = (
+        occ.withColumn("__pmax", F.max("e").over(w_prev))
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("__pmax").isNull() | (F.col("s") > F.col("__pmax")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("__grp", F.sum("__new").over(w_run))
+        .groupBy("__id", "__grp")
+        .agg(F.min("s").alias("ms"), F.max("e").alias("me"))
+        .groupBy("__id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("ms", "me"))).alias("__spans")
+        )
+    )
+    acc0 = F.struct(
+        F.lit(0).alias("prev"), F.array().cast("array<string>").alias("keep")
+    )
+    kept = base.join(merged, "__id", "left").select(
+        "__id",
+        "__nt",
+        F.aggregate(
+            F.coalesce("__spans", F.array().cast("array<struct<ms:int,me:int>>")),
+            acc0,
+            lambda acc, sp: F.struct(
+                sp["me"].alias("prev"),
+                F.concat(
+                    acc["keep"],
+                    F.slice(
+                        "__t", acc["prev"] + 1, sp["ms"] - acc["prev"]
+                    ),
+                ).alias("keep"),
+            ),
+            lambda acc: F.concat(
+                acc["keep"],
+                F.slice("__t", acc["prev"] + 1, F.col("__nt") - acc["prev"]),
+            ),
+        ).alias("__keep"),
+    )
+    return kept.select(
+        F.col("__id").alias(id_col),
+        F.col("__nt").cast("long").alias("n_tokens"),
+        F.size("__keep").cast("long").alias("kept_tokens"),
+        (F.col("__nt") - F.size("__keep")).cast("long").alias("removed_tokens"),
+        F.concat_ws(" ", "__keep").alias("text_kept"),
+    )

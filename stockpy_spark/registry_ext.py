@@ -1098,6 +1098,69 @@ FROM t LEFT JOIN c ON t.doc_id = c.doc_id
 """
 
 
+def q_text_despan(spark, sf_dir):
+    """Span-level dedup INTERVENTION (operators/dedup.py
+    remove_duplicated_spans, n=8): cut every token span covered by an
+    8-gram occurring more than once in the corpus and reassemble the
+    survivors — Lee-et-al ExactSubstr removal, composing the
+    text_dup_spans meter's gram/interval machinery with in-order
+    reassembly. The oracle replays gram extraction, the corpus count
+    filter, and the cut via a per-position coverage grid, so a single
+    mis-sliced token anywhere in 500 reassembled documents
+    hash-mismatches."""
+    from stockpy_spark.operators.dedup import remove_duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_duplicated_spans(docs, "text", "doc_id", n=8)
+
+
+SQL_TEXT_DESPAN = f"""
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN text IS NULL OR trim(text) = ''
+                THEN [] ELSE {_TOKENS_SQL} END AS toks,
+           CASE WHEN text IS NULL OR trim(text) = ''
+                THEN 0 ELSE len({_TOKENS_SQL}) END AS nt
+    FROM documents
+), starts AS (
+    SELECT doc_id, nt, toks,
+           unnest(generate_series(0, nt - 8)) AS s
+    FROM t WHERE nt >= 8
+), g AS (
+    SELECT doc_id, s,
+           array_to_string(list_slice(toks, s + 1, s + 8), ' ') AS gram
+    FROM starts
+), d AS (
+    SELECT gram FROM g GROUP BY gram HAVING count(*) > 1
+), occ AS (
+    SELECT g.doc_id, g.s, g.s + 8 AS e
+    FROM g JOIN d USING (gram)
+), pos AS (
+    -- 1-based token positions; coverage decided per position against
+    -- the raw (unmerged) spans — equivalent to the interval union
+    SELECT doc_id, nt, toks, unnest(generate_series(1, nt)) AS p
+    FROM t WHERE nt > 0
+), cov AS (
+    SELECT DISTINCT o.doc_id, pp.p
+    FROM occ o JOIN pos pp
+      ON pp.doc_id = o.doc_id AND pp.p > o.s AND pp.p <= o.e
+), kept AS (
+    SELECT pp.doc_id,
+           count(*) FILTER (WHERE c.p IS NULL) AS kept_n,
+           COALESCE(string_agg(pp.toks[pp.p], ' ' ORDER BY pp.p)
+                        FILTER (WHERE c.p IS NULL), '') AS text_kept
+    FROM pos pp LEFT JOIN cov c ON c.doc_id = pp.doc_id AND c.p = pp.p
+    GROUP BY pp.doc_id
+)
+SELECT t.doc_id,
+       CAST(t.nt AS BIGINT) AS n_tokens,
+       CAST(COALESCE(k.kept_n, 0) AS BIGINT) AS kept_tokens,
+       CAST(t.nt - COALESCE(k.kept_n, 0) AS BIGINT) AS removed_tokens,
+       COALESCE(k.text_kept, '') AS text_kept
+FROM t LEFT JOIN kept k ON t.doc_id = k.doc_id
+"""
+
+
 def q_text_redact_pii(spark, sf_dir):
     """PII scrub parity check. The synthetic corpus contains no real
     PII, so each row's text is salted with a doc_id-derived email,
@@ -1353,6 +1416,7 @@ EXT_QUERIES: dict[str, tuple] = {
     "split_group_guard": (q_split_group_guard, SQL_SPLIT_GROUP),
     "dp_event_counts": (q_dp_event_counts, SQL_DP_COUNTS),
     "text_dup_spans": (q_text_dup_spans, SQL_TEXT_DUP_SPANS),
+    "text_despan": (q_text_despan, SQL_TEXT_DESPAN),
     "pack_context_bins": (q_pack_context_bins, SQL_PACK),
     "text_redact_pii": (q_text_redact_pii, SQL_REDACT),
     "pack_materialize": (q_pack_materialize, SQL_PACK_MAT),

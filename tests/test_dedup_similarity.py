@@ -346,3 +346,37 @@ def test_duplicated_span_coverage_hand_computed(spark):
     assert out[6] == (5, 0, 0.0)               # no duplicated gram
     # disjoint spans with a gap sum: [0,3) + [6,9) = 6 of 9
     assert out[7] == (9, 6, round(6 / 9, 6))
+
+
+def test_remove_duplicated_spans_hand_computed(spark):
+    """Pins the span-REMOVAL intervention (n=3, same corpus as the
+    meter test): covered intervals are cut and survivors reassembled
+    in order; untouched/short/empty docs pass through; a fully-covered
+    doc empties; counts complement the meter's covered_tokens."""
+    from stockpy_spark.operators.dedup import remove_duplicated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d x y"),
+            (3, "a b c"),
+            (4, "p q"),
+            (5, ""),
+            (6, "u v w z1 z2"),
+            (7, "a b c q r s a b c"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.kept_tokens, r.removed_tokens, r.text_kept)
+        for r in remove_duplicated_spans(docs, "text", "doc_id", n=3).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5, 6, 7}
+    assert out[1] == (6, 2, 4, "e f")      # [0,4) cut, tail survives
+    assert out[2] == (6, 2, 4, "x y")
+    assert out[3] == (3, 0, 3, "")         # fully covered -> empty
+    assert out[4] == (2, 2, 0, "p q")      # shorter than n: untouched
+    assert out[5] == (0, 0, 0, "")
+    assert out[6] == (5, 5, 0, "u v w z1 z2")
+    # disjoint cuts [0,3)+[6,9): the middle survives, order preserved
+    assert out[7] == (9, 3, 6, "q r s")
