@@ -676,6 +676,72 @@ def q_mm_blob_pointer_read(spark, sf_dir):
 SQL_MM_BLOB = SQL_MM_PIXELS.replace("'image/bmp'", "'image/png'")
 
 
+def q_mm_phash_neardup(spark, sf_dir):
+    """Image near-duplicate pairing over REAL codec output
+    (operators/imagehash.py): per-doc 24-bit BMPs (closed-form pixels)
+    are DECODED by the repo's own parser, average-hashed on an 8x8
+    nearest-neighbor grid (pure integer arithmetic: floor-divide
+    luminance, cross-multiplied mean threshold), packed into four
+    16-bit band keys, and paired by the simhash-style band pigeonhole
+    (hamming <= 2 damages <= 2 of 4 bands => band-equality blocking is
+    lossless; the O(n^2) cross join never materializes). The oracle
+    replays grid sampling, thresholding, bit packing, and the pairing
+    from the pixel formula — a hash match certifies decode + hash +
+    blocking end-to-end."""
+    from stockpy_spark.operators.imagehash import (
+        ahash_near_pairs,
+        perceptual_ahash,
+    )
+    from stockpy_spark.operators.multimodal import attach_bmp_payload
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    hashes = perceptual_ahash(attach_bmp_payload(docs, "doc_id"))
+    return ahash_near_pairs(hashes, max_hamming=2)
+
+
+SQL_MM_PHASH = r"""
+WITH dims AS (
+    SELECT doc_id, doc_id % 8 + 4 AS w, doc_id % 6 + 4 AS h FROM documents
+), grid AS (
+    SELECT d.doc_id, gy.gy * 8 + gx.gx AS k,
+           (gy.gy * d.h) // 8 AS y, (gx.gx * d.w) // 8 AS x
+    FROM dims d
+    JOIN generate_series(0, 7) gy(gy) ON TRUE
+    JOIN generate_series(0, 7) gx(gx) ON TRUE
+), lum AS (
+    SELECT doc_id, k,
+           (((doc_id * 31 + y * 17 + x * 7) % 256)
+          + ((doc_id * 31 + y * 17 + x * 7 + 5) % 256)
+          + ((doc_id * 31 + y * 17 + x * 7 + 10) % 256)) // 3 AS lum
+    FROM grid
+), bits AS (
+    SELECT l.doc_id, l.k, CASE WHEN 64 * l.lum > t.tl THEN 1 ELSE 0 END AS bit
+    FROM lum l
+    JOIN (SELECT doc_id, sum(lum) AS tl FROM lum GROUP BY doc_id) t
+      ON l.doc_id = t.doc_id
+), bands AS (
+    SELECT doc_id, k // 16 AS band, CAST(sum(bit << (k % 16)) AS INTEGER) AS bv
+    FROM bits GROUP BY doc_id, k // 16
+), hashes AS (
+    SELECT doc_id,
+           max(CASE WHEN band = 0 THEN bv END) AS b0,
+           max(CASE WHEN band = 1 THEN bv END) AS b1,
+           max(CASE WHEN band = 2 THEN bv END) AS b2,
+           max(CASE WHEN band = 3 THEN bv END) AS b3
+    FROM bands GROUP BY doc_id
+)
+SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+       CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+          + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+            AS INTEGER) AS hamming
+FROM hashes a JOIN hashes b
+  ON a.doc_id < b.doc_id
+ AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+    + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 2
+"""
+
+
 def q_mm_decode_gif(spark, sf_dir):
     """GIF twin of mm_decode_png: generate a palette GIF89a per document
     (same closed-form pixel pattern), decode it back through the
@@ -1161,6 +1227,217 @@ FROM t LEFT JOIN kept k ON t.doc_id = k.doc_id
 """
 
 
+def q_text_gopher_repetition(spark, sf_dir):
+    """Gopher within-doc repetition battery (operators/gopher.py
+    gopher_repetition_profile): char-weighted top-{2,3,4}-gram and
+    duplicated-{5,10}-gram coverage fractions per document — the Rae
+    et al. 2021 repetition filters, computed as pure array expressions
+    (zero shuffle, zero explode; plan-tested). The oracle replays gram
+    counting, the (count DESC, gram ASC) top-gram election, and the
+    overlap-safe char union via a distinct-position grid, so the two
+    radically different computations must agree to 6dp on every doc."""
+    from stockpy_spark.operators.gopher import gopher_repetition_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    return gopher_repetition_profile(docs, "text", "doc_id")
+
+
+SQL_TEXT_GOPHER = r"""
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN text IS NULL OR trim(text) = ''
+                THEN [] ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+           END AS toks,
+           CASE WHEN text IS NULL OR trim(text) = ''
+                THEN 0 ELSE len(regexp_split_to_array(trim(lower(text)), '\s+'))
+           END AS nt
+    FROM documents
+), pos AS (
+    SELECT doc_id, toks, unnest(generate_series(1, nt)) AS p
+    FROM t WHERE nt > 0
+), chars AS (
+    SELECT doc_id, CAST(sum(length(toks[p])) AS BIGINT) AS total_chars
+    FROM pos GROUP BY doc_id
+), tn AS (
+    SELECT t.doc_id, t.toks, n.n,
+           unnest(generate_series(0, t.nt - n.n)) AS s
+    FROM t JOIN (VALUES (2), (3), (4), (5), (10)) AS n(n) ON t.nt >= n.n
+), g AS (
+    SELECT doc_id, n, s,
+           array_to_string(list_slice(toks, s + 1, s + n), ' ') AS gram
+    FROM tn
+), cnt AS (
+    SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3
+), top AS (
+    SELECT doc_id, n, gram FROM (
+        SELECT doc_id, n, gram,
+               row_number() OVER (PARTITION BY doc_id, n
+                                  ORDER BY c DESC, gram ASC) AS rk
+        FROM cnt WHERE n IN (2, 3, 4)
+    ) WHERE rk = 1
+), occ AS (
+    SELECT 'top' AS fam, g.doc_id, g.n, g.s
+    FROM g JOIN top USING (doc_id, n, gram)
+    UNION ALL
+    SELECT 'dup', g.doc_id, g.n, g.s
+    FROM g JOIN (SELECT doc_id, n, gram FROM cnt
+                 WHERE c > 1 AND n IN (5, 10)) d USING (doc_id, n, gram)
+), covpos AS (
+    SELECT DISTINCT fam, doc_id, n, p FROM (
+        SELECT fam, doc_id, n, unnest(generate_series(s + 1, s + n)) AS p
+        FROM occ
+    )
+), cov AS (
+    SELECT c.fam, c.doc_id, c.n,
+           CAST(sum(length(t.toks[c.p])) AS BIGINT) AS chars
+    FROM covpos c JOIN t ON t.doc_id = c.doc_id
+    GROUP BY 1, 2, 3
+), stats AS (
+    SELECT doc_id,
+           max(CASE WHEN fam = 'top' AND n = 2 THEN chars END) AS t2,
+           max(CASE WHEN fam = 'top' AND n = 3 THEN chars END) AS t3,
+           max(CASE WHEN fam = 'top' AND n = 4 THEN chars END) AS t4,
+           max(CASE WHEN fam = 'dup' AND n = 5 THEN chars END) AS d5,
+           max(CASE WHEN fam = 'dup' AND n = 10 THEN chars END) AS d10
+    FROM cov GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(t.nt AS BIGINT) AS n_tokens,
+       CAST(COALESCE(ch.total_chars, 0) AS BIGINT) AS total_chars,
+       round(CASE WHEN COALESCE(ch.total_chars, 0) = 0 THEN 0.0
+                  ELSE COALESCE(s.t2, 0) / CAST(ch.total_chars AS DOUBLE)
+             END, 6) AS top2_char_frac,
+       round(CASE WHEN COALESCE(ch.total_chars, 0) = 0 THEN 0.0
+                  ELSE COALESCE(s.t3, 0) / CAST(ch.total_chars AS DOUBLE)
+             END, 6) AS top3_char_frac,
+       round(CASE WHEN COALESCE(ch.total_chars, 0) = 0 THEN 0.0
+                  ELSE COALESCE(s.t4, 0) / CAST(ch.total_chars AS DOUBLE)
+             END, 6) AS top4_char_frac,
+       round(CASE WHEN COALESCE(ch.total_chars, 0) = 0 THEN 0.0
+                  ELSE COALESCE(s.d5, 0) / CAST(ch.total_chars AS DOUBLE)
+             END, 6) AS dup5_char_frac,
+       round(CASE WHEN COALESCE(ch.total_chars, 0) = 0 THEN 0.0
+                  ELSE COALESCE(s.d10, 0) / CAST(ch.total_chars AS DOUBLE)
+             END, 6) AS dup10_char_frac
+FROM t
+LEFT JOIN chars ch ON t.doc_id = ch.doc_id
+LEFT JOIN stats s ON t.doc_id = s.doc_id
+"""
+
+
+def q_text_gopher_quality(spark, sf_dir):
+    """Gopher document-quality rule battery (operators/gopher.py
+    gopher_quality_rules — the line/word-shape gates of Rae et al.
+    2021 App. A). The synthetic corpus is single-line word soup, so —
+    exactly like text_redact_pii salts PII — each doc is first given a
+    deterministic doc_id-derived line structure (8-token lines,
+    bullets, '#' symbol tokens, injected stopwords, '...'/'.' endings),
+    constructed identically in both engines; the rule battery then
+    PARSES that text with no knowledge of the construction. keep
+    splits ~2:1 at sf0.01, so every gate is load-bearing."""
+    from stockpy_spark.operators.gopher import gopher_quality_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    toks = F.when(
+        F.col("text").isNull() | (F.trim("text") == ""),
+        F.array().cast("array<string>"),
+    ).otherwise(F.split(F.trim(F.lower("text")), r"\s+"))
+    base = docs.select("doc_id", toks.alias("__t")).select(
+        "doc_id", "__t", F.size("__t").alias("__nt")
+    )
+    nt = F.col("__nt")
+    nlines = F.floor((nt + F.lit(7)) / F.lit(8)).cast("int")
+
+    def line_expr(i):
+        key = d + i
+        return F.concat(
+            F.when(key % 5 == 0, F.lit("- ")).otherwise(F.lit("")),
+            F.array_join(F.slice("__t", i * F.lit(8) + 1, 8), " "),
+            F.when(key % 4 == 0, F.lit(" #42")).otherwise(F.lit("")),
+            F.when(key % 2 == 0, F.lit(" of the")).otherwise(F.lit("")),
+            F.when(key % 7 == 0, F.lit("..."))
+            .when(key % 3 == 0, F.lit("."))
+            .otherwise(F.lit("")),
+        )
+
+    salted = F.when(nt == 0, F.lit("")).otherwise(
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), nlines - 1), line_expr), "\n"
+        )
+    )
+    sdf = base.select("doc_id", salted.alias("salted"))
+    return gopher_quality_rules(sdf, "salted", "doc_id")
+
+
+SQL_TEXT_GOPHER_QUALITY = r"""
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN text IS NULL OR trim(text) = ''
+                THEN [] ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+           END AS toks,
+           CASE WHEN text IS NULL OR trim(text) = ''
+                THEN 0 ELSE len(regexp_split_to_array(trim(lower(text)), '\s+'))
+           END AS nt
+    FROM documents
+), sal AS (
+    SELECT doc_id,
+           CASE WHEN nt = 0 THEN '' ELSE
+             array_to_string(list_transform(generate_series(0, (nt + 7) // 8 - 1), i ->
+               (CASE WHEN (doc_id + i) % 5 = 0 THEN '- ' ELSE '' END)
+               || array_to_string(list_slice(toks, i * 8 + 1, i * 8 + 8), ' ')
+               || (CASE WHEN (doc_id + i) % 4 = 0 THEN ' #42' ELSE '' END)
+               || (CASE WHEN (doc_id + i) % 2 = 0 THEN ' of the' ELSE '' END)
+               || (CASE WHEN (doc_id + i) % 7 = 0 THEN '...'
+                        WHEN (doc_id + i) % 3 = 0 THEN '.' ELSE '' END)
+             ), chr(10)) END AS txt
+    FROM t
+), f AS (
+    SELECT doc_id, txt,
+           CASE WHEN trim(txt) = '' THEN [] ELSE string_split(txt, chr(10)) END AS lines,
+           CASE WHEN trim(txt) = '' THEN [] ELSE regexp_split_to_array(trim(txt), '\s+') END AS words
+    FROM sal
+), m AS (
+    SELECT doc_id,
+           len(lines) AS n_lines, len(words) AS n_words,
+           greatest(len(lines), 1) AS snl, greatest(len(words), 1) AS snw,
+           len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '• %')) AS bullet,
+           len(list_filter(lines, l -> l LIKE '%...')) AS ellips,
+           len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]'))) AS alpha,
+           length(txt) - length(replace(txt, '#', '')) AS hashc,
+           (length(txt) - length(replace(txt, '...', ''))) / 3 AS dots3,
+           list_sum(list_transform(words, w -> length(w))) AS wchars,
+           (CASE WHEN list_contains(words, 'the') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(words, 'be') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(words, 'to') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(words, 'of') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(words, 'and') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(words, 'that') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(words, 'have') THEN 1 ELSE 0 END
+          + CASE WHEN list_contains(words, 'with') THEN 1 ELSE 0 END) AS stop_hits
+    FROM f
+)
+SELECT doc_id,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(n_words AS BIGINT) AS n_words,
+       round(bullet / CAST(snl AS DOUBLE), 6) AS bullet_line_frac,
+       round(ellips / CAST(snl AS DOUBLE), 6) AS ellipsis_line_frac,
+       round(alpha / CAST(snw AS DOUBLE), 6) AS alpha_word_frac,
+       round((hashc + dots3) / CAST(snw AS DOUBLE), 6) AS symbol_word_ratio,
+       round(COALESCE(wchars, 0) / CAST(snw AS DOUBLE), 6) AS mean_word_len,
+       CAST(stop_hits AS INTEGER) AS stop_hits,
+       CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+              AND round(COALESCE(wchars,0) / CAST(snw AS DOUBLE), 6) BETWEEN 3.0 AND 10.0
+              AND round(bullet / CAST(snl AS DOUBLE), 6) <= 0.9
+              AND round(ellips / CAST(snl AS DOUBLE), 6) <= 0.3
+              AND round(alpha / CAST(snw AS DOUBLE), 6) >= 0.8
+              AND round((hashc + dots3) / CAST(snw AS DOUBLE), 6) <= 0.1
+              AND stop_hits >= 2
+            THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM m
+"""
+
+
 def q_text_redact_pii(spark, sf_dir):
     """PII scrub parity check. The synthetic corpus contains no real
     PII, so each row's text is salted with a doc_id-derived email,
@@ -1407,6 +1684,7 @@ EXT_QUERIES: dict[str, tuple] = {
     "mm_decode_pixels": (q_mm_decode_pixels, SQL_MM_PIXELS),
     "mm_decode_png": (q_mm_decode_png, SQL_MM_PNG),
     "mm_blob_pointer_read": (q_mm_blob_pointer_read, SQL_MM_BLOB),
+    "mm_phash_neardup": (q_mm_phash_neardup, SQL_MM_PHASH),
     "mm_decode_gif": (q_mm_decode_gif, SQL_MM_GIF),
     "approx_distinct_users": (q_approx_distinct_users, None),
     "pipeline_clean_corpus": (q_pipeline_clean_corpus, SQL_PIPELINE_CLEAN),
@@ -1417,6 +1695,8 @@ EXT_QUERIES: dict[str, tuple] = {
     "dp_event_counts": (q_dp_event_counts, SQL_DP_COUNTS),
     "text_dup_spans": (q_text_dup_spans, SQL_TEXT_DUP_SPANS),
     "text_despan": (q_text_despan, SQL_TEXT_DESPAN),
+    "text_gopher_repetition": (q_text_gopher_repetition, SQL_TEXT_GOPHER),
+    "text_gopher_quality": (q_text_gopher_quality, SQL_TEXT_GOPHER_QUALITY),
     "pack_context_bins": (q_pack_context_bins, SQL_PACK),
     "text_redact_pii": (q_text_redact_pii, SQL_REDACT),
     "pack_materialize": (q_pack_materialize, SQL_PACK_MAT),

@@ -380,3 +380,108 @@ def test_remove_duplicated_spans_hand_computed(spark):
     assert out[6] == (5, 5, 0, "u v w z1 z2")
     # disjoint cuts [0,3)+[6,9): the middle survives, order preserved
     assert out[7] == (9, 3, 6, "q r s")
+
+
+def test_gopher_repetition_hand_computed(spark):
+    """Pins the Gopher within-doc repetition battery (operators/gopher.py)
+    against hand-computed values: overlapping-occurrence char union (no
+    double counting), the (count DESC, gram ASC) top-gram tie-break,
+    count-1 top grams still covering their span, short/empty/null docs
+    scoring 0.0, and the every-doc-gets-a-row contract."""
+    from stockpy_spark.operators.gopher import gopher_repetition_profile
+
+    docs = spark.createDataFrame(
+        [
+            # "a a a a": top2 "a a" starts [0,1,2] -> union covers all
+            # 4 single-char tokens; dup5 impossible (nt=4).
+            (1, "a a a a"),
+            # top2 tie among "a b","x y","y a" (2 each) -> lexicographic
+            # min "a b", starts [2,6] -> covers 4 of 8 chars.
+            (2, "x y a b x y a b"),
+            # 5-gram "a b c d e" repeats at starts [0,5] -> covers
+            # tokens 0..9 = 10 of 12 chars; all 10-grams distinct.
+            (3, "a b c d e a b c d e x y"),
+            # overlapping dup-5 occurrences: starts [0,1] union -> 6/6.
+            (4, "a a a a a a"),
+            # single token: every statistic needing n>=2 scores 0.0 but
+            # the count-1 top gram rule is n>=2 so all 0; chars counted.
+            (5, "hello"),
+            (6, ""),
+            (7, None),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in gopher_repetition_profile(docs, "text", "doc_id").collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5, 6, 7}
+
+    r1 = out[1]
+    assert (r1["n_tokens"], r1["total_chars"]) == (4, 4)
+    assert r1["top2_char_frac"] == 1.0
+    assert r1["top3_char_frac"] == 1.0  # "a a a" x2, starts [0,1]
+    assert r1["top4_char_frac"] == 1.0  # count-1 gram still covers
+    assert r1["dup5_char_frac"] == 0.0
+
+    assert out[2]["top2_char_frac"] == 0.5  # "a b" covers 4/8
+    assert out[3]["dup5_char_frac"] == round(10 / 12, 6)
+    assert out[3]["dup10_char_frac"] == 0.0
+    assert out[4]["dup5_char_frac"] == 1.0
+
+    r5 = out[5]
+    assert (r5["n_tokens"], r5["total_chars"]) == (1, 5)
+    assert all(
+        r5[c] == 0.0
+        for c in ("top2_char_frac", "top3_char_frac", "top4_char_frac",
+                  "dup5_char_frac", "dup10_char_frac")
+    )
+    for d in (6, 7):
+        assert out[d]["n_tokens"] == 0 and out[d]["total_chars"] == 0
+        assert out[d]["top2_char_frac"] == 0.0
+        assert out[d]["dup10_char_frac"] == 0.0
+
+
+def test_gopher_quality_rules_hand_computed(spark):
+    """Pins the Gopher line/word-shape gate battery
+    (operators/gopher.py gopher_quality_rules): bullet and ellipsis
+    line fractions, alpha-word fraction (a lone '-' token is not
+    alphabetic), '#'+'...' symbol accounting, the required-stopword
+    count, and the keep gate (min-words fail vs a passing doc)."""
+    from stockpy_spark.operators.gopher import gopher_quality_rules
+
+    passing = "the of and " + " ".join(["word"] * 49)  # 52 words, 3 stops
+    docs = spark.createDataFrame(
+        [
+            (1, "- alpha beta...\ngamma delta."),
+            (2, passing),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in gopher_quality_rules(docs, "text", "doc_id").collect()
+    }
+    r1 = out[1]
+    # words: ["-", "alpha", "beta...", "gamma", "delta."]
+    assert (r1["n_lines"], r1["n_words"]) == (2, 5)
+    assert r1["bullet_line_frac"] == 0.5
+    assert r1["ellipsis_line_frac"] == 0.5
+    assert r1["alpha_word_frac"] == 0.8
+    assert r1["symbol_word_ratio"] == 0.2  # one "..." occurrence / 5
+    assert r1["mean_word_len"] == 4.8  # (1+5+7+5+6)/5
+    assert r1["stop_hits"] == 0
+    assert r1["keep"] == 0  # min-words gate
+
+    r2 = out[2]
+    assert r2["n_words"] == 52
+    assert r2["stop_hits"] == 3
+    assert r2["alpha_word_frac"] == 1.0
+    assert r2["keep"] == 1
+
+    for d in (3, 4):
+        assert out[d]["n_words"] == 0
+        assert out[d]["mean_word_len"] == 0.0
+        assert out[d]["keep"] == 0

@@ -1280,3 +1280,61 @@ def test_blob_shard_pack_and_slice_roundtrip(spark, tmp_path):
         for r in read_blob_slices(index).collect()
     }
     assert restored == direct
+
+
+def test_ahash_bits_hand_computed():
+    """Pins the aHash executable spec (operators/imagehash.ahash_bits):
+    constant images hash to all-zero bits (strict > threshold), a
+    half-bright image sets exactly the bright half, and nearest-
+    neighbor grid sampling maps a 4x4 source onto the 8x8 lattice by
+    index duplication, never interpolation."""
+    import numpy as np
+
+    from stockpy_spark.operators.imagehash import ahash_bits
+
+    flat = np.full((8, 8, 3), 77, dtype=np.uint8)
+    assert ahash_bits(flat).sum() == 0  # lum*64 > total is never strict
+
+    half = np.zeros((8, 8, 3), dtype=np.uint8)
+    half[:, 4:, :] = 200
+    bits = ahash_bits(half).reshape(8, 8)
+    assert bits[:, 4:].all() and not bits[:, :4].any()
+
+    # 4x4 source: grid index (g*4)//8 duplicates each source cell 2x2,
+    # so the single bright source pixel (0,0) covers grid cells
+    # {0,1}x{0,1} and only those.
+    small = np.zeros((4, 4, 3), dtype=np.uint8)
+    small[0, 0, :] = 255
+    bits = ahash_bits(small).reshape(8, 8)
+    assert bits[:2, :2].all() and bits.sum() == 4
+
+
+def test_ahash_near_pairs_band_blocking(spark):
+    """Drives the full decode -> hash -> band-pigeonhole pair path on
+    hand-built BMPs: a one-cell perturbation is found at hamming 1, an
+    exact duplicate at 0, and the complement image (all 4 bands differ)
+    is never even a candidate."""
+    import numpy as np
+
+    from stockpy_spark.operators.imagehash import (
+        ahash_near_pairs,
+        perceptual_ahash,
+    )
+    from stockpy_spark.operators.multimodal import encode_bmp
+
+    a = np.zeros((8, 8, 3), dtype=np.uint8)
+    a[:, 4:, :] = 200
+    b = a.copy()
+    b[0, 0, :] = 200  # one extra bright cell -> hamming 1 vs a
+    c = 200 - a  # complement: every band differs
+    d = a.copy()  # exact duplicate -> hamming 0 vs a
+
+    assets = spark.createDataFrame(
+        [(i + 1, bytearray(encode_bmp(px))) for i, px in enumerate((a, b, c, d))],
+        "doc_id long, payload binary",
+    )
+    pairs = {
+        (r["d1"], r["d2"]): r["hamming"]
+        for r in ahash_near_pairs(perceptual_ahash(assets), max_hamming=2).collect()
+    }
+    assert pairs == {(1, 2): 1, (1, 4): 0, (2, 4): 1}
