@@ -1,0 +1,151 @@
+"""DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling").
+
+The pretraining-data selection recipe: score every raw document by how
+much more likely its hashed-n-gram feature profile is under a TARGET
+distribution (the high-quality corpus you wish you had more of) than
+under the RAW distribution, then resample the raw pool by those
+importance weights. The paper's estimator, faithfully:
+
+- features = word bigrams hashed into ``n_buckets`` buckets;
+- each distribution is a bag-of-buckets unigram model with add-1
+  smoothing: ``p[b] = (count_target[b] + 1) / (total_target +
+  n_buckets)``, same for raw;
+- per-doc importance weight ``log w = sum over the doc's bigrams of
+  (ln p[bucket] - ln q[bucket])``;
+- selection = Gumbel top-k over ``log w + g_i`` (Gumbel-max sampling
+  without replacement), with the Gumbel draw seeded from md5 of the
+  doc id — a pure function of (salt, id), so reruns and the SQL
+  oracle reproduce the exact sample (the same determinism-over-CSPRNG
+  trade every sampler in operators/sampling.py makes).
+
+Scale shape: one bigram explode (shingle-volume, the minhash profile)
+feeds BOTH distribution estimates via a single conditional aggregate
+(map-side combined, output = n_buckets rows no matter the corpus
+size); the per-bucket log-ratio table is KB-sized and broadcast back
+onto the exploded grams; the only corpus-keyed shuffle is the per-doc
+weight sum. Nothing here is quadratic and no state exceeds the bucket
+table — at 100 TB the cost is the explode plus two well-combined
+aggregates. Selection is a TakeOrderedAndProject top-k, never a full
+sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from stockpy_spark.functions.text import word_ngrams
+from stockpy_spark.operators.privacy import _hash_uniform
+
+
+def _bucket(gram: Column, n_buckets: int, salt: str) -> Column:
+    """Portable hash bucket: md5 of the salted gram, first 13 hex chars
+    (52 bits — exactly representable everywhere), mod n_buckets. Same
+    derivation family as sampling._hash_bucket; at 100 TB swap for
+    xxhash64, the estimator is unchanged."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("\x1f", F.lit(salt), gram)), 1, 13
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(n_buckets)
+    )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    is_target: Column,
+    n_buckets: int = 1024,
+    salt: str = "dsir",
+    dp: int = 6,
+) -> DataFrame:
+    """(id, n_bigrams, log_weight, resample_key) for every RAW row of
+    ``df`` (rows where ``is_target`` is false). ``log_weight`` is the
+    hashed-bigram log likelihood ratio (module docstring);
+    ``resample_key = log_weight + Gumbel(md5(salt, id))`` is the
+    Gumbel-max sampling key — take the k largest for DSIR's sample
+    without replacement (:func:`dsir_select_topk`). Docs with fewer
+    than 2 tokens carry weight 0 (an empty product of ratios) but
+    still draw a Gumbel key, so short docs are sampled at the prior."""
+    tagged = df.select(
+        F.col(id_col).alias("__id"),
+        is_target.alias("__tgt"),
+        F.col(text_col).alias("__txt"),
+    )
+    # explode_OUTER keeps zero-bigram docs as one null-gram row, so the
+    # per-doc aggregate below covers every raw doc and no corpus-sized
+    # re-join is needed to backfill them (the join-based first draft
+    # cost a SortMergeJoin + 2 extra shuffles for exactly those rows).
+    grams = tagged.select(
+        "__id",
+        "__tgt",
+        F.explode_outer(word_ngrams("__txt", 2)).alias("__gram"),
+    ).select(
+        "__id",
+        "__tgt",
+        F.when(
+            F.col("__gram").isNotNull(),
+            _bucket(F.col("__gram"), n_buckets, salt),
+        ).alias("__b"),
+    )
+
+    # One pass estimates BOTH distributions: conditional counts per
+    # bucket (map-side combined; output is n_buckets rows). The null
+    # bucket (empty docs) is excluded from the models.
+    stats = grams.filter(F.col("__b").isNotNull()).groupBy("__b").agg(
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("__ct"),
+        F.sum(F.when(~F.col("__tgt"), 1).otherwise(0)).alias("__cr"),
+    )
+    # Grand totals: a keyless 1-row census, broadcast by construction.
+    totals = stats.agg(
+        F.sum("__ct").alias("__T"), F.sum("__cr").alias("__R")
+    )
+    log_ratio = (
+        stats.crossJoin(F.broadcast(totals))
+        .select(
+            "__b",
+            (
+                F.log(
+                    (F.col("__ct") + 1).cast("double")
+                    / (F.col("__T") + n_buckets).cast("double")
+                )
+                - F.log(
+                    (F.col("__cr") + 1).cast("double")
+                    / (F.col("__R") + n_buckets).cast("double")
+                )
+            ).alias("__ld"),
+        )
+    )
+
+    gumbel = -F.log(-F.log(_hash_uniform(F.col("__id"), salt + "-g")))
+    return (
+        grams.filter(~F.col("__tgt"))
+        .join(F.broadcast(log_ratio), "__b", "left")
+        .groupBy("__id")
+        .agg(
+            F.count("__b").alias("__n"),  # count() skips the null row
+            F.coalesce(F.sum("__ld"), F.lit(0.0)).alias("__lw"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__n").cast("long").alias("n_bigrams"),
+            F.round("__lw", dp).alias("log_weight"),
+            F.round(F.col("__lw") + gumbel, dp).alias("resample_key"),
+        )
+    )
+
+
+def dsir_select_topk(weights: DataFrame, id_col: str, k: int) -> DataFrame:
+    """The resampling step: k largest Gumbel keys = a without-
+    replacement draw proportional to the importance weights (Gumbel-max
+    trick). Plans as TakeOrderedAndProject — no global sort; ties
+    (md5-improbable) break by id for determinism."""
+    return weights.orderBy(
+        F.col("resample_key").desc(), F.col(id_col)
+    ).limit(k)

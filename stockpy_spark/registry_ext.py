@@ -1325,6 +1325,68 @@ LEFT JOIN stats s ON t.doc_id = s.doc_id
 """
 
 
+def q_sample_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (operators/dsir.py — Xie et al. 2023):
+    hashed-bigram (1024 buckets, md5-portable) add-1-smoothed bag
+    models for a target slice (doc_id % 10 == 0) vs the raw pool, per-
+    doc log likelihood-ratio weights, and the Gumbel-max resample key
+    seeded from md5(doc_id). Emitting EVERY raw doc's (weight, key)
+    rather than the top-k cut keeps the oracle boundary-free: the
+    sample is a deterministic function of this output (take the k
+    largest keys — dsir_select_topk), and each of the 450 weights is
+    hash-checked individually."""
+    from stockpy_spark.operators.dsir import dsir_importance_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_importance_weights(
+        docs, "text", "doc_id", F.col("doc_id") % 10 == 0
+    )
+
+
+SQL_DSIR = r"""
+WITH t AS (
+    SELECT doc_id, doc_id % 10 = 0 AS tgt,
+           CASE WHEN text IS NULL OR trim(text) = ''
+                THEN [] ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+           END AS toks,
+           CASE WHEN text IS NULL OR trim(text) = ''
+                THEN 0 ELSE len(regexp_split_to_array(trim(lower(text)), '\s+'))
+           END AS nt
+    FROM documents
+), g AS (
+    SELECT doc_id, tgt,
+           CAST(concat('0x', substr(md5('dsir' || chr(31)
+                || toks[s] || ' ' || toks[s + 1]), 1, 13)) AS BIGINT) % 1024 AS b
+    FROM (SELECT doc_id, tgt, toks,
+                 unnest(generate_series(1, nt - 1)) AS s
+          FROM t WHERE nt >= 2)
+), s AS (
+    SELECT b,
+           sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+           sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS cr
+    FROM g GROUP BY b
+), tot AS (
+    SELECT sum(ct) AS tt, sum(cr) AS tr FROM s
+), ld AS (
+    SELECT b, ln((ct + 1) / CAST(tt + 1024 AS DOUBLE))
+            - ln((cr + 1) / CAST(tr + 1024 AS DOUBLE)) AS ld
+    FROM s, tot
+), w AS (
+    SELECT g.doc_id, count(*) AS n, sum(ld.ld) AS lw
+    FROM g JOIN ld USING (b) WHERE NOT g.tgt GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(w.n, 0) AS BIGINT) AS n_bigrams,
+       round(COALESCE(w.lw, 0.0), 6) AS log_weight,
+       round(COALESCE(w.lw, 0.0)
+             - ln(-ln((CAST(concat('0x', substr(md5('dsir-g|'
+                   || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                   % 1000000 + 0.5) / 1000000.0)), 6) AS resample_key
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 != 0) d
+LEFT JOIN w ON d.doc_id = w.doc_id
+"""
+
+
 def q_text_gopher_quality(spark, sf_dir):
     """Gopher document-quality rule battery (operators/gopher.py
     gopher_quality_rules — the line/word-shape gates of Rae et al.
@@ -1697,6 +1759,7 @@ EXT_QUERIES: dict[str, tuple] = {
     "text_despan": (q_text_despan, SQL_TEXT_DESPAN),
     "text_gopher_repetition": (q_text_gopher_repetition, SQL_TEXT_GOPHER),
     "text_gopher_quality": (q_text_gopher_quality, SQL_TEXT_GOPHER_QUALITY),
+    "sample_dsir_weights": (q_sample_dsir_weights, SQL_DSIR),
     "pack_context_bins": (q_pack_context_bins, SQL_PACK),
     "text_redact_pii": (q_text_redact_pii, SQL_REDACT),
     "pack_materialize": (q_pack_materialize, SQL_PACK_MAT),

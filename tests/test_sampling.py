@@ -70,3 +70,43 @@ def test_pack_sequences_bins_respect_start_offsets(spark, sf_dir):
     # all docs kept, no shard empty at this size
     assert len(rows) == docs.count()
     assert len(cum) == 4
+
+
+def test_dsir_weights_sign_structure_and_topk(spark):
+    """Pins DSIR semantics (operators/dsir.py) without replaying md5:
+    raw docs made of target-distribution bigrams score positive log
+    likelihood ratios, out-of-target bigrams score negative, empty docs
+    carry weight 0 but still draw a Gumbel key, and dsir_select_topk
+    returns the k largest resample keys."""
+    from pyspark.sql import functions as F
+
+    from stockpy_spark.operators.dsir import (
+        dsir_importance_weights,
+        dsir_select_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (10, "apple banana apple banana apple"),  # target
+            (20, "banana apple banana apple"),  # target
+            (1, "apple banana apple banana"),  # raw, target-like
+            (2, "zebra quux zebra quux zebra"),  # raw, alien
+            (3, ""),  # raw, empty
+        ],
+        "doc_id long, text string",
+    )
+    w = dsir_importance_weights(
+        docs, "text", "doc_id", F.col("doc_id") >= 10
+    )
+    rows = {r["doc_id"]: r for r in w.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["n_bigrams"] == 3 and rows[2]["n_bigrams"] == 4
+    assert rows[1]["log_weight"] > 0 > rows[2]["log_weight"]
+    assert rows[3]["n_bigrams"] == 0 and rows[3]["log_weight"] == 0.0
+    # the key is weight + Gumbel noise, a pure function of the id
+    for r in rows.values():
+        assert r["resample_key"] is not None
+
+    top = dsir_select_topk(w, "doc_id", 2).collect()
+    keys = sorted((r["resample_key"] for r in rows.values()), reverse=True)
+    assert sorted((r["resample_key"] for r in top), reverse=True) == keys[:2]
