@@ -742,6 +742,48 @@ WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
 """
 
 
+def q_mm_phash_dedup_cc(spark, sf_dir):
+    """Transitive image dedup: the mm_phash_neardup pair graph closed
+    under connectivity (operators/graph.py min-label propagation with
+    pointer jumping), one row per image with its component id and the
+    min-id representative flag — pair emitters alone under-remove
+    (A~B, B~C keeps C), so this is the image twin of
+    pipeline_dedup_cc. The oracle is exact transitive closure via
+    WITH RECURSIVE reachability over the SAME closed-form pair set, so
+    a hash match proves the iterative algorithm converged to the true
+    components for every image."""
+    from stockpy_spark.operators.graph import dedup_components
+    from stockpy_spark.operators.imagehash import (
+        ahash_near_pairs,
+        perceptual_ahash,
+    )
+    from stockpy_spark.operators.multimodal import attach_bmp_payload
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    pairs = ahash_near_pairs(
+        perceptual_ahash(attach_bmp_payload(docs, "doc_id")), max_hamming=2
+    )
+    return dedup_components(docs, pairs)
+
+
+SQL_MM_PHASH_CC = f"""
+WITH RECURSIVE pairs AS (
+    SELECT d1, d2 FROM ({SQL_MM_PHASH})
+), und AS (
+    SELECT d1 AS a, d2 AS b FROM pairs
+    UNION ALL
+    SELECT d2 AS a, d1 AS b FROM pairs
+), walk(v, lbl) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT und.b, walk.lbl FROM walk JOIN und ON und.a = walk.v
+)
+SELECT v AS doc_id, MIN(lbl) AS component,
+       (v = MIN(lbl)) AS is_representative
+FROM walk GROUP BY v
+"""
+
+
 def q_mm_decode_gif(spark, sf_dir):
     """GIF twin of mm_decode_png: generate a palette GIF89a per document
     (same closed-form pixel pattern), decode it back through the
@@ -1747,6 +1789,7 @@ EXT_QUERIES: dict[str, tuple] = {
     "mm_decode_png": (q_mm_decode_png, SQL_MM_PNG),
     "mm_blob_pointer_read": (q_mm_blob_pointer_read, SQL_MM_BLOB),
     "mm_phash_neardup": (q_mm_phash_neardup, SQL_MM_PHASH),
+    "mm_phash_dedup_cc": (q_mm_phash_dedup_cc, SQL_MM_PHASH_CC),
     "mm_decode_gif": (q_mm_decode_gif, SQL_MM_GIF),
     "approx_distinct_users": (q_approx_distinct_users, None),
     "pipeline_clean_corpus": (q_pipeline_clean_corpus, SQL_PIPELINE_CLEAN),

@@ -1338,3 +1338,38 @@ def test_ahash_near_pairs_band_blocking(spark):
         for r in ahash_near_pairs(perceptual_ahash(assets), max_hamming=2).collect()
     }
     assert pairs == {(1, 2): 1, (1, 4): 0, (2, 4): 1}
+
+
+def test_ahash_dedup_components_transitive(spark):
+    """The image-dedup composition: phash near pairs closed under
+    connectivity. Images 1, 2, 4 are pairwise near-dups (one
+    component, min-id representative 1); the complement image 3 is its
+    own singleton component."""
+    import numpy as np
+
+    from stockpy_spark.operators.graph import dedup_components
+    from stockpy_spark.operators.imagehash import (
+        ahash_near_pairs,
+        perceptual_ahash,
+    )
+    from stockpy_spark.operators.multimodal import encode_bmp
+
+    a = np.zeros((8, 8, 3), dtype=np.uint8)
+    a[:, 4:, :] = 200
+    b = a.copy()
+    b[0, 0, :] = 200
+    c = 200 - a
+    d = a.copy()
+    assets = spark.createDataFrame(
+        [(i + 1, bytearray(encode_bmp(px))) for i, px in enumerate((a, b, c, d))],
+        "doc_id long, payload binary",
+    )
+    comp = dedup_components(
+        assets.select("doc_id"),
+        ahash_near_pairs(perceptual_ahash(assets), max_hamming=2),
+    )
+    rows = {r["doc_id"]: r for r in comp.collect()}
+    assert {k: v["component"] for k, v in rows.items()} == {1: 1, 2: 1, 3: 3, 4: 1}
+    assert {k: v["is_representative"] for k, v in rows.items()} == {
+        1: True, 2: False, 3: True, 4: False,
+    }
