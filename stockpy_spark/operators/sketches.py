@@ -381,3 +381,89 @@ def heavy_hitters_quality(
             ).cast("int").alias("est_ok"),
         )
     )
+
+
+def cm_sketch_estimates(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cm",
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) — the
+    POINT-FREQUENCY member of the mergeable-sketch shelf (HLL =
+    distinct, KLL = quantiles, theta = set ops, Misra-Gries = top
+    items, this = "how often did X occur"): a ``depth x width`` grid of
+    counters, item -> one counter per row via independent hashes,
+    estimate = min over the rows. Counters never decrement, so the
+    estimate only ever OVERCOUNTS (collisions add), and
+    ``est - exact <= 2N/width`` with probability ``1 - 2^-depth`` per
+    the classic bound.
+
+    100 TB shape: the sketch build is ONE map-side-combined aggregate
+    whose output is depth*width rows (KB — constant in corpus size),
+    mergeable across partitions/days by cell-wise addition. Unlike
+    Misra-Gries, the final grid is a pure function of the multiset —
+    partitioning-invariant — and the md5 bucket derivation is
+    engine-portable, so the whole sketch AND every point estimate sit
+    under a full SQL hash oracle, not just a quality gate.
+
+    Returns (item, exact_count, cm_estimate) for every distinct item —
+    the exact count is the verify tier (computed alongside; at 100 TB
+    you would keep only the sketch and skip this column)."""
+    vals = df.select(F.col(col).cast("string").alias("__v")).where(
+        F.col("__v").isNotNull()
+    )
+
+    def bucket(j: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("\x1f", F.lit(f"{salt}{j}"), F.col("__v"))),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(width)
+        )
+
+    rows = vals.select(
+        "__v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), bucket(j).alias("b"))
+                    for j in range(depth)
+                ]
+            )
+        ).alias("__jb"),
+    ).select("__v", "__jb.j", "__jb.b")
+
+    sketch = rows.groupBy("j", "b").agg(F.count(F.lit(1)).alias("__c"))
+
+    # Verify tier: exact counts + the same bucket derivation per key.
+    exact = vals.groupBy("__v").agg(F.count(F.lit(1)).alias("exact_count"))
+    key_rows = exact.select(
+        "__v",
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), bucket(j).alias("b"))
+                    for j in range(depth)
+                ]
+            )
+        ).alias("__jb"),
+    ).select("__v", "exact_count", "__jb.j", "__jb.b")
+    return (
+        key_rows.join(F.broadcast(sketch), ["j", "b"])
+        .groupBy("__v", "exact_count")
+        .agg(F.min("__c").alias("cm_estimate"))
+        .select(
+            F.col("__v").alias("item"),
+            F.col("exact_count").cast("long").alias("exact_count"),
+            F.col("cm_estimate").cast("long").alias("cm_estimate"),
+        )
+    )

@@ -1367,6 +1367,48 @@ LEFT JOIN stats s ON t.doc_id = s.doc_id
 """
 
 
+def q_sketch_cm_counts(spark, sf_dir):
+    """Count-Min sketch point-frequency estimates over events.user_id
+    (operators/sketches.py cm_sketch_estimates, depth 4 x width 64 —
+    width deliberately small so collisions actually occur and the min-
+    over-rows machinery is load-bearing). The grid is a pure function
+    of the multiset (partitioning-invariant) and the md5 bucket
+    derivation is portable, so every cell and every point estimate is
+    hash-checked exactly — the only sketch on the shelf under a FULL
+    oracle rather than a quality gate. est >= exact always (counters
+    never decrement); the pytest pins the overestimate property and
+    cross-partition invariance."""
+    from stockpy_spark.operators.sketches import cm_sketch_estimates
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cm_sketch_estimates(ev, "user_id", depth=4, width=64)
+
+
+SQL_CM_SKETCH = r"""
+WITH v AS (
+    SELECT CAST(user_id AS VARCHAR) AS v FROM events WHERE user_id IS NOT NULL
+), r AS (
+    SELECT v, j.j,
+           CAST(concat('0x', substr(md5('cm' || CAST(j.j AS VARCHAR)
+                || chr(31) || v), 1, 13)) AS BIGINT) % 64 AS b
+    FROM v JOIN (VALUES (0), (1), (2), (3)) j(j) ON TRUE
+), sk AS (
+    SELECT j, b, count(*) AS c FROM r GROUP BY j, b
+), ex AS (
+    SELECT v, count(*) AS exact_count FROM v GROUP BY v
+), kr AS (
+    SELECT ex.v, ex.exact_count, j.j,
+           CAST(concat('0x', substr(md5('cm' || CAST(j.j AS VARCHAR)
+                || chr(31) || ex.v), 1, 13)) AS BIGINT) % 64 AS b
+    FROM ex JOIN (VALUES (0), (1), (2), (3)) j(j) ON TRUE
+)
+SELECT kr.v AS item, CAST(kr.exact_count AS BIGINT) AS exact_count,
+       CAST(min(sk.c) AS BIGINT) AS cm_estimate
+FROM kr JOIN sk ON kr.j = sk.j AND kr.b = sk.b
+GROUP BY kr.v, kr.exact_count
+"""
+
+
 def q_sample_dsir_weights(spark, sf_dir):
     """DSIR importance weights (operators/dsir.py — Xie et al. 2023):
     hashed-bigram (1024 buckets, md5-portable) add-1-smoothed bag
@@ -1803,6 +1845,7 @@ EXT_QUERIES: dict[str, tuple] = {
     "text_gopher_repetition": (q_text_gopher_repetition, SQL_TEXT_GOPHER),
     "text_gopher_quality": (q_text_gopher_quality, SQL_TEXT_GOPHER_QUALITY),
     "sample_dsir_weights": (q_sample_dsir_weights, SQL_DSIR),
+    "sketch_cm_counts": (q_sketch_cm_counts, SQL_CM_SKETCH),
     "pack_context_bins": (q_pack_context_bins, SQL_PACK),
     "text_redact_pii": (q_text_redact_pii, SQL_REDACT),
     "pack_materialize": (q_pack_materialize, SQL_PACK_MAT),

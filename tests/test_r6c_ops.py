@@ -443,3 +443,42 @@ def test_heavy_hitters_mg_guarantee_under_any_partitioning(spark):
         rows = {r.item: r for r in out.collect()}
         assert set(rows) == true_hitters, (parts, set(rows))
         assert all(r.found == 1 and r.est_ok == 1 for r in rows.values()), parts
+
+
+def test_cm_sketch_overestimate_and_partition_invariance(spark):
+    """Count-Min (operators/sketches.py cm_sketch_estimates): the
+    estimate never undercounts, collisions in a deliberately tiny grid
+    force strict overcounts whose value equals the colliding items'
+    sum (depth=1 makes the arithmetic hand-checkable), and the full
+    (item, exact, est) surface is identical at 1, 3, and 16 input
+    partitions — the grid is a pure function of the multiset."""
+    from stockpy_spark.operators.sketches import cm_sketch_estimates
+
+    rows = [(i % 10,) for i in range(100)] + [(7,)] * 25  # item 7: 35
+    df = spark.createDataFrame(rows, "k long")
+
+    out = {
+        r["item"]: r for r in cm_sketch_estimates(df, "k", depth=4, width=64).collect()
+    }
+    assert all(r["cm_estimate"] >= r["exact_count"] for r in out.values())
+    assert out["7"]["exact_count"] == 35
+
+    # depth=1, width=2: every bucket holds several items, so each
+    # estimate is the exact SUM of its bucket's counts — all >= exact,
+    # and the grand total of any bucket's members is conserved.
+    tiny = {
+        r["item"]: r
+        for r in cm_sketch_estimates(df, "k", depth=1, width=2).collect()
+    }
+    assert all(r["cm_estimate"] >= r["exact_count"] for r in tiny.values())
+    assert any(r["cm_estimate"] > r["exact_count"] for r in tiny.values())
+    assert sum(set(r["cm_estimate"] for r in tiny.values())) == 125
+
+    canon = lambda res: sorted(
+        (r["item"], r["exact_count"], r["cm_estimate"]) for r in res
+    )
+    base = canon(cm_sketch_estimates(df.coalesce(1), "k").collect())
+    for n in (3, 16):
+        assert canon(
+            cm_sketch_estimates(df.repartition(n), "k").collect()
+        ) == base
