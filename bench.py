@@ -124,6 +124,14 @@ HEADLINE = [
     # new family of r9/r10; in the headline for the drift-immune
     # shuffle-byte row.
     "text_dup_spans",
+    # round 10 second wave: DSIR importance weights — bigram explode
+    # feeding both distribution estimates through one conditional
+    # aggregate, broadcast log-ratio table, doc-keyed weight sum
+    # (5.3x/100x, BASELINE.md §4). text_gopher_repetition is
+    # deliberately NOT here: its wall is ~95% plan-compile constant
+    # (codegen of the staged array-HOF trees), which a headline timing
+    # would misreport as data cost — recorded in BASELINE.md §4.
+    "sample_dsir_weights",
 ]
 
 

@@ -1367,6 +1367,82 @@ LEFT JOIN stats s ON t.doc_id = s.doc_id
 """
 
 
+def q_web_domain_filter(spark, sf_dir):
+    """URL/domain-level corpus filtering (operators/webfilter.py) —
+    the stage web-scale pipelines run before any content decode: parse
+    host + registrable domain from the URL, screen against a host
+    blocklist, then cap each domain at 10 docs chosen by the
+    deterministic md5 draw (C4/RefinedWeb's per-domain diversity cap).
+    Docs get a deterministic doc_id-derived URL (28 domains x ~18 docs
+    at sf0.01, so the cap is load-bearing: ~45%% of unblocked rows are
+    dropped by quota); both engines build the same URLs, then parse
+    them blind."""
+    from stockpy_spark.operators.webfilter import (
+        blocklist_screen,
+        domain_diversity_cap,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(d % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("d"),
+        (d % 7).cast("string"),
+        F.lit("."),
+        F.element_at(
+            F.array(F.lit("com"), F.lit("org"), F.lit("net"), F.lit("io")),
+            ((d % 4) + 1).cast("int"),
+        ),
+        F.lit("/p/"),
+        d.cast("string"),
+    )
+    sdf = docs.select("doc_id", url.alias("url"))
+    screened = blocklist_screen(sdf, "url", ["d1.com", "d2.org", "www.d4.io"])
+    out = domain_diversity_cap(screened, "doc_id", 10)
+    return out.select("doc_id", "host", "domain", "blocked", "kept")
+
+
+SQL_WEB_FILTER = r"""
+WITH u AS (
+    SELECT doc_id,
+           'https://' || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+           || 'd' || CAST(doc_id % 7 AS VARCHAR) || '.'
+           || (['com','org','net','io'])[(doc_id % 4) + 1]
+           || '/p/' || CAST(doc_id AS VARCHAR) AS url
+    FROM documents
+), h AS (
+    SELECT doc_id, url,
+           lower(regexp_extract(url, '^https?://([^/:?#]+)', 1)) AS host
+    FROM u
+), d AS (
+    SELECT doc_id, url, host,
+           CASE WHEN contains(host, '.')
+                THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+                ELSE host END AS domain
+    FROM h
+), b AS (
+    SELECT doc_id, url, host, domain,
+           CASE WHEN host IN ('d1.com', 'd2.org', 'www.d4.io')
+                  OR domain IN ('d1.com', 'd2.org', 'www.d4.io')
+                THEN 1 ELSE 0 END AS blocked
+    FROM d
+), r AS (
+    SELECT *,
+           row_number() OVER (
+               PARTITION BY domain, blocked
+               ORDER BY md5('domcap' || chr(31) || CAST(doc_id AS VARCHAR)),
+                        doc_id
+           ) AS rk
+    FROM b
+)
+SELECT doc_id, host, domain, CAST(blocked AS INTEGER) AS blocked,
+       CAST(CASE WHEN blocked = 0 AND rk <= 10 THEN 1 ELSE 0 END
+            AS INTEGER) AS kept
+FROM r
+"""
+
+
 def q_sketch_cm_counts(spark, sf_dir):
     """Count-Min sketch point-frequency estimates over events.user_id
     (operators/sketches.py cm_sketch_estimates, depth 4 x width 64 —
@@ -1846,6 +1922,7 @@ EXT_QUERIES: dict[str, tuple] = {
     "text_gopher_quality": (q_text_gopher_quality, SQL_TEXT_GOPHER_QUALITY),
     "sample_dsir_weights": (q_sample_dsir_weights, SQL_DSIR),
     "sketch_cm_counts": (q_sketch_cm_counts, SQL_CM_SKETCH),
+    "web_domain_filter": (q_web_domain_filter, SQL_WEB_FILTER),
     "pack_context_bins": (q_pack_context_bins, SQL_PACK),
     "text_redact_pii": (q_text_redact_pii, SQL_REDACT),
     "pack_materialize": (q_pack_materialize, SQL_PACK_MAT),

@@ -110,3 +110,38 @@ def test_dsir_weights_sign_structure_and_topk(spark):
     top = dsir_select_topk(w, "doc_id", 2).collect()
     keys = sorted((r["resample_key"] for r in rows.values()), reverse=True)
     assert sorted((r["resample_key"] for r in top), reverse=True) == keys[:2]
+
+
+def test_web_domain_filter_parse_block_and_cap(spark):
+    """Pins the URL-filter stage (operators/webfilter.py): host/domain
+    parsing (subdomain reduced to registrable domain, bare hosts pass
+    through, unparseable -> ''), blocklist hits by host OR domain, and
+    the per-domain diversity cap keeping exactly max_per_domain
+    unblocked rows per domain."""
+    from stockpy_spark.operators.webfilter import (
+        blocklist_screen,
+        domain_diversity_cap,
+    )
+
+    rows = [(i, f"https://a{i % 2}.big.com/x/{i}") for i in range(1, 9)]
+    rows += [
+        (20, "https://www.evil.org/p"),  # domain-blocked
+        (21, "https://sub.evil.org/p"),  # domain-blocked
+        (22, "http://bad.host.net/p"),  # host-blocked (full host)
+        (23, "https://localhost/p"),  # bare label passes through
+        (24, "not a url"),  # unparseable -> host ''
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = domain_diversity_cap(
+        blocklist_screen(df, "url", ["evil.org", "bad.host.net"]),
+        "doc_id",
+        3,
+    )
+    r = {x["doc_id"]: x for x in out.collect()}
+    assert r[1]["host"] == "a1.big.com" and r[1]["domain"] == "big.com"
+    assert r[23]["domain"] == "localhost"
+    assert r[24]["host"] == ""
+    assert [r[i]["blocked"] for i in (20, 21, 22)] == [1, 1, 1]
+    assert all(r[i]["kept"] == 0 for i in (20, 21, 22))
+    # 8 rows share domain big.com; cap 3 keeps exactly 3 of them
+    assert sum(r[i]["kept"] for i in range(1, 9)) == 3
