@@ -467,3 +467,92 @@ def cm_sketch_estimates(
             F.col("cm_estimate").cast("long").alias("cm_estimate"),
         )
     )
+
+
+def bloom_build(
+    df: DataFrame,
+    col: str,
+    m_bits: int = 1024,
+    k_hashes: int = 3,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Bloom filter — the MEMBERSHIP member of the mergeable-sketch
+    shelf: each key sets ``k_hashes`` md5-derived bit positions in an
+    ``m_bits`` bitmap; filters merge by cell-wise OR. Returned as a
+    (word, bits) frame of BIGINT words holding 63 bits each (bit 63
+    deliberately unused: DuckDB errors on ``1 << 63``, and the oracle
+    must replay the exact arithmetic). The bitmap is a pure function of
+    the key SET — partitioning-invariant — built by one map-side-
+    combined bit_or aggregate whose output is m_bits/63 rows, constant
+    in corpus size. No false negatives ever; false-positive rate is
+    the standard (1 - e^(-kn/m))^k."""
+    vals = df.select(F.col(col).cast("string").alias("__v")).where(
+        F.col("__v").isNotNull()
+    )
+    pos = _bloom_positions(F.col("__v"), m_bits, k_hashes, salt)
+    return (
+        vals.select(F.explode(pos).alias("__p"))
+        .select(
+            (F.floor(F.col("__p") / 63)).cast("long").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__p % 63 AS INT))").alias("__bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("__bit").alias("bits"))
+    )
+
+
+def _bloom_positions(v: Column, m_bits: int, k_hashes: int, salt: str) -> Column:
+    return F.array(
+        *[
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("\x1f", F.lit(f"{salt}{j}"), v)), 1, 13
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(m_bits)
+            for j in range(k_hashes)
+        ]
+    )
+
+
+def bloom_screen(
+    batch: DataFrame,
+    col: str,
+    bloom: DataFrame,
+    m_bits: int = 1024,
+    k_hashes: int = 3,
+    salt: str = "bloom",
+) -> DataFrame:
+    """Adds ``bloom_maybe`` (int 0/1) to ``batch``: 1 iff ALL of the
+    key's bit positions are set in the (broadcast) bloom frame — the
+    tiny-state membership screen that answers "definitely new" without
+    touching the corpus. A key the filter rejects is GUARANTEED absent
+    (route it straight to ingest); a 'maybe' routes to the exact
+    anti-join. The screen is a narrow map over the batch plus one
+    broadcast join on the KB-sized word table."""
+    pos = _bloom_positions(F.col(col).cast("string"), m_bits, k_hashes, salt)
+    probes = batch.select(
+        "*", F.explode(pos).alias("__p")
+    ).select(
+        "*",
+        (F.floor(F.col("__p") / 63)).cast("long").alias("word"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__p % 63 AS INT))").alias("__bit"),
+    )
+    hit = (
+        probes.join(F.broadcast(bloom), "word", "left")
+        .withColumn(
+            "__set",
+            F.coalesce(
+                (F.col("bits").bitwiseAND(F.col("__bit")) == F.col("__bit")),
+                F.lit(False),
+            ),
+        )
+    )
+    group_cols = [c for c in batch.columns]
+    return (
+        hit.groupBy(*group_cols)
+        .agg(F.bool_and("__set").alias("__all"))
+        .select(*group_cols, F.col("__all").cast("int").alias("bloom_maybe"))
+    )

