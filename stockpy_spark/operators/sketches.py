@@ -411,17 +411,17 @@ def cm_sketch_estimates(
     Returns (item, exact_count, cm_estimate) for every distinct item —
     the exact count is the verify tier (computed alongside; at 100 TB
     you would keep only the sketch and skip this column)."""
-    vals = df.select(F.col(col).cast("string").alias("__v")).where(
-        F.col("__v").isNotNull()
-    )
+    grid = cm_partial_grid(df, col, depth, width, salt)
+    return cm_point_estimates(grid, df, col, depth, width, salt)
 
+
+def _cm_jb(v: Column, depth: int, width: int, salt: str) -> Column:
+    """Exploded-ready array of (j, bucket_j) structs for a key."""
     def bucket(j: int):
         return (
             F.conv(
                 F.substring(
-                    F.md5(F.concat_ws("\x1f", F.lit(f"{salt}{j}"), F.col("__v"))),
-                    1,
-                    13,
+                    F.md5(F.concat_ws("\x1f", F.lit(f"{salt}{j}"), v)), 1, 13
                 ),
                 16,
                 10,
@@ -429,38 +429,58 @@ def cm_sketch_estimates(
             % F.lit(width)
         )
 
+    return F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), bucket(j).alias("b"))
+            for j in range(depth)
+        ]
+    )
+
+
+def cm_partial_grid(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cm",
+) -> DataFrame:
+    """(j, b, c): the Count-Min grid of ``df``'s keys as sparse cells.
+    Grids MERGE by cell-wise addition (groupBy (j, b) sum(c)) — the
+    property the streaming accumulator relies on: a grid built per
+    micro-batch and summed equals the grid built over the union."""
+    vals = df.select(F.col(col).cast("string").alias("__v")).where(
+        F.col("__v").isNotNull()
+    )
     rows = vals.select(
-        "__v",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(j).alias("j"), bucket(j).alias("b"))
-                    for j in range(depth)
-                ]
-            )
-        ).alias("__jb"),
-    ).select("__v", "__jb.j", "__jb.b")
+        F.explode(_cm_jb(F.col("__v"), depth, width, salt)).alias("__jb")
+    ).select("__jb.j", "__jb.b")
+    return rows.groupBy("j", "b").agg(F.count(F.lit(1)).alias("c"))
 
-    sketch = rows.groupBy("j", "b").agg(F.count(F.lit(1)).alias("__c"))
 
-    # Verify tier: exact counts + the same bucket derivation per key.
+def cm_point_estimates(
+    grid: DataFrame,
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 256,
+    salt: str = "cm",
+) -> DataFrame:
+    """The verify tier: every distinct key of ``df`` with its exact
+    count and the grid's min-over-rows estimate (at 100 TB you keep
+    only the sketch and skip the exact column)."""
+    vals = df.select(F.col(col).cast("string").alias("__v")).where(
+        F.col("__v").isNotNull()
+    )
     exact = vals.groupBy("__v").agg(F.count(F.lit(1)).alias("exact_count"))
     key_rows = exact.select(
         "__v",
         "exact_count",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(j).alias("j"), bucket(j).alias("b"))
-                    for j in range(depth)
-                ]
-            )
-        ).alias("__jb"),
+        F.explode(_cm_jb(F.col("__v"), depth, width, salt)).alias("__jb"),
     ).select("__v", "exact_count", "__jb.j", "__jb.b")
     return (
-        key_rows.join(F.broadcast(sketch), ["j", "b"])
+        key_rows.join(F.broadcast(grid), ["j", "b"])
         .groupBy("__v", "exact_count")
-        .agg(F.min("__c").alias("cm_estimate"))
+        .agg(F.min("c").alias("cm_estimate"))
         .select(
             F.col("__v").alias("item"),
             F.col("exact_count").cast("long").alias("exact_count"),

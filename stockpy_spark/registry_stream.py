@@ -31,6 +31,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from stockpy_spark.registry_ext import SQL_CM_SKETCH as SQL_STREAM_CM
 from stockpy_spark.sources.testdata import read_events
 from stockpy_spark.streaming.ops import (
     dedup_within_watermark,
@@ -551,6 +552,50 @@ SELECT CAST((SELECT count(*) FROM ontime)
 """
 
 
+
+def q_stream_cm_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Count-Min accumulation (streaming/ops.py
+    run_cm_grid_accumulate — the 9th streaming class): the events
+    table is replayed as THREE arrival files (event_id mod 3), streamed
+    with maxFilesPerTrigger=1 so the micro-batch engine genuinely
+    splits the data, each batch's sparse partial grid is appended by
+    foreachBatch, and the merged sketch is the cell-wise sum. Because
+    CM grids merge by addition, the streamed sketch is bit-identical
+    to the batch-built one, so the point estimates sit under the SAME
+    full DuckDB oracle as sketch_cm_counts — a streaming row with an
+    exact hash gate, not a weaker streaming-only check."""
+    import atexit
+    import shutil
+
+    from stockpy_spark.operators.sketches import cm_point_estimates
+    from stockpy_spark.streaming.ops import run_cm_grid_accumulate
+
+    e = read_events(spark, sf_dir).where(F.col("user_id").isNotNull())
+    work = tempfile.mkdtemp(prefix="stockpy_stream_cm_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir)
+    for w in range(3):
+        e.where(F.col("event_id") % 3 == w).select("user_id").coalesce(
+            1
+        ).write.parquet(os.path.join(src_dir, f"wave{w}.parquet"))
+    stream = (
+        spark.readStream.schema("user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src_dir, "*", "*.parquet"))
+    )
+    grid = run_cm_grid_accumulate(
+        spark,
+        stream,
+        "user_id",
+        os.path.join(work, "sink"),
+        os.path.join(work, "ckpt"),
+        depth=4,
+        width=64,
+    )
+    return cm_point_estimates(grid, e, "user_id", depth=4, width=64)
+
+
 STREAM_QUERIES = {
     "stream_hourly_agg": (q_stream_hourly_agg, SQL_STREAM_HOURLY),
     "stream_hopping_agg": (q_stream_hopping_agg, SQL_STREAM_HOPPING),
@@ -558,6 +603,7 @@ STREAM_QUERIES = {
     "stream_static_enrich": (q_stream_static_enrich, SQL_STREAM_ENRICH),
     "stream_running_stats": (q_stream_running_stats, SQL_STREAM_STATS),
     "stream_join_attribution": (q_stream_join_attribution, SQL_STREAM_JOIN),
+    "stream_cm_merge": (q_stream_cm_merge, SQL_STREAM_CM),
     "stream_cdc_upsert": (q_stream_cdc_upsert, SQL_STREAM_CDC),
     "stream_late_accounting": (q_stream_late_accounting, SQL_STREAM_LATE),
 }

@@ -780,3 +780,46 @@ def _run_windowed_late_accounting(
         "n_input long, n_on_time long, n_late_rows long, "
         "n_dropped_groups long, n_windows long",
     )
+
+
+def run_cm_grid_accumulate(
+    spark: SparkSession,
+    stream: DataFrame,
+    col: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    depth: int = 4,
+    width: int = 64,
+    salt: str = "cm",
+) -> DataFrame:
+    """Streaming Count-Min accumulation: each micro-batch builds its
+    own sparse partial grid (operators/sketches.cm_partial_grid) and
+    APPENDS it; the merged sketch is the cell-wise sum of every
+    appended partial — exact under ANY micro-batch split because CM
+    grids merge by addition (the mergeable-sketch contract, here
+    exercised by the actual micro-batch engine instead of claimed).
+    Append-only parquet + per-batch ids make the accumulation
+    idempotent-auditable: a replayed batch id is visible in the sink
+    rather than silently double-counted (dedupe on batch_id at read
+    time if the checkpoint is lost; with the checkpoint intact the
+    engine guarantees exactly-once foreachBatch appends at
+    availableNow).
+
+    Returns the merged (j, b, c) grid as a batch DataFrame."""
+    from stockpy_spark.operators.sketches import cm_partial_grid
+
+    def feb(batch_df: DataFrame, batch_id: int) -> None:
+        grid = cm_partial_grid(batch_df, col, depth, width, salt)
+        grid.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(sink_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(feb)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    parts = spark.read.parquet(sink_dir)
+    return parts.groupBy("j", "b").agg(F.sum("c").alias("c"))

@@ -1373,3 +1373,43 @@ def test_ahash_dedup_components_transitive(spark):
     assert {k: v["is_representative"] for k, v in rows.items()} == {
         1: True, 2: False, 3: True, 4: False,
     }
+
+
+def test_stream_cm_grid_merge_equals_batch_grid(spark, tmp_path):
+    """The mergeable-sketch contract under the real micro-batch engine
+    (streaming/ops.py run_cm_grid_accumulate): three arrival files
+    streamed one per trigger produce >= 2 distinct foreachBatch ids,
+    and the cell-wise-summed grid is IDENTICAL to the grid built over
+    the union in one batch pass."""
+    from pyspark.sql import functions as F
+
+    from stockpy_spark.operators.sketches import cm_partial_grid
+    from stockpy_spark.streaming.ops import run_cm_grid_accumulate
+
+    rows = [(i, f"u{i % 7}") for i in range(120)]
+    df = spark.createDataFrame(rows, "i long, k string")
+    src = str(tmp_path / "src")
+    for w in range(3):
+        df.where(F.col("i") % 3 == w).select("k").coalesce(1).write.parquet(
+            f"{src}/wave{w}.parquet"
+        )
+    stream = (
+        spark.readStream.schema("k string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/*.parquet")
+    )
+    merged = run_cm_grid_accumulate(
+        spark, stream, "k",
+        str(tmp_path / "sink"), str(tmp_path / "ckpt"),
+        depth=3, width=16,
+    )
+    batch_ids = (
+        spark.read.parquet(str(tmp_path / "sink"))
+        .select("batch_id").distinct().count()
+    )
+    assert batch_ids >= 2, "maxFilesPerTrigger=1 must split the stream"
+
+    canon = lambda g: sorted(
+        (r["j"], r["b"], r["c"]) for r in g.collect()
+    )
+    assert canon(merged) == canon(cm_partial_grid(df, "k", depth=3, width=16))
