@@ -127,11 +127,12 @@ HEADLINE = [
     # round 10 second wave: DSIR importance weights — bigram explode
     # feeding both distribution estimates through one conditional
     # aggregate, broadcast log-ratio table, doc-keyed weight sum
-    # (5.3x/100x, BASELINE.md §4). text_gopher_repetition is
-    # deliberately NOT here: its wall is ~95% plan-compile constant
-    # (codegen of the staged array-HOF trees), which a headline timing
-    # would misreport as data cost — recorded in BASELINE.md §4.
+    # (5.3x/100x, BASELINE.md §4) — and the Gopher repetition battery,
+    # the heaviest pure array-HOF per-doc CPU plan in the corpus
+    # (~8 ms/doc; the query repartitions small single-split inputs so
+    # the narrow map actually parallelizes — BASELINE.md §4).
     "sample_dsir_weights",
+    "text_gopher_repetition",
 ]
 
 

@@ -137,3 +137,37 @@ def ahash_near_pairs(hashes: DataFrame, max_hamming: int = 2) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def ahash_dedup_components(
+    docs: DataFrame,
+    hashes: DataFrame,
+    max_hamming: int = 2,
+    id_col: str = "doc_id",
+):
+    """Transitive image dedup at scale: component assignment over the
+    hamming<=max_hamming relation WITHOUT enumerating member-level
+    pairs. Identical hashes are hamming-0 cliques, so each identical-
+    hash GROUP collapses to star edges on its min-id representative
+    (exact, the pipeline_dedup_cc star-edge argument), and the
+    pairwise hamming join runs only BETWEEN distinct hash values —
+    one row per distinct hash, not per image. Since hamming(a, b)
+    depends only on the hash values, rep-level edges plus the stars
+    generate exactly the member-level closure: the output equals CC
+    over ahash_near_pairs, at candidate volume quadratic in DISTINCT
+    hashes instead of images (the fixture's 50k-image decade OOMed the
+    all-pairs form; this one runs it). Returns (id, component,
+    is_representative)."""
+    from stockpy_spark.operators.graph import dedup_components
+
+    bands = ["b0", "b1", "b2", "b3"]
+    groups = hashes.groupBy(*bands).agg(F.min(id_col).alias("__rep"))
+    ident_edges = (
+        hashes.join(groups, bands)
+        .where(F.col(id_col) != F.col("__rep"))
+        .select(F.col("__rep").alias("d1"), F.col(id_col).alias("d2"))
+    )
+    rep_hashes = groups.select(F.col("__rep").alias(id_col), *bands)
+    rep_pairs = ahash_near_pairs(rep_hashes, max_hamming).select("d1", "d2")
+    edges = ident_edges.unionByName(rep_pairs)
+    return dedup_components(docs.select(id_col), edges, id_col=id_col)

@@ -752,18 +752,15 @@ def q_mm_phash_dedup_cc(spark, sf_dir):
     WITH RECURSIVE reachability over the SAME closed-form pair set, so
     a hash match proves the iterative algorithm converged to the true
     components for every image."""
-    from stockpy_spark.operators.graph import dedup_components
     from stockpy_spark.operators.imagehash import (
-        ahash_near_pairs,
+        ahash_dedup_components,
         perceptual_ahash,
     )
     from stockpy_spark.operators.multimodal import attach_bmp_payload
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    pairs = ahash_near_pairs(
-        perceptual_ahash(attach_bmp_payload(docs, "doc_id")), max_hamming=2
-    )
-    return dedup_components(docs, pairs)
+    hashes = perceptual_ahash(attach_bmp_payload(docs, "doc_id"))
+    return ahash_dedup_components(docs, hashes, max_hamming=2)
 
 
 SQL_MM_PHASH_CC = f"""
@@ -1281,6 +1278,13 @@ def q_text_gopher_repetition(spark, sf_dir):
     from stockpy_spark.operators.gopher import gopher_repetition_profile
 
     docs = _t(spark, sf_dir, "documents")
+    # ~8 ms/doc of per-doc array-HOF CPU: a single small parquet file
+    # yields ONE input split and serializes the whole corpus onto one
+    # core (41 s -> 3.4 s at sf0.1 on 32). At real scale the scan has
+    # thousands of splits and this branch never fires — the operator
+    # itself stays a zero-shuffle narrow map.
+    if docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return gopher_repetition_profile(docs, "text", "doc_id")
 
 

@@ -1413,3 +1413,44 @@ def test_stream_cm_grid_merge_equals_batch_grid(spark, tmp_path):
         (r["j"], r["b"], r["c"]) for r in g.collect()
     )
     assert canon(merged) == canon(cm_partial_grid(df, "k", depth=3, width=16))
+
+
+def test_ahash_dedup_components_star_path_equals_pair_path(spark):
+    """The scale path (ahash_dedup_components: identical-hash star
+    edges + rep-level hamming pairs) must produce the identical
+    component assignment as CC over the full member-level pair
+    enumeration — including duplicates of duplicates (4 copies of one
+    image) and a near-dup bridging two identical-hash groups."""
+    import numpy as np
+
+    from stockpy_spark.operators.graph import dedup_components
+    from stockpy_spark.operators.imagehash import (
+        ahash_dedup_components,
+        ahash_near_pairs,
+        perceptual_ahash,
+    )
+    from stockpy_spark.operators.multimodal import encode_bmp
+
+    a = np.zeros((8, 8, 3), dtype=np.uint8)
+    a[:, 4:, :] = 200
+    b = a.copy()
+    b[0, 0, :] = 200  # near-dup of a (hamming 1)
+    c = 200 - a  # unrelated
+    imgs = [a, a, a, a, b, b, c]  # two identical-hash groups + isolate
+    assets = spark.createDataFrame(
+        [(i + 1, bytearray(encode_bmp(px))) for i, px in enumerate(imgs)],
+        "doc_id long, payload binary",
+    )
+    hashes = perceptual_ahash(assets)
+    docs = assets.select("doc_id")
+    canon = lambda df: sorted(
+        (r["doc_id"], r["component"], r["is_representative"])
+        for r in df.collect()
+    )
+    star = canon(ahash_dedup_components(docs, hashes, max_hamming=2))
+    pairs = canon(
+        dedup_components(docs, ahash_near_pairs(hashes, max_hamming=2))
+    )
+    assert star == pairs
+    # a-copies (1-4) + b-copies (5-6) bridge into one component, rep 1
+    assert star[0] == (1, 1, True) and star[5] == (6, 1, False)
