@@ -1371,3 +1371,74 @@ def read_blob_slices(index: DataFrame, id_col: str = "doc_id") -> DataFrame:
             yield pd.DataFrame({id_col: ids, "payload": payloads})
 
     return index.mapInPandas(read, out_schema)
+
+
+EQUALIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_px", T.IntegerType()),
+        T.StructField("pre_min", T.IntegerType()),
+        T.StructField("pre_max", T.IntegerType()),
+        T.StructField("post_min", T.IntegerType()),
+        T.StructField("post_max", T.IntegerType()),
+        T.StructField("post_sum", T.LongType()),
+    ]
+)
+
+
+def equalize_lum(pixels: np.ndarray) -> np.ndarray:
+    """Histogram equalization of the image's integer luminance plane
+    (lum = (r+g+b)//3) — the classic contrast-normalization step run
+    before feature extraction / perceptual hashing so exposure
+    differences stop masquerading as content differences. Pinned
+    integer formula (OpenCV's, floor division):
+    ``out(v) = ((cdf(v) - cdf_min) * 255) // (n - cdf_min)`` with
+    ``cdf_min`` the count of the lowest occupied luminance; a constant
+    image (n == cdf_min) maps to all zeros. Every step is integer, so
+    the SQL oracle replays it exactly from the closed-form pixels."""
+    lum = pixels.astype(np.int64).sum(axis=2) // 3
+    hist = np.bincount(lum.ravel(), minlength=256)
+    cdf = hist.cumsum()
+    n = lum.size
+    cdf_min = int(cdf[cdf > 0][0]) if n else 0
+    if n == 0 or n == cdf_min:
+        return np.zeros_like(lum)
+    lut = np.clip(((cdf - cdf_min) * 255) // (n - cdf_min), 0, 255)
+    return lut[lum]
+
+
+def extract_equalized_features(assets: DataFrame) -> DataFrame:
+    """Decode -> equalize -> stats, Arrow-batched like every codec
+    stage. Surfaces the pre/post luminance spread so the oracle checks
+    the REMAP (post_sum pins every LUT entry times its count), not
+    just that something ran."""
+
+    def batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(
+                pdf["doc_id"].astype("int64"), pdf["payload"]
+            ):
+                px = _decode_pixels(payload)
+                lum = px.astype(np.int64).sum(axis=2) // 3
+                eq = equalize_lum(px)
+                rows.append(
+                    (
+                        int(doc_id),
+                        int(lum.size),
+                        int(lum.min()),
+                        int(lum.max()),
+                        int(eq.min()),
+                        int(eq.max()),
+                        int(eq.sum(dtype=np.int64)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_px", "pre_min", "pre_max",
+                    "post_min", "post_max", "post_sum",
+                ],
+            )
+
+    return assets.mapInPandas(batch, EQUALIZE_SCHEMA)

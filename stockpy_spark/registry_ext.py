@@ -781,6 +781,60 @@ FROM walk GROUP BY v
 """
 
 
+def q_mm_equalize_hist(spark, sf_dir):
+    """Histogram equalization over REAL codec output (multimodal.py
+    equalize_lum / extract_equalized_features): per-doc GIF payloads
+    are decoded through the pure-stdlib LZW expander, the integer
+    luminance plane is remapped through its own cumulative histogram
+    (the OpenCV floor-division formula), and the pre/post spread plus
+    the exact post-remap pixel sum are emitted. post_sum pins every
+    LUT entry times its count, so the oracle (a per-doc histogram +
+    running-sum window over the closed-form pixels) verifies the whole
+    decode -> CDF -> remap chain, not just that something ran."""
+    from stockpy_spark.operators.multimodal import (
+        attach_gif_payload,
+        extract_equalized_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return extract_equalized_features(attach_gif_payload(docs, "doc_id"))
+
+
+SQL_MM_EQUALIZE = """
+WITH dims AS (
+    SELECT doc_id, doc_id % 8 + 4 AS w, doc_id % 6 + 4 AS h FROM documents
+), px AS (
+    SELECT d.doc_id, d.w, d.h,
+           (((d.doc_id * 31 + y.y * 17 + x.x * 7) % 256)
+          + ((d.doc_id * 31 + y.y * 17 + x.x * 7 + 5) % 256)
+          + ((d.doc_id * 31 + y.y * 17 + x.x * 7 + 10) % 256)) // 3 AS lum
+    FROM dims d
+    JOIN generate_series(0, 8) y(y) ON y.y < d.h
+    JOIN generate_series(0, 10) x(x) ON x.x < d.w
+), hist AS (
+    SELECT doc_id, w, h, lum, count(*) AS c FROM px GROUP BY doc_id, w, h, lum
+), cum AS (
+    SELECT doc_id, lum, c, w * h AS n,
+           sum(c) OVER (PARTITION BY doc_id ORDER BY lum) AS cdf,
+           first_value(c) OVER (PARTITION BY doc_id ORDER BY lum) AS cdf_min
+    FROM hist
+), o AS (
+    SELECT doc_id, lum, c, n,
+           CASE WHEN n = cdf_min THEN 0
+                ELSE ((cdf - cdf_min) * 255) // (n - cdf_min) END AS outv
+    FROM cum
+)
+SELECT doc_id,
+       CAST(max(n) AS INTEGER) AS n_px,
+       CAST(min(lum) AS INTEGER) AS pre_min,
+       CAST(max(lum) AS INTEGER) AS pre_max,
+       CAST(min(outv) AS INTEGER) AS post_min,
+       CAST(max(outv) AS INTEGER) AS post_max,
+       CAST(sum(outv * c) AS BIGINT) AS post_sum
+FROM o GROUP BY doc_id
+"""
+
+
 def q_mm_decode_gif(spark, sf_dir):
     """GIF twin of mm_decode_png: generate a palette GIF89a per document
     (same closed-form pixel pattern), decode it back through the
@@ -1982,6 +2036,7 @@ EXT_QUERIES: dict[str, tuple] = {
     "mm_blob_pointer_read": (q_mm_blob_pointer_read, SQL_MM_BLOB),
     "mm_phash_neardup": (q_mm_phash_neardup, SQL_MM_PHASH),
     "mm_phash_dedup_cc": (q_mm_phash_dedup_cc, SQL_MM_PHASH_CC),
+    "mm_equalize_hist": (q_mm_equalize_hist, SQL_MM_EQUALIZE),
     "mm_decode_gif": (q_mm_decode_gif, SQL_MM_GIF),
     "approx_distinct_users": (q_approx_distinct_users, None),
     "pipeline_clean_corpus": (q_pipeline_clean_corpus, SQL_PIPELINE_CLEAN),

@@ -1454,3 +1454,29 @@ def test_ahash_dedup_components_star_path_equals_pair_path(spark):
     assert star == pairs
     # a-copies (1-4) + b-copies (5-6) bridge into one component, rep 1
     assert star[0] == (1, 1, True) and star[5] == (6, 1, False)
+
+
+def test_equalize_lum_hand_computed():
+    """Pins the integer equalization formula (multimodal.equalize_lum):
+    a two-level image maps its levels to the exact OpenCV floor-divide
+    outputs, a constant image maps to all zeros, and a full-spread
+    image keeps 0 and 255 at the extremes."""
+    import numpy as np
+
+    from stockpy_spark.operators.multimodal import equalize_lum
+
+    def gray(vals):
+        a = np.array(vals, dtype=np.uint8)
+        return np.repeat(a[:, :, None], 3, axis=2)
+
+    # 2x2: lums [10, 10, 200, 200]; cdf(10)=2=cdf_min, cdf(200)=4, n=4
+    # out(10) = 0; out(200) = ((4-2)*255)//(4-2) = 255
+    eq = equalize_lum(gray([[10, 10], [200, 200]]))
+    assert eq.tolist() == [[0, 0], [255, 255]]
+
+    assert equalize_lum(gray([[7, 7], [7, 7]])).sum() == 0  # constant
+
+    # 1x4 lums [0, 1, 2, 3]: cdf [1,2,3,4], cdf_min=1, n=4 ->
+    # out = [0, 85, 170, 255]
+    eq = equalize_lum(gray([[0, 1, 2, 3]]))
+    assert eq.tolist() == [[0, 85, 170, 255]]
