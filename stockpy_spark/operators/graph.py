@@ -512,3 +512,69 @@ def weighted_sssp_hops(
         if frontier.isEmpty():
             break
     return dist
+
+
+def label_propagation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 3,
+    id_col: str = "doc_id",
+    label_col: str = "label",
+    d1: str = "d1",
+    d2: str = "d2",
+) -> DataFrame:
+    """Semi-supervised label propagation with FROZEN labels — the
+    deterministic variant: seeds keep their label forever; each
+    synchronized round, every still-unlabeled node adjacent to any
+    labeled node adopts the majority label among its labeled neighbors
+    (ties to the lexicographically smallest), and is then frozen too.
+    Freezing makes the process a multi-source BFS with per-wave
+    majority votes: monotone, oscillation-free, and a pure function of
+    (edges, seeds, rounds) — which is what lets a k-round unrolled SQL
+    oracle replay it exactly. Classic relabel-everything LPA can cycle
+    and is tie-order-dependent; this is the variant you can gate.
+
+    Returns every node with (label, labeled_round): round 0 = seed,
+    NULL = unreached within ``rounds``. Scale shape: per round one
+    equi-join of the frontier onto the edge list plus one (node,
+    label) count aggregate — the connected_components cost profile,
+    with localCheckpoint per round to stop lineage growth."""
+    und = edges.select(
+        F.col(d1).alias("a"), F.col(d2).alias("b")
+    ).unionByName(edges.select(F.col(d2).alias("a"), F.col(d1).alias("b")))
+
+    labels = seeds.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("label"),
+        F.lit(0).alias("labeled_round"),
+    ).localCheckpoint(eager=True)
+
+    for t in range(1, rounds + 1):
+        cand = und.join(
+            labels.select(F.col("id").alias("a"), "label"), "a"
+        ).select(F.col("b").alias("id"), "label")
+        newly = (
+            cand.join(labels.select("id"), "id", "left_anti")
+            .groupBy("id", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        from pyspark.sql import Window
+
+        rn = F.row_number().over(
+            Window.partitionBy("id").orderBy(
+                F.col("c").desc(), F.col("label").asc()
+            )
+        )
+        picked = (
+            newly.withColumn("rn", rn)
+            .filter(F.col("rn") == 1)
+            .select("id", "label", F.lit(t).alias("labeled_round"))
+        )
+        labels = labels.unionByName(picked).localCheckpoint(eager=True)
+
+    return nodes.select(F.col(id_col)).join(
+        labels.select(F.col("id").alias(id_col), "label", "labeled_round"),
+        id_col,
+        "left",
+    )

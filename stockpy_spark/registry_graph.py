@@ -104,7 +104,89 @@ FROM kept GROUP BY lang
 """
 
 
+
+def q_graph_label_prop(spark, sf_dir):
+    """Semi-supervised label propagation (operators/graph.py
+    label_propagation — frozen-label variant: seeds fixed, each
+    synchronized round unlabeled nodes adopt the majority label of
+    their labeled neighbors, ties to the smallest, then freeze; a
+    multi-source BFS with per-wave majority votes, monotone and
+    oscillation-free). Seeds = docs with doc_id %% 5 == 0 carrying
+    their lang; edges = the word-Jaccard >= 0.8 pair set whose own
+    oracle is hash-green; 3 rounds. The oracle is the SAME process
+    unrolled as three SQL stages, so every (label, labeled_round)
+    cell — including NULLs for unreached nodes — is replayed
+    exactly. The iterative-algorithm gate pattern of
+    graph_dedup_components, applied to label spread."""
+    from stockpy_spark.operators.graph import label_propagation
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = word_jaccard_pairs(docs, "text", "doc_id", threshold=0.8)
+    seeds = docs.where(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.col("lang").alias("label")
+    )
+    out = label_propagation(docs, edges, seeds, rounds=3)
+    return out.select(
+        "doc_id", "label", F.col("labeled_round").cast("int").alias("labeled_round")
+    )
+
+
+SQL_GRAPH_LPA = f"""
+WITH pairs AS (
+    SELECT d1, d2 FROM ({SQL_WORD_JACCARD})
+), und AS (
+    SELECT d1 AS a, d2 AS b FROM pairs
+    UNION ALL
+    SELECT d2 AS a, d1 AS b FROM pairs
+), l0 AS (
+    SELECT doc_id AS id, lang AS label, 0 AS r
+    FROM documents WHERE doc_id % 5 = 0
+), n1 AS (
+    SELECT u.b AS id, l.label, count(*) AS c
+    FROM und u JOIN l0 l ON u.a = l.id
+    WHERE u.b NOT IN (SELECT id FROM l0)
+    GROUP BY u.b, l.label
+), p1 AS (
+    SELECT id, label, 1 AS r FROM (
+        SELECT id, label,
+               row_number() OVER (PARTITION BY id
+                                  ORDER BY c DESC, label ASC) AS rn
+        FROM n1) WHERE rn = 1
+), l1 AS (
+    SELECT * FROM l0 UNION ALL SELECT * FROM p1
+), n2 AS (
+    SELECT u.b AS id, l.label, count(*) AS c
+    FROM und u JOIN l1 l ON u.a = l.id
+    WHERE u.b NOT IN (SELECT id FROM l1)
+    GROUP BY u.b, l.label
+), p2 AS (
+    SELECT id, label, 2 AS r FROM (
+        SELECT id, label,
+               row_number() OVER (PARTITION BY id
+                                  ORDER BY c DESC, label ASC) AS rn
+        FROM n2) WHERE rn = 1
+), l2 AS (
+    SELECT * FROM l1 UNION ALL SELECT * FROM p2
+), n3 AS (
+    SELECT u.b AS id, l.label, count(*) AS c
+    FROM und u JOIN l2 l ON u.a = l.id
+    WHERE u.b NOT IN (SELECT id FROM l2)
+    GROUP BY u.b, l.label
+), p3 AS (
+    SELECT id, label, 3 AS r FROM (
+        SELECT id, label,
+               row_number() OVER (PARTITION BY id
+                                  ORDER BY c DESC, label ASC) AS rn
+        FROM n3) WHERE rn = 1
+), l3 AS (
+    SELECT * FROM l2 UNION ALL SELECT * FROM p3
+)
+SELECT d.doc_id, l.label, CAST(l.r AS INTEGER) AS labeled_round
+FROM documents d LEFT JOIN l3 l ON d.doc_id = l.id
+"""
+
 GRAPH_QUERIES = {
     "graph_dedup_components": (q_graph_dedup_components, SQL_GRAPH_CC),
     "pipeline_dedup_cc": (q_pipeline_dedup_cc, SQL_PIPE_CC),
+    "graph_label_prop": (q_graph_label_prop, SQL_GRAPH_LPA),
 }

@@ -126,3 +126,30 @@ def test_weighted_sssp_longer_hop_can_be_cheaper(spark):
     out1 = {r.v: r.dist for r in
             weighted_sssp_hops(edges, seeds, max_hops=1).collect()}
     assert out1 == {1: 0, 2: 10, 3: 1}
+
+
+def test_label_propagation_waves_majority_and_freeze(spark):
+    """Frozen-label propagation (operators/graph.py
+    label_propagation): labels spread one hop per round (chain 1-2-3-4
+    from seed 1 labels at rounds 1/2/3), ties among labeled neighbors
+    resolve to the smallest label, seeds never relabel, and nodes
+    beyond `rounds` hops stay NULL."""
+    nodes = spark.createDataFrame([(i,) for i in range(1, 9)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (6, 5), (7, 5)], "d1 long, d2 long"
+    )
+    seeds = spark.createDataFrame(
+        [(1, "a"), (6, "b"), (7, "a")], "doc_id long, label string"
+    )
+    from stockpy_spark.operators.graph import label_propagation
+
+    out = {
+        r["doc_id"]: (r["label"], r["labeled_round"])
+        for r in label_propagation(nodes, edges, seeds, rounds=3).collect()
+    }
+    assert out[1] == ("a", 0) and out[6] == ("b", 0) and out[7] == ("a", 0)
+    assert out[2] == ("a", 1)
+    assert out[3] == ("a", 2)
+    assert out[4] == ("a", 3)
+    assert out[5] == ("a", 1)  # tie b/a among labeled neighbors -> min
+    assert out[8] == (None, None)  # unreached
