@@ -472,3 +472,90 @@ def group_train_test_split(
         )
     )
     return df.join(rep, F.col(group_col).eqNullSafe(F.col("__grp"))).drop("__grp")
+
+
+def target_encode_oof(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    id_col: str,
+    n_folds: int = 5,
+    smoothing: float = 10.0,
+    salt: str = "tenc",
+    dp: int = 6,
+) -> DataFrame:
+    """Leak-proof target encoding (the CatBoost/Kaggle standard for
+    high-cardinality categoricals): each row's category is replaced by
+    the target mean computed WITHOUT the row's own fold — train-time
+    leakage control as an operator, the supervised sibling of
+    group_train_test_split's guard. Folds are the md5 draw of the row
+    id (pure function of (salt, id): rerun- and engine-stable);
+    encoding = (cat_sum - fold_sum + m * global_mean) /
+    (cat_cnt - fold_cnt + m), the m-smoothed out-of-fold mean, so a
+    category seen ONLY in the row's own fold falls back to the global
+    prior rather than leaking itself.
+
+    Scale shape: one map-side-combined aggregate to (fold, category)
+    cells — output is folds x categories rows regardless of data size
+    — broadcast back onto the rows as a narrow map. Nothing shuffles
+    the fact table. Rows with NULL target still get an encoding (they
+    contribute nothing to the sums); NULL categories encode as their
+    own '<NULL>' category — missingness is usually informative."""
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "\x1f", F.lit(salt), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(n_folds)
+    )
+    base = df.select(
+        "*",
+        fold.alias("__fold"),
+        F.coalesce(F.col(cat_col).cast("string"), F.lit("<NULL>")).alias("__cat"),
+    )
+    cells = base.groupBy("__cat", "__fold").agg(
+        F.sum(F.when(F.col(target_col).isNotNull(), F.col(target_col)).otherwise(0.0)).alias("__s"),
+        F.sum(F.when(F.col(target_col).isNotNull(), 1).otherwise(0)).alias("__n"),
+    )
+    cat_tot = cells.groupBy("__cat").agg(
+        F.sum("__s").alias("__cs"), F.sum("__n").alias("__cn")
+    )
+    glob = cat_tot.agg(
+        (F.sum("__cs") / F.sum("__cn")).alias("__gmean")
+    )
+    lut = (
+        cells.join(F.broadcast(cat_tot), "__cat")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "__cat",
+            "__fold",
+            (
+                (
+                    F.col("__cs")
+                    - F.col("__s")
+                    + F.lit(smoothing) * F.col("__gmean")
+                )
+                / (F.col("__cn") - F.col("__n") + F.lit(smoothing))
+            ).alias("__enc"),
+        )
+    )
+    return (
+        base.join(F.broadcast(lut), ["__cat", "__fold"], "left")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            *[F.col(c) for c in df.columns],
+            F.col("__fold").cast("int").alias("fold"),
+            F.round(
+                F.coalesce("__enc", F.col("__gmean")), dp
+            ).alias(f"{cat_col}_enc"),
+        )
+    )

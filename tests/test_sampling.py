@@ -145,3 +145,42 @@ def test_web_domain_filter_parse_block_and_cap(spark):
     assert all(r[i]["kept"] == 0 for i in (20, 21, 22))
     # 8 rows share domain big.com; cap 3 keeps exactly 3 of them
     assert sum(r[i]["kept"] for i in range(1, 9)) == 3
+
+
+def test_target_encode_oof_leak_proof_hand_computed(spark):
+    """Pins the out-of-fold arithmetic of target_encode_oof with
+    n_folds=2 and smoothing=0 on a two-category frame: each row's
+    encoding is the mean of the OTHER fold's targets for its category
+    (never its own), and a category present only in the row's own fold
+    falls back to the global-prior-smoothed form."""
+    from pyspark.sql import functions as F
+
+    from stockpy_spark.operators.sampling import target_encode_oof
+
+    rows = [(i, "a", float(10 * i)) for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "id long, cat string, t double")
+    out = target_encode_oof(
+        df, "cat", "t", "id", n_folds=2, smoothing=0.0
+    ).collect()
+    folds = {r["id"]: r["fold"] for r in out}
+    by_fold = {
+        f: [10.0 * i for i in range(1, 9) if folds[i] == f] for f in (0, 1)
+    }
+    assert all(by_fold[f] for f in (0, 1)), "both folds must be non-empty"
+    for r in out:
+        other = by_fold[1 - r["fold"]]
+        assert r["cat_enc"] == round(sum(other) / len(other), 6)
+
+    # smoothed form, exact: enc = (cs - fold_s + 5*g) / (cn - fold_n + 5)
+    # with cs=240, cn=4, g=60 -> (540 - fold_s) / (9 - fold_n)
+    t2 = {1: 100.0, 2: 50.0, 3: 60.0, 4: 30.0}
+    df2 = spark.createDataFrame(
+        [(i, "x", v) for i, v in t2.items()], "id long, cat string, t double"
+    )
+    out2 = target_encode_oof(df2, "cat", "t", "id", n_folds=2, smoothing=5.0)
+    rows2 = out2.collect()
+    f2 = {r["id"]: r["fold"] for r in rows2}
+    for r in rows2:
+        s_f = sum(v for i, v in t2.items() if f2[i] == r["fold"])
+        n_f = sum(1 for i in t2 if f2[i] == r["fold"])
+        assert r["cat_enc"] == round((540.0 - s_f) / (9 - n_f), 6)
