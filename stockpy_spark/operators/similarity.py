@@ -794,3 +794,75 @@ def pq_quantize_arrow(
     return corpus.select(id_col, vec_col).mapInPandas(
         batch, f"{id_col} long, codes string, recon_err double"
     )
+
+
+def kcenter_coreset(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    dp: int = 6,
+) -> DataFrame:
+    """Greedy k-center coreset (Gonzalez 1985; the farthest-point
+    diversity-selection used for training-data pruning): seed with the
+    min-id vector, then k-1 times pick the point FARTHEST from the
+    chosen set (squared-euclidean, ties by id) — a 2-approximation of
+    the optimal k-center cover, selecting maximally diverse exemplars
+    where importance weighting (dsir) selects distribution-matching
+    ones.
+
+    Determinism/oracle contract: distances are sequential-fold sums of
+    double squared diffs — the SAME accumulation order the SQL twin
+    uses via ``list_transform(range(...))``, so the doubles are
+    bit-identical cross-engine BEFORE the dp-rounding, and the argmax
+    (rounded dist DESC, id ASC) is exactly replayable.
+
+    Scale shape: k passes over the corpus, each a narrow map updating
+    the running min-distance (``least`` against ONE new broadcast
+    center — never re-scanning the whole chosen set) plus a
+    TakeOrderedAndProject argmax; driver state is k vectors (the
+    kmeans-centroid class of bounded collect). localCheckpoint per
+    round stops lineage growth. Returns (sel_round, id, dist) for the
+    k selected exemplars; the seed's dist is NULL."""
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(
+        F.col(id_col).alias("__id"), dvec.alias("__v")
+    ).localCheckpoint(eager=True)
+
+    def dist_to(center: list[float]):
+        c = F.array(*[F.lit(float(x)) for x in center])
+        return F.round(
+            F.aggregate(
+                F.zip_with("__v", c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            dp,
+        )
+
+    seed = base.orderBy("__id").limit(1).collect()[0]
+    picked = [(0, seed["__id"], None)]
+    chosen_ids = {seed["__id"]}
+    state = base.select(
+        "__id", "__v", dist_to(list(seed["__v"])).alias("__mind")
+    ).localCheckpoint(eager=True)
+
+    for t in range(1, k):
+        far = (
+            state.where(~F.col("__id").isin(*chosen_ids))
+            .orderBy(F.col("__mind").desc(), F.col("__id"))
+            .limit(1)
+            .collect()[0]
+        )
+        picked.append((t, far["__id"], float(far["__mind"])))
+        chosen_ids.add(far["__id"])
+        state = state.select(
+            "__id",
+            "__v",
+            F.least("__mind", dist_to(list(far["__v"]))).alias("__mind"),
+        ).localCheckpoint(eager=True)
+
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        picked, f"sel_round int, {id_col} long, dist double"
+    )

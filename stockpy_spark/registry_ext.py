@@ -1626,6 +1626,67 @@ FROM r
 """
 
 
+def q_sample_kcenter_coreset(spark, sf_dir):
+    """Greedy k-center coreset over the embeddings table
+    (operators/similarity.py kcenter_coreset — Gonzalez 1985 farthest-
+    point selection, the diversity-pruning counterpart of DSIR's
+    distribution matching): seed = min vec_id, then 7 rounds of
+    argmax-of-min-distance with ties by id. Distances are sequential-
+    fold sums of double squared diffs in BOTH engines (same
+    accumulation order -> bit-identical before rounding), so the
+    8-stage unrolled SQL below replays every selection and its
+    distance exactly. The oracle CTEs are MATERIALIZED: inlined, the
+    d0..d7 chain re-evaluates exponentially."""
+    from stockpy_spark.operators.similarity import kcenter_coreset
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kcenter_coreset(emb, "embedding", "vec_id", k=8)
+
+
+def _kcenter_sql(k: int = 8, dim: int = 64, dp: int = 6) -> str:
+    def dist(a: str, b: str) -> str:
+        return (
+            f"round(list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), {dp})"
+        )
+
+    parts = [
+        f"""WITH e AS MATERIALIZED (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), c0 AS MATERIALIZED (
+    SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1
+), d0 AS MATERIALIZED (
+    SELECT e.vec_id, e.v, {dist('e.v', 'c0.v')} AS mind FROM e, c0
+)"""
+    ]
+    for t in range(1, k):
+        prev = f"d{t - 1}"
+        chosen = " UNION ALL ".join(
+            f"SELECT vec_id FROM c{j}" for j in range(t)
+        )
+        parts.append(
+            f""", c{t} AS MATERIALIZED (
+    SELECT vec_id, v, mind FROM {prev}
+    WHERE vec_id NOT IN ({chosen})
+    ORDER BY mind DESC, vec_id LIMIT 1
+), d{t} AS MATERIALIZED (
+    SELECT p.vec_id, p.v, least(p.mind, {dist('p.v', f'c{t}.v')}) AS mind
+    FROM {prev} p, c{t}
+)"""
+        )
+    sel = " UNION ALL ".join(
+        ["SELECT 0 AS sel_round, vec_id, CAST(NULL AS DOUBLE) AS dist FROM c0"]
+        + [f"SELECT {t}, vec_id, mind FROM c{t}" for t in range(1, k)]
+    )
+    return "".join(parts) + (
+        "\nSELECT CAST(sel_round AS INTEGER) AS sel_round, vec_id, dist"
+        f" FROM ({sel})"
+    )
+
+
+SQL_KCENTER = _kcenter_sql()
+
+
 def q_sketch_cm_counts(spark, sf_dir):
     """Count-Min sketch point-frequency estimates over events.user_id
     (operators/sketches.py cm_sketch_estimates, depth 4 x width 64 —
@@ -2109,6 +2170,7 @@ EXT_QUERIES: dict[str, tuple] = {
     "web_domain_filter": (q_web_domain_filter, SQL_WEB_FILTER),
     "dedup_bloom_screen": (q_dedup_bloom_screen, SQL_BLOOM_SCREEN),
     "feat_target_encode": (q_feat_target_encode, SQL_TARGET_ENCODE),
+    "sample_kcenter_coreset": (q_sample_kcenter_coreset, SQL_KCENTER),
     "pack_context_bins": (q_pack_context_bins, SQL_PACK),
     "text_redact_pii": (q_text_redact_pii, SQL_REDACT),
     "pack_materialize": (q_pack_materialize, SQL_PACK_MAT),

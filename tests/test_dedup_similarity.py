@@ -485,3 +485,27 @@ def test_gopher_quality_rules_hand_computed(spark):
         assert out[d]["n_words"] == 0
         assert out[d]["mean_word_len"] == 0.0
         assert out[d]["keep"] == 0
+
+
+def test_kcenter_coreset_farthest_point_hand_computed(spark):
+    """Pins the greedy k-center selection (operators/similarity.py
+    kcenter_coreset) on a 1-D line: from seed 1 (min id, at x=0), the
+    farthest point is picked each round and running min-distances
+    shrink accordingly. Points at x = 0, 1, 4, 10: seed 0 -> pick 10
+    (d^2=100) -> pick 4 (min-dist to {0,10} = 16) -> pick 1 (d^2=1)."""
+    from stockpy_spark.operators.similarity import kcenter_coreset
+
+    df = spark.createDataFrame(
+        [(1, [0.0]), (2, [1.0]), (3, [4.0]), (4, [10.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = sorted(
+        kcenter_coreset(df, "embedding", "vec_id", k=4).collect(),
+        key=lambda r: r["sel_round"],
+    )
+    assert [(r["sel_round"], r["vec_id"], r["dist"]) for r in rows] == [
+        (0, 1, None),
+        (1, 4, 100.0),
+        (2, 3, 16.0),
+        (3, 2, 1.0),
+    ]
