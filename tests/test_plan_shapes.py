@@ -633,7 +633,8 @@ def test_headline_corpus_no_unbounded_nested_loops(spark):
     # each entry's BNLJ build side is a constant-size frame:
     #   1-row corpus/stat censuses: bm25 idf base, psi/ks bin edges,
     #     welch moment pair, pareto frontier census, lm vocab census,
-    #     basket N-baskets row, cosine query norms
+    #     basket N-baskets row, cosine query norms, dsir's grand-total
+    #     (T, R) pair feeding the add-1-smoothed log ratios
     #   k-row codebooks: kmeans centroids (k=8)
     bounded_bnlj = {
         "sim_cosine_topk",
@@ -645,6 +646,7 @@ def test_headline_corpus_no_unbounded_nested_loops(spark):
         "drift_ks_value",
         "stats_welch_ttest",
         "basket_rules",
+        "sample_dsir_weights",
     }
     offenders = {}
     for name in HEADLINE:
