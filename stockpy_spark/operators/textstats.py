@@ -305,3 +305,65 @@ def build_inverted_index(
             ).alias("postings"),
         )
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_count: int = 5,
+    k: int = 50,
+    dp: int = 6,
+) -> DataFrame:
+    """Top-k PMI collocations (pointwise mutual information of
+    adjacent word pairs — the classic phrase/vocab-design statistic:
+    word2vec's phrase pass and every tokenizer-design audit rank
+    candidate merges this way): PMI(x, y) = ln(c_xy * N / (c_x *
+    c_y)) over corpus bigram/unigram counts, with a ``min_count``
+    floor so rare co-occurrences' infinite-ish PMIs don't dominate.
+    Ties (same rounded PMI) break by bigram text, so the top-k is
+    deterministic.
+
+    Scale shape: the unigram and bigram aggregates are both map-side
+    combined (token- and shingle-volume in, vocabulary-sized out); the
+    two unigram attachments are broadcast joins of the vocabulary
+    frame; top-k is TakeOrderedAndProject. Nothing shuffles the corpus
+    beyond the two count aggregates — the text_lm_perplexity cost
+    profile without the per-doc scoring pass."""
+    from stockpy_spark.functions.text import word_ngrams
+
+    toks = df.select(
+        F.explode(word_ngrams(F.col(text_col), 1)).alias("w")
+    )
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    big = (
+        df.select(F.explode(word_ngrams(F.col(text_col), 2)).alias("xy"))
+        .groupBy("xy")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+        .where(F.col("cxy") >= min_count)
+        .select(
+            "xy",
+            "cxy",
+            F.split("xy", " ").getItem(0).alias("x"),
+            F.split("xy", " ").getItem(1).alias("y"),
+        )
+    )
+    n_tok = toks.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        big.join(F.broadcast(uni.select(F.col("w").alias("x"), F.col("cw").alias("cx"))), "x")
+        .join(F.broadcast(uni.select(F.col("w").alias("y"), F.col("cw").alias("cy"))), "y")
+        .crossJoin(F.broadcast(n_tok))
+        .select(
+            "xy",
+            F.col("cxy").cast("long").alias("pair_count"),
+            F.round(
+                F.log(
+                    F.col("cxy").cast("double")
+                    * F.col("n").cast("double")
+                    / (F.col("cx").cast("double") * F.col("cy").cast("double"))
+                ),
+                dp,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), F.col("xy")).limit(k)

@@ -1626,6 +1626,46 @@ FROM r
 """
 
 
+def q_text_pmi_collocations(spark, sf_dir):
+    """Top-50 PMI collocations (operators/textstats.py
+    pmi_collocations — word2vec's phrase-detection statistic and the
+    standard tokenizer-design audit): corpus bigram vs unigram counts,
+    PMI = ln(c_xy * N / (c_x * c_y)), min_count 5 floor, ties by
+    bigram text. Counts are exact integers, the products stay under
+    2^53, and ln is libm-identical cross-engine (the lm_perplexity
+    precedent), so the rounded PMIs and the top-k cut replay
+    exactly."""
+    from stockpy_spark.operators.textstats import pmi_collocations
+
+    docs = _t(spark, sf_dir, "documents")
+    return pmi_collocations(docs, "text", "doc_id", min_count=5, k=50)
+
+
+SQL_PMI = f"""
+WITH t AS (
+    SELECT doc_id, {_TOKENS_LOWER_SQL} AS toks,
+           len({_TOKENS_LOWER_SQL}) AS nt
+    FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+), uni AS (
+    SELECT tok AS w, count(*) AS cw
+    FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok
+), n AS (
+    SELECT sum(cw) AS n FROM uni
+), big AS (
+    SELECT toks[s] || ' ' || toks[s + 1] AS xy,
+           toks[s] AS x, toks[s + 1] AS y, count(*) AS cxy
+    FROM (SELECT toks, unnest(generate_series(1, nt - 1)) AS s
+          FROM t WHERE nt >= 2)
+    GROUP BY 1, 2, 3
+    HAVING count(*) >= 5
+)
+SELECT xy, CAST(cxy AS BIGINT) AS pair_count,
+       round(ln(cxy * n.n / (ux.cw * uy.cw)), 6) AS pmi
+FROM big JOIN uni ux ON big.x = ux.w JOIN uni uy ON big.y = uy.w, n
+ORDER BY pmi DESC, xy LIMIT 50
+"""
+
+
 def q_sample_kcenter_coreset(spark, sf_dir):
     """Greedy k-center coreset over the embeddings table
     (operators/similarity.py kcenter_coreset — Gonzalez 1985 farthest-
@@ -2171,6 +2211,7 @@ EXT_QUERIES: dict[str, tuple] = {
     "dedup_bloom_screen": (q_dedup_bloom_screen, SQL_BLOOM_SCREEN),
     "feat_target_encode": (q_feat_target_encode, SQL_TARGET_ENCODE),
     "sample_kcenter_coreset": (q_sample_kcenter_coreset, SQL_KCENTER),
+    "text_pmi_collocations": (q_text_pmi_collocations, SQL_PMI),
     "pack_context_bins": (q_pack_context_bins, SQL_PACK),
     "text_redact_pii": (q_text_redact_pii, SQL_REDACT),
     "pack_materialize": (q_pack_materialize, SQL_PACK_MAT),

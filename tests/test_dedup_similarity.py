@@ -509,3 +509,32 @@ def test_kcenter_coreset_farthest_point_hand_computed(spark):
         (2, 3, 16.0),
         (3, 2, 1.0),
     ]
+
+
+def test_pmi_collocations_hand_computed(spark):
+    """Pins PMI arithmetic (operators/textstats.py pmi_collocations):
+    a bigram that always co-occurs scores ln(N / c_x) (since c_xy =
+    c_y = count of the pair), the min_count floor drops rare pairs,
+    and ordering is (pmi DESC, bigram ASC)."""
+    import math
+
+    from stockpy_spark.operators.textstats import pmi_collocations
+
+    # "new york" x3 (always adjacent), "the cat" x3, singles pad N.
+    docs = spark.createDataFrame(
+        [
+            (1, "new york new york new york"),
+            (2, "the cat the cat the cat"),
+            (3, "dog fish bird"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = pmi_collocations(docs, "text", "doc_id", min_count=3, k=10).collect()
+    got = {r["xy"]: (r["pair_count"], r["pmi"]) for r in rows}
+    # N = 15 tokens; c_new = c_york = 3, c_"new york" = 3
+    assert got["new york"] == (3, round(math.log(3 * 15 / (3 * 3)), 6))
+    assert got["the cat"] == (3, round(math.log(3 * 15 / (3 * 3)), 6))
+    # "york new" occurs twice -> below the floor
+    assert "york new" not in got
+    # equal PMIs tie-break by bigram text ascending
+    assert [r["xy"] for r in rows[:2]] == ["new york", "the cat"]
