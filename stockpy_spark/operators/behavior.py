@@ -355,3 +355,74 @@ def transition_matrix(
             F.round(F.col("n") / F.col("__tot"), dp).alias("prob"),
         )
     )
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    touch_types: list[str],
+    conversion_type: str,
+    lookback_sec: int,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Last-touch marketing attribution: every conversion event is
+    credited to the user's most recent touch event STRICTLY before it
+    and within ``lookback_sec`` (ties at the same timestamp break by
+    the larger event id — fully deterministic); conversions with no
+    in-window touch surface with NULL touch columns, never dropped.
+
+    Plan: one per-user equi-join (conversions x touches — per-user
+    volumes, AQE-skew-safe) filtered to the time band, one per-
+    conversion argmax window, and a left join back for the
+    unattributed rows. At 100 TB the join is the standard user-keyed
+    shuffle every sessionization already pays; the band filter keeps
+    the fan-out at touches-per-lookback, not touches-per-user-history."""
+    sec = F.col(ts_col).cast("timestamp").cast("long")
+    base = events.where(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("u"),
+        F.col(id_col).alias("eid"),
+        F.col(type_col).alias("etype"),
+        sec.alias("es"),
+    )
+    conv = base.where(F.col("etype") == conversion_type).select(
+        "u",
+        F.col("eid").alias("conv_id"),
+        F.col("es").alias("conv_s"),
+    )
+    touch = base.where(F.col("etype").isin(*touch_types)).select(
+        "u",
+        F.col("eid").alias("touch_id"),
+        F.col("etype").alias("touch_type"),
+        F.col("es").alias("touch_s"),
+    )
+    from pyspark.sql import Window
+
+    cand = conv.join(touch, "u").where(
+        (F.col("touch_s") < F.col("conv_s"))
+        & (F.col("touch_s") >= F.col("conv_s") - F.lit(lookback_sec))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("conv_id").orderBy(
+            F.col("touch_s").desc(), F.col("touch_id").desc()
+        )
+    )
+    best = cand.withColumn("rn", rn).where(F.col("rn") == 1)
+    return (
+        conv.join(
+            best.select("conv_id", "touch_type", "touch_s", "touch_id"),
+            "conv_id",
+            "left",
+        )
+        .select(
+            F.col("conv_id").alias("conversion_id"),
+            F.col("u").alias(user_col),
+            F.col("conv_s").alias("conversion_epoch"),
+            "touch_type",
+            F.col("touch_s").alias("touch_epoch"),
+            (F.col("conv_s") - F.col("touch_s")).alias("touch_lag_sec"),
+        )
+    )

@@ -1626,6 +1626,51 @@ FROM r
 """
 
 
+def q_attr_last_touch(spark, sf_dir):
+    """Last-touch attribution (operators/behavior.py
+    last_touch_attribution): every purchase credited to the user's
+    most recent view/click strictly before it within a 24h lookback,
+    ties by larger event id; unattributed purchases kept with NULLs.
+    One user-keyed equi-join + one per-conversion argmax window —
+    every purchase's credited channel, touch time, and lag hash-
+    checked."""
+    from stockpy_spark.operators.behavior import last_touch_attribution
+    # the batch reader owns the nanos/NTZ ts fallback, like every
+    # other events query
+    from stockpy_spark.sources.testdata import read_events
+
+    ev = read_events(spark, sf_dir)
+    return last_touch_attribution(
+        ev, ["view", "click"], "purchase", lookback_sec=86_400
+    )
+
+
+SQL_ATTR_LAST_TOUCH = """
+WITH b AS (
+    SELECT user_id AS u, event_id AS eid, event_type AS etype,
+           CAST(floor(epoch(ts)) AS BIGINT) AS es
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), conv AS (
+    SELECT u, eid AS conv_id, es AS conv_s FROM b WHERE etype = 'purchase'
+), touch AS (
+    SELECT u, eid AS touch_id, etype AS touch_type, es AS touch_s
+    FROM b WHERE etype IN ('view', 'click')
+), best AS (
+    SELECT c.conv_id, t.touch_type, t.touch_s,
+           row_number() OVER (PARTITION BY c.conv_id
+                              ORDER BY t.touch_s DESC, t.touch_id DESC) AS rn
+    FROM conv c JOIN touch t ON c.u = t.u
+    WHERE t.touch_s < c.conv_s AND t.touch_s >= c.conv_s - 86400
+)
+SELECT c.conv_id AS conversion_id, c.u AS user_id,
+       c.conv_s AS conversion_epoch,
+       b.touch_type, b.touch_s AS touch_epoch,
+       c.conv_s - b.touch_s AS touch_lag_sec
+FROM conv c LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+  ON c.conv_id = b.conv_id
+"""
+
+
 def q_text_pmi_collocations(spark, sf_dir):
     """Top-50 PMI collocations (operators/textstats.py
     pmi_collocations — word2vec's phrase-detection statistic and the
@@ -2212,6 +2257,7 @@ EXT_QUERIES: dict[str, tuple] = {
     "feat_target_encode": (q_feat_target_encode, SQL_TARGET_ENCODE),
     "sample_kcenter_coreset": (q_sample_kcenter_coreset, SQL_KCENTER),
     "text_pmi_collocations": (q_text_pmi_collocations, SQL_PMI),
+    "attr_last_touch": (q_attr_last_touch, SQL_ATTR_LAST_TOUCH),
     "pack_context_bins": (q_pack_context_bins, SQL_PACK),
     "text_redact_pii": (q_text_redact_pii, SQL_REDACT),
     "pack_materialize": (q_pack_materialize, SQL_PACK_MAT),

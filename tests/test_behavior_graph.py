@@ -265,3 +265,49 @@ class TestDecontamination:
         assert out[100]["n_shared_ngrams"] == 2
         assert not out[101]["is_contaminated"]
         assert out[101]["n_shared_ngrams"] == 0
+
+
+def test_last_touch_attribution_window_ties_and_nulls(spark):
+    """Pins last_touch_attribution (operators/behavior.py): the most
+    recent in-window touch wins, ties at the same second go to the
+    larger event id, touches at/after the conversion or beyond the
+    lookback never attribute, and touchless conversions keep NULLs."""
+    from datetime import datetime, timezone
+
+    from stockpy_spark.operators.behavior import last_touch_attribution
+
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc).replace(tzinfo=None)
+
+    def ts(sec):
+        from datetime import timedelta
+
+        return t0 + timedelta(seconds=sec)
+
+    rows = [
+        # user 1: touches at 10 (view) and 10 (click, higher id), conv at 50
+        (101, ts(10), 1, "view", 1.0, None),
+        (102, ts(10), 1, "click", 1.0, None),
+        (103, ts(50), 1, "purchase", 9.0, None),
+        # user 2: touch exactly AT conversion second -> not credited;
+        # earlier touch beyond the 100s lookback -> not credited
+        (201, ts(500), 2, "view", 1.0, None),
+        (202, ts(500), 2, "purchase", 9.0, None),
+        (203, ts(300), 2, "click", 1.0, None),
+        # user 3: conversion with no touches at all
+        (301, ts(700), 3, "purchase", 9.0, None),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {
+        r["conversion_id"]: r
+        for r in last_touch_attribution(
+            ev, ["view", "click"], "purchase", lookback_sec=100
+        ).collect()
+    }
+    assert out[103]["touch_type"] == "click"  # tie -> larger event id
+    assert out[103]["touch_lag_sec"] == 40
+    assert out[202]["touch_type"] is None  # same-second + stale only
+    assert out[301]["touch_type"] is None and out[301]["touch_epoch"] is None
