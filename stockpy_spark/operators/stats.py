@@ -523,3 +523,74 @@ def ols2_by_group(
         coef[1].alias("b1"),
         coef[2].alias("b2"),
     )
+
+
+def cuped_adjusted_metrics(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    dp: int = 6,
+) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013 — the experimentation
+    workhorse): each user's experiment-period metric Y is adjusted by
+    their pre-period covariate X, ``Y_adj = Y - theta * (X - mean(X))``
+    with ``theta = cov(X, Y) / var(X)``, which provably minimizes
+    variance among linear adjustments and leaves the mean unbiased.
+    Pre/post split at the integer epoch midpoint of the observed range
+    (exact integer arithmetic, deterministic).
+
+    Oracle contract: theta and mean(X) are corpus moments — sums of
+    doubles whose accumulation order differs across engines — so BOTH
+    are rounded to ``dp`` BEFORE the per-user adjustment; downstream
+    values are then pure per-user arithmetic on identically-rounded
+    constants. Scale shape: one user-keyed conditional aggregate
+    (map-side combined), one 1-row moment census broadcast back, one
+    narrow adjust — the fact table shuffles once."""
+    sec = F.col(ts_col).cast("timestamp").cast("long")
+    base = events.where(
+        F.col(user_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(F.col(user_col).alias("u"), sec.alias("es"),
+             F.col(value_col).alias("v"))
+    rng = base.agg(
+        F.min("es").alias("lo"), F.max("es").alias("hi")
+    )
+    # integer midpoint: deterministic, no float
+    mid = F.floor((F.col("lo") + F.col("hi")) / 2).cast("long")
+    per_user = (
+        base.crossJoin(F.broadcast(rng.select(mid.alias("mid"))))
+        .groupBy("u")
+        .agg(
+            F.sum(F.when(F.col("es") <= F.col("mid"), F.col("v")).otherwise(0.0)).alias("x"),
+            F.sum(F.when(F.col("es") > F.col("mid"), F.col("v")).otherwise(0.0)).alias("y"),
+        )
+    )
+    mom = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    ).select(
+        F.round(F.col("sx") / F.col("n"), dp).alias("xbar"),
+        F.round(
+            (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+            / (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")),
+            dp,
+        ).alias("theta"),
+    )
+    return (
+        per_user.crossJoin(F.broadcast(mom))
+        .select(
+            F.col("u").alias(user_col),
+            F.round("x", dp).alias("pre_value"),
+            F.round("y", dp).alias("post_value"),
+            "theta",
+            F.round(
+                F.col("y") - F.col("theta") * (F.col("x") - F.col("xbar")),
+                dp,
+            ).alias("post_adjusted"),
+        )
+    )

@@ -1626,6 +1626,50 @@ FROM r
 """
 
 
+def q_stats_cuped(spark, sf_dir):
+    """CUPED variance-reduced experiment metrics (operators/stats.py
+    cuped_adjusted_metrics — Deng et al. 2013): per-user pre/post
+    value sums split at the integer epoch midpoint, theta =
+    cov(X,Y)/var(X) and mean(X) rounded BEFORE the per-user adjustment
+    so both engines apply identical constants, Y_adj = Y - theta*(X -
+    xbar). One user-keyed conditional aggregate + a 1-row moment
+    census broadcast — every user's adjusted metric hash-checked."""
+    from stockpy_spark.operators.stats import cuped_adjusted_metrics
+    from stockpy_spark.sources.testdata import read_events
+
+    return cuped_adjusted_metrics(read_events(spark, sf_dir))
+
+
+SQL_CUPED = """
+WITH b AS (
+    SELECT user_id AS u, CAST(floor(epoch(ts)) AS BIGINT) AS es, value AS v
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+), r AS (
+    SELECT (min(es) + max(es)) // 2 AS mid FROM b
+), pu AS (
+    SELECT u,
+           sum(CASE WHEN es <= r.mid THEN v ELSE 0 END) AS x,
+           sum(CASE WHEN es > r.mid THEN v ELSE 0 END) AS y
+    FROM b, r GROUP BY u
+), m AS (
+    SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+           sum(x * x) AS sxx, sum(x * y) AS sxy
+    FROM pu
+), c AS (
+    SELECT round(sx / n, 6) AS xbar,
+           round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS theta
+    FROM m
+)
+SELECT pu.u AS user_id,
+       round(pu.x, 6) AS pre_value,
+       round(pu.y, 6) AS post_value,
+       c.theta,
+       round(pu.y - c.theta * (pu.x - c.xbar), 6) AS post_adjusted
+FROM pu, c
+"""
+
+
 def q_attr_last_touch(spark, sf_dir):
     """Last-touch attribution (operators/behavior.py
     last_touch_attribution): every purchase credited to the user's
@@ -2258,6 +2302,7 @@ EXT_QUERIES: dict[str, tuple] = {
     "sample_kcenter_coreset": (q_sample_kcenter_coreset, SQL_KCENTER),
     "text_pmi_collocations": (q_text_pmi_collocations, SQL_PMI),
     "attr_last_touch": (q_attr_last_touch, SQL_ATTR_LAST_TOUCH),
+    "stats_cuped": (q_stats_cuped, SQL_CUPED),
     "pack_context_bins": (q_pack_context_bins, SQL_PACK),
     "text_redact_pii": (q_text_redact_pii, SQL_REDACT),
     "pack_materialize": (q_pack_materialize, SQL_PACK_MAT),

@@ -311,3 +311,51 @@ def test_last_touch_attribution_window_ties_and_nulls(spark):
     assert out[103]["touch_lag_sec"] == 40
     assert out[202]["touch_type"] is None  # same-second + stale only
     assert out[301]["touch_type"] is None and out[301]["touch_epoch"] is None
+
+
+def test_cuped_adjustment_hand_computed(spark):
+    """Pins CUPED arithmetic (operators/stats.py cuped_adjusted_metrics):
+    theta = cov/var over per-user pre/post sums, the epoch-midpoint
+    boundary event lands in PRE (es <= mid), the adjustment uses the
+    rounded theta/xbar, and the adjusted mean equals the raw mean
+    (CUPED is unbiased)."""
+    from datetime import datetime, timedelta, timezone
+
+    from stockpy_spark.operators.stats import cuped_adjusted_metrics
+
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc).replace(tzinfo=None)
+    ts = lambda s: t0 + timedelta(seconds=s)
+    # epochs span [0, 100] -> mid = 50; u4's single event sits ON it
+    rows = [
+        (1, ts(0), 1, "view", 0.0, None),  # anchors min(es)=t0+0
+        (2, ts(100), 1, "view", 0.0, None),  # anchors max(es)
+        (3, ts(10), 1, "view", 10.0, None),
+        (4, ts(60), 1, "view", 20.0, None),
+        (5, ts(10), 2, "view", 20.0, None),
+        (6, ts(60), 2, "view", 30.0, None),
+        (7, ts(10), 3, "view", 30.0, None),
+        (8, ts(60), 3, "view", 50.0, None),
+        (9, ts(50), 4, "view", 7.0, None),  # boundary -> pre
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {r["user_id"]: r for r in cuped_adjusted_metrics(ev).collect()}
+    x = {1: 10.0, 2: 20.0, 3: 30.0, 4: 7.0}
+    y = {1: 20.0, 2: 30.0, 3: 50.0, 4: 0.0}
+    n, sx, sy = 4, 67.0, 100.0
+    sxx = sum(v * v for v in x.values())
+    sxy = sum(x[u] * y[u] for u in x)
+    theta = round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6)
+    xbar = round(sx / n, 6)
+    assert out[4]["pre_value"] == 7.0 and out[4]["post_value"] == 0.0
+    for u in x:
+        assert out[u]["theta"] == theta
+        assert out[u]["post_adjusted"] == round(
+            y[u] - theta * (x[u] - xbar), 6
+        )
+    # unbiasedness: adjusted mean == raw mean (up to rounding)
+    adj = [out[u]["post_adjusted"] for u in x]
+    assert abs(sum(adj) / n - sy / n) < 1e-4
