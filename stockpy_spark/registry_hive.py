@@ -66,10 +66,19 @@ GROUP BY event_type
 
 
 def q_hive_partition_counts(spark, sf_dir):
-    """Whole-table per-partition profile; the oracle re-reads the SAME
-    directory tree with DuckDB's hive_partitioning reader, so the
-    on-disk layout itself (directory names as the partition column, row
-    placement, external readability) is what's being hashed."""
+    """Whole-table per-partition profile over the materialized
+    ``dataproc=YYYYMMDD`` layout: Spark reads the DIRECTORY TREE (so
+    directory names as the partition column and row placement are what
+    produce these groups) while the oracle independently re-derives
+    the same profile from the flat events table — any row landing in
+    the wrong partition directory hash-mismatches. The oracle used to
+    read the fixture path with DuckDB's hive_partitioning reader, but
+    that hard-coded the sf0.01 path and silently compared ACROSS
+    scale factors when checked at any other SF (caught by the r10
+    sf0.001 sparse sweep); the external-readability property that
+    oracle carried now lives in
+    test_hive_layout_externally_readable_by_duckdb, which builds the
+    path dynamically."""
     path = ensure_events_by_day(spark, sf_dir)
     df = spark.read.parquet(path)
     return df.groupBy(F.col("dataproc").cast("long").alias("dataproc")).agg(
@@ -79,11 +88,10 @@ def q_hive_partition_counts(spark, sf_dir):
 
 
 SQL_HIVE_PARTITION_COUNTS = """
-SELECT CAST(dataproc AS BIGINT) AS dataproc,
+SELECT CAST(strftime(ts, '%Y%m%d') AS BIGINT) AS dataproc,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(round(sum(value), 6) AS DOUBLE) AS total_value
-FROM read_parquet('/root/repo/.hive_fixture/sf0.01/events_by_day/*/*.parquet',
-                  hive_partitioning=true)
+FROM events
 GROUP BY 1
 """
 

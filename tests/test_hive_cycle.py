@@ -95,3 +95,41 @@ def test_incremental_cycle_query_shape(spark, sf_dir):
     df = q_hive_incremental_cycle(spark, sf_dir)
     assert df.columns == ["dataproc", "n_events", "n_users", "total_value"]
     assert df.count() == 3
+
+
+def test_hive_layout_externally_readable_by_duckdb(spark, sf_dir):
+    """The external-readability property the hive_partition_counts
+    oracle used to carry (before the r10 fix made that oracle
+    SF-portable): DuckDB's hive_partitioning reader scans the
+    Spark-written dataproc=YYYYMMDD tree and produces the identical
+    per-partition profile — directory names, row placement, and
+    TIMESTAMP_MICROS files are all externally consumable. The path is
+    built dynamically from the SF under test, which is exactly what a
+    static SQL oracle string could not do."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from stockpy_spark.sources.hive_fixture import ensure_events_by_day
+
+    path = ensure_events_by_day(spark, sf_dir)
+    sp = {
+        r["dataproc"]: (r["n"], r["tv"])
+        for r in spark.read.parquet(path)
+        .groupBy(F.col("dataproc").cast("long").alias("dataproc"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 6).alias("tv"),
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    duck = {
+        int(r[0]): (int(r[1]), float(r[2]))
+        for r in con.execute(
+            f"""SELECT CAST(dataproc AS BIGINT), count(*),
+                       round(sum(value), 6)
+                FROM read_parquet('{path}/*/*.parquet', hive_partitioning=true)
+                GROUP BY 1"""
+        ).fetchall()
+    }
+    assert sp == duck
