@@ -87,3 +87,56 @@ def dp_noisy_counts(
             F.round(F.col("n_true") + noise, dp).alias("n_noisy"),
         )
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int,
+    generalize: dict[str, Column] | None = None,
+) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) — the release-gate check run
+    before sharing any per-row extract: every row is annotated with the
+    size of its anonymity set (rows sharing its full quasi-identifier
+    combination) and a ``violates_k`` flag for sets smaller than ``k``
+    — those rows are re-identifiable by joining the quasi-identifiers
+    against an external table, the attack the audit exists to catch.
+    ``generalize`` optionally REPLACES a quasi-column with a coarsened
+    expression (bucketed age, truncated zip) so the audit evaluates
+    the generalization that would actually be released; NULLs form
+    their own anonymity set (standard: NULL is an observable value).
+
+    Scale shape: one map-side-combined count over the quasi-identifier
+    combinations (output = distinct combinations, not rows) joined
+    back broadcast — the fact table never shuffles. The audit frame
+    (combination, set size) is also the released-table generalization
+    ledger."""
+    gen = generalize or {}
+    exprs = [
+        (gen[c] if c in gen else F.col(c)).alias(f"__q_{c}")
+        for c in quasi_cols
+    ]
+    base = df.select("*", *exprs)
+    qcols = [f"__q_{c}" for c in quasi_cols]
+    sizes = base.groupBy(*qcols).agg(
+        F.count(F.lit(1)).alias("anonymity_set")
+    ).select(
+        *[F.col(q).alias(f"__s_{q}") for q in qcols], "anonymity_set"
+    )
+    # eqNullSafe: NULL quasi values form a real anonymity set and must
+    # join back to their rows — a plain equi-join would silently drop
+    # every row with a NULL quasi-identifier (the group_train_test_
+    # split lesson from round 9's advice)
+    cond = None
+    for q in qcols:
+        c = F.col(q).eqNullSafe(F.col(f"__s_{q}"))
+        cond = c if cond is None else (cond & c)
+    return (
+        base.join(F.broadcast(sizes), cond)
+        .select(
+            *[F.col(c) for c in df.columns],
+            *[F.col(f"__q_{c}").alias(f"{c}_released") for c in quasi_cols],
+            F.col("anonymity_set").cast("long").alias("anonymity_set"),
+            (F.col("anonymity_set") < k).cast("int").alias("violates_k"),
+        )
+    )

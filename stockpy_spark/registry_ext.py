@@ -1626,6 +1626,59 @@ FROM r
 """
 
 
+def q_privacy_k_anonymity(spark, sf_dir):
+    """k-anonymity release audit (operators/privacy.py
+    k_anonymity_audit — the privacy shelf's third member after the DP
+    release and PII redaction): customers audited on the quasi-
+    identifier (nation, market segment, 1000-wide balance bucket) at
+    k=5 — every row annotated with its anonymity-set size and the
+    re-identifiability flag, the generalization ledger a release gate
+    actually checks. Null-safe set join (NULL quasi values form a real
+    anonymity set); one combination-count aggregate broadcast back."""
+    from stockpy_spark.operators.privacy import k_anonymity_audit
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    out = k_anonymity_audit(
+        cust,
+        ["c_nationkey", "c_mktsegment", "c_acctbal"],
+        k=5,
+        generalize={
+            "c_acctbal": F.floor(F.col("c_acctbal") / 1000).cast("long")
+        },
+    )
+    return out.select(
+        "c_custkey",
+        F.col("c_nationkey_released").cast("long").alias("nation_released"),
+        F.col("c_mktsegment_released").alias("segment_released"),
+        F.col("c_acctbal_released").alias("balance_bucket"),
+        "anonymity_set",
+        "violates_k",
+    )
+
+
+SQL_K_ANON = """
+WITH b AS (
+    SELECT c_custkey, c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket
+    FROM customer
+), s AS (
+    SELECT c_nationkey, c_mktsegment, bal_bucket, count(*) AS a
+    FROM b GROUP BY c_nationkey, c_mktsegment, bal_bucket
+)
+SELECT b.c_custkey,
+       CAST(b.c_nationkey AS BIGINT) AS nation_released,
+       b.c_mktsegment AS segment_released,
+       b.bal_bucket AS balance_bucket,
+       CAST(s.a AS BIGINT) AS anonymity_set,
+       CAST(CASE WHEN s.a < 5 THEN 1 ELSE 0 END AS INTEGER) AS violates_k
+FROM b JOIN s ON b.c_nationkey IS NOT DISTINCT FROM s.c_nationkey
+             AND b.c_mktsegment IS NOT DISTINCT FROM s.c_mktsegment
+             AND b.bal_bucket IS NOT DISTINCT FROM s.bal_bucket
+"""
+
+
 def q_stats_cuped(spark, sf_dir):
     """CUPED variance-reduced experiment metrics (operators/stats.py
     cuped_adjusted_metrics — Deng et al. 2013): per-user pre/post
@@ -2303,6 +2356,7 @@ EXT_QUERIES: dict[str, tuple] = {
     "text_pmi_collocations": (q_text_pmi_collocations, SQL_PMI),
     "attr_last_touch": (q_attr_last_touch, SQL_ATTR_LAST_TOUCH),
     "stats_cuped": (q_stats_cuped, SQL_CUPED),
+    "privacy_k_anonymity": (q_privacy_k_anonymity, SQL_K_ANON),
     "pack_context_bins": (q_pack_context_bins, SQL_PACK),
     "text_redact_pii": (q_text_redact_pii, SQL_REDACT),
     "pack_materialize": (q_pack_materialize, SQL_PACK_MAT),

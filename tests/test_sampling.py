@@ -184,3 +184,36 @@ def test_target_encode_oof_leak_proof_hand_computed(spark):
         s_f = sum(v for i, v in t2.items() if f2[i] == r["fold"])
         n_f = sum(1 for i in t2 if f2[i] == r["fold"])
         assert r["cat_enc"] == round((540.0 - s_f) / (9 - n_f), 6)
+
+
+def test_k_anonymity_audit_sets_nulls_and_generalization(spark):
+    """Pins k_anonymity_audit (operators/privacy.py): set sizes count
+    rows sharing the FULL quasi combination, the violates_k flag fires
+    below k, NULL quasi values form their own set and are never
+    dropped (null-safe join), and generalize() coarsens before
+    counting."""
+    from pyspark.sql import functions as F
+
+    from stockpy_spark.operators.privacy import k_anonymity_audit
+
+    rows = [
+        (1, "US", 30), (2, "US", 31),  # same (US, 30s) bucket
+        (3, "US", 45),  # singleton bucket
+        (4, None, 30), (5, None, 33),  # NULL region, same decade
+    ]
+    df = spark.createDataFrame(rows, "id long, region string, age int")
+    out = {
+        r["id"]: r
+        for r in k_anonymity_audit(
+            df,
+            ["region", "age"],
+            k=2,
+            generalize={"age": (F.floor(F.col("age") / 10) * 10).cast("int")},
+        ).collect()
+    }
+    assert len(out) == 5  # NULL rows survive the set join
+    assert out[1]["anonymity_set"] == 2 and out[1]["violates_k"] == 0
+    assert out[1]["age_released"] == 30  # generalized decade
+    assert out[3]["anonymity_set"] == 1 and out[3]["violates_k"] == 1
+    assert out[4]["anonymity_set"] == 2 and out[4]["violates_k"] == 0
+    assert out[4]["region_released"] is None
