@@ -353,3 +353,96 @@ def test_weighted_sample_matches_reference_aes(spark, weights, k):
     )
     expected = sorted(i for _, i in keyed[-min(k, len(weights)):])
     assert got == expected
+
+
+# random word-soup docs: tiny vocabulary so repetition actually occurs
+_words = st.sampled_from(["a", "bb", "ccc", "dd", "e"])
+_docs = st.lists(
+    st.lists(_words, min_size=0, max_size=25).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@PROP
+@given(texts=_docs)
+def test_gopher_fractions_bounded_and_nested(spark, texts):
+    """Invariants of the repetition battery on random docs: every
+    fraction sits in [0, 1], and dup10 coverage is a SUBSET of dup5
+    coverage (a duplicated 10-gram's 5-gram sub-grams are duplicated
+    too), so dup10_char_frac <= dup5_char_frac on every doc."""
+    from stockpy_spark.operators.gopher import gopher_repetition_profile
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    for r in gopher_repetition_profile(df, "text", "doc_id").collect():
+        for c in ("top2_char_frac", "top3_char_frac", "top4_char_frac",
+                  "dup5_char_frac", "dup10_char_frac"):
+            assert 0.0 <= r[c] <= 1.0, (c, r)
+        assert r["dup10_char_frac"] <= r["dup5_char_frac"] + 1e-9
+
+
+@PROP
+@given(keys=st.lists(st.integers(0, 30), min_size=1, max_size=80))
+def test_cm_sketch_never_undercounts(spark, keys):
+    """Count-Min's one-sided error on random multisets: the estimate
+    is >= the exact count for EVERY key, at a width small enough that
+    collisions really happen."""
+    from stockpy_spark.operators.sketches import cm_sketch_estimates
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    for r in cm_sketch_estimates(df, "k", depth=3, width=8).collect():
+        assert r["cm_estimate"] >= r["exact_count"]
+
+
+@PROP
+@given(
+    vecs=st.lists(
+        st.tuples(st.floats(-8, 8, allow_nan=False, width=32),
+                  st.floats(-8, 8, allow_nan=False, width=32)),
+        min_size=4,
+        max_size=12,
+        unique=True,
+    )
+)
+def test_kcenter_selection_distances_non_increasing(spark, vecs):
+    """Greedy k-center on random 2-D points: each round's selection
+    distance is <= the previous round's (the farthest remaining point
+    can only get closer as the chosen set grows)."""
+    from stockpy_spark.operators.similarity import kcenter_coreset
+
+    df = spark.createDataFrame(
+        [(i, [a, b]) for i, (a, b) in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = sorted(
+        kcenter_coreset(df, "embedding", "vec_id", k=min(4, len(vecs))).collect(),
+        key=lambda r: r["sel_round"],
+    )
+    dists = [r["dist"] for r in rows[1:]]
+    assert all(a >= b - 1e-9 for a, b in zip(dists, dists[1:]))
+
+
+@PROP
+@given(
+    corpus=st.lists(st.text("abcdef", min_size=1, max_size=6),
+                    min_size=1, max_size=40),
+    probes=st.lists(st.text("abcdef", min_size=1, max_size=6),
+                    min_size=1, max_size=20),
+)
+def test_bloom_screen_complete_on_random_keys(spark, corpus, probes):
+    """Bloom completeness on random key sets: every probe that IS in
+    the corpus screens as maybe-present, whatever the collisions."""
+    from stockpy_spark.operators.sketches import bloom_build, bloom_screen
+
+    cdf = spark.createDataFrame([(c,) for c in corpus], "fp string")
+    bloom = bloom_build(cdf, "fp", m_bits=128, k_hashes=3)
+    pdf = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(probes)], "id long, fp string"
+    )
+    out = bloom_screen(pdf, "fp", bloom, m_bits=128, k_hashes=3)
+    member = set(corpus)
+    for r in out.collect():
+        if r["fp"] in member:
+            assert r["bloom_maybe"] == 1
