@@ -835,6 +835,111 @@ FROM o GROUP BY doc_id
 """
 
 
+def q_pipeline_image_dedup(spark, sf_dir):
+    """The composed IMAGE curation pipeline — the multimodal twin of
+    pipeline_clean_corpus, chaining every image-shelf stage end-to-end:
+    real BMP payloads -> perceptual aHash -> transitive dedup on the
+    scale path (identical-hash star edges + rep-level hamming pairs)
+    -> keep only component representatives -> pack the KEEPERS into
+    blob shards (the storage step a real pipeline runs on the deduped
+    survivors) -> pointer-slice them back -> decode -> per-keeper
+    pixel stats joined with the component size each keeper stands for.
+    The oracle recomputes the transitive closure (WITH RECURSIVE over
+    the closed-form pair set), picks min-id reps, counts members, and
+    derives the pixel stats arithmetically — a hash match certifies
+    hash, clustering, representative policy, shard round-trip, and
+    decode in one row per surviving image."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from stockpy_spark.operators.imagehash import (
+        ahash_dedup_components,
+        perceptual_ahash,
+    )
+    from stockpy_spark.operators.multimodal import (
+        attach_bmp_payload,
+        extract_pixel_features,
+        pack_blob_shards,
+        read_blob_slices,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    assets = attach_bmp_payload(docs, "doc_id")
+    comp = ahash_dedup_components(
+        docs, perceptual_ahash(assets), max_hamming=2
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("component_size")
+    )
+    keepers = (
+        comp.where(F.col("is_representative"))
+        .join(sizes, "component")
+        .select("doc_id", "component_size")
+    )
+    kept_assets = assets.join(keepers.select("doc_id"), "doc_id")
+    out_dir = tempfile.mkdtemp(prefix="stockpy_imgdedup_shards_")
+    atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+    index = pack_blob_shards(kept_assets, "doc_id", out_dir, n_shards=4)
+    restored = read_blob_slices(index).select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("image/bmp").alias("media_type"),
+            (F.col("doc_id") % 8 + 4).cast("int").alias("width"),
+            (F.col("doc_id") % 6 + 4).cast("int").alias("height"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+    feats = extract_pixel_features(restored).select(
+        "doc_id", "width", "height", "px_sum"
+    )
+    return feats.join(F.broadcast(keepers), "doc_id").select(
+        "doc_id",
+        F.col("component_size").cast("long").alias("component_size"),
+        "width",
+        "height",
+        "px_sum",
+    )
+
+
+SQL_PIPE_IMAGE = f"""
+WITH RECURSIVE pairs AS (
+    SELECT d1, d2 FROM ({SQL_MM_PHASH})
+), und AS (
+    SELECT d1 AS a, d2 AS b FROM pairs
+    UNION ALL
+    SELECT d2 AS a, d1 AS b FROM pairs
+), walk(v, lbl) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT und.b, walk.lbl FROM walk JOIN und ON und.a = walk.v
+), comp AS (
+    SELECT v AS doc_id, MIN(lbl) AS component FROM walk GROUP BY v
+), sizes AS (
+    SELECT component, count(*) AS component_size FROM comp GROUP BY component
+), keepers AS (
+    SELECT c.doc_id, s.component_size
+    FROM comp c JOIN sizes s ON c.component = s.component
+    WHERE c.doc_id = c.component
+), dims AS (
+    SELECT doc_id, doc_id % 8 + 4 AS w, doc_id % 6 + 4 AS h FROM keepers
+), px AS (
+    SELECT d.doc_id, d.w, d.h,
+           SUM((d.doc_id * 31 + y.y * 17 + x.x * 7 + c.c * 5) % 256) AS px_sum
+    FROM dims d
+    JOIN generate_series(0, 8) y(y) ON y.y < d.h
+    JOIN generate_series(0, 10) x(x) ON x.x < d.w
+    JOIN generate_series(0, 2) c(c) ON TRUE
+    GROUP BY d.doc_id, d.w, d.h
+)
+SELECT k.doc_id, CAST(k.component_size AS BIGINT) AS component_size,
+       CAST(p.w AS INTEGER) AS width, CAST(p.h AS INTEGER) AS height,
+       CAST(p.px_sum AS BIGINT) AS px_sum
+FROM keepers k JOIN px p ON k.doc_id = p.doc_id
+"""
+
+
 def q_mm_decode_gif(spark, sf_dir):
     """GIF twin of mm_decode_png: generate a palette GIF89a per document
     (same closed-form pixel pattern), decode it back through the
@@ -2335,6 +2440,7 @@ EXT_QUERIES: dict[str, tuple] = {
     "mm_phash_neardup": (q_mm_phash_neardup, SQL_MM_PHASH),
     "mm_phash_dedup_cc": (q_mm_phash_dedup_cc, SQL_MM_PHASH_CC),
     "mm_equalize_hist": (q_mm_equalize_hist, SQL_MM_EQUALIZE),
+    "pipeline_image_dedup": (q_pipeline_image_dedup, SQL_PIPE_IMAGE),
     "mm_decode_gif": (q_mm_decode_gif, SQL_MM_GIF),
     "approx_distinct_users": (q_approx_distinct_users, None),
     "pipeline_clean_corpus": (q_pipeline_clean_corpus, SQL_PIPELINE_CLEAN),
