@@ -303,3 +303,65 @@ def blocked_fuzzy_join(
         )
         .drop("__blk", "__band", "__cblk", "__cband")
     )
+
+
+def fellegi_sunter_scores(
+    df: DataFrame,
+    block_col: str,
+    agree_cols: list[str],
+    id_col: str,
+    m: float = 0.9,
+    min_score: float = 0.0,
+    dp: int = 6,
+) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage (1969 — the theory
+    under every production ER system): candidate pairs from equality
+    blocking are scored by summed field log-likelihood ratios,
+    ``ln(m/u)`` when a field agrees and ``ln((1-m)/(1-u))`` when it
+    disagrees. ``m`` (P(agree | true match)) is the standard fixed
+    prior; ``u`` (P(agree | random non-match)) is ESTIMATED from the
+    data as each field's collision probability ``sum_v (c_v / N)^2`` —
+    exact relational arithmetic, no labels and no EM needed, and the
+    part the data can actually tell you. Pairs scoring >=
+    ``min_score`` are the candidate matches.
+
+    Scale shape: one tiny frequency aggregate per field (value-
+    cardinality-sized) collapsed to a 1-row u census broadcast onto
+    the blocked self-join; the join itself is the er_fuzzy_match
+    blocking family (bounded by block sizes, AQE-skew-safe). Returns
+    (id_1, id_2, agree_<f>... , score)."""
+    n = df.count()  # bounded driver scalar (one count), kmeans class
+    u_vals = {}
+    for f in agree_cols:
+        freq = df.groupBy(f).agg(F.count(F.lit(1)).alias("c"))
+        u = freq.agg(
+            F.sum((F.col("c") / F.lit(float(n))) ** 2).alias("u")
+        ).collect()[0]["u"]
+        u_vals[f] = float(u)
+
+    a = df.alias("a")
+    b = df.alias("b")
+    pairs = a.join(
+        b,
+        (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    )
+    import math
+
+    score = F.lit(0.0)
+    flags = []
+    for f in agree_cols:
+        agree = F.col(f"a.{f}").eqNullSafe(F.col(f"b.{f}"))
+        w_a = math.log(m / u_vals[f])
+        w_d = math.log((1.0 - m) / (1.0 - u_vals[f]))
+        score = score + F.when(agree, F.lit(w_a)).otherwise(F.lit(w_d))
+        flags.append(agree.cast("int").alias(f"agree_{f}"))
+    return (
+        pairs.select(
+            F.col(f"a.{id_col}").alias("id_1"),
+            F.col(f"b.{id_col}").alias("id_2"),
+            *flags,
+            F.round(score, dp).alias("score"),
+        )
+        .where(F.col("score") >= min_score)
+    )

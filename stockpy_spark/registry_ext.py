@@ -835,6 +835,60 @@ FROM o GROUP BY doc_id
 """
 
 
+def q_er_fellegi_sunter(spark, sf_dir):
+    """Fellegi-Sunter probabilistic linkage over brand-blocked part
+    pairs (operators/joins.py fellegi_sunter_scores): u per field =
+    the data's collision probability (sum of squared value
+    frequencies), m fixed at 0.9, score = summed field log-likelihood
+    ratios over (type, size) agreement, candidate matches = score >=
+    0. The theory layer the fuzzy-string matcher (er_fuzzy_match)
+    lacks: field weights are DERIVED from value distributions, so a
+    rare-value agreement (size, 50 values) outweighs a common-value
+    one (type, 6 values) by construction. Every pair's flags and score
+    hash-checked."""
+    from stockpy_spark.operators.joins import fellegi_sunter_scores
+
+    parts = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    return fellegi_sunter_scores(
+        parts, "p_brand", ["p_type", "p_size"], "p_partkey"
+    )
+
+
+SQL_ER_FS = """
+WITH n AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n FROM part
+), ut AS (
+    SELECT sum((c / n.n) ^ 2) AS u
+    FROM (SELECT count(*) AS c FROM part GROUP BY p_type), n
+), us AS (
+    SELECT sum((c / n.n) ^ 2) AS u
+    FROM (SELECT count(*) AS c FROM part GROUP BY p_size), n
+), pairs AS (
+    SELECT a.p_partkey AS id_1, b.p_partkey AS id_2,
+           CAST(a.p_type IS NOT DISTINCT FROM b.p_type AS INTEGER)
+               AS agree_p_type,
+           CAST(a.p_size IS NOT DISTINCT FROM b.p_size AS INTEGER)
+               AS agree_p_size
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+)
+SELECT id_1, id_2, agree_p_type, agree_p_size,
+       round(
+           (CASE WHEN agree_p_type = 1 THEN ln(0.9 / ut.u)
+                 ELSE ln(0.1 / (1 - ut.u)) END)
+         + (CASE WHEN agree_p_size = 1 THEN ln(0.9 / us.u)
+                 ELSE ln(0.1 / (1 - us.u)) END), 6) AS score
+FROM pairs, ut, us
+WHERE round(
+          (CASE WHEN agree_p_type = 1 THEN ln(0.9 / ut.u)
+                ELSE ln(0.1 / (1 - ut.u)) END)
+        + (CASE WHEN agree_p_size = 1 THEN ln(0.9 / us.u)
+                ELSE ln(0.1 / (1 - us.u)) END), 6) >= 0.0
+"""
+
+
 def q_pipeline_image_dedup(spark, sf_dir):
     """The composed IMAGE curation pipeline — the multimodal twin of
     pipeline_clean_corpus, chaining every image-shelf stage end-to-end:
@@ -2441,6 +2495,7 @@ EXT_QUERIES: dict[str, tuple] = {
     "mm_phash_dedup_cc": (q_mm_phash_dedup_cc, SQL_MM_PHASH_CC),
     "mm_equalize_hist": (q_mm_equalize_hist, SQL_MM_EQUALIZE),
     "pipeline_image_dedup": (q_pipeline_image_dedup, SQL_PIPE_IMAGE),
+    "er_fellegi_sunter": (q_er_fellegi_sunter, SQL_ER_FS),
     "mm_decode_gif": (q_mm_decode_gif, SQL_MM_GIF),
     "approx_distinct_users": (q_approx_distinct_users, None),
     "pipeline_clean_corpus": (q_pipeline_clean_corpus, SQL_PIPELINE_CLEAN),

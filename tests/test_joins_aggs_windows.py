@@ -160,3 +160,38 @@ def test_dim_preserving_enrich_equals_left_join(spark):
     assert got == want
     assert ("MISS", "dim-miss", None) in got  # unmatched dim preserved
     assert not any(r[0] == "X" for r in got)  # fact-only keys excluded
+
+
+def test_fellegi_sunter_weights_and_threshold(spark):
+    """Pins FS scoring (operators/joins.py fellegi_sunter_scores):
+    u is the field's exact collision probability, rare-field agreement
+    outweighs common-field agreement, disagreement weights are
+    negative, and the min_score cut keeps exactly the pairs whose
+    summed weights clear it."""
+    import math
+
+    from stockpy_spark.operators.joins import fellegi_sunter_scores
+
+    # one block of 4: type has 2 values (50/50 -> u=0.5); sizes are
+    # [10, 20, 30, 10] -> u = (2/4)^2 + (1/4)^2 + (1/4)^2 = 0.375
+    rows = [
+        (1, "B", "t1", 10),
+        (2, "B", "t1", 20),
+        (3, "B", "t2", 30),
+        (4, "B", "t2", 10),
+    ]
+    df = spark.createDataFrame(rows, "id long, brand string, typ string, size int")
+    out = {
+        (r["id_1"], r["id_2"]): r
+        for r in fellegi_sunter_scores(
+            df, "brand", ["typ", "size"], "id", m=0.9, min_score=-100.0
+        ).collect()
+    }
+    u_t, u_s = 0.5, 0.375
+    wa_t, wd_t = math.log(0.9 / u_t), math.log(0.1 / (1 - u_t))
+    wa_s, wd_s = math.log(0.9 / u_s), math.log(0.1 / (1 - u_s))
+    assert len(out) == 6  # all brand-blocked pairs kept at -100
+    assert out[(1, 2)]["agree_typ"] == 1 and out[(1, 2)]["agree_size"] == 0
+    assert out[(1, 2)]["score"] == round(wa_t + wd_s, 6)
+    assert out[(1, 4)]["score"] == round(wd_t + wa_s, 6)
+    assert wa_s > wa_t > 0 > wd_t > wd_s  # rare-field agreement worth more
