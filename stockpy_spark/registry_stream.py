@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from stockpy_spark.registry_ext import SQL_CM_SKETCH as SQL_STREAM_CM
+from stockpy_spark.registry_ext import SQL_MM_PIXELS as SQL_STREAM_BLOB
 from stockpy_spark.sources.testdata import read_events
 from stockpy_spark.streaming.ops import (
     dedup_within_watermark,
@@ -596,6 +597,64 @@ def q_stream_cm_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cm_point_estimates(grid, e, "user_id", depth=4, width=64)
 
 
+
+def q_stream_blob_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous blob-shard ingestion (streaming/ops.py
+    run_blob_shard_ingest — the 10th streaming class): per-doc BMP
+    payloads arrive as THREE waves (doc_id mod 3, maxFilesPerTrigger=1
+    so the micro-batch engine genuinely splits them), each batch is
+    packed into its own crash-safe shard subdirectory with the pointer
+    rows appended to the index, then the FULL index is pointer-sliced
+    back, decoded, and hashed against the same closed-form pixel
+    oracle as mm_decode_pixels — certifying that streaming ingestion
+    preserved every byte across batch boundaries."""
+    import atexit
+    import shutil
+
+    from stockpy_spark.operators.multimodal import (
+        attach_bmp_payload,
+        extract_pixel_features,
+        read_blob_slices,
+    )
+    from stockpy_spark.streaming.ops import run_blob_shard_ingest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    assets = attach_bmp_payload(docs, "doc_id").select("doc_id", "payload")
+    work = tempfile.mkdtemp(prefix="stockpy_stream_blob_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    src_dir = os.path.join(work, "src")
+    os.makedirs(src_dir)
+    for w in range(3):
+        assets.where(F.col("doc_id") % 3 == w).coalesce(1).write.parquet(
+            os.path.join(src_dir, f"wave{w}.parquet")
+        )
+    stream = (
+        spark.readStream.schema("doc_id bigint, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src_dir, "*", "*.parquet"))
+    )
+    index = run_blob_shard_ingest(
+        spark,
+        stream,
+        "doc_id",
+        os.path.join(work, "shards"),
+        os.path.join(work, "index"),
+        os.path.join(work, "ckpt"),
+        n_shards=2,
+    )
+    restored = read_blob_slices(index).select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("image/bmp").alias("media_type"),
+            (F.col("doc_id") % 8 + 4).cast("int").alias("width"),
+            (F.col("doc_id") % 6 + 4).cast("int").alias("height"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+    return extract_pixel_features(restored)
+
+
 STREAM_QUERIES = {
     "stream_hourly_agg": (q_stream_hourly_agg, SQL_STREAM_HOURLY),
     "stream_hopping_agg": (q_stream_hopping_agg, SQL_STREAM_HOPPING),
@@ -604,6 +663,7 @@ STREAM_QUERIES = {
     "stream_running_stats": (q_stream_running_stats, SQL_STREAM_STATS),
     "stream_join_attribution": (q_stream_join_attribution, SQL_STREAM_JOIN),
     "stream_cm_merge": (q_stream_cm_merge, SQL_STREAM_CM),
+    "stream_blob_ingest": (q_stream_blob_ingest, SQL_STREAM_BLOB),
     "stream_cdc_upsert": (q_stream_cdc_upsert, SQL_STREAM_CDC),
     "stream_late_accounting": (q_stream_late_accounting, SQL_STREAM_LATE),
 }

@@ -823,3 +823,47 @@ def run_cm_grid_accumulate(
     q.awaitTermination()
     parts = spark.read.parquet(sink_dir)
     return parts.groupBy("j", "b").agg(F.sum("c").alias("c"))
+
+
+def run_blob_shard_ingest(
+    spark: SparkSession,
+    stream: DataFrame,
+    id_col: str,
+    shards_root: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    n_shards: int = 2,
+) -> DataFrame:
+    """Continuous pointer-to-blob ingestion — the streaming half of the
+    WebDataset pattern: as payload batches arrive, foreachBatch packs
+    each micro-batch's bytes into its OWN shard subdirectory
+    (``batch-{id}/shard-*.bin`` — per-batch dirs because shard names
+    are partition-derived and a second batch must never overwrite the
+    first's files) via the batch packer's crash-safe tmp+rename, and
+    appends the pointer rows to the index table. The standing corpus
+    is therefore always: one growing parquet pointer index + few large
+    immutable binary shards per arrival batch — the small-file problem
+    solved AT INGEST TIME rather than by a nightly compaction.
+
+    Exactly-once: with the checkpoint intact, availableNow foreachBatch
+    appends each batch once; per-batch shard dirs + batch ids in the
+    uri path make a replayed batch visible (a duplicate dir), never
+    silently interleaved. Returns the final pointer index as a batch
+    DataFrame; slice it with multimodal.read_blob_slices."""
+    import os
+
+    from stockpy_spark.operators.multimodal import pack_blob_shards
+
+    def feb(batch_df: DataFrame, batch_id: int) -> None:
+        shard_dir = os.path.join(shards_root, f"batch-{batch_id:05d}")
+        idx = pack_blob_shards(batch_df, id_col, shard_dir, n_shards)
+        idx.write.mode("append").parquet(index_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(feb)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(index_dir)

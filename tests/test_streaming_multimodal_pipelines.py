@@ -1480,3 +1480,45 @@ def test_equalize_lum_hand_computed():
     # out = [0, 85, 170, 255]
     eq = equalize_lum(gray([[0, 1, 2, 3]]))
     assert eq.tolist() == [[0, 85, 170, 255]]
+
+
+def test_stream_blob_ingest_batches_isolated_and_bytes_exact(spark, tmp_path):
+    """The streaming shard ingester (streaming/ops.py
+    run_blob_shard_ingest): three arrival files produce >= 2 distinct
+    per-batch shard directories (batch isolation — shard names are
+    partition-derived, so reuse of one dir would overwrite), and every
+    payload pointer-slices back byte-exact across batch boundaries."""
+    from pyspark.sql import functions as F
+
+    from stockpy_spark.operators.multimodal import read_blob_slices
+    from stockpy_spark.streaming.ops import run_blob_shard_ingest
+
+    payloads = {i: bytes([i % 251]) * (i + 3) for i in range(30)}
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in payloads.items()],
+        "doc_id long, payload binary",
+    )
+    src = str(tmp_path / "src")
+    for w in range(3):
+        df.where(F.col("doc_id") % 3 == w).coalesce(1).write.parquet(
+            f"{src}/wave{w}.parquet"
+        )
+    stream = (
+        spark.readStream.schema("doc_id bigint, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/*.parquet")
+    )
+    index = run_blob_shard_ingest(
+        spark, stream, "doc_id",
+        str(tmp_path / "shards"), str(tmp_path / "index"),
+        str(tmp_path / "ckpt"), n_shards=2,
+    )
+    import os
+
+    batch_dirs = [d for d in os.listdir(tmp_path / "shards") if d.startswith("batch-")]
+    assert len(batch_dirs) >= 2, "maxFilesPerTrigger=1 must split ingestion"
+    restored = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in read_blob_slices(index).collect()
+    }
+    assert restored == payloads
