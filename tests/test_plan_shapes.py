@@ -659,3 +659,17 @@ def test_headline_corpus_no_unbounded_nested_loops(spark):
         if flags:
             offenders[name] = flags
     assert not offenders, offenders
+
+
+def test_image_queries_prune_scan_to_doc_id(spark):
+    """Column pruning must reach the parquet scan of the image-family
+    queries: they derive everything from doc_id (payloads are
+    generated, not stored), so a scan reading the text/embedding
+    columns would ship the whole documents table into a pipeline that
+    never looks at it."""
+    for name in ("mm_phash_neardup", "mm_equalize_hist"):
+        p = plan(QUERIES[name](spark, SF_DIR), "formatted")
+        schemas = [l for l in p.splitlines() if "ReadSchema" in l]
+        assert schemas, name
+        for line in schemas:
+            assert "struct<doc_id:bigint>" in line, (name, line)
