@@ -708,3 +708,93 @@ def ewma_by_key_arrow(
         .groupBy(key_col)
         .applyInPandas(series, out_schema)
     )
+
+
+def autocorrelation_by_key(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: str,
+    max_lag: int = 3,
+    dp: int = 6,
+) -> DataFrame:
+    """Per-series autocorrelation function (ACF) at lags 1..max_lag —
+    the diagnostics workhorse before any forecasting/seasonality
+    decision (is this series white noise, AR-ish, or periodic?):
+    ``r_k = sum((x_t - xbar)(x_{t+k} - xbar)) / sum((x_t - xbar)^2)``
+    over each key's values ordered by (ts, tiebreak) — the tiebreak
+    column makes the ordering total, so the lag pairing is
+    deterministic under timestamp collisions.
+
+    Plan: ONE key shuffle total — the lag window and the per-(key,
+    lag) moment aggregate share the same partitioning, so the window's
+    sort is reused by the aggregate. Series with fewer than lag+1
+    points (or zero variance) emit NULL for that lag rather than a
+    division blow-up. Per-key state is max_lag lagged values — series
+    of any length stream through."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col), F.col(order_tiebreak)
+    )
+    base = df.where(
+        F.col(key_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(value_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("__k"),
+        F.col(ts_col).alias("__ts"),
+        F.col(order_tiebreak).alias("__tb"),
+        F.col(value_col).cast("double").alias("__x"),
+    )
+    lags = base.select(
+        "__k",
+        "__x",
+        *[
+            F.lead("__x", k)
+            .over(
+                Window.partitionBy("__k").orderBy(F.col("__ts"), F.col("__tb"))
+            )
+            .alias(f"__x{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    per_key = lags.groupBy("__k").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__x").alias("__s"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__ss"),
+        *[
+            F.sum(F.col("__x") * F.col(f"__x{k}")).alias(f"__sxy{k}")
+            for k in range(1, max_lag + 1)
+        ],
+        *[
+            F.sum(F.when(F.col(f"__x{k}").isNotNull(), F.col("__x"))).alias(f"__sx{k}")
+            for k in range(1, max_lag + 1)
+        ],
+        *[
+            F.sum(f"__x{k}").alias(f"__sy{k}")
+            for k in range(1, max_lag + 1)
+        ],
+        *[
+            F.sum(F.when(F.col(f"__x{k}").isNotNull(), 1).otherwise(0)).alias(f"__m{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    xbar = F.col("__s") / F.col("__n")
+    denom = F.col("__ss") - F.col("__n") * xbar * xbar
+    cols = [F.col("__k").alias(key_col), F.col("__n").cast("long").alias("n_points")]
+    for k in range(1, max_lag + 1):
+        # sum over the m_k lagged pairs of (x_t - xbar)(x_{t+k} - xbar)
+        # expanded: sxy_k - xbar*sy_k - xbar*sx_k + m_k*xbar^2
+        num = (
+            F.col(f"__sxy{k}")
+            - xbar * F.col(f"__sy{k}")
+            - xbar * F.col(f"__sx{k}")
+            + F.col(f"__m{k}") * xbar * xbar
+        )
+        r = F.when(
+            (F.col(f"__m{k}") > 0) & (denom > 1e-12), F.round(num / denom, dp)
+        )
+        cols.append(r.alias(f"acf_{k}"))
+    return per_key.select(*cols)

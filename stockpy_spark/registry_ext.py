@@ -1838,6 +1838,59 @@ FROM b JOIN s ON b.c_nationkey IS NOT DISTINCT FROM s.c_nationkey
 """
 
 
+def q_ts_acf(spark, sf_dir):
+    """Per-user autocorrelation at lags 1-3
+    (operators/timeseries.py autocorrelation_by_key — the is-this-
+    series-white-noise diagnostic run before any forecasting
+    decision): values ordered by (ts, event_id) so timestamp
+    collisions pair deterministically, one key shuffle shared by the
+    lag window and the moment aggregate, NULL for lags a series is too
+    short to support. Every user's r_1..r_3 hash-checked; the
+    numerator/denominator expression trees are mirrored term-for-term
+    so the doubles agree bit-for-bit before rounding."""
+    from stockpy_spark.operators.timeseries import autocorrelation_by_key
+    from stockpy_spark.sources.testdata import read_events
+
+    return autocorrelation_by_key(
+        read_events(spark, sf_dir), "user_id", "ts", "value", "event_id"
+    )
+
+
+SQL_TS_ACF = r"""
+WITH b AS (
+    SELECT user_id AS k, ts, event_id AS tb, CAST(value AS DOUBLE) AS x
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+), l AS (
+    SELECT k, x,
+           lead(x, 1) OVER w AS x1,
+           lead(x, 2) OVER w AS x2,
+           lead(x, 3) OVER w AS x3
+    FROM b WINDOW w AS (PARTITION BY k ORDER BY ts, tb)
+), m AS (
+    SELECT k, count(*) AS n, sum(x) AS s, sum(x * x) AS ss,
+           sum(x * x1) AS sxy1, sum(CASE WHEN x1 IS NOT NULL THEN x END) AS sx1,
+           sum(x1) AS sy1, sum(CASE WHEN x1 IS NOT NULL THEN 1 ELSE 0 END) AS m1,
+           sum(x * x2) AS sxy2, sum(CASE WHEN x2 IS NOT NULL THEN x END) AS sx2,
+           sum(x2) AS sy2, sum(CASE WHEN x2 IS NOT NULL THEN 1 ELSE 0 END) AS m2,
+           sum(x * x3) AS sxy3, sum(CASE WHEN x3 IS NOT NULL THEN x END) AS sx3,
+           sum(x3) AS sy3, sum(CASE WHEN x3 IS NOT NULL THEN 1 ELSE 0 END) AS m3
+    FROM l GROUP BY k
+)
+SELECT k AS user_id, CAST(n AS BIGINT) AS n_points,
+       CASE WHEN m1 > 0 AND (ss - n * (s / n) * (s / n)) > 1e-12
+            THEN round((sxy1 - (s / n) * sy1 - (s / n) * sx1 + m1 * (s / n) * (s / n))
+                       / (ss - n * (s / n) * (s / n)), 6) END AS acf_1,
+       CASE WHEN m2 > 0 AND (ss - n * (s / n) * (s / n)) > 1e-12
+            THEN round((sxy2 - (s / n) * sy2 - (s / n) * sx2 + m2 * (s / n) * (s / n))
+                       / (ss - n * (s / n) * (s / n)), 6) END AS acf_2,
+       CASE WHEN m3 > 0 AND (ss - n * (s / n) * (s / n)) > 1e-12
+            THEN round((sxy3 - (s / n) * sy3 - (s / n) * sx3 + m3 * (s / n) * (s / n))
+                       / (ss - n * (s / n) * (s / n)), 6) END AS acf_3
+FROM m
+"""
+
+
 def q_stats_cuped(spark, sf_dir):
     """CUPED variance-reduced experiment metrics (operators/stats.py
     cuped_adjusted_metrics — Deng et al. 2013): per-user pre/post
@@ -2518,6 +2571,7 @@ EXT_QUERIES: dict[str, tuple] = {
     "attr_last_touch": (q_attr_last_touch, SQL_ATTR_LAST_TOUCH),
     "stats_cuped": (q_stats_cuped, SQL_CUPED),
     "privacy_k_anonymity": (q_privacy_k_anonymity, SQL_K_ANON),
+    "ts_acf": (q_ts_acf, SQL_TS_ACF),
     "pack_context_bins": (q_pack_context_bins, SQL_PACK),
     "text_redact_pii": (q_text_redact_pii, SQL_REDACT),
     "pack_materialize": (q_pack_materialize, SQL_PACK_MAT),

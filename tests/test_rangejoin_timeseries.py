@@ -418,3 +418,43 @@ def test_seasonal_outlier_counts_singleton_key_zero_not_null(spark):
     assert out["solo"].n_outliers == 0               # NOT None
     assert out["solo"].n == 1
     assert out["k"].n_outliers == 0
+
+
+def test_acf_hand_computed_and_short_series(spark):
+    """Pins autocorrelation_by_key (operators/timeseries.py): a
+    strictly alternating series has acf_1 near -1 and acf_2 near +1,
+    a 2-point series supports only lag 1, a 1-point series supports
+    none, and timestamp ties pair by the tiebreak column."""
+    from datetime import datetime, timedelta, timezone
+
+    from stockpy_spark.operators.timeseries import autocorrelation_by_key
+
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc).replace(tzinfo=None)
+    ts = lambda s: t0 + timedelta(seconds=s)
+    rows = []
+    # user 1: alternating +1/-1 x 8
+    for i in range(8):
+        rows.append((100 + i, ts(i), 1, 1.0 if i % 2 == 0 else -1.0))
+    # user 2: two points; user 3: one point
+    rows += [(201, ts(0), 2, 5.0), (202, ts(1), 2, 7.0), (301, ts(0), 3, 9.0)]
+    # user 4: a timestamp TIE — tiebreak (event_id) orders 401 before 402
+    rows += [(401, ts(0), 4, 1.0), (402, ts(0), 4, 2.0), (403, ts(1), 4, 1.0)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    out = {
+        r["user_id"]: r
+        for r in autocorrelation_by_key(
+            ev, "user_id", "ts", "value", "event_id"
+        ).collect()
+    }
+    # alternating series: strong negative lag-1, strong positive lag-2
+    assert out[1]["acf_1"] < -0.8 and out[1]["acf_2"] > 0.7
+    assert out[2]["acf_1"] is not None and out[2]["acf_2"] is None
+    assert out[3]["acf_1"] is None
+    # tie ordering: sequence is 1, 2, 1 -> lag-1 pairs (1,2), (2,1);
+    # xbar = 4/3; hand compute r1 = ((1-m)(2-m)+(2-m)(1-m))/denominator
+    m = 4.0 / 3.0
+    num = 2 * (1 - m) * (2 - m)
+    den = 2 * (1 - m) ** 2 + (2 - m) ** 2
+    assert abs(out[4]["acf_1"] - num / den) < 1e-6
