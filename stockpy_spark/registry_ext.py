@@ -1838,6 +1838,44 @@ FROM b JOIN s ON b.c_nationkey IS NOT DISTINCT FROM s.c_nationkey
 """
 
 
+def q_stats_kde_grid(spark, sf_dir):
+    """Gaussian KDE of the event-value distribution on a 32-point grid
+    (operators/stats.py kde_grid — the smooth curve drift dashboards
+    want where histogram bin edges distort): integer-derived grid
+    bounds, ONE corpus pass computing all 32 points as conditional
+    sums in a single map-side-combined aggregate (state = 32 doubles,
+    no explode). Sums of exp() differ across engines only in
+    accumulation order; 6dp rounding absorbs it and every (grid,
+    density) cell is hash-checked."""
+    from stockpy_spark.operators.stats import kde_grid
+    from stockpy_spark.sources.testdata import read_events
+
+    return kde_grid(read_events(spark, sf_dir), "value")
+
+
+_KDE_NORM = repr(1.0 / (5.0 * __import__("math").sqrt(2.0 * __import__("math").pi)))
+
+SQL_KDE = f"""
+WITH b AS (
+    SELECT CAST(value AS DOUBLE) AS x FROM events WHERE value IS NOT NULL
+), r AS (
+    SELECT CAST(floor(min(x)) AS DOUBLE) AS lo,
+           CAST(ceil(max(x)) AS DOUBLE) AS hi, count(*) AS n
+    FROM b
+), g AS (
+    SELECT j.j, r.lo + (r.hi - r.lo) * j.j / 31.0 AS gv, r.n
+    FROM r JOIN generate_series(0, 31) j(j) ON TRUE
+), d AS (
+    SELECT g.j, g.gv, g.n,
+           sum(exp(-power((g.gv - b.x) / 5.0, 2) / 2.0)) AS s
+    FROM g JOIN b ON TRUE GROUP BY g.j, g.gv, g.n
+)
+SELECT CAST(j AS INTEGER) AS grid_idx, round(gv, 6) AS grid_value,
+       round({_KDE_NORM} * s / n, 6) AS density
+FROM d
+"""
+
+
 def q_ts_acf(spark, sf_dir):
     """Per-user autocorrelation at lags 1-3
     (operators/timeseries.py autocorrelation_by_key — the is-this-
@@ -2572,6 +2610,7 @@ EXT_QUERIES: dict[str, tuple] = {
     "stats_cuped": (q_stats_cuped, SQL_CUPED),
     "privacy_k_anonymity": (q_privacy_k_anonymity, SQL_K_ANON),
     "ts_acf": (q_ts_acf, SQL_TS_ACF),
+    "stats_kde_grid": (q_stats_kde_grid, SQL_KDE),
     "pack_context_bins": (q_pack_context_bins, SQL_PACK),
     "text_redact_pii": (q_text_redact_pii, SQL_REDACT),
     "pack_materialize": (q_pack_materialize, SQL_PACK_MAT),

@@ -458,3 +458,31 @@ def test_acf_hand_computed_and_short_series(spark):
     num = 2 * (1 - m) * (2 - m)
     den = 2 * (1 - m) ** 2 + (2 - m) ** 2
     assert abs(out[4]["acf_1"] - num / den) < 1e-6
+
+
+def test_kde_grid_hand_computed(spark):
+    """Pins the KDE arithmetic (operators/stats.py kde_grid) on a
+    2-point dataset with a tiny grid: grid bounds are the integer
+    floor/ceil of the data range, each density is the hand-computed
+    Gaussian sum, and mass concentrates at the data points."""
+    import math
+
+    from stockpy_spark.operators.stats import kde_grid
+
+    df = spark.createDataFrame([(0.5,), (9.5,)], "value double")
+    out = {
+        r["grid_idx"]: r
+        for r in kde_grid(df, "value", n_grid=5, bandwidth=2.0).collect()
+    }
+    # bounds: floor(0.5)=0, ceil(9.5)=10 -> grid 0, 2.5, 5, 7.5, 10
+    assert [round(out[i]["grid_value"], 6) for i in range(5)] == [
+        0.0, 2.5, 5.0, 7.5, 10.0,
+    ]
+    norm = 1.0 / (2.0 * math.sqrt(2.0 * math.pi))
+    for i, g in enumerate([0.0, 2.5, 5.0, 7.5, 10.0]):
+        expect = norm * sum(
+            math.exp(-(((g - x) / 2.0) ** 2) / 2.0) for x in (0.5, 9.5)
+        ) / 2.0
+        assert abs(out[i]["density"] - expect) < 1e-6
+    # symmetry of the two-point set: edges denser than the middle
+    assert out[0]["density"] > out[2]["density"] < out[4]["density"]
