@@ -673,3 +673,91 @@ def kde_grid(
         F.col("__gd.grid_value").alias("grid_value"),
         F.col("__gd.density").alias("density"),
     )
+
+
+def spearman_corr_pairs(
+    df: DataFrame, cols: list[str], dp: int = 6
+) -> DataFrame:
+    """Exact Spearman rank correlation for every column pair — the
+    monotonic-dependence screen Pearson (stats_corr_matrix) misses on
+    nonlinear-but-ordered relationships, with textbook average ranks
+    for ties. Rank derivation is RELATIONAL, not a global row window
+    (which would drag the whole corpus into one WindowExec partition):
+    per column, a map-side-combined count per DISTINCT value, a
+    cumulative sum over the sorted distinct-value table (corpus-scale
+    state never exceeds the distinct count), and an equi-join back —
+    ``avg_rank(v) = (#rows < v) + (#rows = v + 1) / 2``. Ranks are
+    exact halves and their moment sums stay below 2^53 for any corpus
+    under ~400M rows, so every sum is an exactly-represented double
+    and the correlation is bit-identical cross-engine, no rounding
+    tricks needed."""
+    from pyspark.sql import Window
+
+    base = df.select(
+        *[F.col(c).cast("double").alias(c) for c in cols]
+    ).where(
+        None
+        if not cols
+        else __import__("functools").reduce(
+            lambda a, b: a & b, [F.col(c).isNotNull() for c in cols]
+        )
+    )
+    ranked = base
+    for c in cols:
+        counts = base.groupBy(F.col(c).alias("__v")).agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        cum = counts.select(
+            "__v",
+            "__c",
+            (
+                F.sum("__c").over(
+                    Window.orderBy("__v").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                )
+            ).alias("__lt"),
+        ).select(
+            F.col("__v").alias(c),
+            (
+                F.coalesce("__lt", F.lit(0))
+                + (F.col("__c") + 1) / F.lit(2.0)
+            ).alias(f"__r_{c}"),
+        )
+        ranked = ranked.join(cum, c)
+    mom_exprs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        mom_exprs.append(F.sum(f"__r_{c}").alias(f"__s_{c}"))
+        mom_exprs.append(
+            F.sum(F.col(f"__r_{c}") * F.col(f"__r_{c}")).alias(f"__ss_{c}")
+        )
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            mom_exprs.append(
+                F.sum(F.col(f"__r_{a}") * F.col(f"__r_{b}")).alias(
+                    f"__sxy_{a}_{b}"
+                )
+            )
+    mom = ranked.agg(*mom_exprs)
+    out_rows = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            num = F.col(f"__sxy_{a}_{b}") - F.col(f"__s_{a}") * F.col(
+                f"__s_{b}"
+            ) / F.col("__n")
+            var_a = F.col(f"__ss_{a}") - F.col(f"__s_{a}") * F.col(
+                f"__s_{a}"
+            ) / F.col("__n")
+            var_b = F.col(f"__ss_{b}") - F.col(f"__s_{b}") * F.col(
+                f"__s_{b}"
+            ) / F.col("__n")
+            out_rows.append(
+                F.struct(
+                    F.lit(a).alias("col_x"),
+                    F.lit(b).alias("col_y"),
+                    F.round(num / F.sqrt(var_a * var_b), dp).alias("spearman"),
+                )
+            )
+    return mom.select(F.explode(F.array(*out_rows)).alias("__p")).select(
+        "__p.col_x", "__p.col_y", "__p.spearman"
+    )

@@ -1838,6 +1838,76 @@ FROM b JOIN s ON b.c_nationkey IS NOT DISTINCT FROM s.c_nationkey
 """
 
 
+def q_stats_spearman(spark, sf_dir):
+    """Exact Spearman rank correlations over lineitem's (quantity,
+    extendedprice, discount) — the monotonic-dependence screen Pearson
+    misses (operators/stats.py spearman_corr_pairs): textbook average
+    ranks derived RELATIONALLY (per-distinct-value counts + a
+    cumulative sum over the sorted distinct table + an equi-join back
+    — never a corpus-wide single-partition row window); rank moment
+    sums are exactly-represented doubles, so the correlations are
+    bit-identical cross-engine with no rounding tricks."""
+    from stockpy_spark.operators.stats import spearman_corr_pairs
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return spearman_corr_pairs(
+        li, ["l_quantity", "l_extendedprice", "l_discount"]
+    )
+
+
+SQL_SPEARMAN = r"""
+WITH b AS (
+    SELECT CAST(l_quantity AS DOUBLE) AS q, CAST(l_extendedprice AS DOUBLE) AS p,
+           CAST(l_discount AS DOUBLE) AS d
+    FROM lineitem
+    WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+      AND l_discount IS NOT NULL
+), rq AS (
+    SELECT v AS q, coalesce(lt, 0) + (c + 1) / 2.0 AS r FROM (
+        SELECT q AS v, count(*) AS c,
+               sum(count(*)) OVER (ORDER BY q
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+        FROM b GROUP BY q)
+), rp AS (
+    SELECT v AS p, coalesce(lt, 0) + (c + 1) / 2.0 AS r FROM (
+        SELECT p AS v, count(*) AS c,
+               sum(count(*)) OVER (ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+        FROM b GROUP BY p)
+), rd AS (
+    SELECT v AS d, coalesce(lt, 0) + (c + 1) / 2.0 AS r FROM (
+        SELECT d AS v, count(*) AS c,
+               sum(count(*)) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+        FROM b GROUP BY d)
+), j AS (
+    SELECT rq.r AS x, rp.r AS y, rd.r AS z
+    FROM b JOIN rq ON b.q = rq.q JOIN rp ON b.p = rp.p JOIN rd ON b.d = rd.d
+), m AS (
+    SELECT count(*) AS n,
+           sum(x) AS sx, sum(x * x) AS ssx,
+           sum(y) AS sy, sum(y * y) AS ssy,
+           sum(z) AS sz, sum(z * z) AS ssz,
+           sum(x * y) AS sxy, sum(x * z) AS sxz, sum(y * z) AS syz
+    FROM j
+)
+SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+       round((sxy - sx * sy / n)
+             / sqrt((ssx - sx * sx / n) * (ssy - sy * sy / n)), 6) AS spearman
+FROM m
+UNION ALL
+SELECT 'l_quantity', 'l_discount',
+       round((sxz - sx * sz / n)
+             / sqrt((ssx - sx * sx / n) * (ssz - sz * sz / n)), 6)
+FROM m
+UNION ALL
+SELECT 'l_extendedprice', 'l_discount',
+       round((syz - sy * sz / n)
+             / sqrt((ssy - sy * sy / n) * (ssz - sz * sz / n)), 6)
+FROM m
+"""
+
+
 def q_stats_kde_grid(spark, sf_dir):
     """Gaussian KDE of the event-value distribution on a 32-point grid
     (operators/stats.py kde_grid — the smooth curve drift dashboards
@@ -2611,6 +2681,7 @@ EXT_QUERIES: dict[str, tuple] = {
     "privacy_k_anonymity": (q_privacy_k_anonymity, SQL_K_ANON),
     "ts_acf": (q_ts_acf, SQL_TS_ACF),
     "stats_kde_grid": (q_stats_kde_grid, SQL_KDE),
+    "stats_spearman": (q_stats_spearman, SQL_SPEARMAN),
     "pack_context_bins": (q_pack_context_bins, SQL_PACK),
     "text_redact_pii": (q_text_redact_pii, SQL_REDACT),
     "pack_materialize": (q_pack_materialize, SQL_PACK_MAT),

@@ -486,3 +486,36 @@ def test_kde_grid_hand_computed(spark):
         assert abs(out[i]["density"] - expect) < 1e-6
     # symmetry of the two-point set: edges denser than the middle
     assert out[0]["density"] > out[2]["density"] < out[4]["density"]
+
+
+def test_spearman_ranks_ties_and_monotone(spark):
+    """Pins spearman_corr_pairs (operators/stats.py): a strictly
+    monotone nonlinear pair scores exactly 1.0 (where Pearson would
+    not), reversing order scores -1.0, and ties get textbook average
+    ranks (hand-computed)."""
+    from stockpy_spark.operators.stats import spearman_corr_pairs
+
+    rows = [(1.0, 1.0, 7.0), (2.0, 8.0, 5.0), (3.0, 27.0, 5.0), (4.0, 64.0, 1.0)]
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    out = {
+        (r["col_x"], r["col_y"]): r["spearman"]
+        for r in spearman_corr_pairs(df, ["a", "b", "c"]).collect()
+    }
+    assert out[("a", "b")] == 1.0  # monotone cube: rank-perfect
+    # c ranks: 7->4, 5->tie avg 2.5, 5->2.5, 1->1 vs a ranks 1,2,3,4
+    # hand Pearson over ranks:
+    x = [1.0, 2.0, 3.0, 4.0]
+    y = [4.0, 2.5, 2.5, 1.0]
+    n = 4
+    sx, sy = sum(x), sum(y)
+    sxy = sum(i * j for i, j in zip(x, y))
+    ssx = sum(i * i for i in x)
+    ssy = sum(j * j for j in y)
+    import math
+
+    expect = round(
+        (sxy - sx * sy / n)
+        / math.sqrt((ssx - sx * sx / n) * (ssy - sy * sy / n)),
+        6,
+    )
+    assert out[("a", "c")] == expect and expect < 0
