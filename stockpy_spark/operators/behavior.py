@@ -373,12 +373,17 @@ def last_touch_attribution(
     the larger event id — fully deterministic); conversions with no
     in-window touch surface with NULL touch columns, never dropped.
 
-    Plan: one per-user equi-join (conversions x touches — per-user
-    volumes, AQE-skew-safe) filtered to the time band, one per-
-    conversion argmax window, and a left join back for the
-    unattributed rows. At 100 TB the join is the standard user-keyed
-    shuffle every sessionization already pays; the band filter keeps
-    the fan-out at touches-per-lookback, not touches-per-user-history."""
+    Plan — the repo's as-of/LOCF idiom, NOT a conv x touch join: a
+    per-user equi-join enumerates every (conversion, touch) pair
+    BEFORE the lookback band filters, so a hot user (a bot with 10^5
+    events) pays quadratic pair evaluation. Instead touches and
+    conversions union into one stream, one (user, ts) sort orders
+    them with conversions BEFORE same-timestamp touches (enforcing
+    the STRICTLY-before rule positionally), and ``last(touch,
+    ignorenulls)`` carries the latest touch forward — the lookback
+    check lands on the carried epoch. One user-keyed window, zero
+    pair enumeration; the shuffle is the standard sessionization
+    cost."""
     sec = F.col(ts_col).cast("timestamp").cast("long")
     base = events.where(
         F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
@@ -388,41 +393,51 @@ def last_touch_attribution(
         F.col(type_col).alias("etype"),
         sec.alias("es"),
     )
-    conv = base.where(F.col("etype") == conversion_type).select(
-        "u",
-        F.col("eid").alias("conv_id"),
-        F.col("es").alias("conv_s"),
-    )
-    touch = base.where(F.col("etype").isin(*touch_types)).select(
-        "u",
-        F.col("eid").alias("touch_id"),
-        F.col("etype").alias("touch_type"),
-        F.col("es").alias("touch_s"),
-    )
     from pyspark.sql import Window
 
-    cand = conv.join(touch, "u").where(
-        (F.col("touch_s") < F.col("conv_s"))
-        & (F.col("touch_s") >= F.col("conv_s") - F.lit(lookback_sec))
+    # one stream: kind 0 = conversion, 1 = touch. Ordering (es, kind,
+    # eid) puts a conversion BEFORE touches at its own timestamp
+    # (strictly-before rule) and orders same-es touches by ascending
+    # id, so the LAST carried touch is the max-(es, id) eligible one
+    # — exactly the old argmax's (touch_s DESC, touch_id DESC) winner.
+    ev = base.select(
+        "u",
+        "eid",
+        "es",
+        F.when(F.col("etype") == conversion_type, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("__kind"),
+        F.when(
+            F.col("etype").isin(*touch_types),
+            F.struct(
+                F.col("es").alias("ts"),
+                F.col("eid").alias("tid"),
+                F.col("etype").alias("ttype"),
+            ),
+        ).alias("__touch"),
+    ).where((F.col("__kind") == 0) | F.col("__touch").isNotNull())
+    w = (
+        Window.partitionBy("u")
+        .orderBy("es", "__kind", "eid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    rn = F.row_number().over(
-        Window.partitionBy("conv_id").orderBy(
-            F.col("touch_s").desc(), F.col("touch_id").desc()
-        )
+    carried = ev.select(
+        "u",
+        "eid",
+        "es",
+        "__kind",
+        F.last("__touch", ignorenulls=True).over(w).alias("__lt"),
     )
-    best = cand.withColumn("rn", rn).where(F.col("rn") == 1)
-    return (
-        conv.join(
-            best.select("conv_id", "touch_type", "touch_s", "touch_id"),
-            "conv_id",
-            "left",
-        )
-        .select(
-            F.col("conv_id").alias("conversion_id"),
-            F.col("u").alias(user_col),
-            F.col("conv_s").alias("conversion_epoch"),
-            "touch_type",
-            F.col("touch_s").alias("touch_epoch"),
-            (F.col("conv_s") - F.col("touch_s")).alias("touch_lag_sec"),
-        )
+    in_window = F.col("__lt").isNotNull() & (
+        F.col("__lt.ts") >= F.col("es") - F.lit(lookback_sec)
+    )
+    return carried.where(F.col("__kind") == 0).select(
+        F.col("eid").alias("conversion_id"),
+        F.col("u").alias(user_col),
+        F.col("es").alias("conversion_epoch"),
+        F.when(in_window, F.col("__lt.ttype")).alias("touch_type"),
+        F.when(in_window, F.col("__lt.ts")).alias("touch_epoch"),
+        F.when(in_window, F.col("es") - F.col("__lt.ts")).alias(
+            "touch_lag_sec"
+        ),
     )

@@ -325,19 +325,56 @@ def fellegi_sunter_scores(
     part the data can actually tell you. Pairs scoring >=
     ``min_score`` are the candidate matches.
 
-    Scale shape: one tiny frequency aggregate per field (value-
-    cardinality-sized) collapsed to a 1-row u census broadcast onto
-    the blocked self-join; the join itself is the er_fuzzy_match
-    blocking family (bounded by block sizes, AQE-skew-safe). Returns
-    (id_1, id_2, agree_<f>... , score)."""
-    n = df.count()  # bounded driver scalar (one count), kmeans class
+    Scale shape: ONE pass estimates every field's u — the
+    profile_entropy melt idiom: explode each row to (field, value)
+    pairs, one map-side-combined groupBy, one p-row collect of
+    per-field (N, sum c^2) moments (``sum_v (c_v/N)^2 =
+    (sum c^2)/N^2``, both moments exact integers below 2^53) —
+    instead of p+1 full scans (a count plus a per-field groupBy
+    loop). The pair join is the er_fuzzy_match blocking family
+    (bounded by block sizes, AQE-skew-safe). Returns (id_1, id_2,
+    agree_<f>... , score).
+
+    A CONSTANT field (u = 1) makes the disagreement weight
+    ln((1-m)/(1-u)) divide by zero — such a field carries no
+    discriminating information, so it is rejected with a ValueError;
+    sub-ulp float drift toward 1 or 0 is clamped to (eps, 1-eps)."""
+    melted = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f).alias("__fld"),
+                        F.col(f).cast("string").alias("__val"),
+                    )
+                    for f in agree_cols
+                ]
+            )
+        ).alias("__e")
+    ).select("__e.__fld", "__e.__val")
+    census = (
+        melted.groupBy("__fld", "__val")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("__fld")
+        .agg(
+            F.sum("__c").alias("__n"),
+            F.sum(F.col("__c") * F.col("__c")).alias("__ss"),
+        )
+        .collect()  # p rows: one bounded driver transfer
+    )
+    if not census:
+        raise ValueError("fellegi_sunter_scores: input has no rows")
+    eps = 1e-12
     u_vals = {}
-    for f in agree_cols:
-        freq = df.groupBy(f).agg(F.count(F.lit(1)).alias("c"))
-        u = freq.agg(
-            F.sum((F.col("c") / F.lit(float(n))) ** 2).alias("u")
-        ).collect()[0]["u"]
-        u_vals[f] = float(u)
+    for r in census:
+        u = float(r["__ss"]) / float(r["__n"]) ** 2
+        if u >= 1.0 - eps:
+            raise ValueError(
+                f"fellegi_sunter_scores: field {r['__fld']!r} is "
+                "constant (collision probability u = 1); it cannot "
+                "discriminate matches — drop it from agree_cols"
+            )
+        u_vals[r["__fld"]] = min(max(u, eps), 1.0 - eps)
 
     a = df.alias("a")
     b = df.alias("b")

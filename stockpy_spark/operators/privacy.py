@@ -108,9 +108,14 @@ def k_anonymity_audit(
 
     Scale shape: one map-side-combined count over the quasi-identifier
     combinations (output = distinct combinations, not rows) joined
-    back broadcast — the fact table never shuffles. The audit frame
-    (combination, set size) is also the released-table generalization
-    ledger."""
+    back UNHINTED: the regime this audit exists for — fine-grained
+    quasi-identifiers, many near-unique rows — is exactly when the
+    combination frame approaches fact size, so forcing a broadcast is
+    the q3 fact-in-disguise failure. AQE broadcasts while the sizes
+    frame fits the threshold and sort-merges on the (null-safe) quasi
+    keys when it doesn't — ``<=>`` stays a hash-join key either way.
+    The audit frame (combination, set size) is also the
+    released-table generalization ledger."""
     gen = generalize or {}
     exprs = [
         (gen[c] if c in gen else F.col(c)).alias(f"__q_{c}")
@@ -132,7 +137,7 @@ def k_anonymity_audit(
         c = F.col(q).eqNullSafe(F.col(f"__s_{q}"))
         cond = c if cond is None else (cond & c)
     return (
-        base.join(F.broadcast(sizes), cond)
+        base.join(sizes, cond)
         .select(
             *[F.col(c) for c in df.columns],
             *[F.col(f"__q_{c}").alias(f"{c}_released") for c in quasi_cols],

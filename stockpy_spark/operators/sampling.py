@@ -496,9 +496,15 @@ def target_encode_oof(
     prior rather than leaking itself.
 
     Scale shape: one map-side-combined aggregate to (fold, category)
-    cells — output is folds x categories rows regardless of data size
-    — broadcast back onto the rows as a narrow map. Nothing shuffles
-    the fact table. Rows with NULL target still get an encoding (they
+    cells — output is folds x categories rows regardless of data
+    size. The LUT join back is deliberately UNHINTED: this op exists
+    for high-cardinality categoricals, so the LUT is category-sized —
+    a fact in disguise when the category is user-id-like (the q3/
+    basket-miner lesson; the group_train_test_split precedent 20
+    lines up). AQE broadcasts while the LUT fits
+    spark.sql.autoBroadcastJoinThreshold and sort-merges on __cat
+    when it doesn't; only the 1-row global-mean census is a forced
+    broadcast. Rows with NULL target still get an encoding (they
     contribute nothing to the sums); NULL categories encode as their
     own '<NULL>' category — missingness is usually informative."""
     fold = (
@@ -533,7 +539,7 @@ def target_encode_oof(
         (F.sum("__cs") / F.sum("__cn")).alias("__gmean")
     )
     lut = (
-        cells.join(F.broadcast(cat_tot), "__cat")
+        cells.join(cat_tot, "__cat")
         .crossJoin(F.broadcast(glob))
         .select(
             "__cat",
@@ -549,7 +555,7 @@ def target_encode_oof(
         )
     )
     return (
-        base.join(F.broadcast(lut), ["__cat", "__fold"], "left")
+        base.join(lut, ["__cat", "__fold"], "left")
         .crossJoin(F.broadcast(glob))
         .select(
             *[F.col(c) for c in df.columns],

@@ -676,21 +676,26 @@ def kde_grid(
 
 
 def spearman_corr_pairs(
-    df: DataFrame, cols: list[str], dp: int = 6
+    df: DataFrame, cols: list[str], dp: int = 6, n_buckets: int = 1024
 ) -> DataFrame:
     """Exact Spearman rank correlation for every column pair — the
     monotonic-dependence screen Pearson (stats_corr_matrix) misses on
     nonlinear-but-ordered relationships, with textbook average ranks
-    for ties. Rank derivation is RELATIONAL, not a global row window
-    (which would drag the whole corpus into one WindowExec partition):
+    for ties. Rank derivation is RELATIONAL, not a global row window:
     per column, a map-side-combined count per DISTINCT value, a
-    cumulative sum over the sorted distinct-value table (corpus-scale
-    state never exceeds the distinct count), and an equi-join back —
-    ``avg_rank(v) = (#rows < v) + (#rows = v + 1) / 2``. Ranks are
-    exact halves and their moment sums stay below 2^53 for any corpus
-    under ~400M rows, so every sum is an exactly-represented double
-    and the correlation is bit-identical cross-engine, no rounding
-    tricks needed."""
+    BUCKETED prefix-sum over the sorted distinct-value table, and an
+    equi-join back — ``avg_rank(v) = (#rows < v) + (#rows = v + 1) /
+    2``. The prefix-sum is the drift.py ECDF pattern, NOT a
+    partition-less WindowExec: a continuous column has distinct-count
+    ~ row-count, so a global ``Window.orderBy`` would drag the corpus
+    through one sorter task (the skyline/KS/Gini disease). Instead a
+    1-row (min, max) census range-buckets the distinct values, each
+    bucket cumsums locally (corpus/n_buckets rows per task), and a
+    KB-sized exclusive bucket-offset frame broadcast-joins back.
+    Ranks are exact halves and their moment sums stay below 2^53 for
+    any corpus under ~400M rows, so every sum is an exactly-
+    represented double and the correlation is bit-identical
+    cross-engine, no rounding tricks needed."""
     from pyspark.sql import Window
 
     base = df.select(
@@ -707,20 +712,43 @@ def spearman_corr_pairs(
         counts = base.groupBy(F.col(c).alias("__v")).agg(
             F.count(F.lit(1)).alias("__c")
         )
-        cum = counts.select(
-            "__v",
-            "__c",
-            (
-                F.sum("__c").over(
-                    Window.orderBy("__v").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                )
-            ).alias("__lt"),
-        ).select(
+        census = counts.agg(
+            F.min("__v").alias("__mn"), F.max("__v").alias("__mx")
+        )
+        width = (F.col("__mx") - F.col("__mn")) / F.lit(float(n_buckets))
+        bkt = F.when(F.col("__mx") == F.col("__mn"), F.lit(0)).otherwise(
+            F.least(
+                F.lit(n_buckets - 1),
+                F.floor((F.col("__v") - F.col("__mn")) / width).cast("int"),
+            )
+        )
+        bucketed = counts.crossJoin(F.broadcast(census)).select(
+            "__v", "__c", bkt.alias("__bkt")
+        )
+        # exclusive cumsum WITHIN each bucket (task size = distinct/n_buckets)
+        wloc = Window.partitionBy("__bkt").orderBy("__v").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        local = bucketed.withColumn(
+            "__lt_loc", F.coalesce(F.sum("__c").over(wloc), F.lit(0))
+        )
+        # n_buckets-row totals -> exclusive bucket offsets (tiny task)
+        woff = Window.orderBy("__bkt").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = (
+            bucketed.groupBy("__bkt")
+            .agg(F.sum("__c").alias("__bt"))
+            .select(
+                "__bkt",
+                F.coalesce(F.sum("__bt").over(woff), F.lit(0)).alias("__off"),
+            )
+        )
+        cum = local.join(F.broadcast(offsets), "__bkt").select(
             F.col("__v").alias(c),
             (
-                F.coalesce("__lt", F.lit(0))
+                F.col("__off")
+                + F.col("__lt_loc")
                 + (F.col("__c") + 1) / F.lit(2.0)
             ).alias(f"__r_{c}"),
         )

@@ -71,16 +71,68 @@ def domain_diversity_cap(
     id_col: str,
     max_per_domain: int,
     salt: str = "domcap",
+    n_buckets: int = 4096,
 ) -> DataFrame:
     """Adds ``kept`` (int 0/1): unblocked rows ranked within their
     registrable domain by the md5 draw (ties by id), keep rank <=
     ``max_per_domain``. Blocked rows are never kept and do not consume
-    domain quota. Expects the ``blocklist_screen`` columns."""
+    domain quota. Expects the ``blocklist_screen`` columns.
+
+    Plan — bucketed rank, NOT a per-domain window sort: a plain
+    ``row_number().over(partitionBy(domain))`` makes WindowExec SORT
+    each domain in one task, so a mega-domain holding 1% of a 100 TB
+    crawl pushes ~1 TB through a single sorter before the cap
+    discards anything (the Gini/KS one-task-sort disease). Instead
+    the draw's leading hex chars split every domain into
+    ``n_buckets`` (rounded to a power of 16) draw-range slices: per-(domain, bucket) unblocked
+    counts (map-side combined, KB state per domain) close into
+    per-domain EXCLUSIVE prefix offsets via a window over at most
+    n_buckets count rows per domain, and each row's exact global rank
+    is its local rank within the (domain, bucket) slice — a task of
+    ~1/n_buckets of the domain — plus the bucket offset. The draw is
+    an md5 hex string, so lexicographic order within a bucket agrees
+    with the bucket-prefix order and the kept set is IDENTICAL to the
+    single-sort formulation."""
     draw = F.md5(
         F.concat_ws("\x1f", F.lit(salt), F.col(id_col).cast("string"))
     )
-    rk = F.row_number().over(
-        Window.partitionBy("domain", "blocked").orderBy(draw, F.col(id_col))
+    import math
+
+    chars = max(1, int(round(math.log(n_buckets, 16))))
+    base = df.select(
+        "*",
+        draw.alias("__draw"),
+        F.conv(F.substring(draw, 1, chars), 16, 10)
+        .cast("int")
+        .alias("__bkt"),
     )
-    kept = (F.col("blocked") == 0) & (rk <= max_per_domain)
-    return df.select("*", kept.cast("int").alias("kept"))
+    counts = (
+        base.where(F.col("blocked") == 0)
+        .groupBy("domain", "__bkt")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    woff = (
+        Window.partitionBy("domain")
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "domain",
+        "__bkt",
+        F.coalesce(F.sum("__c").over(woff), F.lit(0)).alias("__off"),
+    )
+    # local rank within the (domain, bucket, blocked) slice: blocked
+    # rows rank only among themselves and never read __off, so they
+    # cannot consume unblocked quota
+    rk_loc = F.row_number().over(
+        Window.partitionBy("domain", "__bkt", "blocked").orderBy(
+            "__draw", F.col(id_col)
+        )
+    )
+    kept = (F.col("blocked") == 0) & (
+        F.coalesce(F.col("__off"), F.lit(0)) + rk_loc <= max_per_domain
+    )
+    return (
+        base.join(offsets, ["domain", "__bkt"], "left")
+        .select(*df.columns, kept.cast("int").alias("kept"))
+    )
