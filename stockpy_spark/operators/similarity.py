@@ -823,7 +823,8 @@ def kcenter_coreset(
     TakeOrderedAndProject argmax; driver state is k vectors (the
     kmeans-centroid class of bounded collect). localCheckpoint per
     round stops lineage growth. Returns (sel_round, id, dist) for the
-    k selected exemplars; the seed's dist is NULL."""
+    min(k, n) selected exemplars (the whole pool when n < k; empty
+    input raises); the seed's dist is NULL."""
     dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = df.select(
         F.col(id_col).alias("__id"), dvec.alias("__v")
@@ -840,7 +841,10 @@ def kcenter_coreset(
             dp,
         )
 
-    seed = base.orderBy("__id").limit(1).collect()[0]
+    seed_rows = base.orderBy("__id").limit(1).collect()
+    if not seed_rows:
+        raise ValueError("kcenter_coreset: input has no rows")
+    seed = seed_rows[0]
     picked = [(0, seed["__id"], None)]
     chosen_ids = {seed["__id"]}
     state = base.select(
@@ -848,12 +852,17 @@ def kcenter_coreset(
     ).localCheckpoint(eager=True)
 
     for t in range(1, k):
-        far = (
+        far_rows = (
             state.where(~F.col("__id").isin(*chosen_ids))
             .orderBy(F.col("__mind").desc(), F.col("__id"))
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not far_rows:
+            # pool exhausted (fewer than k points): the selection so
+            # far IS the full coreset — return it rather than raising
+            break
+        far = far_rows[0]
         picked.append((t, far["__id"], float(far["__mind"])))
         chosen_ids.add(far["__id"])
         state = state.select(

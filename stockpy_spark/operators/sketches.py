@@ -550,29 +550,35 @@ def bloom_screen(
     tiny-state membership screen that answers "definitely new" without
     touching the corpus. A key the filter rejects is GUARANTEED absent
     (route it straight to ingest); a 'maybe' routes to the exact
-    anti-join. The screen is a narrow map over the batch plus one
-    broadcast join on the KB-sized word table."""
+    anti-join. The screen is a pure narrow map: the KB-sized word
+    table collapses to ONE map literal (a 1-row broadcast, the
+    scalar-subquery idiom) and every probe is a ``forall`` over the k
+    positions — no explode, no re-group, so duplicate input rows
+    survive (adds-a-column contract) and non-groupable column types
+    (maps) pass through untouched."""
+    packed = bloom.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word", "bits"))
+        ).alias("__bm")
+    )
     pos = _bloom_positions(F.col(col).cast("string"), m_bits, k_hashes, salt)
-    probes = batch.select(
-        "*", F.explode(pos).alias("__p")
-    ).select(
-        "*",
-        (F.floor(F.col("__p") / 63)).cast("long").alias("word"),
-        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__p % 63 AS INT))").alias("__bit"),
-    )
-    hit = (
-        probes.join(F.broadcast(bloom), "word", "left")
-        .withColumn(
-            "__set",
-            F.coalesce(
-                (F.col("bits").bitwiseAND(F.col("__bit")) == F.col("__bit")),
-                F.lit(False),
-            ),
+    # NB: no CSE inside HOF lambdas — keep per-element work to one
+    # map lookup and one cheap shift (the O(nt^3) lesson)
+    def _bit(p):  # shiftleft() builtin only takes a literal count
+        return F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (p % 63).cast("int")
         )
+
+    maybe = F.forall(
+        pos,
+        lambda p: F.coalesce(
+            F.element_at(
+                F.col("__bm"), F.floor(p / 63).cast("long")
+            ).bitwiseAND(_bit(p))
+            == _bit(p),
+            F.lit(False),
+        ),
     )
-    group_cols = [c for c in batch.columns]
-    return (
-        hit.groupBy(*group_cols)
-        .agg(F.bool_and("__set").alias("__all"))
-        .select(*group_cols, F.col("__all").cast("int").alias("bloom_maybe"))
+    return batch.crossJoin(F.broadcast(packed)).select(
+        *batch.columns, maybe.cast("int").alias("bloom_maybe")
     )

@@ -798,12 +798,13 @@ def run_cm_grid_accumulate(
     appended partial — exact under ANY micro-batch split because CM
     grids merge by addition (the mergeable-sketch contract, here
     exercised by the actual micro-batch engine instead of claimed).
-    Append-only parquet + per-batch ids make the accumulation
-    idempotent-auditable: a replayed batch id is visible in the sink
-    rather than silently double-counted (dedupe on batch_id at read
-    time if the checkpoint is lost; with the checkpoint intact the
-    engine guarantees exactly-once foreachBatch appends at
-    availableNow).
+    foreachBatch is AT-LEAST-ONCE: a batch retried after its parquet
+    append (crash between append and checkpoint commit) leaves a
+    second copy of that batch's rows. Exactly-once therefore lands at
+    READ time — the per-batch grid is a deterministic function of the
+    batch, so ``dropDuplicates(["batch_id", "j", "b"])`` before the
+    merge sum collapses any replayed append to one copy, and the
+    batch_id column keeps the replay auditable in the raw sink.
 
     Returns the merged (j, b, c) grid as a batch DataFrame."""
     from stockpy_spark.operators.sketches import cm_partial_grid
@@ -821,7 +822,17 @@ def run_cm_grid_accumulate(
         .start()
     )
     q.awaitTermination()
-    parts = spark.read.parquet(sink_dir)
+    return merged_cm_grid(spark, sink_dir)
+
+
+def merged_cm_grid(spark: SparkSession, sink_dir: str) -> DataFrame:
+    """Read-time exactly-once merge of an appended CM-partial sink:
+    collapse any replayed batch append (each batch's grid is
+    deterministic, so replays are row-identical) before the cell-wise
+    sum."""
+    parts = spark.read.parquet(sink_dir).dropDuplicates(
+        ["batch_id", "j", "b"]
+    )
     return parts.groupBy("j", "b").agg(F.sum("c").alias("c"))
 
 
@@ -845,10 +856,13 @@ def run_blob_shard_ingest(
     immutable binary shards per arrival batch — the small-file problem
     solved AT INGEST TIME rather than by a nightly compaction.
 
-    Exactly-once: with the checkpoint intact, availableNow foreachBatch
-    appends each batch once; per-batch shard dirs + batch ids in the
-    uri path make a replayed batch visible (a duplicate dir), never
-    silently interleaved. Returns the final pointer index as a batch
+    foreachBatch is AT-LEAST-ONCE, so exactly-once lands at READ
+    time: a batch retried after its index append re-packs the SAME
+    shard dir (tmp+rename, byte-identical — the pack is a
+    deterministic function of the batch) and appends duplicate
+    pointer rows, which ``dropDuplicates([id_col])`` collapses; the
+    batch-id-visible paths keep any replay auditable in the raw
+    index. Returns the deduplicated pointer index as a batch
     DataFrame; slice it with multimodal.read_blob_slices."""
     import os
 
@@ -866,4 +880,13 @@ def run_blob_shard_ingest(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(index_dir)
+    return read_pointer_index(spark, index_dir, id_col)
+
+
+def read_pointer_index(
+    spark: SparkSession, index_dir: str, id_col: str
+) -> DataFrame:
+    """Read-time exactly-once view of an appended pointer index: a
+    replayed batch re-packs the same shard dir byte-identically and
+    appends duplicate pointer rows — collapse them by id."""
+    return spark.read.parquet(index_dir).dropDuplicates([id_col])

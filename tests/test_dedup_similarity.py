@@ -538,3 +538,23 @@ def test_pmi_collocations_hand_computed(spark):
     assert "york new" not in got
     # equal PMIs tie-break by bigram text ascending
     assert [r["xy"] for r in rows[:2]] == ["new york", "the cat"]
+
+
+def test_kcenter_coreset_small_pool_guards(spark):
+    """Round-10 advice seam: empty input raises a descriptive error
+    instead of IndexError, and a pool smaller than k returns the whole
+    pool (selection stops when exhausted)."""
+    import pytest
+
+    from stockpy_spark.operators.similarity import kcenter_coreset
+
+    df = spark.createDataFrame(
+        [(1, [0.0]), (2, [5.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="no rows"):
+        kcenter_coreset(df.where("vec_id < 0"), "embedding", "vec_id", k=2)
+    rows = sorted(
+        kcenter_coreset(df, "embedding", "vec_id", k=5).collect(),
+        key=lambda r: r["sel_round"],
+    )
+    assert [(r["sel_round"], r["vec_id"]) for r in rows] == [(0, 1), (1, 2)]

@@ -513,3 +513,33 @@ def test_bloom_screen_no_false_negatives_and_invariance(spark):
     base = canon(bloom_build(corpus.coalesce(1), "fp", m_bits=256))
     for n in (3, 16):
         assert canon(bloom_build(corpus.repartition(n), "fp", m_bits=256)) == base
+
+
+def test_bloom_screen_preserves_duplicates_and_nongroupable_types(spark):
+    """Round-10 advice seam: the screen is adds-a-column, so
+    byte-identical duplicate input rows must BOTH survive (the old
+    groupBy-over-batch-columns silently collapsed them) and a
+    non-groupable map column must pass through untouched (the old
+    re-group raised on it)."""
+    from stockpy_spark.operators.sketches import bloom_build, bloom_screen
+
+    corpus = spark.createDataFrame([("k0",), ("k1",)], "fp string")
+    bloom = bloom_build(corpus, "fp", m_bits=256, k_hashes=3)
+    batch = spark.createDataFrame(
+        [(1, "k0", {"a": 1}), (1, "k0", {"a": 1}), (2, "zz", {})],
+        "id long, fp string, meta map<string,int>",
+    )
+    out = bloom_screen(batch, "fp", bloom, m_bits=256, k_hashes=3)
+    rows = out.collect()
+    assert len(rows) == 3  # duplicates preserved, map type accepted
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append(r)
+    assert len(by_id[1]) == 2 and all(r["bloom_maybe"] == 1 for r in by_id[1])
+    assert dict(by_id[1][0]["meta"]) == {"a": 1}
+    # empty filter: everything is definitely-absent, nothing crashes
+    empty = bloom.where("word < 0")
+    assert all(
+        r["bloom_maybe"] == 0
+        for r in bloom_screen(batch, "fp", empty, m_bits=256).collect()
+    )

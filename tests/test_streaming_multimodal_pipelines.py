@@ -1522,3 +1522,79 @@ def test_stream_blob_ingest_batches_isolated_and_bytes_exact(spark, tmp_path):
         for r in read_blob_slices(index).collect()
     }
     assert restored == payloads
+
+
+def test_stream_sinks_dedupe_replayed_batches_at_read_time(spark, tmp_path):
+    """foreachBatch is at-least-once (round-10 advice): a batch
+    retried after its parquet append but before the checkpoint commit
+    leaves a second copy of that batch's rows. Simulate the replay by
+    re-appending one batch's rows to each sink and assert the
+    read-time views (merged_cm_grid, read_pointer_index) are
+    unchanged — the duplicate append is collapsed, not double-counted."""
+    from pyspark.sql import functions as F
+
+    from stockpy_spark.streaming.ops import (
+        merged_cm_grid,
+        read_pointer_index,
+        run_blob_shard_ingest,
+        run_cm_grid_accumulate,
+    )
+
+    rows = [(i, f"u{i % 5}") for i in range(60)]
+    df = spark.createDataFrame(rows, "i long, k string")
+    src = str(tmp_path / "src")
+    for w in range(2):
+        df.where(F.col("i") % 2 == w).select("k").coalesce(1).write.parquet(
+            f"{src}/wave{w}.parquet"
+        )
+    stream = (
+        spark.readStream.schema("k string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/*.parquet")
+    )
+    sink = str(tmp_path / "sink")
+    merged = run_cm_grid_accumulate(
+        spark, stream, "k", sink, str(tmp_path / "ckpt"), depth=3, width=16
+    )
+    canon = lambda g: sorted((r["j"], r["b"], r["c"]) for r in g.collect())
+    before = canon(merged)
+    # replay: batch 0's partial grid lands in the sink a second time
+    replay = spark.read.parquet(sink).where(F.col("batch_id") == 0)
+    assert replay.count() > 0
+    replay.write.mode("append").parquet(sink)
+    assert canon(merged_cm_grid(spark, sink)) == before
+
+    payloads = {i: bytes([i % 251]) * (i + 3) for i in range(12)}
+    bdf = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in payloads.items()],
+        "doc_id long, payload binary",
+    )
+    bsrc = str(tmp_path / "bsrc")
+    for w in range(2):
+        bdf.where(F.col("doc_id") % 2 == w).coalesce(1).write.parquet(
+            f"{bsrc}/wave{w}.parquet"
+        )
+    bstream = (
+        spark.readStream.schema("doc_id bigint, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{bsrc}/*/*.parquet")
+    )
+    index_dir = str(tmp_path / "index")
+    index = run_blob_shard_ingest(
+        spark, bstream, "doc_id",
+        str(tmp_path / "shards"), index_dir,
+        str(tmp_path / "bckpt"), n_shards=2,
+    )
+    assert index.count() == 12
+    raw = spark.read.parquet(index_dir)
+    raw.limit(4).write.mode("append").parquet(index_dir)  # replayed rows
+    deduped = read_pointer_index(spark, index_dir, "doc_id")
+    assert deduped.count() == 12
+
+    from stockpy_spark.operators.multimodal import read_blob_slices
+
+    restored = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in read_blob_slices(deduped).collect()
+    }
+    assert restored == payloads
