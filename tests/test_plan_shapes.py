@@ -673,3 +673,94 @@ def test_image_queries_prune_scan_to_doc_id(spark):
         assert schemas, name
         for line in schemas:
             assert "struct<doc_id:bigint>" in line, (name, line)
+
+
+def test_spearman_rank_cumsum_is_bucketed_not_global(spark):
+    """Round-10 verdict #1: the distinct-value cumulative sum must
+    partition by the range bucket — a partition-less window over the
+    value axis one-task-sorts the corpus when the column is
+    continuous (distinct ~ rows). The only allowed partition-less
+    window is the n_buckets-row offset closure (KB frame)."""
+    from stockpy_spark.operators.stats import spearman_corr_pairs
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    p = plan(spearman_corr_pairs(li, ["l_extendedprice", "l_quantity"]))
+    # a window ORDERED on the raw value with no partition column
+    # would print windowspecdefinition(__v#... first
+    assert "windowspecdefinition(__v#" not in p
+    assert "windowspecdefinition(__bkt#" in p  # bucketed local cumsum
+
+
+def test_target_encode_and_k_anonymity_degrade_to_smj_unhinted(spark):
+    """Round-10 verdict #2/#3: the category-sized LUT and the
+    quasi-combination counts must NOT be forced broadcasts (the q3
+    fact-in-disguise lesson) — with the broadcast threshold disabled,
+    both joins must degrade to shuffle joins, while the 1-row
+    global-mean census stays a (hinted) broadcast."""
+    from stockpy_spark.operators.privacy import k_anonymity_audit
+    from stockpy_spark.operators.sampling import target_encode_oof
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        te = target_encode_oof(
+            cust, "c_mktsegment", "c_acctbal", "c_custkey"
+        )
+        p = plan(te, "simple")
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p, p[:1200]
+        # the 1-row census is still a broadcast (scalar-subquery idiom)
+        assert "BroadcastNestedLoopJoin" in p
+
+        ka = k_anonymity_audit(cust, ["c_mktsegment", "c_nationkey"], 5)
+        pk = plan(ka, "simple")
+        assert "SortMergeJoin" in pk or "ShuffledHashJoin" in pk, pk[:1200]
+        assert "BroadcastHashJoin" not in pk
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_domain_cap_rank_window_is_bucketed(spark):
+    """Round-10 verdict #4: the per-domain quota rank must partition
+    by (domain, draw-bucket), never by domain alone — a mega-domain
+    would otherwise sort through one task before the cap discards
+    anything."""
+    from stockpy_spark.operators.webfilter import (
+        blocklist_screen,
+        domain_diversity_cap,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").withColumn(
+        "url",
+        F.concat(F.lit("https://site"), (F.col("doc_id") % 7), F.lit(".com/p")),
+    )
+    out = domain_diversity_cap(
+        blocklist_screen(docs, "url", ["site0.com"]), "doc_id", 10
+    )
+    p = plan(out)
+    win_lines = [
+        l for l in p.splitlines()
+        if "windowspecdefinition" in l and "__draw" in l
+    ]
+    assert win_lines, "rank window missing from plan"
+    for line in win_lines:
+        assert "__bkt" in line, line
+
+
+def test_last_touch_is_one_window_no_pair_join(spark):
+    """Round-10 verdict #5: last-touch attribution is the as-of/LOCF
+    idiom — one user-keyed window over the unioned event stream, zero
+    conv x touch join (a hot user would pay quadratic pair
+    enumeration before the band filter)."""
+    from stockpy_spark.operators.behavior import last_touch_attribution
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "user_id", "event_id", "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    out = last_touch_attribution(
+        ev, ["view", "click"], "purchase", 86400
+    )
+    p = plan(out, "simple")
+    assert "Join" not in p, p[:1200]
+    assert "Window" in p
