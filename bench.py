@@ -137,34 +137,40 @@ HEADLINE = [
 
 
 def calibrate(spark) -> float:
-    """Fixed synthetic CPU+shuffle micro-workload, timed: 20M-row range
-    with per-row arithmetic, a 100k-key hash aggregate (one shuffle),
-    and a top-k. Independent of SF and of the engine's own operators,
-    so its wall-clock measures the HOST (cpu + memory + JVM), not the
-    code under test. Cross-round bench comparisons divide by this to
-    normalize out host drift — the r05->r06 1.38x wall-clock scare was
-    pure host drift and cost a page of BASELINE.md to argue; this
-    constant settles it numerically. MEDIAN of 3, not best-of-2: the
-    normalized series moved +-5% between r7 and r8 on identical benched
-    code, and the r7 judge measured calibration 1.79 vs the driver's
-    1.43 an hour apart on the same build — a min over 2 samples tracks
-    the host's best moment, the median tracks its typical one, which is
-    what the queries (best-of-2 of longer runs) actually experience.
-    Anchors + the measured noise band live in BASELINE.md §5."""
+    """Fixed synthetic CPU+shuffle micro-workload, timed: 120M-row
+    range with per-row arithmetic, a 100k-key hash aggregate (one
+    shuffle), and a top-k. Independent of SF and of the engine's own
+    operators, so its wall-clock measures the HOST (cpu + memory +
+    JVM), not the code under test. Cross-round bench comparisons
+    divide by this to normalize out host drift — the r05->r06 1.38x
+    wall-clock scare was pure host drift and cost a page of
+    BASELINE.md to argue; this constant settles it numerically.
+    MEDIAN of 3, not best-of-2: a min over samples tracks the host's
+    best moment, the median its typical one, which is what the
+    queries actually experience. REWORKED in r11 (judge item #6):
+    three same-code r10 runs read calibration 1.657/1.977/2.014 — a
+    ±11% spread on identical plans, because a ~2 s pure-arithmetic
+    workload samples scheduler jitter and memory-bandwidth contention
+    as much as host speed. Now 120M rows of JVM-side md5 (per-row
+    CPU-bound, the steadiest thing a host can be measured by) plus
+    the same 100k-key aggregate and top-k, ~10 s per sample.
+    Normalized totals are therefore a NEW series from r11 (divide by
+    a ~5x larger constant); the r11<->r10 conversion ratio and the
+    restated noise band live in BASELINE.md §5."""
     from pyspark.sql import functions as F
 
     samples = []
     for _ in range(3):
         t0 = time.time()
         (
-            spark.range(20_000_000)
+            spark.range(120_000_000)
             .select(
                 (F.col("id") % 100_000).alias("k"),
-                (F.col("id") * 2654435761 % 2**31).alias("h"),
+                F.md5(F.col("id").cast("string")).alias("h"),
             )
             .groupBy("k")
-            .agg(F.sum("h").alias("s"), F.count("*").alias("n"))
-            .orderBy(F.col("s").desc())
+            .agg(F.count("*").alias("n"), F.max("h").alias("m"))
+            .orderBy(F.col("n").desc())
             .limit(10)
             .write.format("noop").mode("overwrite").save()
         )

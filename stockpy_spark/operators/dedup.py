@@ -678,8 +678,51 @@ def incremental_dedup_admit(
 
     Returns the admitted batch rows (all original columns).
     """
+    corpus_fps, corp_keys = corpus_dedup_keys(
+        corpus, text_col, id_col, num_hashes, bands
+    )
+    return incremental_dedup_admit_keys(
+        batch, corpus_fps, corp_keys, text_col, id_col, num_hashes, bands
+    )
+
+
+def corpus_dedup_keys(
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 12,
+    bands: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """The standing corpus's ADMISSION INDEX — the only thing an
+    ingestion service keeps materialized (at 100 TB you index these
+    sets, not the text): the distinct md5 fingerprint set (``__fp``)
+    and the distinct LSH band-bucket key set (``band``, ``bsig``).
+    Both are pure functions of the corpus text, so incremental
+    maintenance is append-of-the-admitted-rows'-keys (what the
+    streaming admitter does per micro-batch)."""
+    fps = corpus.select(F.md5(F.col(text_col)).alias("__fp")).distinct()
+    keys = _band_signatures(
+        _minhash_wide(corpus, text_col, id_col, num_hashes), num_hashes, bands
+    ).select("band", "bsig").distinct()
+    return fps, keys
+
+
+def incremental_dedup_admit_keys(
+    batch: DataFrame,
+    corpus_fps: DataFrame,
+    corpus_band_keys: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 12,
+    bands: int = 2,
+) -> DataFrame:
+    """`incremental_dedup_admit` against a MATERIALIZED admission
+    index (see corpus_dedup_keys) instead of the corpus text — the
+    shape the streaming admitter and any real ingestion service run,
+    where the standing corpus's key sets persist between arrivals and
+    the text is never re-scanned. Stages and semantics are identical
+    to incremental_dedup_admit (which now delegates here)."""
     fp = F.md5(F.col(text_col))
-    corpus_fps = corpus.select(fp.alias("__fp")).distinct()
     w_fp = Window.partitionBy("__fp")
     s1 = (
         batch.withColumn("__fp", fp)
@@ -689,9 +732,7 @@ def incremental_dedup_admit(
         .drop("__fp", "__minid")
     )
 
-    corp_keys = _band_signatures(
-        _minhash_wide(corpus, text_col, id_col, num_hashes), num_hashes, bands
-    ).select("band", "bsig").distinct()
+    corp_keys = corpus_band_keys.select("band", "bsig").distinct()
     bs_b = _band_signatures(
         _minhash_wide(s1, text_col, id_col, num_hashes), num_hashes, bands
     )

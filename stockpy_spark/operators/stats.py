@@ -681,21 +681,33 @@ def spearman_corr_pairs(
     """Exact Spearman rank correlation for every column pair — the
     monotonic-dependence screen Pearson (stats_corr_matrix) misses on
     nonlinear-but-ordered relationships, with textbook average ranks
-    for ties. Rank derivation is RELATIONAL, not a global row window:
-    per column, a map-side-combined count per DISTINCT value, a
-    BUCKETED prefix-sum over the sorted distinct-value table, and an
-    equi-join back — ``avg_rank(v) = (#rows < v) + (#rows = v + 1) /
-    2``. The prefix-sum is the drift.py ECDF pattern, NOT a
+    for ties. Rank derivation is RELATIONAL, not a global row window,
+    and the fact table is touched EXACTLY ONCE: a single map-side-
+    combined joint census ``groupBy(*cols).count()`` collapses the
+    corpus to its distinct value COMBINATIONS, and every downstream
+    step — per-column counts, ranks, weighted rank moments — is
+    combo-scale. (The r10 formulation joined each column's rank
+    table back onto the fact: three fact-scale shuffle joins,
+    measured 32 s at the 60M-row decade vs ~10 s for this plan; the
+    join-back was pointless because the moment sums only need
+    combination WEIGHTS, not rows.) Per column,
+    ``avg_rank(v) = (#rows < v) + (#rows = v + 1) / 2`` with
+    #rows-below from a BUCKETED prefix-sum over the sorted
+    distinct-value table — the drift.py ECDF pattern, NOT a
     partition-less WindowExec: a continuous column has distinct-count
     ~ row-count, so a global ``Window.orderBy`` would drag the corpus
     through one sorter task (the skyline/KS/Gini disease). Instead a
     1-row (min, max) census range-buckets the distinct values, each
     bucket cumsums locally (corpus/n_buckets rows per task), and a
     KB-sized exclusive bucket-offset frame broadcast-joins back.
-    Ranks are exact halves and their moment sums stay below 2^53 for
-    any corpus under ~400M rows, so every sum is an exactly-
-    represented double and the correlation is bit-identical
-    cross-engine, no rounding tricks needed."""
+    Cardinality contract: cost = one fact scan + one combo-sized
+    shuffle; when every row is a distinct combination (k genuinely
+    continuous columns) the census degrades to the unavoidable
+    rank-pairing shuffle — exactly the regime where exact Spearman
+    stops being the right tool. Ranks are exact halves, so the
+    weighted moment sums differ from a row-order sum only in float
+    accumulation order, absorbed by the dp rounding the cross-engine
+    contract already requires."""
     from pyspark.sql import Window
 
     base = df.select(
@@ -707,10 +719,22 @@ def spearman_corr_pairs(
             lambda a, b: a & b, [F.col(c).isNotNull() for c in cols]
         )
     )
-    ranked = base
+    # the census materializes ONCE (combo-scale state, the kcenter/
+    # graph localCheckpoint class): every rank branch re-reads it
+    # instead of re-scanning and re-aggregating the fact — deriving
+    # branches lazily replicated the fact subplan per branch (one
+    # probe read 26 embedded scans; ReuseExchange did not collapse
+    # them), and deriving them from the progressively-joined frame is
+    # worse still (exponential nesting, 638 exchanges)
+    combo = (
+        base.groupBy(*cols)
+        .agg(F.count(F.lit(1)).alias("__w"))
+        .localCheckpoint(eager=True)
+    )
+    ranked = combo
     for c in cols:
-        counts = base.groupBy(F.col(c).alias("__v")).agg(
-            F.count(F.lit(1)).alias("__c")
+        counts = combo.groupBy(F.col(c).alias("__v")).agg(
+            F.sum("__w").alias("__c")
         )
         census = counts.agg(
             F.min("__v").alias("__mn"), F.max("__v").alias("__mx")
@@ -753,16 +777,19 @@ def spearman_corr_pairs(
             ).alias(f"__r_{c}"),
         )
         ranked = ranked.join(cum, c)
-    mom_exprs = [F.count(F.lit(1)).alias("__n")]
+    w = F.col("__w").cast("double")
+    mom_exprs = [F.sum("__w").cast("double").alias("__n")]
     for c in cols:
-        mom_exprs.append(F.sum(f"__r_{c}").alias(f"__s_{c}"))
+        mom_exprs.append(F.sum(w * F.col(f"__r_{c}")).alias(f"__s_{c}"))
         mom_exprs.append(
-            F.sum(F.col(f"__r_{c}") * F.col(f"__r_{c}")).alias(f"__ss_{c}")
+            F.sum(w * F.col(f"__r_{c}") * F.col(f"__r_{c}")).alias(
+                f"__ss_{c}"
+            )
         )
     for i, a in enumerate(cols):
         for b in cols[i + 1 :]:
             mom_exprs.append(
-                F.sum(F.col(f"__r_{a}") * F.col(f"__r_{b}")).alias(
+                F.sum(w * F.col(f"__r_{a}") * F.col(f"__r_{b}")).alias(
                     f"__sxy_{a}_{b}"
                 )
             )

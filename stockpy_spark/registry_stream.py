@@ -655,6 +655,132 @@ def q_stream_blob_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_pixel_features(restored)
 
 
+def q_stream_minhash_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming/incremental MinHash-LSH admitter (streaming/ops.py
+    run_incremental_minhash_admitter — the 11th streaming class): the
+    batch docs (doc_id % 5 == 0) arrive as THREE waves in a PINNED
+    order ((doc_id div 5) % 3, synthetic mtimes force the file-source
+    sequence — admission is order-dependent, unlike the additive CM
+    sink), each micro-batch is screened against the standing corpus's
+    materialized fingerprint + band-key index, and admitted docs'
+    keys append so later waves screen against earlier admissions.
+    The oracle replays the SEQUENTIAL semantics exactly: a 3-wave
+    unrolled CTE chain where wave w's standing sets are the corpus
+    plus waves < w's admissions — a full hash gate on an
+    order-dependent streaming operator."""
+    import atexit
+    import glob as _glob
+    import shutil
+
+    from stockpy_spark.streaming.ops import run_incremental_minhash_admitter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("text").isNotNull()
+    )
+    cols = ["doc_id", "lang", "n_chars", "text"]
+    batch_all = docs.where(F.col("doc_id") % 5 == 0).select(*cols)
+    corpus = docs.where(F.col("doc_id") % 5 != 0).select(*cols)
+    work = tempfile.mkdtemp(prefix="stockpy_stream_admit_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    landing = os.path.join(work, "landing")
+    os.makedirs(landing)
+    for w in range(3):
+        tmp = os.path.join(work, f"w{w}")
+        batch_all.where(
+            F.expr("(doc_id div 5) % 3") == w
+        ).coalesce(1).write.parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(landing, f"batch-{w}.parquet")
+        shutil.move(part, dst)
+        # fixed synthetic mtimes: file-source order is (modTime, path),
+        # so this pins arrival order deterministically
+        os.utime(dst, (1_000_000_000 + w, 1_000_000_000 + w))
+    stream = (
+        spark.readStream.schema(batch_all.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    admitted = run_incremental_minhash_admitter(
+        spark,
+        stream,
+        corpus,
+        "text",
+        "doc_id",
+        os.path.join(work, "state"),
+        os.path.join(work, "ckpt"),
+    )
+    return admitted.select("doc_id", "lang", "n_chars")
+
+
+def _admit_wave_sql(w: int, fps_src: str, keys_src: str) -> str:
+    """One sequential admission wave: exact anti vs the standing
+    fingerprints, band semi vs the standing keys, within-batch
+    bucket-min — the incremental_dedup_admit stages over wave w."""
+    from stockpy_spark.registry_r6 import _bsig_ctes
+
+    return f"""batch_{w} AS (
+    SELECT * FROM documents
+    WHERE doc_id % 5 = 0 AND text IS NOT NULL AND (doc_id // 5) % 3 = {w}
+), s1_{w} AS (
+    SELECT b.* FROM batch_{w} b
+    WHERE md5(b.text) NOT IN (SELECT f FROM {fps_src})
+      AND b.doc_id = (SELECT min(b2.doc_id) FROM batch_{w} b2
+                      WHERE md5(b2.text) = md5(b.text))
+), {_bsig_ctes(f'_b{w}', f's1_{w}')}, s2_{w} AS (
+    SELECT s1_{w}.* FROM s1_{w}
+    WHERE NOT EXISTS (
+        SELECT 1 FROM bsig_b{w} bb
+        JOIN {keys_src} ck ON bb.band = ck.band AND bb.bs = ck.bs
+        WHERE bb.doc = s1_{w}.doc_id)
+), bs2_{w} AS (
+    SELECT bb.* FROM bsig_b{w} bb JOIN s2_{w} ON bb.doc = s2_{w}.doc_id
+), bucket_min_{w} AS (
+    SELECT band, bs, min(doc) AS bmin FROM bs2_{w} GROUP BY band, bs
+), keeper_{w} AS (
+    SELECT bs2_{w}.doc, min(bm.bmin) AS k
+    FROM bs2_{w} JOIN bucket_min_{w} bm
+      ON bs2_{w}.band = bm.band AND bs2_{w}.bs = bm.bs
+    GROUP BY bs2_{w}.doc
+), adm_{w} AS (
+    SELECT s2_{w}.* FROM s2_{w}
+    LEFT JOIN keeper_{w} ON keeper_{w}.doc = s2_{w}.doc_id
+    WHERE keeper_{w}.k IS NULL OR keeper_{w}.k = s2_{w}.doc_id
+), fps_{w + 1} AS (
+    SELECT f FROM {fps_src}
+    UNION SELECT md5(text) AS f FROM adm_{w}
+), keys_{w + 1} AS (
+    SELECT band, bs FROM {keys_src}
+    UNION SELECT DISTINCT bb.band, bb.bs
+          FROM bsig_b{w} bb JOIN adm_{w} ON bb.doc = adm_{w}.doc_id
+)"""
+
+
+def _sql_stream_admit() -> str:
+    from stockpy_spark.registry_r6 import _bsig_ctes
+
+    sql = f"""
+WITH corpus AS (
+    SELECT * FROM documents WHERE doc_id % 5 <> 0 AND text IS NOT NULL
+), {_bsig_ctes('_c', 'corpus')}, fps_0 AS (
+    SELECT DISTINCT md5(text) AS f FROM corpus
+), keys_0 AS (
+    SELECT DISTINCT band, bs FROM bsig_c
+), {_admit_wave_sql(0, 'fps_0', 'keys_0')},
+{_admit_wave_sql(1, 'fps_1', 'keys_1')},
+{_admit_wave_sql(2, 'fps_2', 'keys_2')}
+SELECT doc_id, lang, n_chars FROM adm_0
+UNION ALL SELECT doc_id, lang, n_chars FROM adm_1
+UNION ALL SELECT doc_id, lang, n_chars FROM adm_2
+"""
+    # chained sequential stages re-evaluate ancestors exponentially if
+    # DuckDB inlines them (the kcenter-oracle lesson) — materialize
+    # every CTE
+    return sql.replace(" AS (", " AS MATERIALIZED (")
+
+
+SQL_STREAM_ADMIT = _sql_stream_admit()
+
+
 STREAM_QUERIES = {
     "stream_hourly_agg": (q_stream_hourly_agg, SQL_STREAM_HOURLY),
     "stream_hopping_agg": (q_stream_hopping_agg, SQL_STREAM_HOPPING),
@@ -666,4 +792,5 @@ STREAM_QUERIES = {
     "stream_blob_ingest": (q_stream_blob_ingest, SQL_STREAM_BLOB),
     "stream_cdc_upsert": (q_stream_cdc_upsert, SQL_STREAM_CDC),
     "stream_late_accounting": (q_stream_late_accounting, SQL_STREAM_LATE),
+    "stream_minhash_admit": (q_stream_minhash_admit, SQL_STREAM_ADMIT),
 }

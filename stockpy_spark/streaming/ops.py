@@ -890,3 +890,107 @@ def read_pointer_index(
     replayed batch re-packs the same shard dir byte-identically and
     appends duplicate pointer rows — collapse them by id."""
     return spark.read.parquet(index_dir).dropDuplicates([id_col])
+
+
+def run_incremental_minhash_admitter(
+    spark: SparkSession,
+    stream: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    num_hashes: int = 12,
+    bands: int = 2,
+) -> DataFrame:
+    """Streaming/incremental MinHash-LSH admitter — the 11th streaming
+    class: the batch ``incremental_dedup_admit`` semantics run
+    CONTINUOUSLY against a standing corpus. Each micro-batch is
+    screened (exact-fingerprint anti-join + LSH band-bucket semi-join
+    + within-batch bucket-min) against the corpus's MATERIALIZED
+    admission index (operators/dedup.corpus_dedup_keys: the md5
+    fingerprint set and the band-bucket key set — at 100 TB these key
+    sets are what an ingestion service persists, never the text), and
+    the admitted docs' OWN fingerprints and band keys append to the
+    index so later arrivals screen against them. Admission is
+    therefore FIRST-ARRIVAL-WINS across batches (within a batch, the
+    batch operator's min-id rule); with id-monotone arrival order the
+    final admitted set is IDENTICAL to the batch operator over the
+    union (pytest-pinned).
+
+    Crash safety, the CDC-sink construction: foreachBatch is
+    at-least-once, so every state row is tagged with the appending
+    batch_id and each batch screens only against rows with
+    ``batch_id < its own`` — a REPLAYED batch sees exactly the
+    pre-batch index (its own earlier appends are invisible to it, so
+    its docs cannot collide with themselves), re-admits the identical
+    set, and the duplicate appends collapse at read time
+    (dropDuplicates on the doc id / the key sets' distinct).
+
+    Returns the admitted rows (original batch columns) as a batch
+    DataFrame."""
+    import os
+
+    from stockpy_spark.operators.dedup import (
+        corpus_dedup_keys,
+        incremental_dedup_admit_keys,
+    )
+
+    fps_dir = os.path.join(state_dir, "fps")
+    keys_dir = os.path.join(state_dir, "keys")
+    admitted_dir = os.path.join(state_dir, "admitted")
+    if not os.path.isdir(fps_dir):  # idempotent seed: batch_id = -1
+        fps, keys = corpus_dedup_keys(
+            corpus, text_col, id_col, num_hashes, bands
+        )
+        fps.withColumn("batch_id", F.lit(-1)).write.mode(
+            "overwrite"
+        ).parquet(fps_dir)
+        keys.withColumn("batch_id", F.lit(-1)).write.mode(
+            "overwrite"
+        ).parquet(keys_dir)
+
+    def feb(batch_df: DataFrame, batch_id: int) -> None:
+        standing_fps = (
+            spark.read.parquet(fps_dir)
+            .where(F.col("batch_id") < batch_id)
+            .select("__fp")
+            .distinct()
+        )
+        standing_keys = (
+            spark.read.parquet(keys_dir)
+            .where(F.col("batch_id") < batch_id)
+            .select("band", "bsig")
+            .distinct()
+        )
+        admitted = incremental_dedup_admit_keys(
+            batch_df, standing_fps, standing_keys,
+            text_col, id_col, num_hashes, bands,
+        ).localCheckpoint(eager=True)  # 3 consumers, compute once
+        admitted.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(admitted_dir)
+        nfps, nkeys = corpus_dedup_keys(
+            admitted, text_col, id_col, num_hashes, bands
+        )
+        nfps.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(fps_dir)
+        nkeys.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(keys_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(feb)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.isdir(admitted_dir):  # zero-batch stream
+        return spark.createDataFrame([], stream.schema)
+    return (
+        spark.read.parquet(admitted_dir)
+        .dropDuplicates([id_col])
+        .drop("batch_id")
+    )

@@ -1598,3 +1598,106 @@ def test_stream_sinks_dedupe_replayed_batches_at_read_time(spark, tmp_path):
         for r in read_blob_slices(deduped).collect()
     }
     assert restored == payloads
+
+
+def _write_waves(spark, df, wave_ids: list[list[int]], landing: str):
+    """Write one parquet file per wave with PINNED ascending mtimes so
+    the file source replays them in order (arrival order matters for
+    the admitter, unlike the additive CM sink)."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    os.makedirs(landing, exist_ok=True)
+    for w, ids in enumerate(wave_ids):
+        tmp = os.path.join(landing, f"__w{w}")
+        df.where(F.col("doc_id").isin(ids)).coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(landing, f"batch-{w}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (1_000_000_000 + w, 1_000_000_000 + w))
+
+
+def test_stream_minhash_admitter_first_arrival_and_batch_parity(spark, tmp_path):
+    """The 11th streaming class (run_incremental_minhash_admitter).
+    Hand-built waves pin each admission stage ACROSS micro-batches:
+    an exact dup of a corpus doc is rejected at the fingerprint stage,
+    a token-reordered doc (identical token set => identical minhash
+    bands) at the band stage, a within-wave exact dup keeps the min
+    id, and a LATER wave's doc is rejected against an EARLIER wave's
+    admission — first-arrival-wins, which genuinely differs from the
+    batch operator's min-id rule when arrivals are not id-monotone
+    (asserted both ways)."""
+    from stockpy_spark.operators.dedup import incremental_dedup_admit
+    from stockpy_spark.streaming.ops import run_incremental_minhash_admitter
+
+    corpus = spark.createDataFrame(
+        [(100, "alpha beta gamma"), (101, "standing corpus only text")],
+        "doc_id long, text string",
+    )
+    rows = [
+        (11, "delta epsilon zeta"),            # fresh -> admitted (wave 0)
+        (13, "alpha beta gamma"),              # exact dup of corpus -> out
+        (14, "gamma beta alpha"),              # LSH dup of corpus -> out
+        (15, "one two three"),                 # fresh -> admitted (wave 0)
+        (16, "pairwise duplicate text"),       # within-wave exact dup:
+        (17, "pairwise duplicate text"),       #   min id 16 admitted
+        (5, "three two one"),                  # wave 1: LSH dup of 15 -> out
+        (21, "delta epsilon zeta"),            # wave 2: exact dup of 11 -> out
+        (22, "genuinely novel final wave doc"),  # fresh -> admitted
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    landing = str(tmp_path / "landing")
+    _write_waves(spark, df, [[11, 13, 14, 15, 16, 17], [5], [21, 22]], landing)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    admitted = run_incremental_minhash_admitter(
+        spark, stream, corpus, "text", "doc_id",
+        str(tmp_path / "state"), str(tmp_path / "ckpt"),
+    )
+    got = sorted(r["doc_id"] for r in admitted.collect())
+    assert got == [11, 15, 16, 22]  # 5 lost to 15: first arrival wins
+
+    # the batch operator on the SAME union keeps min-id instead: doc 5
+    # (smaller id, later arrival) displaces 15
+    batch_got = sorted(
+        r["doc_id"]
+        for r in incremental_dedup_admit(df, corpus, "text", "doc_id").collect()
+    )
+    assert batch_got == [5, 11, 16, 22]
+
+    # id-monotone arrivals: sequential == batch (the parity the
+    # registered query's oracle replays)
+    landing2 = str(tmp_path / "landing2")
+    _write_waves(spark, df, [[5, 11, 13], [14, 15, 16], [17, 21, 22]], landing2)
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing2)
+    )
+    admitted2 = run_incremental_minhash_admitter(
+        spark, stream2, corpus, "text", "doc_id",
+        str(tmp_path / "state2"), str(tmp_path / "ckpt2"),
+    )
+    # waves are id-monotone per duplicate group (5<15, 11<21, 16<17),
+    # so first-arrival == min-id
+    assert sorted(r["doc_id"] for r in admitted2.collect()) == batch_got
+
+    # replay safety: state rows are batch_id-tagged; re-appending a
+    # batch's admitted rows does not change the read-time view
+    import pyspark.sql.functions as F
+
+    adm_dir = str(tmp_path / "state" / "admitted")
+    raw = spark.read.parquet(adm_dir)
+    assert set(r["batch_id"] for r in raw.select("batch_id").distinct().collect()) <= {0, 1, 2}
+    raw.where(F.col("batch_id") == 0).write.mode("append").parquet(adm_dir)
+    replayed = (
+        spark.read.parquet(adm_dir).dropDuplicates(["doc_id"]).drop("batch_id")
+    )
+    assert sorted(r["doc_id"] for r in replayed.collect()) == got
