@@ -133,6 +133,13 @@ HEADLINE = [
     # the narrow map actually parallelizes — BASELINE.md §4).
     "sample_dsir_weights",
     "text_gopher_repetition",
+    # round 11: the joint-census Spearman — the round's headline
+    # re-plan (one map-side-combined groupBy collapses the fact to
+    # value combinations; ranks, bucketed prefix-sums, and weighted
+    # moments all combo-scale; 1.8x/100x vs 9.6x for the join-back
+    # plan, BASELINE.md §4) — in the headline so the shuffle-byte row
+    # tracks the census plan from now on.
+    "stats_spearman",
 ]
 
 
