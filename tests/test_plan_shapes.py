@@ -647,6 +647,10 @@ def test_headline_corpus_no_unbounded_nested_loops(spark):
         "stats_welch_ttest",
         "basket_rules",
         "sample_dsir_weights",
+        # spearman's per-column (min, max) range census — 1 row by
+        # construction (an agg with no grouping), broadcast onto the
+        # distinct-value table to derive bucket ids
+        "stats_spearman",
     }
     offenders = {}
     for name in HEADLINE:
