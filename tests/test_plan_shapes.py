@@ -768,3 +768,24 @@ def test_last_touch_is_one_window_no_pair_join(spark):
     p = plan(out, "simple")
     assert "Join" not in p, p[:1200]
     assert "Window" in p
+
+
+def test_k_anonymity_aqe_broadcasts_small_combination_frame(spark):
+    """The positive half of the unhinted-join contract (round-11): with
+    the default threshold, AQE's runtime stats convert the sizes join
+    to a broadcast when the combination frame is actually small — the
+    static explain shows SMJ (derived frame, unknown size), so this
+    asserts on the EXECUTED adaptive plan. (Caught during round 11:
+    reading executedPlan off an un-executed QueryExecution shows the
+    initial plan — isFinalPlan=false — because actions clone the
+    plan; always execute the SAME DataFrame you inspect.)"""
+    from stockpy_spark.operators.privacy import k_anonymity_audit
+
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    out = k_anonymity_audit(
+        cust, ["c_mktsegment", "c_nationkey"], 5
+    ).groupBy().count()
+    out.collect()
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in p
+    assert "BroadcastHashJoin" in p, p[:1500]
