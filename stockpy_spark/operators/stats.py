@@ -810,7 +810,14 @@ def spearman_corr_pairs(
                 F.struct(
                     F.lit(a).alias("col_x"),
                     F.lit(b).alias("col_y"),
-                    F.round(num / F.sqrt(var_a * var_b), dp).alias("spearman"),
+                    # try_divide: a CONSTANT column has zero rank
+                    # variance and an undefined correlation — surface
+                    # NULL instead of the ANSI DIVIDE_BY_ZERO error a
+                    # plain / raises (latent since r10, found by the
+                    # r11 brute-force property test)
+                    F.round(
+                        F.try_divide(num, F.sqrt(var_a * var_b)), dp
+                    ).alias("spearman"),
                 )
             )
     return mom.select(F.explode(F.array(*out_rows)).alias("__p")).select(

@@ -446,3 +446,186 @@ def test_bloom_screen_complete_on_random_keys(spark, corpus, probes):
     for r in out.collect():
         if r["fp"] in member:
             assert r["bloom_maybe"] == 1
+
+
+@PROP
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 40), st.booleans()),
+        min_size=1,
+        max_size=50,
+        unique_by=lambda r: r[1],
+    ),
+    cap=st.integers(1, 5),
+)
+def test_domain_cap_bucketed_rank_equals_single_window(spark, rows, cap):
+    """Round-11 re-plan invariant: the bucketed-rank domain cap must
+    keep the IDENTICAL set as the straightforward single-window
+    formulation (row_number over (domain, blocked) ordered by (draw,
+    id)) on any input — the rewrite is a physical change only. The
+    reference is computed in-test with the old window plan."""
+    from pyspark.sql import Window
+
+    from stockpy_spark.operators.webfilter import domain_diversity_cap
+
+    df = spark.createDataFrame(
+        [
+            (doc_id, f"https://site{d}.com/p{doc_id}", f"site{d}.com",
+             f"site{d}.com", int(blocked))
+            for d, doc_id, blocked in rows
+        ],
+        "doc_id long, url string, host string, domain string, blocked int",
+    )
+    got = {
+        r["doc_id"]
+        for r in domain_diversity_cap(df, "doc_id", cap).collect()
+        if r["kept"] == 1
+    }
+    draw = F.md5(
+        F.concat_ws("\x1f", F.lit("domcap"), F.col("doc_id").cast("string"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("domain", "blocked").orderBy(draw, F.col("doc_id"))
+    )
+    ref = {
+        r["doc_id"]
+        for r in df.select(
+            "doc_id",
+            ((F.col("blocked") == 0) & (rk <= cap)).cast("int").alias("kept"),
+        ).collect()
+        if r["kept"] == 1
+    }
+    assert got == ref
+
+
+@PROP
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 2),           # user
+            st.integers(0, 100),         # ts offset (collisions likely)
+            st.sampled_from(["view", "click", "purchase", "other"]),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    lookback=st.integers(1, 30),
+)
+def test_last_touch_locf_equals_join_argmax_reference(spark, events, lookback):
+    """Round-11 re-plan invariant: the as-of/LOCF attribution must
+    produce IDENTICAL rows to the old conv x touch join + per-
+    conversion argmax formulation (computed in-test as the reference)
+    on any event stream — including same-timestamp touch/conversion
+    collisions (strictly-before) and larger-id tie-breaks."""
+    from pyspark.sql import Window
+
+    from stockpy_spark.operators.behavior import last_touch_attribution
+
+    rows = [
+        (i, u, 1_600_000_000 + dt, et)
+        for i, (u, dt, et) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, es long, event_type string"
+    ).select(
+        "event_id", "user_id",
+        F.timestamp_seconds("es").alias("ts"), "event_type",
+    )
+    got = {
+        tuple(r)
+        for r in last_touch_attribution(
+            df, ["view", "click"], "purchase", lookback
+        ).collect()
+    }
+
+    sec = F.col("ts").cast("long")
+    base = df.select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("eid"),
+        F.col("event_type").alias("etype"), sec.alias("es"),
+    )
+    conv = base.where(F.col("etype") == "purchase").select(
+        "u", F.col("eid").alias("conv_id"), F.col("es").alias("conv_s")
+    )
+    touch = base.where(F.col("etype").isin("view", "click")).select(
+        "u", F.col("eid").alias("touch_id"),
+        F.col("etype").alias("touch_type"), F.col("es").alias("touch_s"),
+    )
+    cand = conv.join(touch, "u").where(
+        (F.col("touch_s") < F.col("conv_s"))
+        & (F.col("touch_s") >= F.col("conv_s") - F.lit(lookback))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("conv_id").orderBy(
+            F.col("touch_s").desc(), F.col("touch_id").desc()
+        )
+    )
+    best = cand.withColumn("rn", rn).where(F.col("rn") == 1)
+    ref = {
+        tuple(r)
+        for r in conv.join(
+            best.select("conv_id", "touch_type", "touch_s", "touch_id"),
+            "conv_id", "left",
+        )
+        .select(
+            F.col("conv_id").alias("conversion_id"),
+            F.col("u").alias("user_id"),
+            F.col("conv_s").alias("conversion_epoch"),
+            "touch_type",
+            F.col("touch_s").alias("touch_epoch"),
+            (F.col("conv_s") - F.col("touch_s")).alias("touch_lag_sec"),
+        )
+        .collect()
+    }
+    assert got == ref
+
+
+@PROP
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(-5, 5),
+            st.sampled_from([0.0, 1.0, 1.5, 2.0, 7.25]),
+        ),
+        min_size=3,
+        max_size=40,
+    )
+)
+def test_spearman_census_equals_bruteforce_ranks(spark, rows):
+    """Round-11 re-plan invariant: the joint-census Spearman must
+    equal a brute-force Python computation (textbook average ranks +
+    Pearson over ranks) on any frame with heavy ties — the census/
+    bucket machinery is a physical rewrite only."""
+    import math
+
+    from stockpy_spark.operators.stats import spearman_corr_pairs
+
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in rows], "a double, b double"
+    )
+    out = spearman_corr_pairs(df, ["a", "b"]).collect()
+
+    def ranks(vals):
+        order = sorted(vals)
+        return [
+            (sum(1 for w in vals if w < v))
+            + (sum(1 for w in vals if w == v) + 1) / 2.0
+            for v in vals
+        ]
+
+    xs = [r[0] for r in rows]
+    ys = [r[1] for r in rows]
+    rx, ry = ranks(xs), ranks(ys)
+    n = len(rows)
+    sx, sy = sum(rx), sum(ry)
+    num = sum(a * b for a, b in zip(rx, ry)) - sx * sy / n
+    vx = sum(a * a for a in rx) - sx * sx / n
+    vy = sum(b * b for b in ry) - sy * sy / n
+    assert len(out) == 1
+    if vx == 0 or vy == 0:
+        # constant column: zero rank variance, correlation undefined
+        # — the operator surfaces NULL (try_divide), never an ANSI
+        # divide-by-zero error
+        assert out[0]["spearman"] is None
+        return
+    expect = round(num / math.sqrt(vx * vy), 6)
+    assert abs(out[0]["spearman"] - expect) <= 1e-6
