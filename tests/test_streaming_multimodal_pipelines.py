@@ -1701,3 +1701,71 @@ def test_stream_minhash_admitter_first_arrival_and_batch_parity(spark, tmp_path)
         spark.read.parquet(adm_dir).dropDuplicates(["doc_id"]).drop("batch_id")
     )
     assert sorted(r["doc_id"] for r in replayed.collect()) == got
+
+
+def test_stream_minhash_admitter_resumes_across_runs(spark, tmp_path):
+    """Continuous-ingestion contract: arrivals spread across SEPARATE
+    availableNow runs (same checkpoint + state dirs — the restart
+    path) must admit exactly what a single run over all waves admits.
+    Run 1 sees only wave 0; waves 1-2 then land and run 2 resumes from
+    the checkpoint — batch ids continue, earlier admissions still
+    screen, nothing is re-processed."""
+    from pyspark.sql import functions as F
+
+    from stockpy_spark.streaming.ops import run_incremental_minhash_admitter
+
+    corpus = spark.createDataFrame(
+        [(100, "alpha beta gamma")], "doc_id long, text string"
+    )
+    rows = [
+        (11, "delta epsilon zeta"),
+        (14, "gamma beta alpha"),          # LSH dup of corpus -> out
+        (15, "one two three"),
+        (5, "three two one"),              # wave 1: LSH dup of 15 -> out
+        (21, "delta epsilon zeta"),        # wave 2: exact dup of 11 -> out
+        (22, "late novel document"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    landing = str(tmp_path / "landing")
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+
+    _write_waves(spark, df, [[11, 14, 15]], landing)
+    stream = lambda: (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    first = run_incremental_minhash_admitter(
+        spark, stream(), corpus, "text", "doc_id", state, ckpt
+    )
+    assert sorted(r["doc_id"] for r in first.collect()) == [11, 15]
+
+    # waves 1-2 land later; resume from the SAME checkpoint/state
+    import glob
+    import os
+    import shutil
+
+    for w, ids in enumerate([[5], [21, 22]], start=1):
+        tmp = os.path.join(landing, f"__w{w}")
+        df.where(F.col("doc_id").isin(ids)).coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(landing, f"batch-{w}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (1_000_000_000 + w, 1_000_000_000 + w))
+
+    second = run_incremental_minhash_admitter(
+        spark, stream(), corpus, "text", "doc_id", state, ckpt
+    )
+    got = sorted(r["doc_id"] for r in second.collect())
+    assert got == [11, 15, 22]  # 5 rejected by 15's standing keys,
+    # 21 by 11's standing fingerprint — admissions from run 1 screened
+    # run 2's arrivals across the restart
+
+    # and the state ledger shows continued batch ids, no re-appends
+    adm = spark.read.parquet(os.path.join(state, "admitted"))
+    per_batch = {
+        r["batch_id"]: r["n"]
+        for r in adm.groupBy("batch_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert sum(per_batch.values()) == 3  # one row per admitted doc ever
