@@ -133,3 +133,59 @@ def test_hive_layout_externally_readable_by_duckdb(spark, sf_dir):
         ).fetchall()
     }
     assert sp == duck
+
+
+def test_read_events_decodes_nanos_micros_and_ntz_units(spark, tmp_path):
+    """Round-boundary armor: the driver has shipped events.parquet as
+    TIMESTAMP(NANOS) (Spark's vectorized reader rejects it outright),
+    as UTC-naive micros (Spark 4 reads TIMESTAMP_NTZ), and as plain
+    micros — read_events must decode all three to the same
+    session-tz timestamps. Each unit is written with pyarrow into its
+    own sf-dir layout and read blind."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stockpy_spark.sources.testdata import read_events
+
+    base_us = [1_600_000_000_000_000 + i * 1_000_000 for i in range(5)]
+    expect = [(i, us // 1_000_000) for i, us in enumerate(base_us)]
+
+    cases = {
+        "ns": pa.table(
+            {
+                "event_id": pa.array(range(5), pa.int64()),
+                "ts": pa.array(
+                    [us * 1000 for us in base_us], pa.timestamp("ns")
+                ),
+            }
+        ),
+        "us_utc": pa.table(
+            {
+                "event_id": pa.array(range(5), pa.int64()),
+                "ts": pa.array(base_us, pa.timestamp("us", tz="UTC")),
+            }
+        ),
+        "us_naive": pa.table(
+            {
+                "event_id": pa.array(range(5), pa.int64()),
+                "ts": pa.array(base_us, pa.timestamp("us")),
+            }
+        ),
+    }
+    for name, tbl in cases.items():
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(tbl, str(d / "events.parquet"))
+        df = read_events(spark, str(d))
+        got = sorted(
+            (
+                r["event_id"],
+                r["ts"] if isinstance(r["ts"], int)
+                else int(r["ts"].timestamp()),
+            )
+            for r in df.select(
+                "event_id",
+                F.col("ts").cast("timestamp").cast("long").alias("ts"),
+            ).collect()
+        )
+        assert got == expect, (name, got[:3])
