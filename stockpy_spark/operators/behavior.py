@@ -400,22 +400,32 @@ def last_touch_attribution(
     # (strictly-before rule) and orders same-es touches by ascending
     # id, so the LAST carried touch is the max-(es, id) eligible one
     # — exactly the old argmax's (touch_s DESC, touch_id DESC) winner.
-    ev = base.select(
+    # An event type that is BOTH a conversion and a touch emits TWO
+    # rows (a kind-0 row with a NULL touch struct and a kind-1 touch
+    # row): folding them into one kind-0 row would let a conversion
+    # carry its own — or a same-timestamp sibling conversion's —
+    # touch struct, breaking the strictly-before rule at lag 0.
+    conv_rows = base.where(F.col("etype") == conversion_type).select(
         "u",
         "eid",
         "es",
-        F.when(F.col("etype") == conversion_type, F.lit(0))
-        .otherwise(F.lit(1))
-        .alias("__kind"),
-        F.when(
-            F.col("etype").isin(*touch_types),
-            F.struct(
-                F.col("es").alias("ts"),
-                F.col("eid").alias("tid"),
-                F.col("etype").alias("ttype"),
-            ),
+        F.lit(0).alias("__kind"),
+        F.lit(None)
+        .cast("struct<ts:long,tid:long,ttype:string>")
+        .alias("__touch"),
+    )
+    touch_rows = base.where(F.col("etype").isin(*touch_types)).select(
+        "u",
+        "eid",
+        "es",
+        F.lit(1).alias("__kind"),
+        F.struct(
+            F.col("es").alias("ts"),
+            F.col("eid").alias("tid"),
+            F.col("etype").alias("ttype"),
         ).alias("__touch"),
-    ).where((F.col("__kind") == 0) | F.col("__touch").isNotNull())
+    )
+    ev = conv_rows.unionByName(touch_rows)
     w = (
         Window.partitionBy("u")
         .orderBy("es", "__kind", "eid")

@@ -510,13 +510,19 @@ def test_domain_cap_bucketed_rank_equals_single_window(spark, rows, cap):
         max_size=40,
     ),
     lookback=st.integers(1, 30),
+    dual=st.booleans(),
 )
-def test_last_touch_locf_equals_join_argmax_reference(spark, events, lookback):
+def test_last_touch_locf_equals_join_argmax_reference(
+    spark, events, lookback, dual
+):
     """Round-11 re-plan invariant: the as-of/LOCF attribution must
     produce IDENTICAL rows to the old conv x touch join + per-
     conversion argmax formulation (computed in-test as the reference)
     on any event stream — including same-timestamp touch/conversion
-    collisions (strictly-before) and larger-id tie-breaks."""
+    collisions (strictly-before), larger-id tie-breaks, and the DUAL
+    case where the conversion type is itself a touch type (a purchase
+    is a touch for LATER conversions but never for itself — the
+    self-attribution-at-lag-0 seam this test caught in round 11)."""
     from pyspark.sql import Window
 
     from stockpy_spark.operators.behavior import last_touch_attribution
@@ -531,10 +537,11 @@ def test_last_touch_locf_equals_join_argmax_reference(spark, events, lookback):
         "event_id", "user_id",
         F.timestamp_seconds("es").alias("ts"), "event_type",
     )
+    touch_types = ["view", "click", "purchase"] if dual else ["view", "click"]
     got = {
         tuple(r)
         for r in last_touch_attribution(
-            df, ["view", "click"], "purchase", lookback
+            df, touch_types, "purchase", lookback
         ).collect()
     }
 
@@ -546,7 +553,7 @@ def test_last_touch_locf_equals_join_argmax_reference(spark, events, lookback):
     conv = base.where(F.col("etype") == "purchase").select(
         "u", F.col("eid").alias("conv_id"), F.col("es").alias("conv_s")
     )
-    touch = base.where(F.col("etype").isin("view", "click")).select(
+    touch = base.where(F.col("etype").isin(*touch_types)).select(
         "u", F.col("eid").alias("touch_id"),
         F.col("etype").alias("touch_type"), F.col("es").alias("touch_s"),
     )
