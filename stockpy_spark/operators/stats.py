@@ -68,12 +68,15 @@ def correlation_matrix(
             F.struct(
                 F.lit(cx).alias("col_x"),
                 F.lit(cy).alias("col_y"),
-                (
-                    (n * F.col(f"sp_{cx}_{cy}") - F.col(f"s_{cx}") * F.col(f"s_{cy}"))
-                    / F.sqrt(
+                # try_divide: a CONSTANT column has zero variance and
+                # an undefined correlation — NULL, not the ANSI
+                # DIVIDE_BY_ZERO a plain / raises (r11 degenerate sweep)
+                F.try_divide(
+                    n * F.col(f"sp_{cx}_{cy}") - F.col(f"s_{cx}") * F.col(f"s_{cy}"),
+                    F.sqrt(
                         (n * F.col(f"ss_{cx}") - F.col(f"s_{cx}") * F.col(f"s_{cx}"))
                         * (n * F.col(f"ss_{cy}") - F.col(f"s_{cy}") * F.col(f"s_{cy}"))
-                    )
+                    ),
                 ).alias("r"),
             )
             for cx, cy in combinations(cols, 2)
@@ -146,10 +149,14 @@ def categorical_association(
         .withColumn("chi2", F.round(chi2, dp))
         .withColumn(
             "cramers_v",
+            # try_divide: a 1x1 contingency table has min(r,c)-1 = 0
+            # and an undefined V — NULL (r11 degenerate sweep)
             F.round(
                 F.sqrt(
-                    chi2
-                    / (n * (F.least(r_card, c_card) - F.lit(1)).cast("double"))
+                    F.try_divide(
+                        chi2,
+                        n * (F.least(r_card, c_card) - F.lit(1)).cast("double"),
+                    )
                 ),
                 dp,
             ),
@@ -191,12 +198,21 @@ def welch_ttest(
     both = moments(ref, "ref").crossJoin(F.broadcast(moments(cur, "cur")))
     n1, n2 = F.col("n_ref").cast("double"), F.col("n_cur").cast("double")
     m1, m2 = F.col("s_ref") / n1, F.col("s_cur") / n2
-    v1 = (F.col("ss_ref") - F.col("s_ref") * F.col("s_ref") / n1) / (n1 - 1)
-    v2 = (F.col("ss_cur") - F.col("s_cur") * F.col("s_cur") / n2) / (n2 - 1)
+    # try_divide throughout the degenerate edge (r11 sweep): a 1-row
+    # side has no sample variance (n-1 = 0) and two CONSTANT sides
+    # have zero standard error — both make t undefined; NULL t/df,
+    # never an ANSI DIVIDE_BY_ZERO. Means stay defined either way.
+    v1 = F.try_divide(
+        F.col("ss_ref") - F.col("s_ref") * F.col("s_ref") / n1, n1 - 1
+    )
+    v2 = F.try_divide(
+        F.col("ss_cur") - F.col("s_cur") * F.col("s_cur") / n2, n2 - 1
+    )
     se1, se2 = v1 / n1, v2 / n2
-    t = (m1 - m2) / F.sqrt(se1 + se2)
-    df_ws = F.pow(se1 + se2, F.lit(2.0)) / (
-        F.pow(se1, F.lit(2.0)) / (n1 - 1) + F.pow(se2, F.lit(2.0)) / (n2 - 1)
+    t = F.try_divide(m1 - m2, F.sqrt(se1 + se2))
+    df_ws = F.try_divide(
+        F.pow(se1 + se2, F.lit(2.0)),
+        F.pow(se1, F.lit(2.0)) / (n1 - 1) + F.pow(se2, F.lit(2.0)) / (n2 - 1),
     )
     return both.select(
         "n_ref",
@@ -248,13 +264,18 @@ def mahalanobis_outliers_2d(
     )
     n = F.col("n").cast("double")
     mx, my = F.col("sx") / n, F.col("sy") / n
-    vx = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
-    vy = (F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - 1)
-    cxy = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)
-    r = cxy / F.sqrt(vx * vy)
-    zx = (x - mx) / F.sqrt(vx)
-    zy = (y - my) / F.sqrt(vy)
-    md2 = (zx * zx - 2 * r * zx * zy + zy * zy) / (1 - r * r)
+    # try_divide through the degenerate covariance edge (r11 sweep):
+    # one row (n-1 = 0), a constant axis (v = 0), or perfect
+    # correlation (1 - r^2 = 0, the ellipse collapses to a line) all
+    # make md2 undefined — those rows surface NULL md2 and are never
+    # flagged, instead of the ANSI DIVIDE_BY_ZERO a plain / raises.
+    vx = F.try_divide(F.col("sxx") - F.col("sx") * F.col("sx") / n, n - 1)
+    vy = F.try_divide(F.col("syy") - F.col("sy") * F.col("sy") / n, n - 1)
+    cxy = F.try_divide(F.col("sxy") - F.col("sx") * F.col("sy") / n, n - 1)
+    r = F.try_divide(cxy, F.sqrt(vx * vy))
+    zx = F.try_divide(x - mx, F.sqrt(vx))
+    zy = F.try_divide(y - my, F.sqrt(vy))
+    md2 = F.try_divide(zx * zx - 2 * r * zx * zy + zy * zy, 1 - r * r)
     return (
         base.crossJoin(F.broadcast(cen))
         .select(

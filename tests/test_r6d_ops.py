@@ -829,3 +829,56 @@ def test_dp_noisy_counts_reproducible_and_calibrated(spark):
     assert 7.5 < mean_abs_wide < 12.5, mean_abs_wide
     with pytest.raises(ValueError, match="epsilon"):
         dp_noisy_counts(df, ["g"], epsilon=0.0)
+
+
+def test_stats_shelf_degenerate_inputs_null_not_crash(spark):
+    """Round-11 degenerate sweep: Spark's ANSI mode (default on)
+    throws DIVIDE_BY_ZERO even for double division, so a constant
+    column (zero variance), a 1-row sample (n-1 = 0), a perfectly
+    correlated pair (1 - r^2 = 0), or a 1x1 contingency table used to
+    CRASH four stats operators. Undefined statistics now surface NULL
+    (try_divide); everything defined in the same row stays computed."""
+    from pyspark.sql import functions as F
+
+    from stockpy_spark.operators.stats import (
+        categorical_association,
+        correlation_matrix,
+        mahalanobis_outliers_2d,
+        welch_ttest,
+    )
+
+    const = spark.createDataFrame(
+        [(i, 5.0, 5.0, "A") for i in range(6)],
+        "id long, x double, y double, g string",
+    )
+    one = spark.createDataFrame(
+        [(1, 5.0, 7.0, "A")], "id long, x double, y double, g string"
+    )
+    perf = spark.createDataFrame(
+        [(i, float(i), 2.0 * i + 1.0, "A") for i in range(6)],
+        "id long, x double, y double, g string",
+    )
+
+    r = correlation_matrix(const, ["x", "y"]).collect()[0]
+    assert r["n"] == 6 and r["r"] is None
+
+    t = welch_ttest(
+        const.select("x"), const.select(F.col("y").alias("x")), "x"
+    ).collect()[0]
+    assert (t["mean_ref"], t["mean_cur"]) == (5.0, 5.0)
+    assert t["t_stat"] is None and t["df"] is None
+    t1 = welch_ttest(
+        one.select("x"), one.select(F.col("y").alias("x")), "x"
+    ).collect()[0]
+    assert t1["t_stat"] is None  # no sample variance from n=1
+
+    # degenerate covariance: the ellipse is a point/line — md2 is
+    # undefined for every row, so nothing is flaggable
+    for frame in (const, perf, one):
+        assert (
+            mahalanobis_outliers_2d(frame, ["id"], "x", "y", 13.8).count()
+            == 0
+        )
+
+    c = categorical_association(const, "g", "g").collect()[0]
+    assert c["cramers_v"] is None and c["chi2"] == 0.0
