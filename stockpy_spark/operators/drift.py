@@ -101,8 +101,15 @@ def population_stability_index(
         F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
     )
     w = Window.partitionBy()
-    p = F.greatest(F.col("n_ref") / F.sum("n_ref").over(w), F.lit(EPS))
-    q = F.greatest(F.col("n_cur") / F.sum("n_cur").over(w), F.lit(EPS))
+    # try_divide + explicit null propagation (r11 degenerate sweep):
+    # an EMPTY side has zero total mass, and its fractions — hence
+    # PSI — are undefined; a plain / raises ANSI DIVIDE_BY_ZERO, and
+    # greatest() alone would SKIP the null and floor every bin at EPS,
+    # fabricating a huge drift score out of no data.
+    p_raw = F.try_divide(F.col("n_ref"), F.sum("n_ref").over(w))
+    q_raw = F.try_divide(F.col("n_cur"), F.sum("n_cur").over(w))
+    p = F.when(p_raw.isNotNull(), F.greatest(p_raw, F.lit(EPS)))
+    q = F.when(q_raw.isNotNull(), F.greatest(q_raw, F.lit(EPS)))
     term = (p - q) * F.log(p / q)
     return (
         grid.withColumn("p_ref", F.round(p, dp))
@@ -184,8 +191,8 @@ def ks_2samp(
     ecdf = local.join(F.broadcast(offsets), "bkt").withColumn(
         "d",
         F.abs(
-            (F.col("l_ref") + F.col("o_ref")) / F.col("n_ref")
-            - (F.col("l_cur") + F.col("o_cur")) / F.col("n_cur")
+            F.try_divide(F.col("l_ref") + F.col("o_ref"), F.col("n_ref"))
+            - F.try_divide(F.col("l_cur") + F.col("o_cur"), F.col("n_cur"))
         ),
     )
     # sup + arg-sup as a top-1: per-partition heaps

@@ -429,7 +429,9 @@ def gini_by_group(
         # would flip the last digit
         F.round(F.sum("s_x"), 2).alias("total"),
         F.round(
-            2.0 * six / (n * F.sum("s_x")) - (n + 1.0) / n,
+            # try_divide: an all-zero group has no mass to
+            # concentrate — gini undefined, NULL (r11 degenerate sweep)
+            2.0 * F.try_divide(six, n * F.sum("s_x")) - (n + 1.0) / n,
             dp,
         ).alias("gini"),
     )

@@ -882,3 +882,33 @@ def test_stats_shelf_degenerate_inputs_null_not_crash(spark):
 
     c = categorical_association(const, "g", "g").collect()[0]
     assert c["cramers_v"] is None and c["chi2"] == 0.0
+
+
+def test_drift_and_gini_degenerate_inputs_null_not_crash(spark):
+    """Round-11 degenerate sweep, part 2: an EMPTY drift side (no
+    data arrived in the monitoring window) and an all-zero gini group
+    used to crash under ANSI DIVIDE_BY_ZERO. Undefined stats now
+    surface NULL — and PSI must NOT silently floor a missing side at
+    EPS (that would fabricate a huge drift score out of no data)."""
+    from pyspark.sql import functions as F
+
+    from stockpy_spark.operators.drift import (
+        ks_2samp,
+        population_stability_index,
+    )
+    from stockpy_spark.operators.stats import gini_by_group
+
+    ref = spark.createDataFrame([(float(i),) for i in range(8)], "v double")
+    empty = ref.where("v < 0")
+    psi = population_stability_index(ref, empty, "v").collect()
+    assert all(r["p_ref"] is not None for r in psi)
+    assert all(
+        r["p_cur"] is None and r["psi_term"] is None and r["psi"] is None
+        for r in psi
+    )
+    ks = ks_2samp(ref, empty, "v").collect()[0]
+    assert ks["n_cur"] == 0 and ks["d_stat"] is None
+
+    zeros = spark.createDataFrame([("A", 0.0), ("A", 0.0)], "g string, x double")
+    g = gini_by_group(zeros, "g", "x").collect()[0]
+    assert g["total"] == 0.0 and g["gini"] is None
