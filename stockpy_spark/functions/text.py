@@ -161,7 +161,12 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     )
     na = F.sqrt(F.aggregate(ca, F.lit(0.0), lambda acc, x: acc + x * x))
     nb = F.sqrt(F.aggregate(cb, F.lit(0.0), lambda acc, x: acc + x * x))
-    return dot / (na * nb)
+    # try_divide: a ZERO vector (failed encoder output — real at
+    # corpus scale) has no direction and an undefined cosine — NULL,
+    # which drops out of every top-k (desc NULLS LAST) and fails
+    # every >= threshold, instead of killing the job with the ANSI
+    # DIVIDE_BY_ZERO a plain / raises (r11 degenerate sweep)
+    return F.try_divide(dot, na * nb)
 
 
 # PII redaction patterns, applied in order. Written in the common

@@ -558,3 +558,32 @@ def test_kcenter_coreset_small_pool_guards(spark):
         key=lambda r: r["sel_round"],
     )
     assert [(r["sel_round"], r["vec_id"]) for r in rows] == [(0, 1), (1, 2)]
+
+
+def test_cosine_zero_vector_null_not_crash(spark):
+    """Round-11 degenerate sweep: a zero embedding (failed encoder
+    output) used to kill the whole job with ANSI DIVIDE_BY_ZERO
+    anywhere cosine_similarity ran. It now scores NULL — dropping out
+    of top-k rankings and failing every similarity threshold — while
+    nonzero pairs in the same frame stay scored."""
+    from stockpy_spark.operators.similarity import brute_force_topk
+
+    corpus = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.6, 0.8])],
+        "vec_id long, embedding array<double>",
+    )
+    out = brute_force_topk(
+        corpus, corpus.where("vec_id = 2"), "embedding", "vec_id", k=2
+    ).collect()
+    ranked = {r["neighbor_id"]: (r["cosine"], r["rank"]) for r in out}
+    assert ranked[3] == (0.6, 1)       # real neighbor scored and first
+    assert ranked[1][0] is None        # zero vector: NULL, ranked last
+    # zero-vector QUERY: every cosine NULL, no crash
+    zq = brute_force_topk(
+        corpus.where("vec_id > 1"),
+        corpus.where("vec_id = 1"),
+        "embedding",
+        "vec_id",
+        k=2,
+    ).collect()
+    assert all(r["cosine"] is None for r in zq)
