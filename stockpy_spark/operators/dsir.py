@@ -42,8 +42,14 @@ from stockpy_spark.operators.privacy import _hash_uniform
 def _bucket(gram: Column, n_buckets: int, salt: str) -> Column:
     """Portable hash bucket: md5 of the salted gram, first 13 hex chars
     (52 bits — exactly representable everywhere), mod n_buckets. Same
-    derivation family as sampling._hash_bucket; at 100 TB swap for
-    xxhash64, the estimator is unchanged."""
+    derivation family as sampling._hash_bucket. An earlier draft of
+    this docstring prescribed "swap for xxhash64 at 100 TB" — MEASURED
+    WRONG in r11: at sf1 the whole bucket pass costs 5.6 s with md5
+    and 5.5 s with xxhash64; the wall is the bigram-string
+    materialization in the explode, not the hash (and a string-free
+    token-pair xxhash64 HOF variant measured SLOWER, 7.6 s — the
+    per-element lambda overhead exceeds the string build). The
+    md5/oracle path IS the fast path."""
     return (
         F.conv(
             F.substring(
