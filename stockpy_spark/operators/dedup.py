@@ -138,7 +138,12 @@ def _minhash_wide(
     first shuffle in any minhash pipeline is the (tiny, n_docs-sized)
     band bucket join downstream. The md5→hex→bigint derivation is
     engine-portable (DuckDB reproduces every lane bit-for-bit); at
-    100 TB swap md5 for xxhash64 — the LSH structure is unchanged.
+    100 TB swap md5 for xxhash64 — MEASURED r11: the signature pass
+    runs ~3x faster (0.61 s -> 0.20 s at sf1, same-session A/B)
+    because here the per-token double-md5 IS the narrow-stage wall —
+    unlike dsir's bucket pass, where the explode dominates and the
+    same swap moves nothing. The LSH structure is unchanged either
+    way; the md5 path stays default for the bit-exact oracle.
     """
 
     def base(prefix: str, t: F.Column) -> F.Column:
