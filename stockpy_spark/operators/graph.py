@@ -283,7 +283,15 @@ def pagerank(
             .join(ranks, e["__s"] == ranks["node"])
             .select(
                 F.col("__d").alias("node"),
-                (F.col("rank") * F.col("__w") / F.col("__outw")).alias("__c"),
+                # try_divide: a node whose out-edges ALL weigh zero
+                # has no mass to distribute (0/0 share) — its
+                # contributions are NULL and drop out of the sum,
+                # the same treatment as a dangling node, instead of
+                # the ANSI DIVIDE_BY_ZERO a plain / raises (r11
+                # degenerate sweep)
+                F.try_divide(
+                    F.col("rank") * F.col("__w"), F.col("__outw")
+                ).alias("__c"),
             )
             .groupBy("node")
             .agg(F.sum("__c").alias("__in"))

@@ -359,3 +359,25 @@ def test_cuped_adjustment_hand_computed(spark):
     # unbiasedness: adjusted mean == raw mean (up to rounding)
     adj = [out[u]["post_adjusted"] for u in x]
     assert abs(sum(adj) / n - sy / n) < 1e-4
+
+
+def test_pagerank_zero_weight_out_edges_null_not_crash(spark):
+    """Round-11 degenerate sweep: a node whose out-edges all weigh
+    zero has a 0/0 contribution share — it now distributes nothing
+    (the dangling-node treatment) instead of crashing the job with
+    ANSI DIVIDE_BY_ZERO; positively-weighted nodes keep ranking."""
+    from pyspark.sql import functions as F
+
+    from stockpy_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2, 0.0), (2, 1, 1.0), (2, 3, 3.0), (3, 2, 1.0)],
+        "src long, dst long, w double",
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges, weight="w").collect()}
+    assert set(ranks) == {1, 2, 3}
+    base = (1 - 0.85) / 3
+    # node 1 distributes nothing (zero total out-weight), so node 2's
+    # inbound mass comes from node 3 alone; node 1 receives from 2
+    assert ranks[1] > base and ranks[2] > base
+    assert all(v == v and v is not None for v in ranks.values())  # no NaN/NULL
