@@ -914,33 +914,73 @@ PIXEL_FEATURE_SCHEMA = T.StructType(
 )
 
 
-def extract_pixel_features(assets: DataFrame) -> DataFrame:
+def extract_pixel_features(
+    assets: DataFrame, on_error: str = "raise"
+) -> DataFrame:
     """The ``use_codec`` path made real: decode each payload
     (:func:`_decode_pixels` — native BMP here, PIL/torchaudio at the
     seam for other formats) and compute features from the DECODED
     pixel array, not the container bytes. Same mapInPandas shape as
-    :func:`extract_features`."""
+    :func:`extract_features`.
+
+    ``on_error`` (r11 degenerate sweep): the default ``"raise"`` keeps
+    the strict oracle semantics — any undecodable payload fails the
+    job. At corpus scale a single truncated/corrupt blob must NOT
+    kill a 100 TB pipeline, so ``on_error="null"`` is the production
+    mode: failed rows keep their identity with NULL feature columns
+    plus a ``decode_error`` string (the exception message — corrupt
+    container vs codec-seam format is readable from it), and healthy
+    rows in the same Arrow batch are unaffected."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+    tolerant = on_error == "null"
 
     def batch_pixels(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = [_decode_pixels(p) for p in pdf["payload"]]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"].astype("int64"),
-                    "width": [px.shape[1] for px in decoded],
-                    "height": [px.shape[0] for px in decoded],
-                    "px_sum": [int(px.sum(dtype=np.int64)) for px in decoded],
-                    # plain IEEE division (no rounding): int/int division
-                    # is bit-identical across engines, while Python
-                    # banker's-rounds and SQL rounds half-away
-                    "mean_lum": [
-                        float(px.sum(dtype=np.int64)) / px.size for px in decoded
-                    ],
-                    "media_type": pdf["meta"].map(lambda m: m["media_type"]),
-                }
-            )
+            decoded, errors = [], []
+            for p in pdf["payload"]:
+                if not tolerant:
+                    decoded.append(_decode_pixels(p))
+                    errors.append(None)
+                    continue
+                try:
+                    decoded.append(_decode_pixels(p))
+                    errors.append(None)
+                except Exception as e:  # noqa: BLE001 — per-row isolation
+                    decoded.append(None)
+                    errors.append(f"{type(e).__name__}: {e}"[:200])
+            cols = {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "width": [None if px is None else px.shape[1] for px in decoded],
+                "height": [None if px is None else px.shape[0] for px in decoded],
+                "px_sum": [
+                    None if px is None else int(px.sum(dtype=np.int64))
+                    for px in decoded
+                ],
+                # plain IEEE division (no rounding): int/int division
+                # is bit-identical across engines, while Python
+                # banker's-rounds and SQL rounds half-away
+                "mean_lum": [
+                    None
+                    if px is None
+                    else float(px.sum(dtype=np.int64)) / px.size
+                    for px in decoded
+                ],
+                "media_type": pdf["meta"].map(lambda m: m["media_type"]),
+            }
+            if tolerant:
+                cols["decode_error"] = errors
+            yield pd.DataFrame(cols)
 
-    return assets.mapInPandas(batch_pixels, PIXEL_FEATURE_SCHEMA)
+    schema = (
+        T.StructType(
+            PIXEL_FEATURE_SCHEMA.fields
+            + [T.StructField("decode_error", T.StringType())]
+        )
+        if tolerant
+        else PIXEL_FEATURE_SCHEMA
+    )
+    return assets.mapInPandas(batch_pixels, schema)
 
 
 def extract_features(assets: DataFrame, use_codec: bool = False) -> DataFrame:

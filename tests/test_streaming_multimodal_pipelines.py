@@ -1769,3 +1769,52 @@ def test_stream_minhash_admitter_resumes_across_runs(spark, tmp_path):
         for r in adm.groupBy("batch_id").agg(F.count("*").alias("n")).collect()
     }
     assert sum(per_batch.values()) == 3  # one row per admitted doc ever
+
+
+def test_pixel_features_on_error_null_isolates_corrupt_payloads(spark):
+    """Round-11 degenerate sweep: one truncated/corrupt blob must not
+    kill a corpus job. on_error='null' keeps failed rows with NULL
+    features + a readable decode_error while healthy rows in the same
+    Arrow batch stay exact; the default stays strict (raise) so the
+    oracle semantics are unchanged."""
+    import numpy as np
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from stockpy_spark.operators.multimodal import (
+        encode_bmp,
+        extract_pixel_features,
+    )
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    px[:, :, 0] = 10
+    good = encode_bmp(px)
+    assets = spark.createDataFrame(
+        [
+            (1, bytearray(good)),
+            (2, bytearray(b"")),               # empty payload
+            (3, bytearray(b"BM\x01\x02")),      # truncated BMP header
+        ],
+        "doc_id long, payload binary",
+    ).select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("image/bmp").alias("media_type"),
+            F.lit(4).cast("int").alias("width"),
+            F.lit(4).cast("int").alias("height"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in extract_pixel_features(assets, on_error="null").collect()
+    }
+    assert rows[1]["px_sum"] == 10 * 16 and rows[1]["decode_error"] is None
+    for bad in (2, 3):
+        assert rows[bad]["px_sum"] is None and rows[bad]["mean_lum"] is None
+        assert rows[bad]["decode_error"]
+    # default stays strict
+    with pytest.raises(Exception):
+        extract_pixel_features(assets).collect()
