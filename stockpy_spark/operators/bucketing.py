@@ -1,0 +1,127 @@
+"""Equal-frequency range bucketing for the bucketed prefix-sum family.
+
+The bucketed prefix-sum idiom (ks_2samp, spearman ranks, gini,
+skyline, interval_concurrency) parallelizes an ordered running
+statistic by slicing the ORDER AXIS into ``n_buckets`` ranges, running
+the window locally per bucket, and closing per-bucket totals through a
+KB-sized offset frame. Through round 11 the slices were EQUAL-WIDTH
+from a (min, max) census — and the round-11 verdict found the systemic
+flaw: one extreme value (a sentinel price, an epoch-0 timestamp — what
+a 100 TB corpus contains) stretches ``mx - mn`` so that ~all rows
+floor into bucket 0, and the per-bucket window degenerates back into
+the single-task corpus sort the pattern exists to kill. The key-skew
+probes never saw it because they draw the axis uniformly.
+
+This module replaces the width formula with EQUAL-FREQUENCY edges:
+
+- :func:`freq_edges` — a ``percentile_approx`` aggregate expression
+  producing the B-1 interior quantile edges as ONE sorted array. It
+  slots into the census aggregation each operator already runs (the
+  1-row crossJoin-broadcast census, or the per-group census join), so
+  the fix costs ZERO extra jobs and no driver action. By construction
+  each bucket receives ~1/B of the bucketed frame's rows no matter how
+  heavy-tailed or outlier-polluted the values are; the sketch error
+  (``accuracy`` rank error) only nudges the balance, never collapses
+  it.
+- :func:`with_freq_bucket` — the bucket id as a BRANCHLESS BINARY
+  SEARCH over the edges array: log2(B) ``element_at`` probes per row,
+  plain comparisons, whole-stage-codegen friendly, one chained
+  projection per stride (see its docstring for why it must not be a
+  single nested expression). (A naive
+  ``size(filter(edges, e -> e < v))`` is an interpreted per-element
+  lambda — O(B) per row, prohibitive at B=1024 on a 60M-row distinct
+  frame.)
+
+Output invariance: bucket ids only decide WHERE the local window runs;
+per-bucket results close into the same global prefix by associativity,
+so every caller's results — and oracles — are unchanged (the skyline
+docstring has always stated "any bucketing yields the same result").
+
+Monotonicity contract (what the offset closure relies on): the bucket
+id is non-decreasing in the order axis — it is exactly the count of
+edges strictly below the value. Spark comparison semantics order NaN
+above every numeric, so NaN rows land in the last non-empty bucket,
+consistent with their ORDER BY position. A NULL/empty edges array
+(empty input census) yields bucket 0 for every row, matching the old
+``mx == mn`` degenerate branch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def freq_edges(
+    col: Column | str, n_buckets: int, accuracy: int = 10000
+) -> Column:
+    """Aggregate expression: the ``n_buckets - 1`` interior
+    equal-frequency edges of ``col`` as a sorted DOUBLE array.
+
+    Add it to the census aggregation the operator already runs (1-row
+    global agg or per-group agg); ``accuracy`` is the
+    ``percentile_approx`` rank-error knob (memory ~ accuracy, error
+    ~ n / accuracy — balance needs only rough quantiles, the default
+    is already overkill).
+    """
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    c = F.col(col) if isinstance(col, str) else col
+    return F.percentile_approx(c.cast("double"), probs, accuracy)
+
+
+def with_freq_bucket(
+    df,
+    value: Column,
+    edges: Column,
+    n_buckets: int,
+    out_col: str,
+    descending: bool = False,
+):
+    """Append ``out_col`` — the equal-frequency bucket id in
+    ``[0, n_buckets - 1]`` of ``value`` given the sorted ``edges``
+    array column (a :func:`freq_edges` result) — to ``df``.
+
+    Ascending (default): ``#edges strictly below v`` — non-decreasing
+    in ``v``. Descending (skyline's scan order, bucket 0 = largest):
+    ``#edges strictly above v`` — non-increasing in ``v``.
+
+    Branchless binary search probing power-of-two strides: log2(B)
+    ``element_at`` + comparisons per row, no lambda, no O(B) scan.
+    Each stride is its OWN chained projection so the accumulated
+    search index is a NAMED column between steps — folding the search
+    into one nested expression re-traverses the accumulated subtree
+    ~4x per step (conditions reference it twice, both branches once),
+    which is exponential in log(B): at B=1024 the single-expression
+    form hung analysis outright (the HOF-lambda no-CSE trap from the
+    round-8 ledger, in plan-time clothing). CollapseProject leaves
+    the chain alone because each step's alias is non-cheap and
+    multiply-referenced. Duplicate edges (a value heavier than 1/B of
+    the frame) leave the duplicated slots empty rather than
+    mis-ordering anything; rows with EQUAL values always share a
+    bucket (the id depends on the value alone). NULL/empty edges
+    (empty census) put every row in bucket 0, matching the old
+    ``mx == mn`` degenerate branch.
+    """
+    b, m, v = "__fb_b", "__fb_m", "__fb_v"
+    out = df.withColumn(v, value.cast("double")).withColumn(
+        m, F.size(edges)
+    )
+    step = 1
+    while step * 2 < n_buckets:
+        step *= 2
+    out = out.withColumn(b, F.lit(0))
+    while step >= 1:
+        cand = F.col(b) + F.lit(step)
+        probe = F.element_at(edges, cand)
+        hit = probe <= F.col(v) if descending else probe < F.col(v)
+        out = out.withColumn(
+            b,
+            F.when((cand <= F.col(m)) & hit, cand).otherwise(F.col(b)),
+        )
+        step //= 2
+    if descending:
+        # #edges > v = m - #edges <= v; empty/NULL edges -> bucket 0
+        final = F.coalesce(F.col(m) - F.col(b), F.lit(0))
+    else:
+        final = F.coalesce(F.col(b), F.lit(0))
+    return out.withColumn(out_col, final.cast("int")).drop(b, m, v)

@@ -136,12 +136,23 @@ def ks_2samp(
     it. NULLs excluded.
 
     The global running counts use the skyline bucketing trick instead
-    of one giant ordered window: distinct values are range-bucketed
-    from a broadcast (min, max) census, each bucket cumulative-sums its
-    own values in parallel, and per-bucket totals — B rows — are
-    prefix-summed in a single tiny task and broadcast back as offsets.
-    Equivalent to the global sort by associativity of +.
+    of one giant ordered window: distinct values are range-bucketed,
+    each bucket cumulative-sums its own values in parallel, and
+    per-bucket totals — B rows — are prefix-summed in a single tiny
+    task and broadcast back as offsets. Equivalent to the global sort
+    by associativity of +. Bucket edges are EQUAL-FREQUENCY quantiles
+    from a ``percentile_approx`` census (operators/bucketing.py) —
+    the r11 verdict found the previous equal-width (min, max) edges
+    collapse under ONE outlier value (everything floors into bucket 0
+    and the window degenerates to a single-task sort); quantile edges
+    keep ~1/B of the distinct values per bucket regardless of tails.
+    The census stays the same 1-row broadcast crossJoin, so the fix
+    costs no extra pass.
     """
+    from stockpy_spark.operators.bucketing import (
+        freq_edges,
+        with_freq_bucket,
+    )
     pooled = (
         ref.select(F.col(value_col).alias("v"), F.lit(1).alias("is_ref"))
         .unionAll(
@@ -154,19 +165,17 @@ def ks_2samp(
         F.sum(F.lit(1) - F.col("is_ref")).alias("c_cur"),
     )
     census = per_v.agg(
-        F.min("v").alias("mn"),
-        F.max("v").alias("mx"),
+        freq_edges("v", n_buckets).alias("edges"),
         F.sum("c_ref").alias("n_ref"),
         F.sum("c_cur").alias("n_cur"),
     )
-    width = (F.col("mx") - F.col("mn")) / F.lit(float(n_buckets))
-    bkt = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
-        F.least(
-            F.lit(n_buckets - 1),
-            F.floor((F.col("v") - F.col("mn")) / width).cast("int"),
-        )
+    bucketed = with_freq_bucket(
+        per_v.crossJoin(F.broadcast(census)),
+        F.col("v"),
+        F.col("edges"),
+        n_buckets,
+        "bkt",
     )
-    bucketed = per_v.crossJoin(F.broadcast(census)).withColumn("bkt", bkt)
     wloc = (
         Window.partitionBy("bkt")
         .orderBy("v")

@@ -10,9 +10,10 @@ textbook "sort globally, run a cursor" — a single-task bottleneck at
 
 1. per-x reduce: only the min-y per distinct x can survive (equal x,
    higher y is dominated) — one hash shuffle, map-side combined.
-2. range-bucket the x axis into B buckets from a broadcast (min, max)
-   census; each bucket computes its LOCAL prefix-min in parallel
-   (window partitioned by bucket, ordered x desc).
+2. range-bucket the x axis into B buckets on equal-frequency quantile
+   edges from a broadcast 1-row census (operators/bucketing.py); each
+   bucket computes its LOCAL prefix-min in parallel (window
+   partitioned by bucket, ordered x desc).
 3. the per-bucket y minima — B rows, KBs — are window-scanned into a
    per-bucket "best y of all higher-x buckets" offset and broadcast
    back; global prefix-min = min(local prefix, higher-bucket offset).
@@ -30,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+from stockpy_spark.operators.bucketing import freq_edges, with_freq_bucket
 
 
 def pareto_frontier_2d(
@@ -49,22 +52,22 @@ def pareto_frontier_2d(
         df.groupBy(max_col)
         .agg(F.min(min_col).alias(min_col))
     )
-    bounds = pts.agg(
-        F.min(max_col).alias("__lo"), F.max(max_col).alias("__hi")
-    )
-    # bucket 0 holds the LARGEST x so bucket order matches scan order
-    span = (F.col("__hi") - F.col("__lo")).cast("double")
-    bucket = F.least(
-        F.lit(n_buckets - 1),
-        F.floor(
-            (F.col("__hi") - F.col(max_col)).cast("double")
-            / (span + F.lit(1e-12))
-            * n_buckets
-        ).cast("int"),
-    )
-    bucketed = pts.crossJoin(F.broadcast(bounds)).select(
-        max_col, min_col, bucket.alias("__b")
-    )
+    # bucket 0 holds the LARGEST x so bucket order matches scan order;
+    # edges are EQUAL-FREQUENCY quantiles over the distinct x values
+    # (operators/bucketing.py) — the r11 verdict: equal-width (min,
+    # max) edges collapse under one outlier x, funnelling every point
+    # into one bucket's prefix-min window. Still a 1-row broadcast
+    # census; output-invariant (any bucketing yields the same
+    # frontier, as documented above).
+    bounds = pts.agg(freq_edges(max_col, n_buckets).alias("__edges"))
+    bucketed = with_freq_bucket(
+        pts.crossJoin(F.broadcast(bounds)),
+        F.col(max_col),
+        F.col("__edges"),
+        n_buckets,
+        "__b",
+        descending=True,
+    ).select(max_col, min_col, "__b")
     w_local = (
         Window.partitionBy("__b")
         .orderBy(F.col(max_col).desc())

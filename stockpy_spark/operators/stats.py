@@ -35,6 +35,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from stockpy_spark.operators.bucketing import freq_edges, with_freq_bucket
+
 
 def correlation_matrix(
     df: DataFrame, cols: list[str], dp: int = 6
@@ -375,15 +377,25 @@ def gini_by_group(
     Scale shape: a plain per-group rank window funnels each group
     through ONE task — with few groups (the common case: priority
     classes, sources, domains) that is a single-task sort of the whole
-    table, measured 14.2x at 100x data. Instead the value axis is
-    range-bucketed from a broadcast per-group (min, max) census
-    (the ks_2samp / skyline pattern): each (group, bucket) ranks
-    LOCALLY in parallel, per-bucket row counts close into global rank
-    offsets through a groups-x-buckets-sized window (KBs), and
-        sum(i * x) = sum_buckets( sum(i_local * x) + offset * sum(x) )
-    by rank additivity — equal values always share a bucket, so tie
-    runs never split. One data shuffle into (group, bucket) sorts,
-    everything after is censusy.
+    table, measured 14.2x at 100x data. Instead the table first
+    collapses to its distinct (group, value) RUNS (rank-weighted sums
+    over a run of c equal values x starting after o prior rows close
+    in closed form: x * (c*o + c*(c+1)/2) — the tie-invariance noted
+    above, used constructively), then the value axis is range-bucketed
+    on EQUAL-FREQUENCY quantile edges from a per-group
+    ``percentile_approx`` census (operators/bucketing.py; the r11
+    verdict: (min, max) equal-width edges collapse under one outlier
+    value — and gini's home turf, revenue/token concentration, is
+    heavy-tailed by definition). Each (group, bucket) ranks LOCALLY in
+    parallel, per-bucket run counts close into global rank offsets
+    through a groups-x-buckets-sized window (KBs), and
+        sum(i * x) = sum_buckets( sum(run closed form) + offset * sum(x) )
+    by rank additivity. The run collapse also caps the window frame:
+    a 50%-zeros revenue column is ONE run, not half the corpus in one
+    bucket. One map-side-combinable shuffle into (group, value) runs,
+    one into (group, bucket) sorts, everything after is censusy.
+    Census and edges joins carry no broadcast hint (per-group frames
+    are key-cardinality-sized — AQE broadcasts while they fit).
     """
     from pyspark.sql.window import Window
 
@@ -391,25 +403,43 @@ def gini_by_group(
         F.col(group_col).alias("grp"),
         F.col(value_col).cast("double").alias("x"),
     )
-    census = base.groupBy("grp").agg(
-        F.min("x").alias("mn"), F.max("x").alias("mx")
+    runs = base.groupBy("grp", "x").agg(F.count(F.lit(1)).alias("c"))
+    census = runs.groupBy("grp").agg(
+        freq_edges("x", n_buckets).alias("__edges")
     )
-    width = (F.col("mx") - F.col("mn")) / F.lit(float(n_buckets))
-    bkt = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
-        F.least(
-            F.lit(n_buckets - 1),
-            F.floor((F.col("x") - F.col("mn")) / width).cast("int"),
-        )
+    bucketed = with_freq_bucket(
+        runs.join(census, "grp"),
+        F.col("x"),
+        F.col("__edges"),
+        n_buckets,
+        "bkt",
+    ).select("grp", "x", "c", "bkt")
+    # pin the data-sized local-rank sort to (grp, bkt) tasks — a
+    # grp-partitioned census-join output would satisfy the window's
+    # clustering requirement on the grp subset and serialize each
+    # group through one task (the interval_concurrency lesson); this
+    # repartition replaces the ENSURE_REQUIREMENTS exchange the window
+    # needs anyway.
+    bucketed = bucketed.repartition("grp", "bkt")
+    # exclusive prefix count of rows BEFORE each run within its bucket
+    wloc = (
+        Window.partitionBy("grp", "bkt")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    bucketed = base.join(F.broadcast(census), "grp").select(
-        "grp", "x", bkt.alias("bkt")
+    local = bucketed.withColumn(
+        "o_loc", F.coalesce(F.sum("c").over(wloc), F.lit(0))
     )
-    wloc = Window.partitionBy("grp", "bkt").orderBy("x")
-    local = bucketed.withColumn("i_loc", F.row_number().over(wloc))
     per_bucket = local.groupBy("grp", "bkt").agg(
-        F.count(F.lit(1)).alias("c"),
-        F.sum("x").alias("s_x"),
-        F.sum(F.col("i_loc") * F.col("x")).alias("s_ix"),
+        F.sum("c").alias("c"),
+        F.sum(F.col("c") * F.col("x")).alias("s_x"),
+        F.sum(
+            F.col("x")
+            * (
+                F.col("c") * F.col("o_loc")
+                + F.col("c") * (F.col("c") + 1) / F.lit(2.0)
+            )
+        ).alias("s_ix"),
     )
     # exclusive running count over the G x B frame -> global rank offset
     woff = (
@@ -720,7 +750,8 @@ def spearman_corr_pairs(
     partition-less WindowExec: a continuous column has distinct-count
     ~ row-count, so a global ``Window.orderBy`` would drag the corpus
     through one sorter task (the skyline/KS/Gini disease). Instead a
-    1-row (min, max) census range-buckets the distinct values, each
+    1-row equal-frequency quantile census range-buckets the distinct
+    values (bucketing.py — (min, max) width was outlier-fragile), each
     bucket cumsums locally (corpus/n_buckets rows per task), and a
     KB-sized exclusive bucket-offset frame broadcast-joins back.
     Cardinality contract: cost = one fact scan + one combo-sized
@@ -759,19 +790,22 @@ def spearman_corr_pairs(
         counts = combo.groupBy(F.col(c).alias("__v")).agg(
             F.sum("__w").alias("__c")
         )
-        census = counts.agg(
-            F.min("__v").alias("__mn"), F.max("__v").alias("__mx")
-        )
-        width = (F.col("__mx") - F.col("__mn")) / F.lit(float(n_buckets))
-        bkt = F.when(F.col("__mx") == F.col("__mn"), F.lit(0)).otherwise(
-            F.least(
-                F.lit(n_buckets - 1),
-                F.floor((F.col("__v") - F.col("__mn")) / width).cast("int"),
-            )
-        )
-        bucketed = counts.crossJoin(F.broadcast(census)).select(
-            "__v", "__c", bkt.alias("__bkt")
-        )
+        # equal-FREQUENCY edges over the distinct values (each distinct
+        # value weight 1 — the window rows ARE distinct values), still
+        # a 1-row broadcast census: the r11 verdict's outlier finding —
+        # one sentinel value collapses a (min, max) width so every
+        # distinct value floors into bucket 0 and the local cumsum
+        # degenerates to the single-task sort this bucketing exists to
+        # kill. Bucket id = branchless log2(B) binary search
+        # (operators/bucketing.py), not an O(B) per-row scan.
+        census = counts.agg(freq_edges("__v", n_buckets).alias("__edges"))
+        bucketed = with_freq_bucket(
+            counts.crossJoin(F.broadcast(census)),
+            F.col("__v"),
+            F.col("__edges"),
+            n_buckets,
+            "__bkt",
+        ).select("__v", "__c", "__bkt")
         # exclusive cumsum WITHIN each bucket (task size = distinct/n_buckets)
         wloc = Window.partitionBy("__bkt").orderBy("__v").rowsBetween(
             Window.unboundedPreceding, -1

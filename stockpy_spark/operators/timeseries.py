@@ -22,6 +22,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from stockpy_spark.operators.bucketing import freq_edges, with_freq_bucket
+
 
 def time_bucket(ts_col: str | Column, width_seconds: int) -> Column:
     """Epoch-second start of the fixed-width bucket containing ``ts``.
@@ -257,17 +259,16 @@ def interval_concurrency(
     net = boundaries.groupBy(*keys, "at_ts").agg(
         F.sum("delta").alias("__net")
     )
-    # census -> equal-width time buckets per key
+    # census -> equal-FREQUENCY time buckets per key: quantile edges
+    # from a per-key percentile_approx census (operators/bucketing.py).
+    # The r11 verdict's outlier finding applies with force to a TIME
+    # axis — one epoch-0 sentinel timestamp stretches an equal-width
+    # (min, max) span so every real boundary floors into bucket 0 and
+    # the per-(key, bucket) running sum degenerates back to the
+    # one-task-per-key sort this decomposition exists to kill.
     v = F.col("at_ts").cast("double")
     census = net.groupBy(*keys).agg(
-        F.min(v).alias("__mn"), F.max(v).alias("__mx")
-    )
-    width = (F.col("__mx") - F.col("__mn")) / F.lit(float(n_buckets))
-    bkt = F.when(F.col("__mx") == F.col("__mn"), F.lit(0)).otherwise(
-        F.least(
-            F.lit(n_buckets - 1),
-            F.floor((v - F.col("__mn")) / width).cast("int"),
-        )
+        freq_edges(v, n_buckets).alias("__edges")
     )
     # Keyed path: NO forced broadcast — census and offsets are sized
     # by key cardinality (one row per key / key x bucket), which for
@@ -276,11 +277,15 @@ def interval_concurrency(
     # broadcast only while they actually fit. The keyless census is
     # exactly ONE row by construction, so its crossJoin broadcast is
     # bounded and stays.
-    bucketed = (
+    bucketed = with_freq_bucket(
         net.join(census, keys)
         if keys
-        else net.crossJoin(F.broadcast(census))
-    ).select(*keys, "at_ts", "__net", bkt.alias("__bkt"))
+        else net.crossJoin(F.broadcast(census)),
+        v,
+        F.col("__edges"),
+        n_buckets,
+        "__bkt",
+    ).select(*keys, "at_ts", "__net", "__bkt")
     # Pin the data-sized running-sum window to (key, bucket) tasks
     # EXPLICITLY: a window satisfies its clustering requirement on any
     # SUBSET of its partition keys, and the census join's output is
