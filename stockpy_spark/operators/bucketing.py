@@ -44,6 +44,25 @@ above every numeric, so NaN rows land in the last non-empty bucket,
 consistent with their ORDER BY position. A NULL/empty edges array
 (empty input census) yields bucket 0 for every row, matching the old
 ``mx == mn`` degenerate branch.
+
+DETERMINISM RULE (mandatory at every call site): the census frame
+carrying :func:`freq_edges` MUST be pinned with
+``localCheckpoint(eager=True)`` before the bucketed frame fans out.
+``percentile_approx`` is deterministic only per MATERIALIZATION — the
+sketch's partial merges happen in task-completion order, so two
+evaluations of the same census can return slightly different edges —
+and every operator in this family consumes the bucketed frame in TWO
+branches (the local window and the per-bucket offset census), which
+Spark plans as independent recomputations of the census subtree
+(cross-branch exchange reuse does not happen here; the round-8/11
+ledger documents it). Unpinned, the branches can bucket against
+DIFFERENT edges and the prefix closure silently miscounts rows near
+the differing boundaries — caught by tools/outlier_probe.py's
+bucket-invariance assert, off by 2 counts at 200k rows. The old
+(min, max) census never needed pinning because min/max are exact.
+The checkpoint is census-sized (1 row, or one row per group) and
+replaces the second census evaluation the branch fan-out was already
+paying.
 """
 
 from __future__ import annotations

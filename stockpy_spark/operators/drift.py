@@ -164,11 +164,14 @@ def ks_2samp(
         F.sum("is_ref").alias("c_ref"),
         F.sum(F.lit(1) - F.col("is_ref")).alias("c_cur"),
     )
+    # eager checkpoint pins the SKETCHED edges — the bucketing.py
+    # determinism rule: percentile_approx varies per materialization
+    # and this census feeds both the local-cumsum and offset branches
     census = per_v.agg(
         freq_edges("v", n_buckets).alias("edges"),
         F.sum("c_ref").alias("n_ref"),
         F.sum("c_cur").alias("n_cur"),
-    )
+    ).localCheckpoint(eager=True)
     bucketed = with_freq_bucket(
         per_v.crossJoin(F.broadcast(census)),
         F.col("v"),

@@ -284,6 +284,7 @@ def matched_controls(
     id_col: str,
     match_col: str,
     tolerance: float,
+    n_sub_buckets: int = 32,
 ) -> DataFrame:
     """Matched-control selection: for every evaluation row, the pool
     row with the LARGEST ``match_col`` value <= the eval row's value
@@ -301,6 +302,20 @@ def matched_controls(
     one shuffle, 2x pool replication, no single-task sort. A pool row
     FARTHER than tolerance is deliberately no match (honest matching
     needs a caliper; it is also what bounds the search).
+
+    The tolerance buckets are SEMANTIC (the caliper), so a dense
+    cluster inside one tolerance width — most of a corpus at similar
+    document lengths — used to funnel through one window task: the
+    same value-concentration degeneration the r11 verdict flagged for
+    the equal-width prefix-sum family (r12 audit item). Each tolerance
+    bucket is therefore SUB-bucketed on per-bucket equal-frequency
+    edges (operators/bucketing.py): the running last-pool-struct is
+    associative, so each (bkt, sub) runs it locally and a per-sub
+    carry-in — the latest pool struct of all earlier sub-buckets,
+    max_by (v, pid) over a bkt-x-sub-sized frame — closes the global
+    scan. Rows with EQUAL v always share a sub-bucket (the bucket id
+    is a function of the value alone), so the (v, is_eval, pid)
+    tie-break order survives the concatenation exactly.
 
     Ties: equal pool values resolve to the largest pool id; a pool row
     equal to the eval value IS eligible (<=). Eval rows with no
@@ -344,18 +359,65 @@ def matched_controls(
         )
     )
     tagged = ev.unionByName(pool)
-    w = Window.partitionBy("bkt").orderBy(
+    from stockpy_spark.operators.bucketing import (
+        freq_edges,
+        with_freq_bucket,
+    )
+
+    # eager checkpoint (bkt-cardinality rows): the bucketing.py
+    # determinism rule — percentile_approx varies per materialization
+    # and the census feeds both the local-scan and carry-in branches
+    census = tagged.groupBy("bkt").agg(
+        freq_edges("v", n_sub_buckets).alias("__edges")
+    ).localCheckpoint(eager=True)
+    sub = with_freq_bucket(
+        tagged.join(census, "bkt"),
+        F.col("v"),
+        F.col("__edges"),
+        n_sub_buckets,
+        "__sub",
+    ).drop("__edges")
+    # pin the data-sized scan to (bkt, sub) tasks — a bkt-partitioned
+    # census-join output satisfies the window's clustering requirement
+    # on the bkt subset and would serialize each tolerance bucket
+    # through one task (the interval_concurrency lesson)
+    sub = sub.repartition("bkt", "__sub")
+    pool_struct = F.when(
+        F.col("is_eval") == 0,
+        F.struct(F.col("pid").alias("cid"), F.col("v").alias("cv")),
+    )
+    w = Window.partitionBy("bkt", "__sub").orderBy(
         F.col("v").asc(), F.col("is_eval").asc(), F.col("pid").asc()
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    carried = tagged.withColumn(
-        "ctl",
-        F.last(
+    local = sub.withColumn(
+        "ctl_loc", F.last(pool_struct, ignorenulls=True).over(w)
+    )
+    # bkt-x-sub-sized frame: latest pool struct per sub-bucket, then
+    # the exclusive running latest over earlier sub-buckets = carry-in.
+    # Grouped over ALL rows (not just pool rows) so eval-only
+    # sub-buckets still get a carry row; the NULL ordering key makes
+    # max_by skip eval rows, leaving last_pool NULL where a sub-bucket
+    # has no pool row.
+    per_sub = sub.groupBy("bkt", "__sub").agg(
+        F.max_by(
+            pool_struct,
             F.when(
-                F.col("is_eval") == 0,
-                F.struct(F.col("pid").alias("cid"), F.col("v").alias("cv")),
+                F.col("is_eval") == 0, F.struct(F.col("v"), F.col("pid"))
             ),
-            ignorenulls=True,
-        ).over(w),
+        ).alias("last_pool")
+    )
+    w_carry = (
+        Window.partitionBy("bkt")
+        .orderBy("__sub")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = per_sub.select(
+        "bkt",
+        "__sub",
+        F.last("last_pool", ignorenulls=True).over(w_carry).alias("carry"),
+    )
+    carried = local.join(carry, ["bkt", "__sub"], "left").withColumn(
+        "ctl", F.coalesce(F.col("ctl_loc"), F.col("carry"))
     )
     return (
         carried.filter(F.col("is_eval") == 1)

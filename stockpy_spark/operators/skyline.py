@@ -59,7 +59,12 @@ def pareto_frontier_2d(
     # into one bucket's prefix-min window. Still a 1-row broadcast
     # census; output-invariant (any bucketing yields the same
     # frontier, as documented above).
-    bounds = pts.agg(freq_edges(max_col, n_buckets).alias("__edges"))
+    # eager checkpoint: the bucketing.py determinism rule —
+    # percentile_approx varies per materialization and this census
+    # feeds both the local prefix-min and offset branches
+    bounds = pts.agg(
+        freq_edges(max_col, n_buckets).alias("__edges")
+    ).localCheckpoint(eager=True)
     bucketed = with_freq_bucket(
         pts.crossJoin(F.broadcast(bounds)),
         F.col(max_col),

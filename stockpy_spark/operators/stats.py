@@ -404,9 +404,12 @@ def gini_by_group(
         F.col(value_col).cast("double").alias("x"),
     )
     runs = base.groupBy("grp", "x").agg(F.count(F.lit(1)).alias("c"))
+    # eager checkpoint (group-cardinality rows): the bucketing.py
+    # determinism rule — percentile_approx varies per materialization
+    # and this census feeds both the local-rank and offset branches
     census = runs.groupBy("grp").agg(
         freq_edges("x", n_buckets).alias("__edges")
-    )
+    ).localCheckpoint(eager=True)
     bucketed = with_freq_bucket(
         runs.join(census, "grp"),
         F.col("x"),
@@ -798,7 +801,12 @@ def spearman_corr_pairs(
         # degenerates to the single-task sort this bucketing exists to
         # kill. Bucket id = branchless log2(B) binary search
         # (operators/bucketing.py), not an O(B) per-row scan.
-        census = counts.agg(freq_edges("__v", n_buckets).alias("__edges"))
+        # eager checkpoint: the bucketing.py determinism rule —
+        # percentile_approx varies per materialization and this census
+        # feeds both the local-cumsum and offset branches
+        census = counts.agg(
+            freq_edges("__v", n_buckets).alias("__edges")
+        ).localCheckpoint(eager=True)
         bucketed = with_freq_bucket(
             counts.crossJoin(F.broadcast(census)),
             F.col("__v"),

@@ -267,9 +267,12 @@ def interval_concurrency(
     # the per-(key, bucket) running sum degenerates back to the
     # one-task-per-key sort this decomposition exists to kill.
     v = F.col("at_ts").cast("double")
+    # eager checkpoint (key-cardinality rows): the bucketing.py
+    # determinism rule — percentile_approx varies per materialization
+    # and this census feeds both the running-sum and offset branches
     census = net.groupBy(*keys).agg(
         freq_edges(v, n_buckets).alias("__edges")
-    )
+    ).localCheckpoint(eager=True)
     # Keyed path: NO forced broadcast — census and offsets are sized
     # by key cardinality (one row per key / key x bucket), which for
     # per-user or per-host keys is a fact in disguise; a broadcast
