@@ -555,7 +555,22 @@ def bloom_screen(
     scalar-subquery idiom) and every probe is a ``forall`` over the k
     positions — no explode, no re-group, so duplicate input rows
     survive (adds-a-column contract) and non-groupable column types
-    (maps) pass through untouched."""
+    (maps) pass through untouched.
+
+    ``m_bits`` is capped at 2**26 (64 Mbit = ~8 MB of packed words in
+    ONE row/one collect task — r11 advisor): the single-row map is the
+    right shape for the documented KB-scale filter, but a caller
+    sizing the filter for a billion-key corpus would silently funnel
+    the whole bit array through one task and one broadcast row. Past
+    the cap, shard the filter (one bloom_screen per shard, OR the
+    maybes) or use the exact key-set semi-join the admitter already
+    materializes."""
+    if m_bits > 1 << 26:
+        raise ValueError(
+            f"bloom_screen m_bits={m_bits} exceeds the 2**26 single-row "
+            "map ceiling; shard the filter or use an exact key-set "
+            "semi-join at that scale"
+        )
     packed = bloom.agg(
         F.map_from_entries(
             F.collect_list(F.struct("word", "bits"))

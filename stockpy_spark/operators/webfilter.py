@@ -132,7 +132,24 @@ def domain_diversity_cap(
     kept = (F.col("blocked") == 0) & (
         F.coalesce(F.col("__off"), F.lit(0)) + rk_loc <= max_per_domain
     )
+    # eqNullSafe on domain (r11 advisor): a plain equi-join never
+    # matches a NULL domain key, so a NULL-domain group (NULL url
+    # reaching a caller that supplies the columns directly) would see
+    # __off=0 in EVERY bucket and keep up to n_buckets*max_per_domain
+    # rows; null-safe equality gives it the same one offset frame —
+    # and the same cap — as any other group. Window partitioning
+    # already groups NULLs together, so the join was the only seam.
+    off = offsets.select(
+        F.col("domain").alias("__dom_o"),
+        F.col("__bkt").alias("__bkt_o"),
+        "__off",
+    )
     return (
-        base.join(offsets, ["domain", "__bkt"], "left")
+        base.join(
+            off,
+            F.col("domain").eqNullSafe(F.col("__dom_o"))
+            & (F.col("__bkt") == F.col("__bkt_o")),
+            "left",
+        )
         .select(*df.columns, kept.cast("int").alias("kept"))
     )

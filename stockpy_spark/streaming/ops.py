@@ -939,7 +939,14 @@ def run_incremental_minhash_admitter(
     fps_dir = os.path.join(state_dir, "fps")
     keys_dir = os.path.join(state_dir, "keys")
     admitted_dir = os.path.join(state_dir, "admitted")
-    if not os.path.isdir(fps_dir):  # idempotent seed: batch_id = -1
+    # seed gate is a COMPLETION MARKER written after BOTH key-set
+    # writes (r11 advisor): gating on isdir(fps_dir) left a crash
+    # window between the two writes where fps existed but keys did
+    # not, and every restart then failed reading keys_dir until the
+    # state was wiped by hand. Both writes are mode("overwrite"), so
+    # re-running an interrupted seed is idempotent.
+    seed_marker = os.path.join(state_dir, "_SEED_COMPLETE")
+    if not os.path.isfile(seed_marker):  # idempotent seed: batch_id = -1
         fps, keys = corpus_dedup_keys(
             corpus, text_col, id_col, num_hashes, bands
         )
@@ -949,6 +956,9 @@ def run_incremental_minhash_admitter(
         keys.withColumn("batch_id", F.lit(-1)).write.mode(
             "overwrite"
         ).parquet(keys_dir)
+        os.makedirs(state_dir, exist_ok=True)
+        with open(seed_marker, "w") as fh:
+            fh.write("seeded")
 
     def feb(batch_df: DataFrame, batch_id: int) -> None:
         standing_fps = (
@@ -994,3 +1004,69 @@ def run_incremental_minhash_admitter(
         .dropDuplicates([id_col])
         .drop("batch_id")
     )
+
+
+def compact_admission_index(
+    spark: SparkSession,
+    state_dir: str,
+    target_file_bytes: int = 32 * 1024 * 1024,
+) -> dict:
+    """Compact the minhash admitter's fingerprint / band-key index
+    (r11 verdict "What's wrong" #2): the admitter appends one parquet
+    write per micro-batch and relies on read-time dedupe for replayed
+    batches, so over thousands of micro-batches the per-batch index
+    scan grows with small files and replay garbage. This helper
+    rewrites ``{state_dir}/fps`` and ``{state_dir}/keys`` keeping the
+    MIN ``batch_id`` per key — the first arrival, so the admitter's
+    ``batch_id < own`` replay screen still sees exactly the pre-batch
+    state afterwards — and repartitions to ~``target_file_bytes``
+    files (the repo's small-file idiom).
+
+    Cadence contract: run it while the stream is QUIESCED (between
+    ``availableNow`` drains, or on a maintenance tick every N batches
+    — N sized so the index stays under a few hundred files); it swaps
+    each dir via ``dir -> dir.old; dir.tmp -> dir`` renames, and a
+    crash mid-swap fails LOUDLY on the next admitter read (the seed
+    marker stays present, so nothing silently re-seeds) and is
+    repaired by simply re-running this helper, which restores the
+    ``.old`` dir before compacting.
+
+    Returns {"fps": {"rows_before", "rows_after"}, "keys": {...}}.
+    """
+    import os
+    import shutil
+
+    report = {}
+    for sub, key_cols in (("fps", ["__fp"]), ("keys", ["band", "bsig"])):
+        d = os.path.join(state_dir, sub)
+        old, tmp = d + ".old", d + ".tmp"
+        # crash repair: a previous compaction died mid-swap
+        if not os.path.isdir(d) and os.path.isdir(old):
+            os.rename(old, d)
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        if not os.path.isdir(d):
+            continue
+        df = spark.read.parquet(d)
+        before = df.count()
+        compacted = df.groupBy(*key_cols).agg(
+            F.min("batch_id").alias("batch_id")
+        )
+        size = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        n_files = max(1, min(64, -(-size // target_file_bytes)))
+        compacted.repartition(int(n_files)).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        after = spark.read.parquet(tmp).count()
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        os.rename(d, old)
+        os.rename(tmp, d)
+        shutil.rmtree(old)
+        report[sub] = {"rows_before": before, "rows_after": after}
+    return report

@@ -147,6 +147,43 @@ def test_web_domain_filter_parse_block_and_cap(spark):
     assert sum(r[i]["kept"] for i in range(1, 9)) == 3
 
 
+def test_domain_cap_null_domain_group_respects_cap(spark):
+    """r11 advisor seam: the offset join is null-safe on domain, so a
+    NULL-domain group (a caller supplying the screen columns directly)
+    gets ONE offset frame and the same cap as any other group — the
+    plain equi-join matched nothing and let every bucket restart at
+    offset 0, keeping up to n_buckets*max_per_domain rows."""
+    from stockpy_spark.operators.webfilter import domain_diversity_cap
+
+    rows = [(i, None, 0) for i in range(1, 41)]  # NULL domain, unblocked
+    rows += [(100 + i, "ok.com", 0) for i in range(1, 6)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, domain string, blocked int"
+    )
+    out = domain_diversity_cap(df, "doc_id", 3)
+    kept_null = sum(
+        r["kept"] for r in out.collect() if r["doc_id"] < 100
+    )
+    kept_ok = sum(r["kept"] for r in out.collect() if r["doc_id"] > 100)
+    assert kept_null == 3, kept_null  # capped, not n_buckets * 3
+    assert kept_ok == 3
+
+
+def test_bloom_screen_m_bits_ceiling_guard(spark):
+    """r11 advisor seam: the single-row word map concentrates the whole
+    filter into one task, so m_bits past the documented 2**26 ceiling
+    must fail loudly instead of silently building a giant row."""
+    import pytest
+
+    from stockpy_spark.operators.sketches import bloom_build, bloom_screen
+
+    corpus = spark.createDataFrame([("k0",)], "fp string")
+    bloom = bloom_build(corpus, "fp", m_bits=256, k_hashes=3)
+    batch = spark.createDataFrame([(1, "k0")], "id long, fp string")
+    with pytest.raises(ValueError, match="2\\*\\*26"):
+        bloom_screen(batch, "fp", bloom, m_bits=(1 << 26) + 63)
+
+
 def test_target_encode_oof_leak_proof_hand_computed(spark):
     """Pins the out-of-fold arithmetic of target_encode_oof with
     n_folds=2 and smoothing=0 on a two-category frame: each row's

@@ -1771,6 +1771,116 @@ def test_stream_minhash_admitter_resumes_across_runs(spark, tmp_path):
     assert sum(per_batch.values()) == 3  # one row per admitted doc ever
 
 
+def test_minhash_admitter_seed_crash_window_recovers(spark, tmp_path):
+    """r11 advisor seam: the seed gate is a completion marker written
+    after BOTH key-set writes. A crash between the fps and keys writes
+    (simulated: fps dir present, keys dir absent, no marker) must NOT
+    wedge every restart — the next run re-seeds idempotently and
+    admits normally."""
+    import os
+
+    from stockpy_spark.streaming.ops import run_incremental_minhash_admitter
+
+    corpus = spark.createDataFrame(
+        [(100, "alpha beta gamma")], "doc_id long, text string"
+    )
+    state = str(tmp_path / "state")
+    # simulate the crash window: fps written, keys missing, no marker
+    from stockpy_spark.operators.dedup import corpus_dedup_keys
+    from pyspark.sql import functions as F
+
+    fps, _ = corpus_dedup_keys(corpus, "text", "doc_id", 12, 2)
+    fps.withColumn("batch_id", F.lit(-1)).write.mode("overwrite").parquet(
+        os.path.join(state, "fps")
+    )
+    assert not os.path.isfile(os.path.join(state, "_SEED_COMPLETE"))
+
+    rows = [(11, "delta epsilon zeta"), (14, "gamma beta alpha")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    landing = str(tmp_path / "landing")
+    _write_waves(spark, df, [[11, 14]], landing)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    admitted = run_incremental_minhash_admitter(
+        spark, stream, corpus, "text", "doc_id",
+        state, str(tmp_path / "ckpt"),
+    )
+    assert sorted(r["doc_id"] for r in admitted.collect()) == [11]
+    assert os.path.isfile(os.path.join(state, "_SEED_COMPLETE"))
+
+
+def test_compact_admission_index_preserves_replay_semantics(spark, tmp_path):
+    """r11 verdict #2 / r12 task 5: inject a replayed batch's duplicate
+    appends into the fps/keys dirs, compact (min batch_id per key
+    survives), resume the stream with a colliding + a novel wave — the
+    admitted set is identical to the uncompacted run's."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from stockpy_spark.streaming.ops import (
+        compact_admission_index,
+        run_incremental_minhash_admitter,
+    )
+
+    corpus = spark.createDataFrame(
+        [(100, "alpha beta gamma")], "doc_id long, text string"
+    )
+    rows = [
+        (11, "delta epsilon zeta"),
+        (15, "one two three"),
+        (5, "three two one"),            # wave 1: LSH dup of 15 -> out
+        (22, "late novel document"),     # wave 1: fresh -> admitted
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    landing = str(tmp_path / "landing")
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    _write_waves(spark, df, [[11, 15]], landing)
+    stream = lambda: (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    first = run_incremental_minhash_admitter(
+        spark, stream(), corpus, "text", "doc_id", state, ckpt
+    )
+    assert sorted(r["doc_id"] for r in first.collect()) == [11, 15]
+
+    # inject replay garbage: re-append batch 0's index rows verbatim
+    for sub in ("fps", "keys"):
+        d = os.path.join(state, sub)
+        spark.read.parquet(d).where(F.col("batch_id") == 0).write.mode(
+            "append"
+        ).parquet(d)
+    pre_fps = spark.read.parquet(os.path.join(state, "fps")).count()
+
+    report = compact_admission_index(spark, state)
+    assert report["fps"]["rows_after"] < pre_fps
+    # min batch_id per key survives (seed rows keep -1)
+    fps = spark.read.parquet(os.path.join(state, "fps"))
+    assert fps.groupBy("__fp").count().agg(F.max("count")).collect()[0][0] == 1
+    assert fps.agg(F.min("batch_id")).collect()[0][0] == -1
+
+    # resume: wave 1 lands after compaction; 5 must still collide with
+    # 15's standing keys, 22 admits
+    import glob
+    import shutil
+
+    tmp = os.path.join(landing, "__w1")
+    df.where(F.col("doc_id").isin([5, 22])).coalesce(1).write.parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    shutil.move(part, os.path.join(landing, "batch-1.parquet"))
+    shutil.rmtree(tmp)
+
+    second = run_incremental_minhash_admitter(
+        spark, stream(), corpus, "text", "doc_id", state, ckpt
+    )
+    assert sorted(r["doc_id"] for r in second.collect()) == [11, 15, 22]
+
+
 def test_pixel_features_on_error_null_isolates_corrupt_payloads(spark):
     """Round-11 degenerate sweep: one truncated/corrupt blob must not
     kill a corpus job. on_error='null' keeps failed rows with NULL
