@@ -122,8 +122,65 @@ def word_jaccard_pairs(
 _MINHASH_P = 1_000_000_007
 
 
+def _hash_kernel(hash_fn: str):
+    """The minhash family's hash kernel, selected once and plumbed
+    through signatures -> bands -> admission keys -> the streaming
+    admitter (round-12 task; the r11 measured finding: the per-token
+    double hash IS the narrow-stage wall of the flagship dedup family,
+    and xxhash64 runs it ~3x faster than md5 at sf1).
+
+    Returns (token_base, band_sig, text_fp):
+    - token_base(prefix, tok) -> BIGINT lane base in [0, _MINHASH_P)
+    - band_sig(concat_str)    -> STRING band signature
+    - text_fp(col)            -> STRING exact fingerprint
+
+    ``md5`` stays the default everywhere — the DuckDB oracles replay
+    it bit-for-bit. ``xxhash64`` is the production kernel for a real
+    100 TB run: identical LSH structure, same key-set schema (the
+    64-bit hash casts to STRING so parquet state and joins are
+    type-stable across kernels), different hash draws — so an index
+    seeded with one kernel must be screened with the same kernel
+    (document the choice in the ingestion service's config, like a
+    salt). Collision note: band signatures compress to 64 bits under
+    xxhash64 vs md5's 128 — at 2^32 distinct band keys the birthday
+    collision odds are ~50% for ONE colliding PAIR across the whole
+    index, which costs one spurious rejection, acceptable for dedup
+    screening (not for exact fingerprints of adversarial input).
+    """
+    if hash_fn == "md5":
+        def base(prefix: str, t: F.Column) -> F.Column:
+            return (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(prefix), t)), 1, 15),
+                    16,
+                    10,
+                ).cast("long")
+                % _MINHASH_P
+            )
+
+        return base, F.md5, F.md5
+    if hash_fn == "xxhash64":
+        def base(prefix: str, t: F.Column) -> F.Column:
+            return F.pmod(
+                F.xxhash64(F.concat(F.lit(prefix), t)), F.lit(_MINHASH_P)
+            )
+
+        def bsig(c: F.Column) -> F.Column:
+            return F.xxhash64(c).cast("string")
+
+        def fp(c) -> F.Column:
+            return F.xxhash64(c).cast("string")
+
+        return base, bsig, fp
+    raise ValueError(f"unknown hash_fn {hash_fn!r}: use 'md5' or 'xxhash64'")
+
+
 def _minhash_wide(
-    df: DataFrame, text_col: str, id_col: str, num_hashes: int
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(doc, mh0..mh{H-1}): minhash signature, one BIGINT column per
     hash lane. Double-hashing (Kirsch-Mitzenmacher): two md5-derived
@@ -138,20 +195,15 @@ def _minhash_wide(
     first shuffle in any minhash pipeline is the (tiny, n_docs-sized)
     band bucket join downstream. The md5→hex→bigint derivation is
     engine-portable (DuckDB reproduces every lane bit-for-bit); at
-    100 TB swap md5 for xxhash64 — MEASURED r11: the signature pass
-    runs ~3x faster (0.61 s -> 0.20 s at sf1, same-session A/B)
-    because here the per-token double-md5 IS the narrow-stage wall —
-    unlike dsir's bucket pass, where the explode dominates and the
-    same swap moves nothing. The LSH structure is unchanged either
-    way; the md5 path stays default for the bit-exact oracle.
+    100 TB pass ``hash_fn="xxhash64"`` (_hash_kernel) — MEASURED r11:
+    the signature pass runs ~3x faster (0.61 s -> 0.20 s at sf1,
+    same-session A/B) because here the per-token double hash IS the
+    narrow-stage wall — unlike dsir's bucket pass, where the explode
+    dominates and the same swap moves nothing. The LSH structure is
+    unchanged either way; the md5 path stays default for the
+    bit-exact oracle.
     """
-
-    def base(prefix: str, t: F.Column) -> F.Column:
-        return (
-            F.conv(F.substring(F.md5(F.concat(F.lit(prefix), t)), 1, 15), 16, 10)
-            .cast("long")
-            % _MINHASH_P
-        )
+    base, _, _ = _hash_kernel(hash_fn)
 
     # filter on the token array, NOT the hashed array: predicate pushdown
     # substitutes the filtered alias's defining expression into the
@@ -219,12 +271,16 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 12
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 12,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(doc, h, mh): long-form minhash signature (see _minhash_wide).
     The explode happens AFTER the aggregate, so it is n_docs x H rows,
     not n_tokens x H."""
-    wide = _minhash_wide(df, text_col, id_col, num_hashes)
+    wide = _minhash_wide(df, text_col, id_col, num_hashes, hash_fn)
     pairs = F.array(
         *[
             F.struct(F.lit(h).cast("int").alias("h"), F.col(f"mh{h}").alias("mh"))
@@ -236,17 +292,20 @@ def minhash_signatures(
     )
 
 
-def _band_signatures(wide: DataFrame, num_hashes: int, bands: int) -> DataFrame:
-    """(doc, band, bsig) from a wide minhash frame. Band signature = md5
-    of the band's minhashes in h order, each prefixed with a zero-padded
-    h (identical string to sorting 'hhhh:mh' entries lexicographically —
-    the oracle's formulation). Columnar explode of the aggregate — no
-    extra shuffle."""
+def _band_signatures(
+    wide: DataFrame, num_hashes: int, bands: int, hash_fn: str = "md5"
+) -> DataFrame:
+    """(doc, band, bsig) from a wide minhash frame. Band signature =
+    the kernel's hash of the band's minhashes in h order, each prefixed
+    with a zero-padded h (identical string to sorting 'hhhh:mh' entries
+    lexicographically — the oracle's formulation). Columnar explode of
+    the aggregate — no extra shuffle."""
+    _, bsig_fn, _ = _hash_kernel(hash_fn)
     rows = num_hashes // bands
     band_structs = [
         F.struct(
             F.lit(b).cast("int").alias("band"),
-            F.md5(
+            bsig_fn(
                 F.concat_ws(
                     ",",
                     *[
@@ -269,6 +328,7 @@ def minhash_lsh_pairs(
     id_col: str,
     num_hashes: int = 12,
     bands: int = 6,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash + LSH banding, with the
     minhash-estimated Jaccard attached.
@@ -286,8 +346,8 @@ def minhash_lsh_pairs(
     moderate skew; severe boilerplate should be exact-deduped (cheap)
     before LSH.
     """
-    wide = _minhash_wide(df, text_col, id_col, num_hashes)
-    band_sigs = _band_signatures(wide, num_hashes, bands)
+    wide = _minhash_wide(df, text_col, id_col, num_hashes, hash_fn)
+    band_sigs = _band_signatures(wide, num_hashes, bands, hash_fn)
     a, b = band_sigs.alias("a"), band_sigs.alias("b")
     cand = (
         a.join(
@@ -335,6 +395,7 @@ def minhash_dedup_assign(
     num_hashes: int = 12,
     bands: int = 6,
     iterations: int = 1,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(doc_id, keeper_id, is_dup): map every document to a cluster
     representative via LSH buckets — WITHOUT enumerating pairs.
@@ -349,8 +410,8 @@ def minhash_dedup_assign(
     more iterations propagate labels across chained buckets toward
     connected components (each iteration is 2 bounded hash shuffles).
     """
-    wide = _minhash_wide(df, text_col, id_col, num_hashes)
-    band_sigs = _band_signatures(wide, num_hashes, bands)
+    wide = _minhash_wide(df, text_col, id_col, num_hashes, hash_fn)
+    band_sigs = _band_signatures(wide, num_hashes, bands, hash_fn)
     labeled = band_sigs.withColumn("label", F.col("doc"))
     labels = None
     for _ in range(iterations):
@@ -658,6 +719,7 @@ def incremental_dedup_admit(
     id_col: str,
     num_hashes: int = 12,
     bands: int = 2,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Admission filter for incremental corpus ingestion: which rows of
     a NEW ``batch`` may enter an EXISTING ``corpus``. The production
@@ -684,10 +746,17 @@ def incremental_dedup_admit(
     Returns the admitted batch rows (all original columns).
     """
     corpus_fps, corp_keys = corpus_dedup_keys(
-        corpus, text_col, id_col, num_hashes, bands
+        corpus, text_col, id_col, num_hashes, bands, hash_fn
     )
     return incremental_dedup_admit_keys(
-        batch, corpus_fps, corp_keys, text_col, id_col, num_hashes, bands
+        batch,
+        corpus_fps,
+        corp_keys,
+        text_col,
+        id_col,
+        num_hashes,
+        bands,
+        hash_fn,
     )
 
 
@@ -697,17 +766,24 @@ def corpus_dedup_keys(
     id_col: str,
     num_hashes: int = 12,
     bands: int = 2,
+    hash_fn: str = "md5",
 ) -> tuple[DataFrame, DataFrame]:
     """The standing corpus's ADMISSION INDEX — the only thing an
     ingestion service keeps materialized (at 100 TB you index these
     sets, not the text): the distinct md5 fingerprint set (``__fp``)
     and the distinct LSH band-bucket key set (``band``, ``bsig``).
-    Both are pure functions of the corpus text, so incremental
+    Both are pure functions of the corpus text AND the chosen
+    ``hash_fn`` (an index built with one kernel must be screened with
+    the same one — treat the choice like a salt), so incremental
     maintenance is append-of-the-admitted-rows'-keys (what the
     streaming admitter does per micro-batch)."""
-    fps = corpus.select(F.md5(F.col(text_col)).alias("__fp")).distinct()
+    _, _, fp_fn = _hash_kernel(hash_fn)
+    fps = corpus.select(fp_fn(F.col(text_col)).alias("__fp")).distinct()
     keys = _band_signatures(
-        _minhash_wide(corpus, text_col, id_col, num_hashes), num_hashes, bands
+        _minhash_wide(corpus, text_col, id_col, num_hashes, hash_fn),
+        num_hashes,
+        bands,
+        hash_fn,
     ).select("band", "bsig").distinct()
     return fps, keys
 
@@ -720,6 +796,7 @@ def incremental_dedup_admit_keys(
     id_col: str,
     num_hashes: int = 12,
     bands: int = 2,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """`incremental_dedup_admit` against a MATERIALIZED admission
     index (see corpus_dedup_keys) instead of the corpus text — the
@@ -727,7 +804,8 @@ def incremental_dedup_admit_keys(
     where the standing corpus's key sets persist between arrivals and
     the text is never re-scanned. Stages and semantics are identical
     to incremental_dedup_admit (which now delegates here)."""
-    fp = F.md5(F.col(text_col))
+    _, _, fp_fn = _hash_kernel(hash_fn)
+    fp = fp_fn(F.col(text_col))
     w_fp = Window.partitionBy("__fp")
     s1 = (
         batch.withColumn("__fp", fp)
@@ -739,7 +817,10 @@ def incremental_dedup_admit_keys(
 
     corp_keys = corpus_band_keys.select("band", "bsig").distinct()
     bs_b = _band_signatures(
-        _minhash_wide(s1, text_col, id_col, num_hashes), num_hashes, bands
+        _minhash_wide(s1, text_col, id_col, num_hashes, hash_fn),
+        num_hashes,
+        bands,
+        hash_fn,
     )
     near_corpus_docs = bs_b.join(corp_keys, ["band", "bsig"], "semi").select(
         F.col("doc").alias(id_col)

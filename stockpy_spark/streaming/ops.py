@@ -902,6 +902,7 @@ def run_incremental_minhash_admitter(
     checkpoint_dir: str,
     num_hashes: int = 12,
     bands: int = 2,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Streaming/incremental MinHash-LSH admitter — the 11th streaming
     class: the batch ``incremental_dedup_admit`` semantics run
@@ -927,8 +928,12 @@ def run_incremental_minhash_admitter(
     set, and the duplicate appends collapse at read time
     (dropDuplicates on the doc id / the key sets' distinct).
 
-    Returns the admitted rows (original batch columns) as a batch
-    DataFrame."""
+    ``hash_fn`` selects the dedup family's hash kernel
+    (operators/dedup._hash_kernel): "md5" (default, oracle-bit-exact)
+    or "xxhash64" (the production kernel, ~3x on the signature
+    stage). The state dirs are a pure function of the kernel — a
+    state_dir seeded with one kernel MUST keep it for life (like a
+    salt); key-set schemas are identical either way."""
     import os
 
     from stockpy_spark.operators.dedup import (
@@ -948,7 +953,7 @@ def run_incremental_minhash_admitter(
     seed_marker = os.path.join(state_dir, "_SEED_COMPLETE")
     if not os.path.isfile(seed_marker):  # idempotent seed: batch_id = -1
         fps, keys = corpus_dedup_keys(
-            corpus, text_col, id_col, num_hashes, bands
+            corpus, text_col, id_col, num_hashes, bands, hash_fn
         )
         fps.withColumn("batch_id", F.lit(-1)).write.mode(
             "overwrite"
@@ -975,13 +980,13 @@ def run_incremental_minhash_admitter(
         )
         admitted = incremental_dedup_admit_keys(
             batch_df, standing_fps, standing_keys,
-            text_col, id_col, num_hashes, bands,
+            text_col, id_col, num_hashes, bands, hash_fn,
         ).localCheckpoint(eager=True)  # 3 consumers, compute once
         admitted.withColumn("batch_id", F.lit(batch_id)).write.mode(
             "append"
         ).parquet(admitted_dir)
         nfps, nkeys = corpus_dedup_keys(
-            admitted, text_col, id_col, num_hashes, bands
+            admitted, text_col, id_col, num_hashes, bands, hash_fn
         )
         nfps.withColumn("batch_id", F.lit(batch_id)).write.mode(
             "append"

@@ -51,6 +51,74 @@ def test_minhash_lsh_catches_exact_and_near(spark):
     assert (1, 4) not in pairs and (2, 4) not in pairs and (3, 4) not in pairs
 
 
+def test_minhash_xxhash64_kernel_recall_and_admit_parity(spark):
+    """r12 task: the production hash kernel (hash_fn='xxhash64',
+    _hash_kernel — the r11-measured 3x on the signature narrow stage)
+    must preserve the LSH structure end-to-end: planted exact dups and
+    near-dups are caught identically to the md5 kernel by both the
+    pair enumerator and the full admission filter, and key-set schemas
+    are type-stable across kernels (STRING fps/bsig both ways)."""
+    from stockpy_spark.operators.dedup import (
+        corpus_dedup_keys,
+        incremental_dedup_admit,
+    )
+
+    docs = _docs(spark)
+    pairs = {
+        (r.d1, r.d2): r.est_jaccard
+        for r in minhash_lsh_pairs(
+            docs, "text", "doc_id", 12, 6, hash_fn="xxhash64"
+        ).collect()
+    }
+    assert pairs[(1, 2)] == 1.0       # identical token sets
+    assert (1, 3) in pairs            # near-dup still collides
+    assert (1, 4) not in pairs and (3, 4) not in pairs
+
+    assign = {
+        r.doc_id: r.keeper_id
+        for r in minhash_dedup_assign(
+            docs, "text", "doc_id", 12, 6, hash_fn="xxhash64"
+        ).collect()
+    }
+    assert assign[2] == 1 and assign[4] == 4
+
+    # full admission filter: same admitted set under either kernel
+    corpus = spark.createDataFrame(
+        [(100, "standing corpus document about oceans")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (11, "standing corpus document about oceans"),   # exact dup
+            (12, "oceans about document corpus standing"),   # LSH dup
+            (13, "a genuinely new arrival"),
+            (14, "a genuinely new arrival"),                 # in-batch dup
+        ],
+        "doc_id long, text string",
+    )
+    for kern in ("md5", "xxhash64"):
+        got = sorted(
+            r.doc_id
+            for r in incremental_dedup_admit(
+                batch, corpus, "text", "doc_id", hash_fn=kern
+            ).collect()
+        )
+        assert got == [13], (kern, got)
+
+    # type-stable key sets: STRING fps and bsig under both kernels
+    for kern in ("md5", "xxhash64"):
+        fps, keys = corpus_dedup_keys(
+            corpus, "text", "doc_id", hash_fn=kern
+        )
+        assert dict(fps.dtypes)["__fp"] == "string"
+        assert dict(keys.dtypes)["bsig"] == "string"
+
+    import pytest
+
+    with pytest.raises(ValueError, match="hash_fn"):
+        minhash_lsh_pairs(docs, "text", "doc_id", hash_fn="sha1")
+
+
 def test_simhash_near_dup_distance(spark):
     fps = {r.doc_id: r.simhash for r in
            simhash_fingerprints(_docs(spark), "text", "doc_id").collect()}
