@@ -590,10 +590,21 @@ def target_encode_oof(
         fold.alias("__fold"),
         F.coalesce(F.col(cat_col).cast("string"), F.lit("<NULL>")).alias("__cat"),
     )
+    # eager checkpoint: the r11 criterion (checkpoint a shared frame
+    # only when its computation DOMINATES) — this corpus-scale hash
+    # aggregate is consumed by FOUR branches (the lut's cells join,
+    # cat_tot, and the two glob broadcasts), each of which Spark plans
+    # as an independent recomputation of the fact scan + agg; the r12
+    # attribution profile read ~5 fact aggregates per run (25
+    # exchanges) and the sf10 spot halved with the pin. Output is
+    # folds x categories rows — for a user-id-like category that is
+    # data-sized state, but materializing it ONCE is strictly cheaper
+    # than the 4x fact-aggregate recompute it replaces (and it is the
+    # LUT the op ships to the join anyway).
     cells = base.groupBy("__cat", "__fold").agg(
         F.sum(F.when(F.col(target_col).isNotNull(), F.col(target_col)).otherwise(0.0)).alias("__s"),
         F.sum(F.when(F.col(target_col).isNotNull(), 1).otherwise(0)).alias("__n"),
-    )
+    ).localCheckpoint(eager=True)
     cat_tot = cells.groupBy("__cat").agg(
         F.sum("__s").alias("__cs"), F.sum("__n").alias("__cn")
     )
