@@ -24,10 +24,10 @@ This module replaces the width formula with EQUAL-FREQUENCY edges:
   (``accuracy`` rank error) only nudges the balance, never collapses
   it.
 - :func:`with_freq_bucket` — the bucket id as a BRANCHLESS BINARY
-  SEARCH over the edges array: log2(B) ``element_at`` probes per row,
-  plain comparisons, whole-stage-codegen friendly, one chained
-  projection per stride (see its docstring for why it must not be a
-  single nested expression). (A naive
+  SEARCH over the edges array: log2(B) ``element_at`` probes per row
+  folded through an ``F.aggregate`` lambda accumulator (see its
+  docstring for why neither a nested expression nor a chained
+  projection survives the optimizer). (A naive
   ``size(filter(edges, e -> e < v))`` is an interpreted per-element
   lambda — O(B) per row, prohibitive at B=1024 on a 60M-row distinct
   frame.)
@@ -105,42 +105,49 @@ def with_freq_bucket(
     ``#edges strictly above v`` — non-increasing in ``v``.
 
     Branchless binary search probing power-of-two strides: log2(B)
-    ``element_at`` + comparisons per row, no lambda, no O(B) scan.
-    Each stride is its OWN chained projection so the accumulated
-    search index is a NAMED column between steps — folding the search
-    into one nested expression re-traverses the accumulated subtree
-    ~4x per step (conditions reference it twice, both branches once),
-    which is exponential in log(B): at B=1024 the single-expression
-    form hung analysis outright (the HOF-lambda no-CSE trap from the
-    round-8 ledger, in plan-time clothing). CollapseProject leaves
-    the chain alone because each step's alias is non-cheap and
-    multiply-referenced. Duplicate edges (a value heavier than 1/B of
-    the frame) leave the duplicated slots empty rather than
-    mis-ordering anything; rows with EQUAL values always share a
-    bucket (the id depends on the value alone). NULL/empty edges
-    (empty census) put every row in bucket 0, matching the old
-    ``mx == mn`` degenerate branch.
+    ``element_at`` + comparisons per row, no O(B) scan. The strides
+    run as an ``F.aggregate`` fold whose accumulator is a LAMBDA
+    VARIABLE — a bound variable Catalyst structurally cannot inline.
+    The history matters: each stride references the accumulated index
+    ~4x (the guard twice, both branches once), so (1) one nested
+    expression re-traverses the accumulated subtree 4^log2(B)-fold —
+    at B=1024 analysis hung outright; and (2) the chained-projection
+    form (one named column per stride) fixed that locally but a
+    WINDOW above it made the optimizer inline the chain back into the
+    4^10 monster, OOMing a default-heap session at plan time (caught
+    by the vanilla-session window gate, r12). The lambda fold is the
+    only representation that is compact under EVERY downstream
+    operator; it evaluates interpreted (HOFs are CodegenFallback) at
+    ~1.25x the codegen chain's wall on the narrow stage (8M rows:
+    1.76 s vs 1.40 s) — the robustness is worth 25% of a non-wall
+    stage. Duplicate edges (a value heavier than 1/B of the frame)
+    leave the duplicated slots empty rather than mis-ordering
+    anything; rows with EQUAL values always share a bucket (the id
+    depends on the value alone). NULL/empty edges (empty census) put
+    every row in bucket 0, matching the old ``mx == mn`` degenerate
+    branch.
     """
-    b, m, v = "__fb_b", "__fb_m", "__fb_v"
-    out = df.withColumn(v, value.cast("double")).withColumn(
-        m, F.size(edges)
-    )
+    vd = value.cast("double")
+    m = F.size(edges)
+    steps = []
     step = 1
     while step * 2 < n_buckets:
         step *= 2
-    out = out.withColumn(b, F.lit(0))
     while step >= 1:
-        cand = F.col(b) + F.lit(step)
-        probe = F.element_at(edges, cand)
-        hit = probe <= F.col(v) if descending else probe < F.col(v)
-        out = out.withColumn(
-            b,
-            F.when((cand <= F.col(m)) & hit, cand).otherwise(F.col(b)),
-        )
+        steps.append(step)
         step //= 2
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+
+    def fold(acc, s):
+        cand = acc + s
+        probe = F.element_at(edges, cand)
+        hit = probe <= vd if descending else probe < vd
+        return F.when((cand <= m) & hit, cand).otherwise(acc)
+
+    b = F.aggregate(steps_arr, F.lit(0), fold)
     if descending:
         # #edges > v = m - #edges <= v; empty/NULL edges -> bucket 0
-        final = F.coalesce(F.col(m) - F.col(b), F.lit(0))
+        final = F.coalesce(m - b, F.lit(0))
     else:
-        final = F.coalesce(F.col(b), F.lit(0))
-    return out.withColumn(out_col, final.cast("int")).drop(b, m, v)
+        final = F.coalesce(b, F.lit(0))
+    return df.withColumn(out_col, final.cast("int"))

@@ -99,6 +99,82 @@ def pack_sequences(
     ).drop("__cum")
 
 
+def pack_chunks_ordered(
+    df: DataFrame,
+    doc_col: str,
+    chunk_col: str,
+    token_col: str,
+    budget: int,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Greedy IN-ORDER packing of document chunks into fixed
+    token-budget training sequences — the stage between
+    chunk_documents and the trainer when chunk LOCALITY matters
+    (adjacent chunks of one document land in the same or adjacent
+    sequences, preserving long-range context across sequence
+    boundaries), where pack_sequences' hash-sharding deliberately
+    scatters documents for skew-freedom.
+
+    bin = floor(start_offset / budget) with start_offset the total
+    tokens strictly before the chunk in the GLOBAL (doc, chunk) order;
+    chunks stay whole, a chunk crossing a boundary belongs to the bin
+    where it starts, and a chunk longer than ``budget`` pushes the
+    next chunk past the bins it spans (occupying them alone).
+    ``seq_start`` (the offset itself) is also returned so a
+    materializer can slice exactly. (doc, chunk) must be unique.
+
+    Scale shape: the global ordered running sum is the bucketed
+    prefix-sum idiom (operators/bucketing.py — the 7th member):
+    equal-frequency quantile edges over the doc axis range-bucket the
+    rows (all chunks of a doc share a bucket: the bucket id is a
+    function of the doc value), each bucket cumsums locally in
+    parallel, and per-bucket token totals close into global offsets
+    through an n_buckets-row window. No single-task corpus sort; the
+    edges census is localCheckpoint-pinned per the bucketing.py
+    determinism rule.
+    """
+    from stockpy_spark.operators.bucketing import (
+        freq_edges,
+        with_freq_bucket,
+    )
+
+    census = df.agg(
+        freq_edges(F.col(doc_col), n_buckets).alias("__edges")
+    ).localCheckpoint(eager=True)
+    b = with_freq_bucket(
+        df.crossJoin(F.broadcast(census)),
+        F.col(doc_col),
+        F.col("__edges"),
+        n_buckets,
+        "__bkt",
+    ).drop("__edges")
+    wloc = (
+        Window.partitionBy("__bkt")
+        .orderBy(doc_col, chunk_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = b.withColumn(
+        "__st_loc", F.coalesce(F.sum(token_col).over(wloc), F.lit(0))
+    )
+    woff = Window.orderBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        b.groupBy("__bkt")
+        .agg(F.sum(token_col).alias("__bt"))
+        .select(
+            "__bkt",
+            F.coalesce(F.sum("__bt").over(woff), F.lit(0)).alias("__off"),
+        )
+    )
+    start = F.col("__off") + F.col("__st_loc")
+    return local.join(F.broadcast(offsets), "__bkt").select(
+        *df.columns,
+        start.cast("long").alias("seq_start"),
+        F.floor(start / F.lit(float(budget))).cast("long").alias("bin"),
+    )
+
+
 def stratified_sample_exact(
     df: DataFrame,
     group_col: str,

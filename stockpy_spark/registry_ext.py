@@ -1356,6 +1356,75 @@ FROM c
 """
 
 
+def q_pack_chunks_ordered(spark, sf_dir):
+    """Ordered chunk packing (operators/sampling.py
+    pack_chunks_ordered — the locality-preserving sibling of
+    pack_context_bins, and the 7th member of the bucketed prefix-sum
+    family): each document splits into 64-token chunks, and every
+    chunk's training-sequence bin is floor(global_start_offset / 512)
+    over the (doc, chunk) order — the exact running sum the oracle
+    replays with one global window, computed here with the quantile-
+    edge bucket closure instead of a single-task sort."""
+    from stockpy_spark.operators.sampling import pack_chunks_ordered
+
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", token_count("text").cast("long").alias("nt")
+    ).filter(F.col("nt") > 0)
+    chunks = sized.select(
+        "doc_id",
+        "nt",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                ((F.col("nt") - 1) / F.lit(64)).cast("long"),
+            )
+        ).alias("chunk_idx"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.least(
+            F.lit(64).cast("long"),
+            F.col("nt") - F.col("chunk_idx") * F.lit(64),
+        ).alias("n_tokens"),
+    )
+    out = pack_chunks_ordered(
+        chunks, "doc_id", "chunk_idx", "n_tokens", budget=512
+    )
+    return out.select("doc_id", "chunk_idx", "n_tokens", "seq_start", "bin")
+
+
+SQL_PACK_CHUNKS = f"""
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                ELSE len({_TOKENS_SQL}) END AS nt
+    FROM documents
+), s AS (
+    SELECT doc_id, nt FROM t WHERE nt > 0
+), c AS (
+    SELECT doc_id, nt,
+           unnest(range(0, CAST(floor((nt - 1) / 64) AS BIGINT) + 1))
+               AS chunk_idx
+    FROM s
+), z AS (
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(least(64, nt - chunk_idx * 64) AS BIGINT) AS n_tokens
+    FROM c
+), r AS (
+    SELECT doc_id, chunk_idx, n_tokens,
+           CAST(coalesce(SUM(n_tokens) OVER (
+                    ORDER BY doc_id, chunk_idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) AS BIGINT) AS seq_start
+    FROM z
+)
+SELECT doc_id, chunk_idx, n_tokens, seq_start,
+       CAST(floor(seq_start / 512.0) AS BIGINT) AS bin
+FROM r
+"""
+
+
 def q_text_dup_spans(spark, sf_dir):
     """Substring-level duplication meter (operators/dedup.py
     duplicated_span_coverage, n=8): per-document fraction of tokens
@@ -2683,6 +2752,7 @@ EXT_QUERIES: dict[str, tuple] = {
     "stats_kde_grid": (q_stats_kde_grid, SQL_KDE),
     "stats_spearman": (q_stats_spearman, SQL_SPEARMAN),
     "pack_context_bins": (q_pack_context_bins, SQL_PACK),
+    "pack_chunks_ordered": (q_pack_chunks_ordered, SQL_PACK_CHUNKS),
     "text_redact_pii": (q_text_redact_pii, SQL_REDACT),
     "pack_materialize": (q_pack_materialize, SQL_PACK_MAT),
     "text_repetition": (q_text_repetition, SQL_REPETITION),

@@ -72,6 +72,38 @@ def test_pack_sequences_bins_respect_start_offsets(spark, sf_dir):
     assert len(cum) == 4
 
 
+def test_pack_chunks_ordered_hand_computed_and_bucket_invariant(spark):
+    """pack_chunks_ordered: hand-laid chunk stream with budget 10 —
+    bins follow the global (doc, chunk) running sum; a chunk LONGER
+    than the budget (doc 2 chunk 0, 25 tokens) starts its own offset
+    region and pushes the next chunk past the bins it spans; the
+    output is invariant to n_buckets (the family's closure contract)."""
+    from stockpy_spark.operators.sampling import pack_chunks_ordered
+
+    rows = [
+        (1, 0, 4),   # start 0  -> bin 0
+        (1, 1, 4),   # start 4  -> bin 0
+        (1, 2, 4),   # start 8  -> bin 0 (crosses into 1, stays whole)
+        (2, 0, 25),  # start 12 -> bin 1; spans bins 1-3 alone
+        (2, 1, 3),   # start 37 -> bin 3
+        (3, 0, 5),   # start 40 -> bin 4
+    ]
+    df = spark.createDataFrame(rows, "doc long, chunk long, n long")
+    expect = {(1, 0): (0, 0), (1, 1): (4, 0), (1, 2): (8, 0),
+              (2, 0): (12, 1), (2, 1): (37, 3), (3, 0): (40, 4)}
+    outs = []
+    for nb in (1, 4, 64):
+        got = {
+            (r["doc"], r["chunk"]): (r["seq_start"], r["bin"])
+            for r in pack_chunks_ordered(
+                df, "doc", "chunk", "n", budget=10, n_buckets=nb
+            ).collect()
+        }
+        assert got == expect, (nb, got)
+        outs.append(got)
+    assert outs[0] == outs[1] == outs[2]
+
+
 def test_dsir_weights_sign_structure_and_topk(spark):
     """Pins DSIR semantics (operators/dsir.py) without replaying md5:
     raw docs made of target-distribution bigrams score positive log
