@@ -72,16 +72,21 @@ from pyspark.sql import functions as F
 
 
 def freq_edges(
-    col: Column | str, n_buckets: int, accuracy: int = 10000
+    col: Column | str, n_buckets: int, accuracy: int = 1000
 ) -> Column:
     """Aggregate expression: the ``n_buckets - 1`` interior
     equal-frequency edges of ``col`` as a sorted DOUBLE array.
 
     Add it to the census aggregation the operator already runs (1-row
     global agg or per-group agg); ``accuracy`` is the
-    ``percentile_approx`` rank-error knob (memory ~ accuracy, error
-    ~ n / accuracy — balance needs only rough quantiles, the default
-    is already overkill).
+    ``percentile_approx`` rank-error knob (partial-sketch size ~
+    accuracy, rank error ~ n / accuracy). The default 1000 keeps the
+    rank error at ~one bucket width even at B=1024 — a bucket can run
+    ~2x fat, never collapse — while bounding what the census agg's
+    SINGLE final-merge reducer receives: sketch partials ride the
+    shuffle per upstream partition, and at cluster partition counts a
+    10000-accuracy sketch is a 10x larger single-task merge for
+    balance precision nothing downstream can use.
     """
     probs = [i / n_buckets for i in range(1, n_buckets)]
     c = F.col(col) if isinstance(col, str) else col
