@@ -679,6 +679,23 @@ def test_image_queries_prune_scan_to_doc_id(spark):
             assert "struct<doc_id:bigint>" in line, (name, line)
 
 
+def test_bucket_search_representation_stays_compact_under_window(spark):
+    """Round-12 representation-stability pin (BASELINE.md "three
+    representations" post-mortem): the freq-bucket binary search must
+    survive the optimizer as the F.aggregate LAMBDA fold — a nested or
+    chained-projection form gets inlined under the window into a
+    ~4^log2(B) expression that OOMs a default-heap session at plan
+    time. The optimized plan must stay KB-sized (the monster is MBs
+    before it dies) and carry the un-inlinable lambda."""
+    from stockpy_spark.operators.stats import spearman_corr_pairs
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    df = spearman_corr_pairs(li, ["l_extendedprice", "l_quantity"])
+    p = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "lambdafunction" in p  # the bound-variable fold survived
+    assert len(p) < 100_000, f"bucket search re-inlined: plan {len(p)} chars"
+
+
 def test_spearman_rank_cumsum_is_bucketed_not_global(spark):
     """Round-10 verdict #1: the distinct-value cumulative sum must
     partition by the range bucket — a partition-less window over the
