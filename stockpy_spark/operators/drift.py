@@ -160,10 +160,18 @@ def ks_2samp(
         )
         .filter(F.col("v").isNotNull())
     )
+    # eager checkpoint (r12 measured, the r11 dominance criterion):
+    # this distinct-value aggregate collapses the pooled fact (10M
+    # rows -> 13k values at the sf10 spot) and is consumed by THREE
+    # branches (edges census, local cumsum, bucket offsets), each
+    # planned as its own union-scan + agg — pinning it took the sf10
+    # spot from 6.17 s to 3.87 s with identical output. Worst case
+    # (continuous column, distinct ~ rows) it still trades two full
+    # recomputes for one distinct-sized materialization.
     per_v = pooled.groupBy("v").agg(
         F.sum("is_ref").alias("c_ref"),
         F.sum(F.lit(1) - F.col("is_ref")).alias("c_cur"),
-    )
+    ).localCheckpoint(eager=True)
     # eager checkpoint pins the SKETCHED edges — the bucketing.py
     # determinism rule: percentile_approx varies per materialization
     # and this census feeds both the local-cumsum and offset branches

@@ -48,9 +48,13 @@ def pareto_frontier_2d(
     ``n_buckets`` trades parallelism against the (tiny) bucket-census
     pass; any value yields the same result.
     """
+    # eager checkpoint (r12, the ks_2samp precedent in drift.py): the
+    # per-x reduce collapses the fact to distinct x values and feeds
+    # three branches (edges census, local prefix-min, bucket census)
     pts = (
         df.groupBy(max_col)
         .agg(F.min(min_col).alias(min_col))
+        .localCheckpoint(eager=True)
     )
     # bucket 0 holds the LARGEST x so bucket order matches scan order;
     # edges are EQUAL-FREQUENCY quantiles over the distinct x values

@@ -403,7 +403,12 @@ def gini_by_group(
         F.col(group_col).alias("grp"),
         F.col(value_col).cast("double").alias("x"),
     )
-    runs = base.groupBy("grp", "x").agg(F.count(F.lit(1)).alias("c"))
+    # eager checkpoint (r12, the ks_2samp precedent in drift.py): the
+    # distinct-run aggregate collapses the fact and feeds three
+    # branches (edges census, local rank, per-bucket totals)
+    runs = base.groupBy("grp", "x").agg(
+        F.count(F.lit(1)).alias("c")
+    ).localCheckpoint(eager=True)
     # eager checkpoint (group-cardinality rows): the bucketing.py
     # determinism rule — percentile_approx varies per materialization
     # and this census feeds both the local-rank and offset branches
@@ -732,7 +737,7 @@ def kde_grid(
 
 
 def spearman_corr_pairs(
-    df: DataFrame, cols: list[str], dp: int = 6, n_buckets: int = 1024
+    df: DataFrame, cols: list[str], dp: int = 6, n_buckets: int = 256
 ) -> DataFrame:
     """Exact Spearman rank correlation for every column pair — the
     monotonic-dependence screen Pearson (stats_corr_matrix) misses on
@@ -754,7 +759,11 @@ def spearman_corr_pairs(
     ~ row-count, so a global ``Window.orderBy`` would drag the corpus
     through one sorter task (the skyline/KS/Gini disease). Instead a
     1-row equal-frequency quantile census range-buckets the distinct
-    values (bucketing.py — (min, max) width was outlier-fragile), each
+    values (bucketing.py — (min, max) width was outlier-fragile; the
+    census costs O(n_buckets) percentile queries, measured 0.35 s at
+    B=256 vs 1.45 s at B=1024 on a 580k-distinct frame, so the
+    default stays 256 — raise it when distinct-per-task at your
+    cluster's core count says so, the outputs are invariant), each
     bucket cumsums locally (corpus/n_buckets rows per task), and a
     KB-sized exclusive bucket-offset frame broadcast-joins back.
     Cardinality contract: cost = one fact scan + one combo-sized

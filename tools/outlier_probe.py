@@ -93,7 +93,7 @@ def probe_ks(spark, n: int):
 def probe_spearman(spark, n: int):
     from stockpy_spark.operators.stats import spearman_corr_pairs
 
-    def run(outlier: bool, n_buckets: int = 1024):
+    def run(outlier: bool, n_buckets: int = 256):
         x = draw(F.col("id"), "sx") + F.col("id") * 1e-9  # near-distinct
         if outlier:
             x = with_outlier(x, OUTLIER)
