@@ -367,3 +367,125 @@ def pmi_collocations(
         )
     )
     return scored.orderBy(F.col("pmi").desc(), F.col("xy")).limit(k)
+
+
+def nb_quality_classifier(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    labels: DataFrame,
+    label_id_col: str = "doc_id",
+    label_col: str = "label",
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+    salt: str = "nbq",
+    dp: int = 6,
+) -> DataFrame:
+    """Model-based quality filtering — the classifier stage of the
+    CCNet / FineWeb-Edu recipe: train a multinomial Naive Bayes text
+    classifier on a LABELED SEED (labels come from wherever the
+    pipeline gets them — a heuristic, human raters, an LLM judge;
+    they are an input, not this operator's business), then score the
+    ENTIRE corpus with per-class log-likelihood ratios. This is the
+    supervised sibling of DSIR (operators/dsir.py): DSIR contrasts two
+    unlabeled DISTRIBUTIONS, this fits a labeled decision rule with a
+    class prior and an out-of-vocabulary default.
+
+    Model, textbook multinomial NB with add-``alpha`` smoothing over
+    ``n_buckets`` hashed unigram features (hashing bounds the model at
+    a KB no matter the corpus vocabulary):
+
+    - per-bucket weight  w[b] = ln((n1[b]+a)/(N1+aB)) - ln((n0[b]+a)/(N0+aB))
+    - unseen-bucket default  w0 = ln(a/(N1+aB)) - ln(a/(N0+aB))
+      (a bucket the seed never saw still carries the smoothed ratio —
+      dropping it would bias long out-of-domain docs toward the prior)
+    - prior = ln((d1+a)/(d0+a)) over seed DOC counts
+    - score(doc) = prior + sum over token instances of w[bucket]
+
+    Returns EVERY row of ``df``: (id, n_tokens, nb_score, pred_quality)
+    with ``nb_score`` rounded to ``dp`` and ``pred_quality = nb_score >
+    0``. Empty/NULL docs score exactly the rounded prior. A label class
+    absent from the seed does not crash (smoothing keeps every ratio
+    finite) — the scores just collapse toward the surviving class,
+    which is the honest answer to a degenerate seed.
+
+    Scale shape: one token explode feeds BOTH training and scoring
+    (ReuseExchange shares the exchange, the lm_perplexity pattern); the
+    seed join is an unhinted equi-join on the doc id (labels can be
+    corpus-sized — AQE broadcasts while they fit, r11 LUT policy); the
+    model is ``n_buckets`` rows broadcast back onto the token stream;
+    censuses are 1-row crosses attached AFTER the per-doc aggregate so
+    the instance stream never carries them. No window, no pair join,
+    driver state zero.
+    """
+    from stockpy_spark.operators.dsir import _bucket
+
+    lab = labels.select(
+        F.col(label_id_col).alias("__id"),
+        F.col(label_col).cast("int").alias("__y"),
+    )
+    grams = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode_outer(tokenize(F.lower(F.col(text_col)))).alias("__tok"),
+    ).select(
+        "__id",
+        F.when(
+            F.col("__tok").isNotNull(),
+            _bucket(F.col("__tok"), n_buckets, salt),
+        ).alias("__b"),
+    )
+
+    cells = (
+        grams.join(lab, "__id")
+        .filter(F.col("__b").isNotNull())
+        .groupBy("__b")
+        .agg(
+            F.sum(F.when(F.col("__y") == 1, 1).otherwise(0)).alias("__n1"),
+            F.sum(F.when(F.col("__y") == 0, 1).otherwise(0)).alias("__n0"),
+        )
+    )
+    census = cells.agg(
+        F.sum("__n1").alias("__t1"), F.sum("__n0").alias("__t0")
+    ).crossJoin(
+        lab.agg(
+            F.sum(F.when(F.col("__y") == 1, 1).otherwise(0)).alias("__d1"),
+            F.sum(F.when(F.col("__y") == 0, 1).otherwise(0)).alias("__d0"),
+        )
+    )
+    a, b = F.lit(float(alpha)), F.lit(float(n_buckets))
+    weights = cells.crossJoin(F.broadcast(census)).select(
+        "__b",
+        (
+            F.log((F.col("__n1") + a) / (F.col("__t1") + a * b))
+            - F.log((F.col("__n0") + a) / (F.col("__t0") + a * b))
+        ).alias("__w"),
+    )
+
+    per_doc = (
+        grams.join(F.broadcast(weights), "__b", "left")
+        .groupBy("__id")
+        .agg(
+            F.sum(
+                F.when(F.col("__b").isNotNull(), 1).otherwise(0)
+            ).alias("__nt"),
+            F.sum(
+                F.when(
+                    F.col("__b").isNotNull(), F.coalesce(F.col("__w"), F.lit(0.0))
+                ).otherwise(0.0)
+            ).alias("__raw"),
+            F.sum(
+                F.when(
+                    F.col("__b").isNotNull() & F.col("__w").isNull(), 1
+                ).otherwise(0)
+            ).alias("__miss"),
+        )
+    )
+    prior = F.log((F.col("__d1") + a) / (F.col("__d0") + a))
+    w0 = F.log(a / (F.col("__t1") + a * b)) - F.log(a / (F.col("__t0") + a * b))
+    score = F.round(prior + F.col("__raw") + F.col("__miss") * w0, dp)
+    return per_doc.crossJoin(F.broadcast(census)).select(
+        F.col("__id").alias(id_col),
+        F.col("__nt").cast("bigint").alias("n_tokens"),
+        score.alias("nb_score"),
+        (score > F.lit(0.0)).alias("pred_quality"),
+    )

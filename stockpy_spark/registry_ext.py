@@ -2697,7 +2697,91 @@ FROM uniq u JOIN assign a ON a.doc = u.doc_id AND a.keeper = u.doc_id
 """
 
 
+def q_text_nb_quality(spark, sf_dir):
+    """Naive Bayes quality classifier (operators/textstats.py
+    nb_quality_classifier — the CCNet/FineWeb model-based filter
+    stage): a deterministic md5 draw takes half the corpus as the
+    labeled seed, labels come from the stopword-ratio heuristic
+    (ratio >= 0.08, the quality_features signal), the multinomial NB
+    is trained on hashed unigrams (1024 buckets, md5-portable,
+    add-1-smoothed), and EVERY document — seed or not, empty or not —
+    is scored with the class prior and out-of-vocabulary default."""
+    from stockpy_spark.operators.textstats import nb_quality_classifier
+
+    docs = _t(spark, sf_dir, "documents")
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("nbseed|"), F.col("doc_id").cast("string"))),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    f = quality_features("text")
+    seed = docs.filter(draw == 0).select(
+        "doc_id", (f["stopword_ratio"] >= 0.08).cast("int").alias("label")
+    )
+    return nb_quality_classifier(docs, "text", "doc_id", seed)
+
+
+SQL_NB_QUALITY = f"""
+WITH lab AS (
+    SELECT doc_id,
+           CASE WHEN (CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                      ELSE len(list_filter({_TOKENS_SQL},
+                               x -> list_contains({_STOP_SQL}, lower(x)))) END)
+                    / CAST(greatest(CASE WHEN text IS NULL OR trim(text) = ''
+                                    THEN 0 ELSE len({_TOKENS_SQL}) END,
+                                    1) AS DOUBLE) >= 0.08
+                THEN 1 ELSE 0 END AS y
+    FROM documents
+    WHERE CAST(concat('0x', substr(md5('nbseed|' || CAST(doc_id AS VARCHAR)),
+                      1, 13)) AS BIGINT) % 2 = 0
+), g AS (
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5('nbq' || chr(31) || tok), 1, 13))
+                AS BIGINT) % 1024 AS b
+    FROM (SELECT doc_id, unnest({_TOKENS_LOWER_SQL}) AS tok
+          FROM documents WHERE NOT (text IS NULL OR trim(text) = ''))
+), cells AS (
+    SELECT b, sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS n1,
+           sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS n0
+    FROM g JOIN lab USING (doc_id) GROUP BY b
+), cen AS (
+    SELECT (SELECT sum(n1) FROM cells) AS nn1,
+           (SELECT sum(n0) FROM cells) AS nn0,
+           (SELECT sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) FROM lab) AS d1,
+           (SELECT sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) FROM lab) AS d0
+), w AS (
+    SELECT b, ln((n1 + 1.0) / (nn1 + 1024.0))
+            - ln((n0 + 1.0) / (nn0 + 1024.0)) AS w
+    FROM cells, cen
+), per AS (
+    SELECT g.doc_id, count(*) AS nt,
+           sum(CASE WHEN w.w IS NULL THEN 0.0 ELSE w.w END) AS raw,
+           sum(CASE WHEN w.w IS NULL THEN 1 ELSE 0 END) AS miss
+    FROM g LEFT JOIN w USING (b) GROUP BY g.doc_id
+), scored AS (
+    SELECT d.doc_id,
+           CAST(COALESCE(per.nt, 0) AS BIGINT) AS n_tokens,
+           round(ln((cen.d1 + 1.0) / (cen.d0 + 1.0))
+                 + COALESCE(per.raw, 0.0)
+                 + COALESCE(per.miss, 0)
+                   * (ln(1.0 / (cen.nn1 + 1024.0))
+                      - ln(1.0 / (cen.nn0 + 1024.0))), 6) AS nb_score
+    FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id CROSS JOIN cen
+)
+SELECT doc_id, n_tokens, nb_score, nb_score > 0.0 AS pred_quality
+FROM scored
+"""
+
+
 EXT_QUERIES: dict[str, tuple] = {
+    "text_nb_quality": (q_text_nb_quality, SQL_NB_QUALITY),
     "text_token_count": (q_text_token_count, SQL_TOKEN_COUNT),
     "text_quality_score": (q_text_quality_score, SQL_QUALITY),
     "text_lang_id": (q_text_lang_id, SQL_LANG_ID),

@@ -806,3 +806,70 @@ def test_k_anonymity_aqe_broadcasts_small_combination_frame(spark):
     p = out._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in p
     assert "BroadcastHashJoin" in p, p[:1500]
+
+
+def _lint():
+    # tools/ is not a package; load plan_lint by path so the lint
+    # logic itself (not just its per-round sweep) is under test
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_lint", os.path.join(os.path.dirname(__file__), "..", "tools", "plan_lint.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_plan_lint_catches_the_disease_classes(spark):
+    """The corpus-wide lint (tools/plan_lint.py) must actually detect
+    each anti-pattern class it exists for — a lint that silently goes
+    blind is worse than no lint (round-9's landing-rule lesson applied
+    to plan hygiene)."""
+    lint = _lint()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+
+    # 1. partition-less window over a data-sized frame
+    from pyspark.sql.window import Window
+
+    sick = li.withColumn(
+        "rn", F.row_number().over(Window.orderBy("l_extendedprice"))
+    )
+    offenses, _ = lint.lint_one("not_allowlisted", sick)
+    assert any("partition-less Window" in o for o in offenses), offenses
+
+    # 2. unallowlisted nested-loop / cartesian pair enumeration
+    pairs = li.alias("a").crossJoin(li.alias("b"))
+    offenses, _ = lint.lint_one("not_allowlisted", pairs)
+    assert any(
+        "Cartesian" in o or "BroadcastNestedLoopJoin" in o for o in offenses
+    ), offenses
+
+    # 3. row-at-a-time Python UDF
+    from pyspark.sql.types import LongType
+
+    slow = F.udf(lambda x: x + 1, LongType())
+    offenses, _ = lint.lint_one(
+        "not_allowlisted", li.select(slow("l_linenumber").alias("y"))
+    )
+    assert any("BatchEvalPython" in o for o in offenses), offenses
+
+    # 4. a clean declarative aggregate carries no offense
+    clean = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
+    offenses, used = lint.lint_one("whatever", clean)
+    assert offenses == [] and used == set()
+
+
+def test_plan_lint_allowlist_is_keyed_and_consumed(spark):
+    """Allowlisted queries pass AND report which entry they consumed —
+    the staleness accounting the full sweep uses to keep the lists
+    honest (an entry nothing consumes is a documentation lie)."""
+    lint = _lint()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    census = li.agg(F.max("l_quantity").alias("mx"))
+    crossed = li.crossJoin(F.broadcast(census))
+    name = "stats_kde_grid"  # any real BNLJ_OK key
+    assert name in lint.BNLJ_OK
+    offenses, used = lint.lint_one(name, crossed)
+    assert offenses == []
+    assert ("bnlj", name) in used

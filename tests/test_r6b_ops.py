@@ -123,3 +123,91 @@ class TestTpchShapes:
             .collect()[0][0]
         )
         assert out.filter(F.col("part_value") <= 0.001 * tot - 0.01).count() == 0
+
+
+class TestNBQualityClassifier:
+    """nb_quality_classifier (round-12 continuation): the supervised
+    model-based quality filter. Reference scores computed in-test with
+    an INDEPENDENT pure-Python NB (hashlib md5 buckets, math.log) so a
+    formula drift on either side fails loudly."""
+
+    def _ref(self, docs, labels, n_buckets=1024, alpha=1.0, salt="nbq"):
+        import hashlib
+        import math
+
+        def bucket(tok):
+            h = hashlib.md5(f"{salt}\x1f{tok}".encode()).hexdigest()
+            return int(h[:13], 16) % n_buckets
+
+        cells = {}
+        d1 = sum(1 for _, y in labels.items() if y == 1)
+        d0 = len(labels) - d1
+        for doc_id, y in labels.items():
+            for tok in docs[doc_id].lower().split():
+                n1, n0 = cells.get(bucket(tok), (0, 0))
+                cells[bucket(tok)] = (n1 + (y == 1), n0 + (y == 0))
+        t1 = sum(n1 for n1, _ in cells.values())
+        t0 = sum(n0 for _, n0 in cells.values())
+        B = n_buckets
+        prior = math.log((d1 + alpha) / (d0 + alpha))
+        w0 = math.log(alpha / (t1 + alpha * B)) - math.log(alpha / (t0 + alpha * B))
+        out = {}
+        for doc_id, text in docs.items():
+            toks = text.lower().split() if text and text.strip() else []
+            s = prior
+            for tok in toks:
+                b = bucket(tok)
+                if b in cells:
+                    n1, n0 = cells[b]
+                    s += math.log((n1 + alpha) / (t1 + alpha * B)) - math.log(
+                        (n0 + alpha) / (t0 + alpha * B)
+                    )
+                else:
+                    s += w0
+            out[doc_id] = (len(toks), round(s, 6))
+        return out
+
+    def test_matches_pure_python_reference(self, spark):
+        from stockpy_spark.operators.textstats import nb_quality_classifier
+
+        docs = {
+            1: "the cat sat on the mat",
+            2: "buy cheap pills now buy now",
+            3: "a thoughtful essay about the nature of things",
+            4: "click here click here click here",
+            5: "",  # empty doc: must score exactly the rounded prior
+            6: "the mat and the cat and the essay",  # unlabeled, OOV-ish
+        }
+        labels = {1: 1, 2: 0, 3: 1, 4: 0}
+        df = spark.createDataFrame(
+            [(k, v) for k, v in docs.items()], "doc_id long, text string"
+        )
+        lab = spark.createDataFrame(
+            [(k, v) for k, v in labels.items()], "doc_id long, label int"
+        )
+        got = {
+            r.doc_id: (r.n_tokens, r.nb_score, r.pred_quality)
+            for r in nb_quality_classifier(df, "text", "doc_id", lab).collect()
+        }
+        want = self._ref(docs, labels)
+        assert set(got) == set(docs)
+        for doc_id, (nt, score) in want.items():
+            assert got[doc_id][0] == nt, doc_id
+            assert abs(got[doc_id][1] - score) < 1e-9, (doc_id, got[doc_id], score)
+            assert got[doc_id][2] == (got[doc_id][1] > 0), doc_id
+        # the seed's own quality docs score positive, spam negative
+        assert got[1][2] and got[3][2]
+        assert not got[2][2] and not got[4][2]
+
+    def test_degenerate_one_class_seed_does_not_crash(self, spark):
+        from stockpy_spark.operators.textstats import nb_quality_classifier
+
+        df = spark.createDataFrame(
+            [(1, "all good text"), (2, "more good text")],
+            "doc_id long, text string",
+        )
+        lab = spark.createDataFrame([(1, 1), (2, 1)], "doc_id long, label int")
+        rows = nb_quality_classifier(df, "text", "doc_id", lab).collect()
+        # smoothing keeps every ratio finite; everything leans positive
+        assert len(rows) == 2
+        assert all(r.nb_score is not None and r.pred_quality for r in rows)
