@@ -153,3 +153,63 @@ def domain_diversity_cap(
         )
         .select(*df.columns, kept.cast("int").alias("kept"))
     )
+
+
+def url_canonicalize(
+    df: DataFrame,
+    url_col: str,
+    tracking_params: tuple[str, ...] = ("fbclid", "gclid", "ref", "mc_eid"),
+    out_col: str = "canonical_url",
+) -> DataFrame:
+    """URL canonicalization — the normalize-before-dedup stage every
+    web corpus runs BEFORE fetching or fingerprinting content: the
+    same page arrives as ``HTTPS://Site.COM:443/p/1/?b=2&a=1&utm_
+    source=feed#top`` and ``https://site.com/p/1?a=1&b=2``, and a
+    corpus that treats those as two URLs fetches (and near-dups) the
+    page twice. Appends ``out_col`` built by the standard rules:
+
+    - scheme and host lowercased; the scheme's default port stripped
+      (``:80`` for http, ``:443`` for https — other ports kept);
+    - fragment dropped (client-side only, never reaches the server);
+    - trailing slashes stripped from the path (root stays ``/``; an
+      empty path becomes ``/`` so ``site.com`` == ``site.com/``);
+    - query parameters: tracking params dropped (any ``utm_*`` prefix
+      plus the exact names in ``tracking_params``), the survivors
+      sorted byte-wise and re-joined — parameter order never changes
+      the resource, so it must not change the fingerprint. An emptied
+      query drops its ``?``.
+
+    Everything is builtin string/array expressions (one narrow map, no
+    shuffle, no UDF); the param sort is ``sort_array`` over the split
+    pairs, bounded by the query-string length. Dedup-by-canonical is
+    the caller's one groupBy/window on the new column.
+    """
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(u, r"^[^:/?#]+://([^/?#]*)", 1))
+    host = F.when(
+        (scheme == "http") & hostport.endswith(":80"),
+        F.regexp_replace(hostport, r":80$", ""),
+    ).when(
+        (scheme == "https") & hostport.endswith(":443"),
+        F.regexp_replace(hostport, r":443$", ""),
+    ).otherwise(hostport)
+    raw_path = F.regexp_extract(u, r"^[^:/?#]+://[^/?#]*([^?#]*)", 1)
+    stripped = F.regexp_replace(raw_path, r"/+$", "")
+    path = F.when(stripped == "", F.lit("/")).otherwise(stripped)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    keep = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~p.startswith("utm_")
+        & ~F.element_at(F.split(p, "="), 1).isin(*tracking_params),
+    )
+    qjoined = F.array_join(F.sort_array(keep), "&")
+    canonical = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qjoined == "", F.lit("")).otherwise(F.concat(F.lit("?"), qjoined)),
+    )
+    return df.withColumn(out_col, canonical)

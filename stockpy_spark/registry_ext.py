@@ -2780,8 +2780,118 @@ FROM scored
 """
 
 
+def q_web_url_canonical(spark, sf_dir):
+    """URL canonicalization + canonical-URL dedup (operators/
+    webfilter.py url_canonicalize) — the normalize-before-fetch stage
+    ahead of web_domain_filter: docs get deterministic doc_id-derived
+    MESSY urls (mixed-case scheme/host, default ports, trailing
+    slashes, param order flips, utm_ tracking params, fragments), both
+    engines canonicalize them blind, and the dedup verdict is a
+    canonical_url-partitioned window (n_variants + min-id keeper).
+    ~160 canonical urls from 500 docs at sf0.01, so every rule is
+    load-bearing."""
+    from stockpy_spark.operators.webfilter import url_canonicalize
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    scheme = F.element_at(
+        F.array(F.lit("https"), F.lit("HTTPS"), F.lit("http")),
+        (d % 3 + 1).cast("int"),
+    )
+    host = F.element_at(
+        F.array(
+            F.lit("Media.Example.COM"),
+            F.lit("media.example.com"),
+            F.lit("CDN.example.org"),
+            F.lit("cdn.example.org"),
+        ),
+        (d % 4 + 1).cast("int"),
+    )
+    port = F.when(
+        d % 6 == 0,
+        F.when(d % 3 == 2, F.lit(":80")).otherwise(F.lit(":443")),
+    ).otherwise(F.lit(""))
+    path = F.concat(
+        F.lit("/p/"),
+        (d % 40).cast("string"),
+        F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    q = F.when(
+        d % 2 == 0,
+        F.concat(
+            F.lit("?b=2&id="), (d % 20).cast("string"), F.lit("&utm_source=news")
+        ),
+    ).otherwise(F.concat(F.lit("?id="), (d % 20).cast("string"), F.lit("&b=2")))
+    frag = F.when(d % 7 == 0, F.lit("#top")).otherwise(F.lit(""))
+    sdf = docs.select(
+        "doc_id", F.concat(scheme, F.lit("://"), host, port, path, q, frag).alias("url")
+    )
+    out = url_canonicalize(sdf, "url")
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("canonical_url")
+    return out.select(
+        "doc_id",
+        "url",
+        "canonical_url",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_variants"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_keeper"),
+    )
+
+
+SQL_URL_CANON = r"""
+WITH u AS (
+    SELECT doc_id,
+           (['https','HTTPS','http'])[(doc_id % 3) + 1] || '://'
+           || (['Media.Example.COM','media.example.com',
+                'CDN.example.org','cdn.example.org'])[(doc_id % 4) + 1]
+           || (CASE WHEN doc_id % 6 = 0
+                    THEN CASE WHEN doc_id % 3 = 2 THEN ':80' ELSE ':443' END
+                    ELSE '' END)
+           || '/p/' || CAST(doc_id % 40 AS VARCHAR)
+           || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+           || (CASE WHEN doc_id % 2 = 0
+                    THEN '?b=2&id=' || CAST(doc_id % 20 AS VARCHAR) || '&utm_source=news'
+                    ELSE '?id=' || CAST(doc_id % 20 AS VARCHAR) || '&b=2' END)
+           || (CASE WHEN doc_id % 7 = 0 THEN '#top' ELSE '' END) AS url
+    FROM documents
+), c AS (
+    SELECT doc_id, url,
+           lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+           lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1)) AS hostport,
+           regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS raw_path,
+           regexp_extract(url, '\?([^#]*)', 1) AS query
+    FROM u
+), n AS (
+    SELECT doc_id, url, scheme,
+           CASE WHEN scheme = 'http' AND hostport LIKE '%:80'
+                THEN regexp_replace(hostport, ':80$', '')
+                WHEN scheme = 'https' AND hostport LIKE '%:443'
+                THEN regexp_replace(hostport, ':443$', '')
+                ELSE hostport END AS host,
+           CASE WHEN regexp_replace(raw_path, '/+$', '') = ''
+                THEN '/' ELSE regexp_replace(raw_path, '/+$', '') END AS path,
+           array_to_string(list_sort(list_filter(string_split(query, '&'),
+               p -> p <> '' AND NOT starts_with(p, 'utm_')
+                    AND NOT list_contains(['fbclid','gclid','ref','mc_eid'],
+                                          string_split(p, '=')[1]))), '&') AS q
+    FROM c
+), k AS (
+    SELECT doc_id, url,
+           scheme || '://' || host || path
+           || (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canonical_url
+    FROM n
+)
+SELECT doc_id, url, canonical_url,
+       CAST(count(*) OVER (PARTITION BY canonical_url) AS BIGINT) AS n_variants,
+       doc_id = min(doc_id) OVER (PARTITION BY canonical_url) AS is_keeper
+FROM k
+"""
+
+
 EXT_QUERIES: dict[str, tuple] = {
     "text_nb_quality": (q_text_nb_quality, SQL_NB_QUALITY),
+    "web_url_canonical": (q_web_url_canonical, SQL_URL_CANON),
     "text_token_count": (q_text_token_count, SQL_TOKEN_COUNT),
     "text_quality_score": (q_text_quality_score, SQL_QUALITY),
     "text_lang_id": (q_text_lang_id, SQL_LANG_ID),

@@ -286,3 +286,31 @@ def test_k_anonymity_audit_sets_nulls_and_generalization(spark):
     assert out[3]["anonymity_set"] == 1 and out[3]["violates_k"] == 1
     assert out[4]["anonymity_set"] == 2 and out[4]["violates_k"] == 0
     assert out[4]["region_released"] is None
+
+
+def test_url_canonicalize_rule_battery(spark):
+    """url_canonicalize (round-12 continuation): one hand-written case
+    per rule — case folding, default-port strip (scheme-aware),
+    fragment drop, trailing-slash collapse, empty path -> '/',
+    tracking-param removal (utm_* prefix + exact names), param sort,
+    emptied query drops its '?', non-default port kept."""
+    from stockpy_spark.operators.webfilter import url_canonicalize
+
+    cases = [
+        # (messy, canonical)
+        ("HTTPS://Site.COM:443/p/1/?b=2&a=1&utm_source=feed#top",
+         "https://site.com/p/1?a=1&b=2"),
+        ("https://site.com/p/1?a=1&b=2", "https://site.com/p/1?a=1&b=2"),
+        ("http://Host.io:80//", "http://host.io/"),
+        ("http://host.io:8080/x?fbclid=z&id=3", "http://host.io:8080/x?id=3"),
+        ("https://h.com", "https://h.com/"),
+        ("https://h.com/?utm_campaign=x", "https://h.com/"),
+        # :443 is only default for httpS — an http URL keeps it
+        ("http://h.com:443/x", "http://h.com:443/x"),
+    ]
+    df = spark.createDataFrame([(m,) for m, _ in cases], "url string")
+    got = {r.url: r.canonical_url for r in url_canonicalize(df, "url").collect()}
+    for messy, want in cases:
+        assert got[messy] == want, (messy, got[messy], want)
+    # the first two spellings collapse to ONE canonical url
+    assert got[cases[0][0]] == got[cases[1][0]]
