@@ -714,3 +714,85 @@ def target_encode_oof(
             ).alias(f"{cat_col}_enc"),
         )
     )
+
+
+def shuffle_shard_plan(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int = 1024,
+    salt: str = "shard",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Deterministic corpus shuffle into balanced training shards —
+    the global order-randomization step between curation and the
+    training loader: every row gets a ``shard`` in [0, n_shards) and a
+    1-based ``position`` within its shard, both pure functions of
+    (salt, id), so reruns and every engine reproduce the exact same
+    training order (the determinism-over-CSPRNG trade all samplers
+    here make). Shards are md5-uniform, so sizes balance to ~corpus /
+    n_shards with no census; the order WITHIN a shard is the md5 draw,
+    i.e. a full reshuffle of whatever upstream ordering (source,
+    domain, time) the curation pipeline left behind — exactly what
+    SGD's iid assumption wants from a data loader. Positions are
+    assigned against a frozen snapshot: appending rows later shifts
+    them (re-plan per corpus version; incremental ingestion keeps its
+    own admit order).
+
+    Plan — the domain_diversity_cap bucketed rank, not a per-shard
+    window sort: ``row_number().over(partitionBy(shard))`` would sort
+    each shard in ONE task (~100 GB per task at 100 TB / 1024 shards
+    — the one-task-sort disease). The draw's leading hex chars slice
+    every shard into ``n_buckets`` draw ranges (equal-width over the
+    md5 space IS equal-frequency — the axis is uniform by
+    construction, no quantile census needed); per-(shard, bucket)
+    counts close into exclusive offsets via a window over n_buckets
+    count rows per shard, and position = offset + local rank within
+    the (shard, bucket) slice, a task of ~1/(n_shards*n_buckets) of
+    the corpus. The draw is the md5 hex STRING, so lexicographic
+    order within a bucket agrees with the bucket-prefix order and the
+    result is IDENTICAL to the single-window formulation (the DuckDB
+    oracle replays exactly that, so the equivalence is hash-checked,
+    not argued).
+    """
+    import math
+
+    draw = F.md5(
+        F.concat_ws("\x1f", F.lit(salt), F.col(id_col).cast("string"))
+    )
+    chars = max(1, int(round(math.log(n_buckets, 16))))
+    base = df.select(
+        "*",
+        draw.alias("__draw"),
+        (
+            F.conv(F.substring(draw, 1, 13), 16, 10).cast("long")
+            % F.lit(n_shards)
+        ).cast("int").alias("__shard"),
+        F.conv(F.substring(draw, 1, chars), 16, 10).cast("int").alias("__bkt"),
+    )
+    counts = base.groupBy("__shard", "__bkt").agg(F.count(F.lit(1)).alias("__c"))
+    woff = (
+        Window.partitionBy("__shard")
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        F.col("__shard").alias("__shard_o"),
+        F.col("__bkt").alias("__bkt_o"),
+        F.coalesce(F.sum("__c").over(woff), F.lit(0)).alias("__off"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("__shard", "__bkt").orderBy("__draw", F.col(id_col))
+    )
+    return (
+        base.join(
+            offsets,
+            (F.col("__shard") == F.col("__shard_o"))
+            & (F.col("__bkt") == F.col("__bkt_o")),
+            "left",
+        )
+        .select(
+            *df.columns,
+            F.col("__shard").alias("shard"),
+            (F.col("__off") + rk).cast("long").alias("position"),
+        )
+    )

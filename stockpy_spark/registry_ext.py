@@ -2889,9 +2889,42 @@ FROM k
 """
 
 
+def q_sample_shard_shuffle(spark, sf_dir):
+    """Deterministic shard shuffle (operators/sampling.py
+    shuffle_shard_plan): every document assigned (shard, position) as
+    a pure function of md5('shard', doc_id) — the training-loader
+    order randomization. The Spark side runs the bucketed-rank plan
+    (per-(shard, draw-bucket) counts + exclusive offsets + local
+    rank); the oracle is the naive single-window formulation, so the
+    hash compare PROVES the bucketed plan's equivalence on every
+    row."""
+    from stockpy_spark.operators.sampling import shuffle_shard_plan
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_shard_plan(docs, "doc_id", n_shards=8, n_buckets=16)
+
+
+SQL_SHARD_SHUFFLE = r"""
+WITH d AS (
+    SELECT doc_id,
+           md5('shard' || chr(31) || CAST(doc_id AS VARCHAR)) AS draw
+    FROM documents
+)
+SELECT doc_id,
+       CAST(CAST(concat('0x', substr(draw, 1, 13)) AS BIGINT) % 8
+            AS INTEGER) AS shard,
+       CAST(row_number() OVER (
+           PARTITION BY CAST(concat('0x', substr(draw, 1, 13)) AS BIGINT) % 8
+           ORDER BY draw, doc_id
+       ) AS BIGINT) AS position
+FROM d
+"""
+
+
 EXT_QUERIES: dict[str, tuple] = {
     "text_nb_quality": (q_text_nb_quality, SQL_NB_QUALITY),
     "web_url_canonical": (q_web_url_canonical, SQL_URL_CANON),
+    "sample_shard_shuffle": (q_sample_shard_shuffle, SQL_SHARD_SHUFFLE),
     "text_token_count": (q_text_token_count, SQL_TOKEN_COUNT),
     "text_quality_score": (q_text_quality_score, SQL_QUALITY),
     "text_lang_id": (q_text_lang_id, SQL_LANG_ID),

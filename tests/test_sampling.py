@@ -314,3 +314,53 @@ def test_url_canonicalize_rule_battery(spark):
         assert got[messy] == want, (messy, got[messy], want)
     # the first two spellings collapse to ONE canonical url
     assert got[cases[0][0]] == got[cases[1][0]]
+
+
+def test_shuffle_shard_plan_contiguous_stable_and_window_equivalent(spark):
+    """shuffle_shard_plan (round-12 continuation): per-shard positions
+    are exactly 1..shard_size with no gaps, the assignment is a pure
+    function of (salt, id) (repartition-invariant), and the bucketed
+    rank equals the naive single-window formulation row for row."""
+    from pyspark.sql.window import Window
+
+    from stockpy_spark.operators.sampling import shuffle_shard_plan
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    out = shuffle_shard_plan(df, "doc_id", n_shards=4, n_buckets=16)
+    rows = out.collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.position)
+    assert set(by_shard) <= set(range(4)) and len(rows) == 1000
+    for shard, pos in by_shard.items():
+        assert sorted(pos) == list(range(1, len(pos) + 1)), shard
+    # md5-uniform balance: no shard wildly off 250 at n=1000
+    assert max(len(p) for p in by_shard.values()) < 2 * min(
+        len(p) for p in by_shard.values()
+    )
+
+    # repartition-invariance: same assignment from any physical layout
+    again = {
+        (r.doc_id, r.shard, r.position)
+        for r in shuffle_shard_plan(
+            df.repartition(7), "doc_id", n_shards=4, n_buckets=16
+        ).collect()
+    }
+    assert again == {(r.doc_id, r.shard, r.position) for r in rows}
+
+    # equivalence to the one-task-per-shard window this plan replaces
+    draw = F.md5(F.concat_ws("\x1f", F.lit("shard"), F.col("doc_id").cast("string")))
+    shard = (
+        F.conv(F.substring(draw, 1, 13), 16, 10).cast("long") % 4
+    ).cast("int")
+    naive = df.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.row_number()
+        .over(Window.partitionBy(shard).orderBy(draw, F.col("doc_id")))
+        .cast("long")
+        .alias("position"),
+    )
+    assert {(r.doc_id, r.shard, r.position) for r in naive.collect()} == {
+        (r.doc_id, r.shard, r.position) for r in rows
+    }
