@@ -489,3 +489,86 @@ def nb_quality_classifier(
         score.alias("nb_score"),
         (score > F.lit(0.0)).alias("pred_quality"),
     )
+
+
+def kn_perplexity_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    discount: float = 0.75,
+    dp: int = 6,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram perplexity (Kneser & Ney 1995;
+    Chen & Goodman 1999's interpolated form with a fixed discount) —
+    the statistically honest upgrade over :func:`lm_perplexity_scores`'
+    add-k smoothing: instead of spreading one uniform pseudo-count
+    over the vocabulary, mass discounted from seen bigrams is
+    redistributed by CONTINUATION probability — how many distinct
+    contexts a word follows — so "francisco" (frequent but only ever
+    after "san") stops stealing probability from genuinely promiscuous
+    words. The classic failure add-k cannot see.
+
+        P(w2|w1) = max(c(w1 w2) - D, 0) / c(w1.)
+                 + (D * N1+(w1 .) / c(w1.)) * (N1+(. w2) / N1+(. .))
+
+    with D = ``discount``, N1+(w1 .) the distinct continuations of w1,
+    N1+(. w2) the distinct contexts preceding w2, N1+(. .) the total
+    distinct bigrams. Trained on the scored corpus itself (the
+    lm_perplexity contract), so every scored bigram is seen and the
+    backoff term interpolates rather than rescues. Returns (doc,
+    n_bigrams, avg_logprob, kn_perplexity), the average rounded to
+    ``dp`` (the per-bigram lp stays unrounded — see lm_perplexity's
+    in-code note on systematic half-boundary hits).
+
+    Scale shape, same skeleton as lm_perplexity: the bigram instance
+    stream reduces once to (doc, bg, m) — the exchange ReuseExchange
+    shares between training and scoring; ALL model tables derive from
+    the c12 count table (context counts, continuation counts, the
+    1-row distinct-bigram census), so the corpus is tokenized exactly
+    once and everything downstream is vocabulary-scale. Every lp
+    input is integer-built (D = 0.75 is exact binary), so both
+    engines compute identical doubles term for term.
+    """
+    from stockpy_spark.functions.text import word_ngrams
+
+    big = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_ngrams(F.col(text_col), 2)).alias("bg"),
+    )
+    per = big.groupBy("doc", "bg").agg(F.count(F.lit(1)).alias("m"))
+    c12 = (
+        per.groupBy("bg")
+        .agg(F.sum("m").alias("c12"))
+        .select(
+            "bg",
+            "c12",
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
+        )
+    )
+    ctx = c12.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1p1")
+    )
+    cont = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p2"))
+    tot = c12.agg(F.count(F.lit(1)).alias("n1tot"))
+    d = F.lit(float(discount))
+    scored = (
+        per.join(c12, "bg")
+        .join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "lp",
+            F.log(
+                F.greatest(F.col("c12") - d, F.lit(0.0)) / F.col("c1")
+                + (d * F.col("n1p1") / F.col("c1"))
+                * (F.col("n1p2") / F.col("n1tot"))
+            ),
+        )
+    )
+    avg = F.round(F.sum(F.col("m") * F.col("lp")) / F.sum("m"), dp)
+    return scored.groupBy("doc").agg(
+        F.sum("m").alias("n_bigrams"),
+        avg.alias("avg_logprob"),
+        F.round(F.exp(-avg), dp).alias("kn_perplexity"),
+    )

@@ -2921,10 +2921,60 @@ FROM d
 """
 
 
+def q_text_kn_perplexity(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram perplexity (operators/
+    textstats.py kn_perplexity_scores — Kneser & Ney 1995): the
+    continuation-probability upgrade over text_lm_perplexity's add-k
+    smoothing, trained on the scored corpus itself. Every model count
+    (bigram, context, distinct-continuation, distinct-context, total
+    distinct bigrams) derives from one bigram count table; D=0.75 is
+    exact binary so both engines build identical doubles."""
+    from stockpy_spark.operators.textstats import kn_perplexity_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return kn_perplexity_scores(docs, "text", "doc_id")
+
+
+SQL_KN_PPL = f"""
+WITH d AS (
+    SELECT doc_id AS doc, {_TOKENS_LOWER_SQL} AS t FROM documents
+), big AS (
+    SELECT doc, t[i] || ' ' || t[i + 1] AS bg
+    FROM (SELECT doc, t, unnest(range(1, len(t))) AS i FROM d)
+), per AS (
+    SELECT doc, bg, count(*) AS m FROM big GROUP BY doc, bg
+), c12 AS (
+    SELECT bg, sum(m) AS c12,
+           split_part(bg, ' ', 1) AS w1,
+           split_part(bg, ' ', 2) AS w2
+    FROM per GROUP BY bg
+), ctx AS (
+    SELECT w1, sum(c12) AS c1, count(*) AS n1p1 FROM c12 GROUP BY w1
+), cont AS (
+    SELECT w2, count(*) AS n1p2 FROM c12 GROUP BY w2
+), tot AS (
+    SELECT count(*) AS n1tot FROM c12
+), lp AS (
+    SELECT per.doc, per.m,
+           ln(greatest(c12.c12 - 0.75, 0.0) / ctx.c1
+              + (0.75 * ctx.n1p1 / ctx.c1) * (cont.n1p2 / tot.n1tot)) AS lp
+    FROM per
+    JOIN c12 USING (bg)
+    JOIN ctx ON c12.w1 = ctx.w1
+    JOIN cont ON c12.w2 = cont.w2, tot
+)
+SELECT doc, CAST(sum(m) AS BIGINT) AS n_bigrams,
+       round(sum(m * lp) / sum(m), 6) AS avg_logprob,
+       round(exp(-round(sum(m * lp) / sum(m), 6)), 6) AS kn_perplexity
+FROM lp GROUP BY doc
+"""
+
+
 EXT_QUERIES: dict[str, tuple] = {
     "text_nb_quality": (q_text_nb_quality, SQL_NB_QUALITY),
     "web_url_canonical": (q_web_url_canonical, SQL_URL_CANON),
     "sample_shard_shuffle": (q_sample_shard_shuffle, SQL_SHARD_SHUFFLE),
+    "text_kn_perplexity": (q_text_kn_perplexity, SQL_KN_PPL),
     "text_token_count": (q_text_token_count, SQL_TOKEN_COUNT),
     "text_quality_score": (q_text_quality_score, SQL_QUALITY),
     "text_lang_id": (q_text_lang_id, SQL_LANG_ID),

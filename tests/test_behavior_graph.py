@@ -381,3 +381,93 @@ def test_pagerank_zero_weight_out_edges_null_not_crash(spark):
     # inbound mass comes from node 3 alone; node 1 receives from 2
     assert ranks[1] > base and ranks[2] > base
     assert all(v == v and v is not None for v in ranks.values())  # no NaN/NULL
+
+
+class TestKNPerplexity:
+    """kn_perplexity_scores (round-12 continuation): interpolated
+    Kneser-Ney against an independent pure-Python reference, plus the
+    continuation-probability property add-k smoothing cannot express."""
+
+    @staticmethod
+    def _ref(docs, D=0.75):
+        import math
+        from collections import Counter
+
+        c12, c1, foll, prec = Counter(), Counter(), {}, {}
+        for text in docs.values():
+            t = text.lower().split()
+            for a, b in zip(t, t[1:]):
+                c12[(a, b)] += 1
+                c1[a] += 1
+                foll.setdefault(a, set()).add(b)
+                prec.setdefault(b, set()).add(a)
+        n1tot = len(c12)
+        out = {}
+        for doc, text in docs.items():
+            t = text.lower().split()
+            if len(t) < 2:
+                continue
+            lps = []
+            for a, b in zip(t, t[1:]):
+                p = max(c12[(a, b)] - D, 0.0) / c1[a] + (
+                    D * len(foll[a]) / c1[a]
+                ) * (len(prec[b]) / n1tot)
+                lps.append(math.log(p))
+            avg = round(sum(lps) / len(lps), 6)
+            out[doc] = (len(lps), avg, round(math.exp(-avg), 6))
+        return out
+
+    def test_matches_pure_python_reference(self, spark):
+        from stockpy_spark.operators.textstats import kn_perplexity_scores
+
+        docs = {
+            1: "san francisco is in california",
+            2: "new york is in america",
+            3: "the bay near san francisco",
+            4: "",  # no bigrams: absent from the output, like lm
+            5: "san francisco san francisco",
+        }
+        df = spark.createDataFrame(
+            [(k, v) for k, v in docs.items()], "doc_id int, text string"
+        )
+        got = {
+            r["doc"]: (r["n_bigrams"], r["avg_logprob"], r["kn_perplexity"])
+            for r in kn_perplexity_scores(df, "text", "doc_id").collect()
+        }
+        want = self._ref(docs)
+        assert set(got) == set(want)  # doc 4 in neither
+        for doc, (n, avg, ppl) in want.items():
+            assert got[doc][0] == n, doc
+            assert abs(got[doc][1] - avg) < 1e-9, (doc, got[doc], avg)
+            assert abs(got[doc][2] - ppl) < 1e-6, doc
+
+    def test_continuation_probability_penalizes_one_context_words(self, spark):
+        """The textbook KN property: "francisco" appears 6 times but
+        ONLY after "san", while "tea" appears 3 times after 3 distinct
+        contexts — so an unseen-context bigram backing off to
+        continuation mass must score x-tea ABOVE x-francisco even
+        though francisco is the more frequent word. Add-k scores them
+        by raw frequency and gets this exactly backwards; here the
+        backoff term is visible through interpolation: the seen bigram
+        (shared w1 "likes", equal counts) scores higher when w2 has
+        the richer context set."""
+        from stockpy_spark.operators.textstats import kn_perplexity_scores
+
+        corpus = " . ".join(
+            ["san francisco"] * 6
+            + ["drinks tea", "brews tea", "loves tea"]
+            + ["likes tea", "likes francisco"]
+        )
+        df = spark.createDataFrame(
+            [
+                (1, corpus),
+                (2, "likes tea"),        # w2 with 4 distinct contexts
+                (3, "likes francisco"),  # w2 with 2 distinct contexts
+            ],
+            "doc_id int, text string",
+        )
+        out = {
+            r["doc"]: r["avg_logprob"]
+            for r in kn_perplexity_scores(df, "text", "doc_id").collect()
+        }
+        assert out[2] > out[3]

@@ -64,6 +64,7 @@ BNLJ_OK = {
     "sim_cosine_topk": "1-row query-vector norm census",
     "text_bm25_topk": "1-row corpus (N, avgdl) census",
     "text_lm_perplexity": "1-row vocab-size census",
+    "text_kn_perplexity": "1-row distinct-bigram-total census",
     "pareto_frontier": "1-row (min,max) x-census",
     "drift_psi_value": "1-row reference-range census",
     "drift_ks_value": "1-row pooled-count census",
