@@ -97,3 +97,75 @@ def remove_frequent_lines(
             .withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
         )
     return rebuilt
+
+
+def boilerplate_line_screen(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    min_tokens: int = 4,
+    min_stop: float = 0.05,
+    long_line: int = 30,
+) -> DataFrame:
+    """Per-line boilerplate removal — the jusText-style HEURISTIC
+    sibling of :func:`remove_frequent_lines`: that rule needs corpus
+    state (a line is boilerplate because MANY pages share it); this one
+    drops lines whose own shape says navigation chrome, and the two
+    compose — frequency catches the site-wide banner, shape catches
+    the one-off "Home | About | Contact" a single page invented.
+
+    A line is boilerplate when:
+
+    - it has fewer than ``min_tokens`` tokens (breadcrumbs, buttons,
+      bare dates), or
+    - its stopword ratio is below ``min_stop`` AND it is shorter than
+      ``long_line`` tokens (menu/keyword soup reads as function-word-
+      free; LONG low-stopword lines are kept — code and tables are a
+      quality-gate judgment, not chrome).
+
+    Returns EVERY input document: (id, text with surviving lines
+    re-joined in order, n_lines, n_kept, boiler_ratio). A fully-
+    boilerplate document keeps an empty text (its ratio says why) —
+    dropping documents is the caller's policy, this op is a transform
+    plus the report that justifies it.
+
+    Scale shape: one narrow posexplode, per-line features as pure
+    expressions on the line string, ONE doc-keyed aggregate that
+    rebuilds the text via array_sort over (pos, line) structs
+    (collect_list order is nondeterministic, the sort makes it so) —
+    zero corpus-level state, one shuffle, task state = one document's
+    lines.
+    """
+    from stockpy_spark.functions.text import ENGLISH_STOPWORDS, tokenize
+
+    lines = explode_lines(df, id_col, text_col, sep)
+    toks = tokenize(F.col("line"))
+    n = F.size(toks)
+    stop_hits = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(*ENGLISH_STOPWORDS))
+    )
+    ratio = stop_hits / F.greatest(n, F.lit(1)).cast("double")
+    keep = (n >= min_tokens) & ~((ratio < min_stop) & (n < long_line))
+    flagged = lines.withColumn("__keep", keep)
+    return flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("__keep"), F.struct("pos", "line"))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("__keep").cast("int")).alias("n_kept"),
+        F.round(
+            1.0
+            - F.sum(F.col("__keep").cast("int"))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("boiler_ratio"),
+    )

@@ -2970,8 +2970,84 @@ FROM lp GROUP BY doc
 """
 
 
+def q_text_boilerplate(spark, sf_dir):
+    """Per-line boilerplate screen (operators/textcorpus.py
+    boilerplate_line_screen — the jusText-style heuristic sibling of
+    corpus_line_dedup's frequency rule). The single-line word-soup
+    corpus gets a deterministic doc_id-derived line structure — two
+    content lines cut from the doc's own tokens (the second with
+    injected stopwords), a stopword-free nav line on even ids, a
+    2-char button line on ids % 3 — and the screen parses it blind;
+    every rule fires on a real subset at sf0.01."""
+    from stockpy_spark.operators.textcorpus import boilerplate_line_screen
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    t = F.when(
+        F.col("text").isNull() | (F.trim("text") == ""),
+        F.array().cast("array<string>"),
+    ).otherwise(F.split(F.trim("text"), r"\s+"))
+    l1 = F.array_join(F.slice(t, 1, 8), " ")
+    l2 = F.when(d % 2 == 0, F.lit("Home | About | Contact | Login"))
+    l3 = F.when(d % 3 == 0, F.lit("ok"))
+    l4 = F.trim(
+        F.concat(F.array_join(F.slice(t, 9, 8), " "), F.lit(" of the and is"))
+    )
+    lines_arr = F.filter(F.array(l1, l2, l3, l4), lambda x: x.isNotNull())
+    sdf = docs.select("doc_id", F.array_join(lines_arr, "\n").alias("text"))
+    return boilerplate_line_screen(sdf, "doc_id", "text")
+
+
+SQL_BOILERPLATE = f"""
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN text IS NULL OR trim(text) = '' THEN []
+                ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+    FROM documents
+), sal AS (
+    SELECT doc_id,
+           array_to_string(list_filter([
+               array_to_string(tk[1:8], ' '),
+               CASE WHEN doc_id % 2 = 0
+                    THEN 'Home | About | Contact | Login' END,
+               CASE WHEN doc_id % 3 = 0 THEN 'ok' END,
+               trim(array_to_string(tk[9:16], ' ') || ' of the and is')
+           ], x -> x IS NOT NULL), chr(10)) AS text
+    FROM t
+), ln AS (
+    SELECT doc_id, s AS pos, ls[s] AS line
+    FROM (SELECT doc_id, string_split(text, chr(10)) AS ls,
+                 unnest(generate_series(1, len(string_split(text, chr(10)))))
+                     AS s
+          FROM sal)
+), k AS (
+    SELECT doc_id, pos, line,
+           CASE WHEN line IS NULL OR trim(line) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(line), '\\s+')) END AS n,
+           CASE WHEN line IS NULL OR trim(line) = '' THEN 0
+                ELSE len(list_filter(regexp_split_to_array(trim(line), '\\s+'),
+                         x -> list_contains({_STOP_SQL}, lower(x)))) END AS sh
+    FROM ln
+), flag AS (
+    SELECT doc_id, pos, line,
+           (n >= 4) AND NOT ((sh / CAST(greatest(n, 1) AS DOUBLE) < 0.05)
+                             AND (n < 30)) AS keep
+    FROM k
+)
+SELECT doc_id,
+       COALESCE(string_agg(line, chr(10) ORDER BY pos)
+                FILTER (WHERE keep), '') AS text,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(1.0 - sum(CASE WHEN keep THEN 1 ELSE 0 END)
+                   / CAST(count(*) AS DOUBLE), 6) AS boiler_ratio
+FROM flag GROUP BY doc_id
+"""
+
+
 EXT_QUERIES: dict[str, tuple] = {
     "text_nb_quality": (q_text_nb_quality, SQL_NB_QUALITY),
+    "text_boilerplate": (q_text_boilerplate, SQL_BOILERPLATE),
     "web_url_canonical": (q_web_url_canonical, SQL_URL_CANON),
     "sample_shard_shuffle": (q_sample_shard_shuffle, SQL_SHARD_SHUFFLE),
     "text_kn_perplexity": (q_text_kn_perplexity, SQL_KN_PPL),

@@ -543,3 +543,39 @@ def test_bloom_screen_preserves_duplicates_and_nongroupable_types(spark):
         r["bloom_maybe"] == 0
         for r in bloom_screen(batch, "fp", empty, m_bits=256).collect()
     )
+
+
+class TestBoilerplateLineScreen:
+    """boilerplate_line_screen (round-12 continuation): the per-line
+    heuristic sibling of remove_frequent_lines — one hand case per
+    rule and the in-order reassembly contract."""
+
+    def test_rule_battery_and_order(self, spark):
+        from stockpy_spark.operators.textcorpus import boilerplate_line_screen
+
+        text = "\n".join(
+            [
+                "the quick brown fox jumps over the lazy dog today",  # kept
+                "Home | About | Contact | Login",  # 0 stopwords, short: drop
+                "ok",  # < 4 tokens: drop
+                "and here is the second real paragraph of the document",  # kept
+                # 30+ tokens with no stopwords: LONG low-stopword line kept
+                " ".join(f"w{i}" for i in range(31)),
+            ]
+        )
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        r = boilerplate_line_screen(df, "doc_id", "text").collect()[0]
+        assert r.n_lines == 5 and r.n_kept == 3
+        lines = r.text.split("\n")
+        assert lines[0].startswith("the quick") and lines[1].startswith("and here")
+        assert lines[2].startswith("w0")  # original order preserved
+        assert abs(r.boiler_ratio - round(2 / 5, 6)) < 1e-9
+
+    def test_all_boilerplate_doc_kept_with_empty_text(self, spark):
+        from stockpy_spark.operators.textcorpus import boilerplate_line_screen
+
+        df = spark.createDataFrame(
+            [(7, "ok\nmenu list nav bar")], "doc_id long, text string"
+        )
+        r = boilerplate_line_screen(df, "doc_id", "text").collect()[0]
+        assert r.text == "" and r.n_kept == 0 and r.boiler_ratio == 1.0
