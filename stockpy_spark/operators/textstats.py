@@ -545,6 +545,13 @@ def kn_perplexity_scores(
             F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
             F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
         )
+        # distinct-collapse checkpoint (the r12 dominance criterion):
+        # c12 is bigram-vocabulary-sized and fans out to FOUR consumers
+        # (ctx, cont, tot, the scoring join) — unpinned, each replans
+        # the corpus tokenize + both aggregates; measured at the
+        # synthetic sf1 the pin is 16.97 s -> 7.23 s, and the sf10
+        # decade ratio fell 20.0x -> 6.2x per 100x (BASELINE.md §4)
+        .localCheckpoint(eager=True)
     )
     ctx = c12.groupBy("w1").agg(
         F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1p1")
@@ -552,10 +559,15 @@ def kn_perplexity_scores(
     cont = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p2"))
     tot = c12.agg(F.count(F.lit(1)).alias("n1tot"))
     d = F.lit(float(discount))
+    # ctx/cont joins deliberately UNHINTED (r11 LUT policy): the
+    # unigram vocabulary of a real web corpus is data-sized in
+    # disguise (typos, URLs, numbers); AQE broadcasts while the table
+    # fits and sort-merges when it doesn't. Measured equal to the
+    # forced broadcast at sf1 (7.23 s vs 7.64 s).
     scored = (
         per.join(c12, "bg")
-        .join(F.broadcast(ctx), "w1")
-        .join(F.broadcast(cont), "w2")
+        .join(ctx, "w1")
+        .join(cont, "w2")
         .crossJoin(F.broadcast(tot))
         .withColumn(
             "lp",

@@ -3045,9 +3045,178 @@ FROM flag GROUP BY doc_id
 """
 
 
+def q_pipeline_web_curation(spark, sf_dir):
+    """Composed web-curation pipeline over this round's stages, each
+    load-bearing at sf0.01: canonical-URL dedup (500 docs -> ~160
+    min-id keepers), the NB quality gate over the keepers (seed =
+    keeper md5 draw, stopword-ratio labels; only pred_quality
+    survivors pass), then the deterministic shard shuffle assigns the
+    admitted set its training order. One hash oracle replays the whole
+    chain, so a drift in ANY stage reds the pipeline, not just its own
+    query."""
+    from pyspark.sql.window import Window as W
+
+    from stockpy_spark.operators.sampling import shuffle_shard_plan
+    from stockpy_spark.operators.textstats import nb_quality_classifier
+    from stockpy_spark.operators.webfilter import url_canonicalize
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    scheme = F.element_at(
+        F.array(F.lit("https"), F.lit("HTTPS"), F.lit("http")),
+        (d % 3 + 1).cast("int"),
+    )
+    host = F.element_at(
+        F.array(
+            F.lit("Media.Example.COM"),
+            F.lit("media.example.com"),
+            F.lit("CDN.example.org"),
+            F.lit("cdn.example.org"),
+        ),
+        (d % 4 + 1).cast("int"),
+    )
+    path = F.concat(
+        F.lit("/p/"),
+        (d % 40).cast("string"),
+        F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    q = F.when(
+        d % 2 == 0,
+        F.concat(
+            F.lit("?b=2&id="), (d % 20).cast("string"), F.lit("&utm_source=news")
+        ),
+    ).otherwise(F.concat(F.lit("?id="), (d % 20).cast("string"), F.lit("&b=2")))
+    urls = docs.select(
+        "doc_id", F.concat(scheme, F.lit("://"), host, path, q).alias("url")
+    )
+    canon = url_canonicalize(urls, "url")
+    w = W.partitionBy("canonical_url")
+    keepers = (
+        canon.withColumn("__min", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("__min"))
+        .select("doc_id")
+    )
+    kept_docs = docs.join(keepers, "doc_id")
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("nbseed|"), d.cast("string"))), 1, 13
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    f = quality_features("text")
+    seed = kept_docs.filter(draw == 0).select(
+        "doc_id", (f["stopword_ratio"] >= 0.08).cast("int").alias("label")
+    )
+    scored = nb_quality_classifier(kept_docs, "text", "doc_id", seed)
+    admitted = scored.filter(F.col("pred_quality")).select("doc_id", "nb_score")
+    return shuffle_shard_plan(admitted, "doc_id", n_shards=4, n_buckets=16)
+
+
+SQL_PIPE_WEB = f"""
+WITH u AS (
+    SELECT doc_id,
+           (['https','HTTPS','http'])[(doc_id % 3) + 1] || '://'
+           || (['Media.Example.COM','media.example.com',
+                'CDN.example.org','cdn.example.org'])[(doc_id % 4) + 1]
+           || '/p/' || CAST(doc_id % 40 AS VARCHAR)
+           || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+           || (CASE WHEN doc_id % 2 = 0
+                    THEN '?b=2&id=' || CAST(doc_id % 20 AS VARCHAR) || '&utm_source=news'
+                    ELSE '?id=' || CAST(doc_id % 20 AS VARCHAR) || '&b=2' END) AS url
+    FROM documents
+), canon AS (
+    SELECT doc_id,
+           lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+           || '://'
+           || lower(regexp_extract(url, '^[^:/?#]+://([^/?#]*)', 1))
+           || (CASE WHEN regexp_replace(
+                        regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1),
+                        '/+$', '') = ''
+                    THEN '/'
+                    ELSE regexp_replace(
+                        regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1),
+                        '/+$', '') END)
+           || '?' || array_to_string(list_sort(list_filter(
+                  string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                  p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&')
+               AS canonical_url
+    FROM u
+), keepers AS (
+    SELECT doc_id FROM (
+        SELECT doc_id,
+               min(doc_id) OVER (PARTITION BY canonical_url) AS mn
+        FROM canon
+    ) WHERE doc_id = mn
+), kd AS (
+    SELECT d.doc_id, d.text FROM documents d JOIN keepers USING (doc_id)
+), lab AS (
+    SELECT doc_id,
+           CASE WHEN (CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                      ELSE len(list_filter({_TOKENS_SQL},
+                               x -> list_contains({_STOP_SQL}, lower(x)))) END)
+                    / CAST(greatest(CASE WHEN text IS NULL OR trim(text) = ''
+                                    THEN 0 ELSE len({_TOKENS_SQL}) END,
+                                    1) AS DOUBLE) >= 0.08
+                THEN 1 ELSE 0 END AS y
+    FROM kd
+    WHERE CAST(concat('0x', substr(md5('nbseed|' || CAST(doc_id AS VARCHAR)),
+                      1, 13)) AS BIGINT) % 2 = 0
+), g AS (
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5('nbq' || chr(31) || tok), 1, 13))
+                AS BIGINT) % 1024 AS b
+    FROM (SELECT doc_id, unnest({_TOKENS_LOWER_SQL}) AS tok
+          FROM kd WHERE NOT (text IS NULL OR trim(text) = ''))
+), cells AS (
+    SELECT b, sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS n1,
+           sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS n0
+    FROM g JOIN lab USING (doc_id) GROUP BY b
+), cen AS (
+    SELECT (SELECT sum(n1) FROM cells) AS nn1,
+           (SELECT sum(n0) FROM cells) AS nn0,
+           (SELECT sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) FROM lab) AS d1,
+           (SELECT sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) FROM lab) AS d0
+), wt AS (
+    SELECT b, ln((n1 + 1.0) / (nn1 + 1024.0))
+            - ln((n0 + 1.0) / (nn0 + 1024.0)) AS w
+    FROM cells, cen
+), per AS (
+    SELECT g.doc_id, count(*) AS nt,
+           sum(CASE WHEN wt.w IS NULL THEN 0.0 ELSE wt.w END) AS raw,
+           sum(CASE WHEN wt.w IS NULL THEN 1 ELSE 0 END) AS miss
+    FROM g LEFT JOIN wt USING (b) GROUP BY g.doc_id
+), adm AS (
+    SELECT doc_id, nb_score FROM (
+        SELECT k.doc_id,
+               round(ln((cen.d1 + 1.0) / (cen.d0 + 1.0))
+                     + COALESCE(per.raw, 0.0)
+                     + COALESCE(per.miss, 0)
+                       * (ln(1.0 / (cen.nn1 + 1024.0))
+                          - ln(1.0 / (cen.nn0 + 1024.0))), 6) AS nb_score
+        FROM kd k LEFT JOIN per ON k.doc_id = per.doc_id CROSS JOIN cen
+    ) WHERE nb_score > 0.0
+)
+SELECT doc_id, nb_score,
+       CAST(CAST(concat('0x', substr(md5('shard' || chr(31)
+            || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) % 4
+            AS INTEGER) AS shard,
+       CAST(row_number() OVER (
+           PARTITION BY CAST(concat('0x', substr(md5('shard' || chr(31)
+               || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) % 4
+           ORDER BY md5('shard' || chr(31) || CAST(doc_id AS VARCHAR)), doc_id
+       ) AS BIGINT) AS position
+FROM adm
+"""
+
+
 EXT_QUERIES: dict[str, tuple] = {
     "text_nb_quality": (q_text_nb_quality, SQL_NB_QUALITY),
     "text_boilerplate": (q_text_boilerplate, SQL_BOILERPLATE),
+    "pipeline_web_curation": (q_pipeline_web_curation, SQL_PIPE_WEB),
     "web_url_canonical": (q_web_url_canonical, SQL_URL_CANON),
     "sample_shard_shuffle": (q_sample_shard_shuffle, SQL_SHARD_SHUFFLE),
     "text_kn_perplexity": (q_text_kn_perplexity, SQL_KN_PPL),

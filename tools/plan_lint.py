@@ -81,6 +81,7 @@ BNLJ_OK = {
     "text_pmi_collocations": "1-row corpus token-total census",
     "sample_temperature": "1-row corpus-total census",
     "text_nb_quality": "1-row token/doc-count census (model + prior)",
+    "pipeline_web_curation": "1-row NB census (model + prior), keeper-side",
     "stats_cat_association": "1-row grand-total census onto the r x c grid",
     "feat_quantile_bins": "1-row exact-percentile boundary census",
     "feat_target_encode": "1-row global-prior census (x2 branches)",
