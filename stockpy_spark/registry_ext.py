@@ -3049,9 +3049,12 @@ def q_pipeline_web_curation(spark, sf_dir):
     """Composed web-curation pipeline over this round's stages, each
     load-bearing at sf0.01: canonical-URL dedup (500 docs -> ~160
     min-id keepers), the NB quality gate over the keepers (seed =
-    keeper md5 draw, stopword-ratio labels; only pred_quality
-    survivors pass), then the deterministic shard shuffle assigns the
-    admitted set its training order. One hash oracle replays the whole
+    keeper md5 draw, stopword-ratio labels; admission = TOP-64 by NB
+    score with doc_id ties — the tuned-threshold pattern production
+    quality classifiers ship with; the word-soup fixture is weakly
+    separable, so the textbook score>0 MAP rule would admit nothing),
+    then the deterministic shard shuffle assigns the admitted set its
+    training order. One hash oracle replays the whole
     chain, so a drift in ANY stage reds the pipeline, not just its own
     query."""
     from pyspark.sql.window import Window as W
@@ -3112,7 +3115,11 @@ def q_pipeline_web_curation(spark, sf_dir):
         "doc_id", (f["stopword_ratio"] >= 0.08).cast("int").alias("label")
     )
     scored = nb_quality_classifier(kept_docs, "text", "doc_id", seed)
-    admitted = scored.filter(F.col("pred_quality")).select("doc_id", "nb_score")
+    admitted = (
+        scored.orderBy(F.desc("nb_score"), F.asc("doc_id"))
+        .limit(64)
+        .select("doc_id", "nb_score")
+    )
     return shuffle_shard_plan(admitted, "doc_id", n_shards=4, n_buckets=16)
 
 
@@ -3198,7 +3205,7 @@ WITH u AS (
                        * (ln(1.0 / (cen.nn1 + 1024.0))
                           - ln(1.0 / (cen.nn0 + 1024.0))), 6) AS nb_score
         FROM kd k LEFT JOIN per ON k.doc_id = per.doc_id CROSS JOIN cen
-    ) WHERE nb_score > 0.0
+    ) ORDER BY nb_score DESC, doc_id LIMIT 64
 )
 SELECT doc_id, nb_score,
        CAST(CAST(concat('0x', substr(md5('shard' || chr(31)
