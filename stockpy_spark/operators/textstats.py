@@ -584,3 +584,111 @@ def kn_perplexity_scores(
         avg.alias("avg_logprob"),
         F.round(F.exp(-avg), dp).alias("kn_perplexity"),
     )
+
+
+def fuzzy_decontamination(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 12,
+    bands: int = 2,
+    threshold: float = 0.5,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Near-duplicate eval decontamination — the MinHash sibling of
+    :func:`ngram_contamination`: the exact n-gram rule misses a
+    training document that PARAPHRASES an eval item (token swaps break
+    every 5-gram while the token SET barely moves), which is exactly
+    the leak reported in practice (PaLM/GPT-4-class reports
+    deduplicate eval sets against training data by near-dup, not just
+    exact overlap). Here every eval document is screened against the
+    corpus through the flagship dedup family's own LSH index: shared
+    (band, band-signature) buckets nominate candidate corpus docs, the
+    signature lanes estimate Jaccard, and ``est_jaccard >=
+    threshold`` flags contamination.
+
+    Returns EVERY eval row: (doc, n_candidates, n_contaminating,
+    max_est_jaccard, is_contaminated) — candidates = distinct corpus
+    docs sharing any band bucket, max_est_jaccard NULL when no
+    candidate (the certified-clean rows a decontamination report must
+    include).
+
+    Scale shape, inherited from minhash_lsh_pairs: signatures are the
+    ZERO-shuffle narrow map (_minhash_wide), the band join is
+    eval-side-tiny (an eval suite is KB against a 100 TB corpus — AQE
+    broadcasts the eval buckets), lane comparison joins the n_docs-
+    sized signature table only for candidate pairs, and the final
+    aggregate is per-eval-doc. ``hash_fn="xxhash64"`` swaps the
+    production kernel exactly as in the dedup family.
+    """
+    from stockpy_spark.operators.dedup import _band_signatures, _minhash_wide
+
+    cw = _minhash_wide(corpus, text_col, id_col, num_hashes, hash_fn)
+    ew = _minhash_wide(eval_df, text_col, id_col, num_hashes, hash_fn)
+    cb = _band_signatures(cw, num_hashes, bands, hash_fn).select(
+        F.col("doc").alias("cdoc"), "band", "bsig"
+    )
+    eb = _band_signatures(ew, num_hashes, bands, hash_fn).select(
+        F.col("doc").alias("edoc"), "band", "bsig"
+    )
+    cand = eb.join(cb, ["band", "bsig"]).select("edoc", "cdoc").distinct()
+
+    es = _long_sig(ew).select(
+        F.col("doc").alias("edoc"), "h", F.col("mh").alias("emh")
+    )
+    cs = _long_sig(cw).select(
+        F.col("doc").alias("cdoc"), "h", F.col("mh").alias("cmh")
+    )
+    est = (
+        cand.join(es, "edoc")
+        .join(cs, ["cdoc", "h"])
+        .groupBy("edoc", "cdoc")
+        .agg(
+            F.round(
+                F.avg(
+                    F.when(F.col("emh") == F.col("cmh"), 1.0).otherwise(0.0)
+                ),
+                6,
+            ).alias("est_jaccard")
+        )
+    )
+    per_eval = est.groupBy("edoc").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(
+            F.when(F.col("est_jaccard") >= threshold, 1).otherwise(0)
+        ).alias("n_contaminating"),
+        F.max("est_jaccard").alias("max_est_jaccard"),
+    )
+    return (
+        eval_df.select(F.col(id_col).alias("doc"))
+        .join(per_eval, F.col("doc") == F.col("edoc"), "left")
+        .select(
+            "doc",
+            F.coalesce(F.col("n_candidates"), F.lit(0)).cast("bigint").alias(
+                "n_candidates"
+            ),
+            F.coalesce(F.col("n_contaminating"), F.lit(0))
+            .cast("bigint")
+            .alias("n_contaminating"),
+            "max_est_jaccard",
+            (F.coalesce(F.col("n_contaminating"), F.lit(0)) > 0).alias(
+                "is_contaminated"
+            ),
+        )
+    )
+
+
+def _long_sig(wide: DataFrame) -> DataFrame:
+    """(doc, h, mh) long form of a wide minhash frame (helper shared by
+    fuzzy_decontamination's two sides)."""
+    num = len([c for c in wide.columns if c.startswith("mh")])
+    pairs = F.array(
+        *[
+            F.struct(F.lit(h).cast("int").alias("h"), F.col(f"mh{h}").alias("mh"))
+            for h in range(num)
+        ]
+    )
+    return wide.select("doc", F.explode(pairs).alias("kv")).select(
+        "doc", F.col("kv.h").alias("h"), F.col("kv.mh").alias("mh")
+    )

@@ -3220,10 +3220,76 @@ FROM adm
 """
 
 
+def q_decontaminate_fuzzy(spark, sf_dir):
+    """Near-dup eval decontamination (operators/textstats.py
+    fuzzy_decontamination): the MinHash sibling of decontaminate_eval
+    — paraphrases break every exact 5-gram but barely move the token
+    set, so the eval split (doc_id % 10 == 0) is screened against the
+    training split through the dedup family's own LSH index (12
+    lanes, 2 bands, est_jaccard >= 0.5). Every eval doc is reported,
+    certified-clean rows included."""
+    from stockpy_spark.operators.textstats import fuzzy_decontamination
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 10 == 0)
+    return fuzzy_decontamination(corpus, eval_df, "text", "doc_id")
+
+
+SQL_DECONTAM_FUZZY = f"""
+WITH tok AS (
+    SELECT DISTINCT doc_id AS doc, doc_id % 10 = 0 AS ev,
+           unnest({_TOKENS_LOWER_SQL}) AS tok
+    FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+), base AS (
+    SELECT doc, ev,
+           CAST(concat('0x', substr(md5('1|' || tok), 1, 15)) AS BIGINT) % 1000000007 AS h1,
+           CAST(concat('0x', substr(md5('2|' || tok), 1, 15)) AS BIGINT) % 1000000007 AS h2
+    FROM tok
+), sig AS (
+    SELECT doc, ev, g.h AS h,
+           min((h1 + g.h * h2) % 1000000007) AS mh
+    FROM base CROSS JOIN generate_series(0, 11) AS g(h)
+    GROUP BY doc, ev, g.h
+), bands AS (
+    SELECT doc, ev, h // 6 AS band,
+           lpad(CAST(h AS VARCHAR), 4, '0') || ':' || CAST(mh AS VARCHAR) AS hmh
+    FROM sig
+), bsig AS (
+    SELECT doc, ev, band, md5(string_agg(hmh, ',' ORDER BY hmh)) AS bs
+    FROM bands GROUP BY doc, ev, band
+), cand AS (
+    SELECT DISTINCT e.doc AS edoc, c.doc AS cdoc
+    FROM bsig e JOIN bsig c ON e.band = c.band AND e.bs = c.bs
+    WHERE e.ev AND NOT c.ev
+), est AS (
+    SELECT cand.edoc, cand.cdoc,
+           round(avg(CASE WHEN s1.mh = s2.mh THEN 1.0 ELSE 0.0 END), 6) AS ej
+    FROM cand
+    JOIN sig s1 ON s1.doc = cand.edoc
+    JOIN sig s2 ON s2.doc = cand.cdoc AND s2.h = s1.h
+    GROUP BY cand.edoc, cand.cdoc
+), per AS (
+    SELECT edoc, count(*) AS n_candidates,
+           sum(CASE WHEN ej >= 0.5 THEN 1 ELSE 0 END) AS n_cont,
+           max(ej) AS mx
+    FROM est GROUP BY edoc
+)
+SELECT d.doc_id AS doc,
+       CAST(COALESCE(per.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(COALESCE(per.n_cont, 0) AS BIGINT) AS n_contaminating,
+       per.mx AS max_est_jaccard,
+       COALESCE(per.n_cont, 0) > 0 AS is_contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+LEFT JOIN per ON d.doc_id = per.edoc
+"""
+
+
 EXT_QUERIES: dict[str, tuple] = {
     "text_nb_quality": (q_text_nb_quality, SQL_NB_QUALITY),
     "text_boilerplate": (q_text_boilerplate, SQL_BOILERPLATE),
     "pipeline_web_curation": (q_pipeline_web_curation, SQL_PIPE_WEB),
+    "decontaminate_fuzzy": (q_decontaminate_fuzzy, SQL_DECONTAM_FUZZY),
     "web_url_canonical": (q_web_url_canonical, SQL_URL_CANON),
     "sample_shard_shuffle": (q_sample_shard_shuffle, SQL_SHARD_SHUFFLE),
     "text_kn_perplexity": (q_text_kn_perplexity, SQL_KN_PPL),

@@ -471,3 +471,53 @@ class TestKNPerplexity:
             for r in kn_perplexity_scores(df, "text", "doc_id").collect()
         }
         assert out[2] > out[3]
+
+
+class TestFuzzyDecontamination:
+    def test_paraphrase_caught_exact_ngram_misses(self, spark):
+        """The motivating case: a training doc that paraphrases an eval
+        item by swapping two tokens breaks EVERY exact 5-gram, but the
+        token set barely moves — ngram_contamination certifies it
+        clean, fuzzy_decontamination flags it. An unrelated eval doc
+        stays certified clean in the same report."""
+        from stockpy_spark.operators.textstats import (
+            fuzzy_decontamination,
+            ngram_contamination,
+        )
+
+        base = (
+            "the model was trained on a large corpus of filtered web "
+            "documents with careful quality checks applied at every stage"
+        )
+        # token-swap paraphrase: a substitution every <=4 tokens, so NO
+        # 5-token window survives intact, yet token-set overlap stays 0.8
+        para = (
+            base.replace("trained", "tuned")
+            .replace("corpus", "collection")
+            .replace("documents", "pages")
+            .replace("checks", "tests")
+        )
+        corpus = spark.createDataFrame(
+            [(1, para), (2, "completely different training text about stock prices")],
+            "doc_id int, text string",
+        )
+        eval_df = spark.createDataFrame(
+            [(100, base), (101, "pristine evaluation item sharing absolutely nothing")],
+            "doc_id int, text string",
+        )
+        exact = {
+            r["doc"]: r["is_contaminated"]
+            for r in ngram_contamination(corpus, eval_df, "text", "doc_id", n=5).collect()
+        }
+        assert not exact[100]  # every 5-gram broken by the swaps
+        fuzzy = {
+            r["doc"]: r
+            for r in fuzzy_decontamination(
+                corpus, eval_df, "text", "doc_id", bands=6, threshold=0.5
+            ).collect()
+        }
+        assert fuzzy[100]["is_contaminated"]
+        assert fuzzy[100]["max_est_jaccard"] >= 0.5
+        assert not fuzzy[101]["is_contaminated"]
+        assert fuzzy[101]["n_candidates"] == 0
+        assert fuzzy[101]["max_est_jaccard"] is None  # certified clean
