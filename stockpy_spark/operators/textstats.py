@@ -175,7 +175,17 @@ def lm_perplexity_scores(
         F.explode(word_ngrams(F.col(text_col), 2)).alias("bg"),
     )
     per = big.groupBy("doc", "bg").agg(F.count(F.lit(1)).alias("m"))
-    c12 = per.groupBy("bg").agg(F.sum("m").alias("c12"))
+    # distinct-collapse checkpoint (r12 dominance criterion, found by
+    # kn_perplexity_scores' decade spot and confirmed here by the same
+    # A/B): c12 is bigram-vocabulary-sized and feeds BOTH the context
+    # branch and the scoring join — unpinned, each consumer replans the
+    # corpus tokenize + both aggregates (the ReuseExchange sharing the
+    # docstring's r6 rewrite counted on does not survive this shape at
+    # runtime). Measured at the synthetic sf1: 16.48 s -> 6.80 s; the
+    # sf10 decade spot is in BASELINE.md §4.
+    c12 = per.groupBy("bg").agg(F.sum("m").alias("c12")).localCheckpoint(
+        eager=True
+    )
     c1 = (
         c12.select(
             F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
@@ -335,7 +345,17 @@ def pmi_collocations(
     toks = df.select(
         F.explode(word_ngrams(F.col(text_col), 1)).alias("w")
     )
-    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    # distinct-collapse checkpoint (r12 dominance criterion, third
+    # member found by the lm/kn audit): uni is vocabulary-sized and
+    # consumed by BOTH unigram attachments — unpinned, each broadcast
+    # build replans the corpus tokenize + count. Same-session A/B:
+    # sf1 5.45 s -> 4.48 s, sf10 53.31 s -> 36.68 s (the gap GROWS
+    # with scale, which is what made the pin mandatory, not optional).
+    uni = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+        .localCheckpoint(eager=True)
+    )
     big = (
         df.select(F.explode(word_ngrams(F.col(text_col), 2)).alias("xy"))
         .groupBy("xy")
