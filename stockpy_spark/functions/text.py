@@ -241,3 +241,39 @@ def fingerprint_rolling(col: Column | str, max_chars: int = 256) -> Column:
         F.lit(0).cast("long"),
         lambda acc, cp: (acc * ROLLING_B + cp) % ROLLING_P,
     )
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Unicode hygiene — the cleanup every web corpus runs before
+    tokenization, because the tokenizer treats zero-width-joined
+    words and curly-quoted text as distinct types and control
+    characters as real content:
+
+    - C0/C1 control characters dropped (except tab/newline/CR, which
+      are structure: kept here and folded by the whitespace collapse);
+    - zero-width characters dropped (ZWSP/ZWNJ/ZWJ/BOM — the classic
+      invisible-token poison);
+    - typographic punctuation folded to ASCII (curly quotes, en/em
+      dash, ellipsis, NBSP) so downstream fingerprints/shingles agree
+      across sources that styled the same text differently;
+    - whitespace runs collapsed to one space, ends trimmed.
+
+    Pure chained builtin regexp_replace/translate — JVM-side codegen,
+    linear scan, no UDF. NULL stays NULL (a missing doc is not an
+    empty doc).
+    """
+    c = _c(col)
+    # zero-width + BOM first (translate cannot delete, regexp can)
+    c = F.regexp_replace(c, "[\u200b\u200c\u200d\ufeff]", "")
+    # C0/C1 control chars except tab/newline/CR (whitespace, below)
+    c = F.regexp_replace(c, "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]", "")
+    # typographic -> ASCII: curly double/single quotes, en/em dash, NBSP
+    c = F.translate(
+        c,
+        "\u201c\u201d\u2018\u2019\u2013\u2014\u00a0",
+        "\"\"''-- ",
+    )
+    # ellipsis is 1 -> 3 chars, translate cannot do it
+    c = F.regexp_replace(c, "\u2026", "...")
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return c

@@ -3285,8 +3285,77 @@ LEFT JOIN per ON d.doc_id = per.edoc
 """
 
 
+def q_text_normalize(spark, sf_dir):
+    """Unicode text normalization (functions/text.py normalize_text —
+    the hygiene pass before tokenization): docs get deterministic
+    doc_id-derived MESS (curly quotes, zero-width joins, en-dash +
+    ellipsis, a control char, trailing space runs) and both engines
+    normalize it blind. Reports per doc: normalized text, whether
+    anything changed, and how many characters were removed."""
+    from stockpy_spark.functions.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    messy = F.concat(
+        F.when(d % 2 == 0, F.lit("\u201cQ\u201d ")).otherwise(F.lit("")),
+        t,
+        F.when(d % 3 == 0, F.lit(" x\u200by")).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit(" a \u2013 b \u2026")).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit(" ctl\u0007")).otherwise(F.lit("")),
+        F.lit("  tail   spaces "),
+    )
+    sdf = docs.select("doc_id", messy.alias("messy"))
+    return sdf.select(
+        "doc_id",
+        normalize_text("messy").alias("norm_text"),
+        (F.col("messy") != normalize_text("messy")).alias("changed"),
+        (F.length("messy") - F.length(normalize_text("messy")))
+        .cast("bigint")
+        .alias("n_chars_removed"),
+    )
+
+
+SQL_TEXT_NORMALIZE = r"""
+WITH m AS (
+    SELECT doc_id,
+           (CASE WHEN doc_id % 2 = 0
+                 THEN chr(8220) || 'Q' || chr(8221) || ' ' ELSE '' END)
+           || coalesce(text, '')
+           || (CASE WHEN doc_id % 3 = 0
+                    THEN ' x' || chr(8203) || 'y' ELSE '' END)
+           || (CASE WHEN doc_id % 5 = 0
+                    THEN ' a ' || chr(8211) || ' b ' || chr(8230) ELSE '' END)
+           || (CASE WHEN doc_id % 7 = 0 THEN ' ctl' || chr(7) ELSE '' END)
+           || '  tail   spaces ' AS messy
+    FROM documents
+), n AS (
+    SELECT doc_id, messy,
+           trim(regexp_replace(
+               replace(
+                   translate(
+                       regexp_replace(
+                           regexp_replace(messy,
+                               '[\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g'),
+                           '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}-\x{9F}]',
+                           '', 'g'),
+                       chr(8220) || chr(8221) || chr(8216) || chr(8217)
+                           || chr(8211) || chr(8212) || chr(160),
+                       '""' || chr(39) || chr(39) || '-- '),
+                   chr(8230), '...'),
+               '\s+', ' ', 'g')) AS norm_text
+    FROM m
+)
+SELECT doc_id, norm_text,
+       messy <> norm_text AS changed,
+       CAST(length(messy) - length(norm_text) AS BIGINT) AS n_chars_removed
+FROM n
+"""
+
+
 EXT_QUERIES: dict[str, tuple] = {
     "text_nb_quality": (q_text_nb_quality, SQL_NB_QUALITY),
+    "text_normalize": (q_text_normalize, SQL_TEXT_NORMALIZE),
     "text_boilerplate": (q_text_boilerplate, SQL_BOILERPLATE),
     "pipeline_web_curation": (q_pipeline_web_curation, SQL_PIPE_WEB),
     "decontaminate_fuzzy": (q_decontaminate_fuzzy, SQL_DECONTAM_FUZZY),

@@ -579,3 +579,26 @@ class TestBoilerplateLineScreen:
         )
         r = boilerplate_line_screen(df, "doc_id", "text").collect()[0]
         assert r.text == "" and r.n_kept == 0 and r.boiler_ratio == 1.0
+
+
+def test_normalize_text_rule_battery(spark):
+    """normalize_text (round-12 continuation): one hand case per rule
+    — zero-width strip, control-char strip (structure whitespace kept
+    and folded), typographic fold, ellipsis expansion, whitespace
+    collapse, NULL passthrough."""
+    from stockpy_spark.functions.text import normalize_text
+
+    cases = [
+        (
+            "a\u200bb \u201cq\u201d \u2018x\u2019 \u2013 y \u2014 z\u2026 end",
+            "ab \"q\" 'x' - y - z... end",
+        ),
+        ("bell\u0007 and \u0000 nul", "bell and nul"),
+        ("  runs \t of\nspace  ", "runs of space"),
+        ("nbsp\u00a0here", "nbsp here"),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "text string")
+    got = [r.n for r in df.select(normalize_text("text").alias("n")).collect()]
+    for (raw, want), g in zip(cases, got):
+        assert g == want, (raw, g, want)
