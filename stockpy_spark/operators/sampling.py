@@ -796,3 +796,48 @@ def shuffle_shard_plan(
             (F.col("__off") + rk).cast("long").alias("position"),
         )
     )
+
+
+def pack_efficiency_report(
+    packed: DataFrame,
+    token_col: str,
+    budget: int,
+    bin_cols: tuple[str, ...] = ("shard", "bin"),
+    dp: int = 6,
+) -> DataFrame:
+    """Packing-efficiency audit for :func:`pack_sequences` /
+    :func:`pack_chunks_ordered` output — the metric you actually tune
+    a packer with: how much of every training sequence's token budget
+    is real data and how much is the padding the trainer will burn
+    FLOPs on. One row: (n_bins, total_tokens, mean_fill_rate,
+    p50_fill, p95_fill, min_fill, waste_tokens, pct_bins_ge_90).
+
+    Fill is measured against ``budget`` per bin; a bin holding an
+    oversize document fills past 1.0 deliberately (the trainer splits
+    it — capping here would hide that the packer emitted it).
+    Percentiles are EXACT over the bins frame (bins-sized, tiny
+    relative to the corpus: corpus_tokens / budget rows).
+
+    Scale shape: one (bin-key) aggregate of the packed frame —
+    map-side combined, output bins-sized — then one global aggregate
+    of the bins frame. Nothing rescans the corpus.
+    """
+    fills = packed.groupBy(*[F.col(c) for c in bin_cols]).agg(
+        F.sum(F.col(token_col)).alias("__fill")
+    )
+    rate = F.col("__fill") / F.lit(float(budget))
+    b = F.lit(float(budget))
+    return fills.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.sum("__fill").cast("bigint").alias("total_tokens"),
+        F.round(F.avg(rate), dp).alias("mean_fill_rate"),
+        F.round(F.expr("percentile(__fill, 0.5)") / b, dp).alias("p50_fill"),
+        F.round(F.expr("percentile(__fill, 0.95)") / b, dp).alias("p95_fill"),
+        F.round(F.min(rate), dp).alias("min_fill"),
+        F.sum(
+            F.greatest(b - F.col("__fill"), F.lit(0.0))
+        ).cast("bigint").alias("waste_tokens"),
+        F.round(
+            F.avg(F.when(rate >= 0.9, 1.0).otherwise(0.0)), dp
+        ).alias("pct_bins_ge_90"),
+    )

@@ -45,6 +45,20 @@ _ALL = {**CORE_QUERIES, **EXT_QUERIES, **TPCH2_QUERIES, **HIVE_QUERIES, **TS_QUE
 # rows-only queries (no SQL oracle by design) pinned PERMANENTLY at
 # the end so the driver never burns a sampled slot on a guaranteed
 # no_oracle row.
+#
+# Round-12 CONTINUATION queue (positions 53-60, still outside the r12
+# window): the eight new oracle-backed queries of the post-gate
+# session (text_nb_quality, web_url_canonical, sample_shard_shuffle,
+# text_kn_perplexity, text_boilerplate, pipeline_web_curation,
+# decontaminate_fuzzy, text_normalize) — every one same-session
+# hash-green at sf0.01 AND sf0.001 and plan-lint clean before it
+# entered this list. r13's rotation takes feat_target_encode +
+# pack_chunks_ordered + these eight first (ten changed/new), then
+# back-fills with the r08-green cohort. NOTE for r13: text_lm_per-
+# plexity and text_pmi_collocations carry plan-only checkpoint pins
+# from the continuation (outputs invariant, re-greened same-session);
+# lm sits INSIDE the r12 window and was re-certified by a fresh
+# vanilla_check after the pin.
 DRIVER_PRIORITY = [
     "stats_spearman",
     "drift_ks_value",
@@ -106,6 +120,7 @@ DRIVER_PRIORITY = [
     "pipeline_web_curation",
     "decontaminate_fuzzy",
     "text_normalize",
+    "pack_efficiency",
     "dedup_bloom_screen",
     "stream_minhash_admit",
     "a2_count_star",

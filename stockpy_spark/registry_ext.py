@@ -3353,9 +3353,58 @@ FROM n
 """
 
 
+def q_pack_efficiency(spark, sf_dir):
+    """Packing-efficiency audit (operators/sampling.py
+    pack_efficiency_report) over the pack_context_bins assignment:
+    bin fill rates, exact fill percentiles, wasted (padding) tokens —
+    the FLOPs-burn metric a packer is tuned with."""
+    from stockpy_spark.operators.sampling import (
+        pack_efficiency_report,
+        pack_sequences,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    packed = pack_sequences(sized, "doc_id", "n_tokens", budget=2048, n_shards=4)
+    return pack_efficiency_report(packed, "n_tokens", budget=2048)
+
+
+SQL_PACK_EFFICIENCY = f"""
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                ELSE len({_TOKENS_SQL}) END AS n_tokens,
+           {_BUCKET_SQL.format(salt='pack')} % 4 AS shard
+    FROM documents
+), c AS (
+    SELECT doc_id, shard, n_tokens,
+           sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+    FROM t
+), fills AS (
+    SELECT shard, CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS bin,
+           sum(n_tokens) AS fill
+    FROM c GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_bins,
+       CAST(sum(fill) AS BIGINT) AS total_tokens,
+       round(avg(fill / 2048.0), 6) AS mean_fill_rate,
+       round(CAST(quantile_cont(fill, 0.5) AS DOUBLE) / 2048.0, 6) AS p50_fill,
+       round(CAST(quantile_cont(fill, 0.95) AS DOUBLE) / 2048.0, 6) AS p95_fill,
+       round(min(fill / 2048.0), 6) AS min_fill,
+       CAST(sum(greatest(2048.0 - fill, 0.0)) AS BIGINT) AS waste_tokens,
+       round(avg(CASE WHEN fill / 2048.0 >= 0.9 THEN 1.0 ELSE 0.0 END), 6)
+           AS pct_bins_ge_90
+FROM fills
+"""
+
+
 EXT_QUERIES: dict[str, tuple] = {
     "text_nb_quality": (q_text_nb_quality, SQL_NB_QUALITY),
     "text_normalize": (q_text_normalize, SQL_TEXT_NORMALIZE),
+    "pack_efficiency": (q_pack_efficiency, SQL_PACK_EFFICIENCY),
     "text_boilerplate": (q_text_boilerplate, SQL_BOILERPLATE),
     "pipeline_web_curation": (q_pipeline_web_curation, SQL_PIPE_WEB),
     "decontaminate_fuzzy": (q_decontaminate_fuzzy, SQL_DECONTAM_FUZZY),

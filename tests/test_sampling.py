@@ -364,3 +364,26 @@ def test_shuffle_shard_plan_contiguous_stable_and_window_equivalent(spark):
     assert {(r.doc_id, r.shard, r.position) for r in naive.collect()} == {
         (r.doc_id, r.shard, r.position) for r in rows
     }
+
+
+def test_pack_efficiency_report_hand_computed(spark):
+    """pack_efficiency_report (round-12 continuation): hand-computable
+    fills — 3 bins of budget 10 holding 10, 7 and 14 tokens (the last
+    an oversize doc, fill rate deliberately >1.0; waste counts only
+    under-budget bins)."""
+    from stockpy_spark.operators.sampling import pack_efficiency_report
+
+    rows = [
+        # (shard, bin, n_tokens)
+        (0, 0, 6), (0, 0, 4),   # bin fill 10 (exactly full)
+        (0, 1, 7),              # bin fill 7  (waste 3)
+        (1, 0, 14),             # oversize: fill 14, rate 1.4, waste 0
+    ]
+    df = spark.createDataFrame(rows, "shard int, bin long, n_tokens long")
+    r = pack_efficiency_report(df, "n_tokens", budget=10).collect()[0]
+    assert r.n_bins == 3 and r.total_tokens == 31
+    assert abs(r.mean_fill_rate - round((1.0 + 0.7 + 1.4) / 3, 6)) < 1e-9
+    assert r.p50_fill == 1.0          # fills 7,10,14 -> median 10
+    assert r.min_fill == 0.7
+    assert r.waste_tokens == 3        # only the 7-token bin pads
+    assert abs(r.pct_bins_ge_90 - round(2 / 3, 6)) < 1e-9
