@@ -841,3 +841,43 @@ def pack_efficiency_report(
             F.avg(F.when(rate >= 0.9, 1.0).otherwise(0.0)), dp
         ).alias("pct_bins_ge_90"),
     )
+
+
+def calibrate_scores_by_group(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    dp: int = 6,
+) -> DataFrame:
+    """Per-source score calibration — the fix for the classifier-
+    threshold trap: a quality score's ABSOLUTE value means different
+    things across crawls/sources (one crawl's 0.6 is another's 0.9
+    because their score distributions differ), so a single global
+    threshold over- or under-prunes per source. Replaces each score
+    with its within-group percentile (exact ``percent_rank``, ties
+    share a rank; deterministic tie-break on the id for the rank
+    column), so "keep the top 30%" means the same thing in every
+    source.
+
+    Returns the input plus (group_rank, calibrated) where calibrated
+    in [0, 1] is the within-group percent_rank of the score. A
+    one-row group calibrates to 0.0 (percent_rank's convention) — the
+    honest value when there is nothing to compare against.
+
+    Scale shape: ONE window partitioned by the group (source/crawl
+    cardinality, each partition sorted independently — the natural
+    parallel unit; a hot source is bounded by that source's share of
+    the corpus, the same exposure every per-source statistic has).
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).asc(), F.col(id_col).asc()
+    )
+    # percent_rank must see score-only ordering for tie sharing; the
+    # id enters only the row_number tiebreak
+    wp = Window.partitionBy(group_col).orderBy(F.col(score_col).asc())
+    return df.select(
+        "*",
+        F.row_number().over(w).cast("bigint").alias("group_rank"),
+        F.round(F.percent_rank().over(wp), dp).alias("calibrated"),
+    )

@@ -169,3 +169,48 @@ def boilerplate_line_screen(
             6,
         ).alias("boiler_ratio"),
     )
+
+
+def dedup_lines_within_doc(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+) -> DataFrame:
+    """Intra-document repeated-line removal — the WITHIN-doc member of
+    the line-cleaning trio (corpus frequency rule, per-line shape
+    screen, and this): scraped pages repeat their own header/footer/nav
+    block once per template include, and a repeated line inside ONE
+    document is boilerplate evidence that needs no corpus state at
+    all. Keeps each distinct line's FIRST occurrence (document order
+    preserved), drops the repeats, and reports how many lines the doc
+    lost.
+
+    Returns every input document: (id, text, n_lines, n_dropped).
+    Blank lines are treated like any other line (a run of blanks
+    collapses to one — the common template artifact).
+
+    Scale shape: one narrow posexplode, one (doc, line) min-pos
+    aggregate, one doc-keyed rebuild — two shuffles both keyed by the
+    document (no corpus-wide state, no window over anything bigger
+    than one document's lines).
+    """
+    lines = explode_lines(df, id_col, text_col, sep)
+    firsts = lines.groupBy(id_col, "line").agg(F.min("pos").alias("pos"))
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_total"))
+    rebuilt = firsts.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return rebuilt.join(totals, id_col).select(
+        id_col,
+        text_col,
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        (F.col("n_total") - F.col("n_lines")).cast("bigint").alias("n_dropped"),
+    )

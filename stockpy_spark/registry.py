@@ -121,6 +121,8 @@ DRIVER_PRIORITY = [
     "decontaminate_fuzzy",
     "text_normalize",
     "pack_efficiency",
+    "text_line_dedup_intra",
+    "sample_score_calibration",
     "dedup_bloom_screen",
     "stream_minhash_admit",
     "a2_count_star",

@@ -3401,10 +3401,104 @@ FROM fills
 """
 
 
+def q_text_line_dedup_intra(spark, sf_dir):
+    """Intra-document repeated-line removal (operators/textcorpus.py
+    dedup_lines_within_doc — the within-doc member of the line trio):
+    docs get a deterministic line structure where a nav line repeats
+    on even ids and the lead line repeats at the tail on ids % 3;
+    both engines rebuild blind. First occurrence wins, order kept."""
+    from stockpy_spark.operators.textcorpus import dedup_lines_within_doc
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    t = F.when(
+        F.col("text").isNull() | (F.trim("text") == ""),
+        F.array().cast("array<string>"),
+    ).otherwise(F.split(F.trim("text"), r"\s+"))
+    l1 = F.array_join(F.slice(t, 1, 8), " ")
+    l2 = F.lit("Subscribe to our newsletter")
+    l3 = F.array_join(F.slice(t, 9, 8), " ")
+    arr = F.filter(
+        F.array(
+            l1,
+            l2,
+            l3,
+            F.when(d % 2 == 0, l2),
+            F.when(d % 3 == 0, l1),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    sdf = docs.select("doc_id", F.array_join(arr, "\n").alias("text"))
+    return dedup_lines_within_doc(sdf, "doc_id", "text")
+
+
+SQL_LINE_DEDUP_INTRA = f"""
+WITH t AS (
+    SELECT doc_id,
+           CASE WHEN text IS NULL OR trim(text) = '' THEN []
+                ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+    FROM documents
+), sal AS (
+    SELECT doc_id,
+           array_to_string(list_filter([
+               array_to_string(tk[1:8], ' '),
+               'Subscribe to our newsletter',
+               array_to_string(tk[9:16], ' '),
+               CASE WHEN doc_id % 2 = 0
+                    THEN 'Subscribe to our newsletter' END,
+               CASE WHEN doc_id % 3 = 0
+                    THEN array_to_string(tk[1:8], ' ') END
+           ], x -> x IS NOT NULL), chr(10)) AS text
+    FROM t
+), ln AS (
+    SELECT doc_id, s AS pos, ls[s] AS line
+    FROM (SELECT doc_id, string_split(text, chr(10)) AS ls,
+                 unnest(generate_series(1, len(string_split(text, chr(10)))))
+                     AS s
+          FROM sal)
+), firsts AS (
+    SELECT doc_id, line, min(pos) AS pos FROM ln GROUP BY doc_id, line
+), totals AS (
+    SELECT doc_id, count(*) AS n_total FROM ln GROUP BY doc_id
+)
+SELECT f.doc_id,
+       string_agg(f.line, chr(10) ORDER BY f.pos) AS text,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(any_value(t.n_total) - count(*) AS BIGINT) AS n_dropped
+FROM firsts f JOIN totals t ON f.doc_id = t.doc_id
+GROUP BY f.doc_id
+"""
+
+
+def q_sample_score_calibration(spark, sf_dir):
+    """Per-source score calibration (operators/sampling.py
+    calibrate_scores_by_group): the n_chars "score" re-expressed as a
+    within-source percentile so one threshold means the same thing in
+    every source; exact percent_rank with shared ties plus a
+    deterministic id-tiebroken rank."""
+    from stockpy_spark.operators.sampling import calibrate_scores_by_group
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return calibrate_scores_by_group(docs, "source", "n_chars", "doc_id")
+
+
+SQL_SCORE_CALIBRATION = """
+SELECT doc_id, source, n_chars,
+       CAST(row_number() OVER (PARTITION BY source
+                               ORDER BY n_chars, doc_id) AS BIGINT)
+           AS group_rank,
+       round(percent_rank() OVER (PARTITION BY source ORDER BY n_chars), 6)
+           AS calibrated
+FROM documents
+"""
+
+
 EXT_QUERIES: dict[str, tuple] = {
     "text_nb_quality": (q_text_nb_quality, SQL_NB_QUALITY),
     "text_normalize": (q_text_normalize, SQL_TEXT_NORMALIZE),
     "pack_efficiency": (q_pack_efficiency, SQL_PACK_EFFICIENCY),
+    "text_line_dedup_intra": (q_text_line_dedup_intra, SQL_LINE_DEDUP_INTRA),
+    "sample_score_calibration": (q_sample_score_calibration, SQL_SCORE_CALIBRATION),
     "text_boilerplate": (q_text_boilerplate, SQL_BOILERPLATE),
     "pipeline_web_curation": (q_pipeline_web_curation, SQL_PIPE_WEB),
     "decontaminate_fuzzy": (q_decontaminate_fuzzy, SQL_DECONTAM_FUZZY),

@@ -602,3 +602,34 @@ def test_normalize_text_rule_battery(spark):
     got = [r.n for r in df.select(normalize_text("text").alias("n")).collect()]
     for (raw, want), g in zip(cases, got):
         assert g == want, (raw, g, want)
+
+
+def test_dedup_lines_within_doc_first_wins_order_kept(spark):
+    from stockpy_spark.operators.textcorpus import dedup_lines_within_doc
+
+    text = "\n".join(["lead para", "nav bar", "body text", "nav bar", "lead para", "tail"])
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = dedup_lines_within_doc(df, "doc_id", "text").collect()[0]
+    assert r.text.split("\n") == ["lead para", "nav bar", "body text", "tail"]
+    assert r.n_lines == 4 and r.n_dropped == 2
+
+
+def test_calibrate_scores_by_group_percentiles_and_ties(spark):
+    from stockpy_spark.operators.sampling import calibrate_scores_by_group
+
+    rows = [
+        # group a: scores 1, 2, 2, 5 -> percent_rank 0, 1/3, 1/3, 1
+        (1, "a", 1.0), (2, "a", 2.0), (3, "a", 2.0), (4, "a", 5.0),
+        # group b: one row -> calibrated 0.0 (percent_rank convention)
+        (5, "b", 9.9),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, src string, score double")
+    out = {
+        r.doc_id: (r.group_rank, r.calibrated)
+        for r in calibrate_scores_by_group(df, "src", "score", "doc_id").collect()
+    }
+    third = round(1 / 3, 6)
+    assert out[1] == (1, 0.0)
+    assert out[2] == (2, third) and out[3] == (3, third)  # ties share
+    assert out[4] == (4, 1.0)
+    assert out[5] == (1, 0.0)
