@@ -230,3 +230,98 @@ def ks_2samp(
             F.col("v").alias("at_value"),
         )
     )
+
+
+def psi_series(
+    df: DataFrame,
+    value_col: str,
+    ts_col: str,
+    period_seconds: int = 604_800,
+    n_bins: int = 10,
+    alert: float = 0.2,
+    dp: int = 6,
+) -> DataFrame:
+    """PSI drift MONITORING — the time-series shape the pairwise ops
+    lack: :func:`population_stability_index` answers "did batch B
+    drift from batch A", a production monitor needs "which WEEK did
+    the metric start drifting and is it still drifting". Buckets rows
+    into fixed ``period_seconds`` windows (integral epoch math, no
+    calendar ambiguity), takes the EARLIEST period as the reference
+    distribution, and reports every period's PSI against it — the
+    reference period itself reads 0.0, the built-in sanity row.
+
+    Same statistical treatment as the pairwise op: equal-width bins
+    from the reference min/max, out-of-range mass clamps into edge
+    bins (drift must be counted, not dropped), EPS floor before the
+    log, standard 0.2 alert threshold. Returns one row per period:
+    (period, n_values, psi, is_alert).
+
+    Scale shape: one (period, bin) count aggregate of the fact stream
+    (map-side combined — output is periods x bins, KB), a dense
+    periods-x-bins grid built by exploding a bin sequence over the
+    periods frame (zero-count bins must exist: missing mass IS
+    drift), and two 1-row censuses (reference period id, reference
+    range). Nothing data-sized past the first aggregate; the PSI
+    windows run over the KB grid.
+    """
+    v, ts = F.col(value_col), F.col(ts_col)
+    base = df.filter(v.isNotNull() & ts.isNotNull()).select(
+        F.floor(
+            ts.cast("timestamp").cast("long") / F.lit(period_seconds)
+        ).cast("long").alias("period"),
+        v.alias("__v"),
+    )
+    refp = base.agg(F.min("period").alias("__refp"))
+    rng = (
+        base.crossJoin(F.broadcast(refp))
+        .filter(F.col("period") == F.col("__refp"))
+        .agg(F.min("__v").alias("mn"), F.max("__v").alias("mx"))
+    )
+    width = (F.col("mx") - F.col("mn")) / F.lit(float(n_bins))
+    b_raw = F.when(
+        F.col("mx") == F.col("mn"),
+        F.when(F.col("__v") <= F.col("mn"), F.lit(0)).otherwise(
+            F.lit(n_bins - 1)
+        ),
+    ).otherwise(F.floor((F.col("__v") - F.col("mn")) / width).cast("int"))
+    counts = (
+        base.crossJoin(F.broadcast(rng))
+        .select(
+            "period",
+            F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), b_raw)).alias("bin"),
+        )
+        .groupBy("period", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    periods = counts.select("period").distinct()
+    grid = (
+        periods.select(
+            "period", F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin")
+        )
+        .join(counts, ["period", "bin"], "left")
+        .select("period", "bin", F.coalesce("n", F.lit(0)).alias("n_cur"))
+    )
+    ref_bins = (
+        grid.crossJoin(F.broadcast(refp))
+        .filter(F.col("period") == F.col("__refp"))
+        .select("bin", F.col("n_cur").alias("n_ref"))
+    )
+    joined = grid.join(F.broadcast(ref_bins), "bin")
+    wp = Window.partitionBy("period")
+    p_raw = F.try_divide(
+        F.col("n_ref"), F.sum("n_ref").over(Window.partitionBy("period"))
+    )
+    q_raw = F.try_divide(F.col("n_cur"), F.sum("n_cur").over(wp))
+    p = F.when(p_raw.isNotNull(), F.greatest(p_raw, F.lit(EPS)))
+    q = F.when(q_raw.isNotNull(), F.greatest(q_raw, F.lit(EPS)))
+    term = (p - q) * F.log(p / q)
+    psi = F.round(F.sum(term).over(wp), dp)
+    return (
+        joined.withColumn("__psi", psi)
+        .groupBy("period")
+        .agg(
+            F.sum("n_cur").cast("bigint").alias("n_values"),
+            F.max("__psi").alias("psi"),
+            (F.max("__psi") > F.lit(float(alert))).alias("is_alert"),
+        )
+    )

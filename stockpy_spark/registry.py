@@ -123,6 +123,7 @@ DRIVER_PRIORITY = [
     "pack_efficiency",
     "text_line_dedup_intra",
     "sample_score_calibration",
+    "drift_psi_series",
     "dedup_bloom_screen",
     "stream_minhash_admit",
     "a2_count_star",

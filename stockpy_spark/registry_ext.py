@@ -3493,12 +3493,69 @@ FROM documents
 """
 
 
+def q_drift_psi_series(spark, sf_dir):
+    """PSI drift monitoring over time (operators/drift.py psi_series):
+    the events value column bucketed into epoch weeks, the EARLIEST
+    week as reference, every week's PSI against it — the reference
+    week reads 0.0 (the built-in sanity row), and the 0.2 alert flag
+    rides along. Five populated weeks at both SFs."""
+    from stockpy_spark.operators.drift import psi_series
+
+    ev = _t(spark, sf_dir, "events")
+    return psi_series(ev, "value", "ts")
+
+
+SQL_PSI_SERIES = """
+WITH base AS (
+    SELECT CAST(floor(epoch(ts) / 604800) AS BIGINT) AS period, value AS v
+    FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+), refp AS (
+    SELECT min(period) AS rp FROM base
+), rng AS (
+    SELECT min(v) AS mn, max(v) AS mx FROM base, refp WHERE period = rp
+), counts AS (
+    SELECT period,
+           least(9, greatest(0,
+               CASE WHEN mx = mn
+                    THEN CASE WHEN v <= mn THEN 0 ELSE 9 END
+                    ELSE CAST(floor((v - mn) / ((mx - mn) / 10.0)) AS INTEGER)
+               END)) AS bin,
+           count(*) AS n
+    FROM base, rng GROUP BY 1, 2
+), grid AS (
+    SELECT p.period, b.bin, COALESCE(c.n, 0) AS n_cur
+    FROM (SELECT DISTINCT period FROM counts) p
+    CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bin) b
+    LEFT JOIN counts c ON c.period = p.period AND c.bin = b.bin
+), refb AS (
+    SELECT bin, n_cur AS n_ref FROM grid, refp WHERE period = rp
+), j AS (
+    SELECT g.period, g.bin, g.n_cur, r.n_ref,
+           sum(g.n_cur) OVER (PARTITION BY g.period) AS tc,
+           sum(r.n_ref) OVER (PARTITION BY g.period) AS tr
+    FROM grid g JOIN refb r USING (bin)
+), terms AS (
+    SELECT period, n_cur,
+           (greatest(n_ref / CAST(tr AS DOUBLE), 0.000001)
+            - greatest(n_cur / CAST(tc AS DOUBLE), 0.000001))
+           * ln(greatest(n_ref / CAST(tr AS DOUBLE), 0.000001)
+                / greatest(n_cur / CAST(tc AS DOUBLE), 0.000001)) AS term
+    FROM j
+)
+SELECT period, CAST(sum(n_cur) AS BIGINT) AS n_values,
+       round(sum(term), 6) AS psi,
+       round(sum(term), 6) > 0.2 AS is_alert
+FROM terms GROUP BY period
+"""
+
+
 EXT_QUERIES: dict[str, tuple] = {
     "text_nb_quality": (q_text_nb_quality, SQL_NB_QUALITY),
     "text_normalize": (q_text_normalize, SQL_TEXT_NORMALIZE),
     "pack_efficiency": (q_pack_efficiency, SQL_PACK_EFFICIENCY),
     "text_line_dedup_intra": (q_text_line_dedup_intra, SQL_LINE_DEDUP_INTRA),
     "sample_score_calibration": (q_sample_score_calibration, SQL_SCORE_CALIBRATION),
+    "drift_psi_series": (q_drift_psi_series, SQL_PSI_SERIES),
     "text_boilerplate": (q_text_boilerplate, SQL_BOILERPLATE),
     "pipeline_web_curation": (q_pipeline_web_curation, SQL_PIPE_WEB),
     "decontaminate_fuzzy": (q_decontaminate_fuzzy, SQL_DECONTAM_FUZZY),

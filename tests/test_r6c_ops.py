@@ -633,3 +633,31 @@ def test_calibrate_scores_by_group_percentiles_and_ties(spark):
     assert out[2] == (2, third) and out[3] == (3, third)  # ties share
     assert out[4] == (4, 1.0)
     assert out[5] == (1, 0.0)
+
+
+def test_psi_series_reference_week_zero_and_planted_drift(spark):
+    """psi_series (round-12 continuation): the reference period reads
+    PSI 0.0 by construction, an identical-distribution period reads
+    ~0, and a planted shifted period alerts past 0.2."""
+    from datetime import datetime
+
+    from stockpy_spark.operators.drift import psi_series
+
+    wk = 604_800
+    rows = []
+    # week 0 (reference) and week 1: same uniform-ish values
+    for week in (0, 1):
+        for i in range(200):
+            rows.append((datetime.utcfromtimestamp(week * wk + i), float(i % 100)))
+    # week 2: mass shifted hard to the top of the reference range
+    for i in range(200):
+        rows.append((datetime.utcfromtimestamp(2 * wk + i), 95.0 + (i % 5)))
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = {r.period: r for r in psi_series(df, "value", "ts").collect()}
+    periods = sorted(out)
+    assert len(periods) == 3
+    ref, same, shifted = (out[p] for p in periods)
+    assert ref.psi == 0.0 and not ref.is_alert
+    assert abs(same.psi) < 0.01 and not same.is_alert
+    assert shifted.psi > 0.2 and shifted.is_alert
+    assert ref.n_values == same.n_values == shifted.n_values == 200

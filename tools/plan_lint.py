@@ -68,6 +68,7 @@ BNLJ_OK = {
     "pareto_frontier": "1-row (min,max) x-census",
     "drift_psi_value": "1-row reference-range census",
     "drift_ks_value": "1-row pooled-count census",
+    "drift_psi_series": "1-row reference-period + reference-range censuses",
     "stats_welch_ttest": "1-row moment pair (both sides aggregated)",
     "basket_rules": "1-row N-baskets census",
     "sample_dsir_weights": "1-row grand-total (T, R) census",
