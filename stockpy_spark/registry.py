@@ -124,6 +124,7 @@ DRIVER_PRIORITY = [
     "text_line_dedup_intra",
     "sample_score_calibration",
     "drift_psi_series",
+    "stream_psi_monitor",
     "dedup_bloom_screen",
     "stream_minhash_admit",
     "a2_count_star",

@@ -794,3 +794,110 @@ STREAM_QUERIES = {
     "stream_late_accounting": (q_stream_late_accounting, SQL_STREAM_LATE),
     "stream_minhash_admit": (q_stream_minhash_admit, SQL_STREAM_ADMIT),
 }
+
+
+def q_stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming PSI drift monitor (streaming/ops.py run_psi_monitor —
+    the 12th streaming class): the EARLIEST epoch week of events is
+    the static reference; the remaining events arrive as THREE
+    deterministic waves (event_id % 3, synthetic mtimes pin the
+    file-source order), and every micro-batch appends one audit row
+    scored against the reference. Batches are independent against the
+    static reference, so the oracle is a per-wave PSI grouped by
+    event_id % 3 — the batch SPLIT (not order) is what the fixture
+    pins."""
+    import atexit
+    import glob as _glob
+    import shutil
+
+    from stockpy_spark.streaming.ops import run_psi_monitor
+
+    ev = read_events(spark, sf_dir).where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    wk = F.floor(F.col("ts").cast("timestamp").cast("long") / 604800)
+    refp = ev.agg(F.min(wk).alias("rp")).collect()[0].rp
+    ref = ev.where(wk == F.lit(refp))
+    rest = ev.where(wk != F.lit(refp)).select("event_id", "value")
+    work = tempfile.mkdtemp(prefix="stockpy_stream_psi_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    landing = os.path.join(work, "landing")
+    os.makedirs(landing)
+    for w in range(3):
+        tmp = os.path.join(work, f"w{w}")
+        rest.where(F.col("event_id") % 3 == w).coalesce(1).write.parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(landing, f"batch-{w}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_000_000_000 + w, 1_000_000_000 + w))
+    stream = (
+        spark.readStream.schema(rest.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    return run_psi_monitor(
+        spark,
+        stream,
+        ref,
+        "value",
+        os.path.join(work, "sink"),
+        os.path.join(work, "ckpt"),
+    )
+
+
+SQL_STREAM_PSI = """
+WITH base AS (
+    SELECT CAST(event_id AS BIGINT) AS eid, value AS v,
+           CAST(floor(epoch(ts) / 604800) AS BIGINT) AS wk
+    FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+), refp AS (
+    SELECT min(wk) AS rp FROM base
+), ref AS (
+    SELECT v FROM base, refp WHERE wk = rp
+), rng AS (
+    SELECT min(v) AS mn, max(v) AS mx FROM ref
+), refc AS (
+    SELECT bin, count(*) AS n FROM (
+        SELECT least(9, greatest(0,
+            CASE WHEN mx = mn THEN CASE WHEN v <= mn THEN 0 ELSE 9 END
+                 ELSE CAST(floor((v - mn) / ((mx - mn) / 10.0)) AS INTEGER)
+            END)) AS bin
+        FROM ref, rng) GROUP BY 1
+), cur AS (
+    SELECT eid % 3 AS batch_id,
+           least(9, greatest(0,
+               CASE WHEN mx = mn THEN CASE WHEN v <= mn THEN 0 ELSE 9 END
+                    ELSE CAST(floor((v - mn) / ((mx - mn) / 10.0)) AS INTEGER)
+               END)) AS bin,
+           count(*) AS n_cur
+    FROM base, rng, refp WHERE wk <> rp GROUP BY 1, 2
+), grid AS (
+    SELECT b.batch_id, bb.bin,
+           COALESCE(rc.n, 0) AS n_ref,
+           COALESCE(c.n_cur, 0) AS n_cur
+    FROM (SELECT DISTINCT batch_id FROM cur) b
+    CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS bin) bb
+    LEFT JOIN refc rc ON rc.bin = bb.bin
+    LEFT JOIN cur c ON c.batch_id = b.batch_id AND c.bin = bb.bin
+), j AS (
+    SELECT batch_id, n_ref, n_cur,
+           sum(n_ref) OVER (PARTITION BY batch_id) AS tr,
+           sum(n_cur) OVER (PARTITION BY batch_id) AS tc
+    FROM grid
+), terms AS (
+    SELECT batch_id, n_cur,
+           (greatest(n_ref / CAST(tr AS DOUBLE), 0.000001)
+            - greatest(n_cur / CAST(tc AS DOUBLE), 0.000001))
+           * ln(greatest(n_ref / CAST(tr AS DOUBLE), 0.000001)
+                / greatest(n_cur / CAST(tc AS DOUBLE), 0.000001)) AS term
+    FROM j
+)
+SELECT CAST(batch_id AS BIGINT) AS batch_id,
+       CAST(sum(n_cur) AS BIGINT) AS n_values,
+       round(sum(term), 6) AS psi,
+       round(sum(term), 6) > 0.2 AS is_alert
+FROM terms GROUP BY batch_id
+"""
+
+
+STREAM_QUERIES["stream_psi_monitor"] = (q_stream_psi_monitor, SQL_STREAM_PSI)

@@ -1075,3 +1075,111 @@ def compact_admission_index(
         shutil.rmtree(old)
         report[sub] = {"rows_before": before, "rows_after": after}
     return report
+
+
+def run_psi_monitor(
+    spark: SparkSession,
+    stream: DataFrame,
+    ref: DataFrame,
+    value_col: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    n_bins: int = 10,
+    alert: float = 0.2,
+    dp: int = 6,
+) -> DataFrame:
+    """Streaming PSI drift monitor (12th streaming class): every
+    micro-batch's value distribution is scored against a STATIC
+    reference (the distribution the models/filters were tuned on) and
+    ONE audit row per batch appends to the sink — (batch_id, n_values,
+    psi, is_alert) — the ingestion-time twin of the batch
+    drift.psi_series, where the period is whatever the micro-batch
+    engine delivered instead of a calendar window.
+
+    Same statistical treatment as the batch ops: equal-width bins from
+    the reference min/max, out-of-range mass clamps into edge bins,
+    EPS floor before the log, standard 0.2 alert. An EMPTY batch (no
+    non-null values) writes a NULL psi — undefined, not zero (the
+    r11 degenerate-input rule). The reference census and bin counts
+    are a bounded driver collect (n_bins rows — the codebook class);
+    an empty reference is a configuration error and raises.
+
+    Exactly-once lands at READ time (the CM-sink pattern): foreachBatch
+    is at-least-once, each batch's audit row is a deterministic
+    function of the batch, so ``dropDuplicates(["batch_id"])`` on read
+    collapses any replayed append and keeps the replay auditable in
+    the raw sink. Returns the deduped audit table.
+    """
+    from stockpy_spark.operators.drift import EPS
+
+    v = F.col(value_col)
+    rng = (
+        ref.filter(v.isNotNull())
+        .agg(F.min(v).alias("mn"), F.max(v).alias("mx"))
+        .collect()[0]
+    )
+    if rng.mn is None:
+        raise ValueError(
+            "run_psi_monitor: reference has no non-null values — a PSI "
+            "against nothing is undefined, configure a real reference"
+        )
+    mn, mx = float(rng.mn), float(rng.mx)
+
+    def bin_expr(c):
+        if mx == mn:
+            b = F.when(c <= F.lit(mn), F.lit(0)).otherwise(F.lit(n_bins - 1))
+        else:
+            b = F.floor((c - F.lit(mn)) / F.lit((mx - mn) / n_bins)).cast("int")
+        return F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), b))
+
+    ref_rows = dict(
+        (r.bin, r.n)
+        for r in ref.filter(v.isNotNull())
+        .select(bin_expr(v).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    ref_grid = [(b, int(ref_rows.get(b, 0))) for b in range(n_bins)]
+
+    def feb(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        cur = (
+            batch_df.filter(v.isNotNull())
+            .select(bin_expr(v).alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n_cur"))
+        )
+        grid = (
+            sess.createDataFrame(ref_grid, "bin int, n_ref long")
+            .join(cur, "bin", "left")
+            .select("bin", "n_ref", F.coalesce("n_cur", F.lit(0)).alias("n_cur"))
+        )
+        totals = grid.agg(
+            F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")
+        )
+        j = grid.crossJoin(F.broadcast(totals))
+        p_raw = F.try_divide(F.col("n_ref"), F.col("tr"))
+        q_raw = F.try_divide(F.col("n_cur"), F.col("tc"))
+        p = F.when(p_raw.isNotNull(), F.greatest(p_raw, F.lit(EPS)))
+        q = F.when(q_raw.isNotNull(), F.greatest(q_raw, F.lit(EPS)))
+        term = (p - q) * F.log(p / q)
+        row = j.agg(
+            F.sum("n_cur").cast("bigint").alias("n_values"),
+            F.round(F.sum(term), dp).alias("psi"),
+            (F.round(F.sum(term), dp) > F.lit(float(alert))).alias("is_alert"),
+        ).withColumn("batch_id", F.lit(batch_id).cast("bigint"))
+        row.write.mode("append").parquet(sink_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(feb)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(sink_dir)
+        .dropDuplicates(["batch_id"])
+        .select("batch_id", "n_values", "psi", "is_alert")
+    )

@@ -1928,3 +1928,87 @@ def test_pixel_features_on_error_null_isolates_corrupt_payloads(spark):
     # default stays strict
     with pytest.raises(Exception):
         extract_pixel_features(assets).collect()
+
+
+class TestStreamPsiMonitor:
+    """run_psi_monitor (12th streaming class, round-12 continuation):
+    per-batch PSI vs a static reference through the real micro-batch
+    engine, exactly-once at read, degenerate inputs per the r11 rule."""
+
+    def _run(self, spark, tmp_path, batches, ref_rows):
+        import os
+
+        from stockpy_spark.streaming.ops import run_psi_monitor
+
+        landing = str(tmp_path / "landing")
+        os.makedirs(landing)
+        for w, rows in enumerate(batches):
+            df = spark.createDataFrame(rows, "event_id long, value double")
+            tmp = str(tmp_path / f"w{w}")
+            df.coalesce(1).write.parquet(tmp)
+            import glob as g
+            import shutil
+
+            part = g.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(landing, f"b{w}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (1_000_000_000 + w, 1_000_000_000 + w))
+        ref = spark.createDataFrame(ref_rows, "event_id long, value double")
+        stream = (
+            spark.readStream.schema("event_id long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        sink = str(tmp_path / "sink")
+        out = run_psi_monitor(
+            spark, stream, ref, "value", sink, str(tmp_path / "ckpt")
+        )
+        return out, sink
+
+    def test_same_dist_quiet_shifted_alerts_empty_null(self, spark, tmp_path):
+        ref = [(i, float(i % 100)) for i in range(200)]
+        batches = [
+            [(1000 + i, float(i % 100)) for i in range(200)],  # same dist
+            [(2000 + i, 95.0 + i % 5) for i in range(100)],    # shifted
+            [(3000, None)],                                    # empty batch
+        ]
+        out, _ = self._run(spark, tmp_path, batches, ref)
+        rows = {r.batch_id: r for r in out.collect()}
+        assert set(rows) == {0, 1, 2}
+        assert abs(rows[0].psi) < 0.01 and not rows[0].is_alert
+        assert rows[1].psi > 0.2 and rows[1].is_alert
+        # empty batch: psi undefined -> NULL, never 0 (r11 rule)
+        assert rows[2].n_values == 0 and rows[2].psi is None
+
+    def test_replayed_batch_collapses_at_read(self, spark, tmp_path):
+        import glob as g
+        import shutil
+
+        ref = [(i, float(i % 10)) for i in range(50)]
+        out, sink = self._run(
+            spark, tmp_path, [[(1, 3.0), (2, 4.0)]], ref
+        )
+        before = {(r.batch_id, r.psi) for r in out.collect()}
+        # simulate an at-least-once replay: duplicate the batch's file
+        f = g.glob(sink + "/part-*.parquet")[0]
+        shutil.copy(f, f.replace("part-", "part-replay-"))
+        from pyspark.sql import functions as F
+
+        again = (
+            spark.read.parquet(sink)
+            .dropDuplicates(["batch_id"])
+            .select("batch_id", "n_values", "psi", "is_alert")
+        )
+        assert {(r.batch_id, r.psi) for r in again.collect()} == before
+        assert spark.read.parquet(sink).count() == 2  # replay auditable
+
+    def test_empty_reference_raises(self, spark, tmp_path):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="reference has no non-null"):
+            self._run(
+                spark,
+                tmp_path,
+                [[(1, 1.0)]],
+                [(1, None)],
+            )
