@@ -873,3 +873,27 @@ def test_plan_lint_allowlist_is_keyed_and_consumed(spark):
     offenses, used = lint.lint_one(name, crossed)
     assert offenses == []
     assert ("bnlj", name) in used
+
+
+def test_text_count_tables_stay_checkpoint_pinned(spark):
+    """Round-12 continuation regression guard: the lm / KN / PMI count
+    tables are distinct-collapse checkpoint-pinned (measured 2.4-2.9x
+    at sf10 — BASELINE.md), and the pin's signature in the optimized
+    logical plan is a LogicalRDD leaf where the count-aggregate
+    subtree used to be. A refactor that silently drops the
+    localCheckpoint re-opens the multi-consumer replanning this
+    guard exists to keep closed."""
+    from stockpy_spark.operators.textstats import (
+        kn_perplexity_scores,
+        lm_perplexity_scores,
+        pmi_collocations,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for name, df in (
+        ("lm", lm_perplexity_scores(docs, "text", "doc_id")),
+        ("kn", kn_perplexity_scores(docs, "text", "doc_id")),
+        ("pmi", pmi_collocations(docs, "text", "doc_id")),
+    ):
+        p = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "LogicalRDD" in p, (name, "checkpoint pin lost", p[:800])
