@@ -38,6 +38,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from stockpy_spark.operators.pinning import pin, pin_lazy
 
 SEP = "\x1e"  # joins merged symbols; never appears in whitespace tokens
 
@@ -119,7 +120,7 @@ def train_bpe_merges(
             F.split(F.col("tok"), "(?!^)"), lambda s: s != F.lit("")
         ).alias("syms"),
     )
-    seg = seg.localCheckpoint(eager=False)
+    seg = seg.transform(pin_lazy)
 
     spark = df.sparkSession
     rows = []
@@ -134,7 +135,7 @@ def train_bpe_merges(
             break
         a, b, n = top[0]["a"], top[0]["b"], top[0]["n"]
         rows.append((rank, a, b, int(n)))
-        seg = _apply_merge(seg, a, b).localCheckpoint(eager=True)
+        seg = _apply_merge(seg, a, b).transform(pin)
     schema = "rank INT, left STRING, right STRING, pair_count LONG"
     return spark.createDataFrame(rows, schema).select(
         "rank",

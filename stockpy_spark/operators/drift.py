@@ -41,6 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from stockpy_spark.operators.pinning import pin
 
 EPS = 1e-6  # standard PSI zero-bin floor
 
@@ -171,7 +172,7 @@ def ks_2samp(
     per_v = pooled.groupBy("v").agg(
         F.sum("is_ref").alias("c_ref"),
         F.sum(F.lit(1) - F.col("is_ref")).alias("c_cur"),
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     # eager checkpoint pins the SKETCHED edges — the bucketing.py
     # determinism rule: percentile_approx varies per materialization
     # and this census feeds both the local-cumsum and offset branches
@@ -179,7 +180,7 @@ def ks_2samp(
         freq_edges("v", n_buckets).alias("edges"),
         F.sum("c_ref").alias("n_ref"),
         F.sum("c_cur").alias("n_cur"),
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     bucketed = with_freq_bucket(
         per_v.crossJoin(F.broadcast(census)),
         F.col("v"),

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from stockpy_spark.operators.pinning import pin, pin_lazy
 
 
 #: Frontier size below which rounds 2+ switch to broadcast joins.
@@ -107,7 +108,7 @@ def connected_components(
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .localCheckpoint(eager=False)
+        .transform(pin_lazy)
     )
     verts = vertices.select(F.col(vertex_col).alias("v"))
     # Propagation universe: edge endpoints only (this also makes relay
@@ -117,9 +118,7 @@ def connected_components(
     # forces the (lazy-checkpointed) edge materialization and tells us
     # whether per-round frontier broadcasts are worth their overhead
     big_graph = und.count() >= EDGE_BROADCAST_MIN
-    labels = endpoints.select("v", F.col("v").alias("label")).localCheckpoint(
-        eager=True
-    )
+    labels = endpoints.select("v", F.col("v").alias("label")).transform(pin)
     frontier = labels  # round 1: every endpoint announces its own label
     frontier_size = None  # unknown until the first round's count
 
@@ -162,7 +161,7 @@ def connected_components(
                 ).alias("label"),
                 "__old",
             )
-        ).localCheckpoint(eager=True)
+        ).transform(pin)
         # the frontier is a filter over the just-materialized checkpoint
         # — cheap to scan on each use, so it needs no checkpoint of its
         # own, and one count doubles as the convergence probe and the
@@ -407,13 +406,13 @@ def bfs_hops(
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .localCheckpoint(eager=False)
+        .transform(pin_lazy)
     )
     labels = (
         seeds.select(F.col(seed_col).alias("v"))
         .distinct()
         .withColumn("hop", F.lit(0))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     frontier = labels
     for rnd in range(1, max_hops + 1):
@@ -433,7 +432,7 @@ def bfs_hops(
                 ).alias("hop"),
                 F.col("hop").alias("__old"),
             )
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
         frontier = merged.where(F.col("__old").isNull()).select("v", "hop")
         labels = merged.drop("__old")
@@ -483,13 +482,13 @@ def weighted_sssp_hops(
                 F.col(weight).alias("w"),
             )
         )
-        .localCheckpoint(eager=False)
+        .transform(pin_lazy)
     )
     dist = (
         seeds.select(F.col(seed_col).alias("v"))
         .distinct()
         .withColumn("dist", F.lit(0).cast("long"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     frontier = dist
     for _rnd in range(1, max_hops + 1):
@@ -511,7 +510,7 @@ def weighted_sssp_hops(
                 ).alias("dist"),
                 F.col("dist").alias("__old"),
             )
-            .localCheckpoint(eager=True)
+            .transform(pin)
         )
         frontier = merged.where(
             F.col("__old").isNull() | (F.col("dist") < F.col("__old"))
@@ -556,7 +555,7 @@ def label_propagation(
         F.col(id_col).alias("id"),
         F.col(label_col).alias("label"),
         F.lit(0).alias("labeled_round"),
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
 
     for t in range(1, rounds + 1):
         cand = und.join(
@@ -579,7 +578,7 @@ def label_propagation(
             .filter(F.col("rn") == 1)
             .select("id", "label", F.lit(t).alias("labeled_round"))
         )
-        labels = labels.unionByName(picked).localCheckpoint(eager=True)
+        labels = labels.unionByName(picked).transform(pin)
 
     return nodes.select(F.col(id_col)).join(
         labels.select(F.col("id").alias(id_col), "label", "labeled_round"),

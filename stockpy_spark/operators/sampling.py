@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from stockpy_spark.operators.pinning import pin
 
 _BUCKETS = 10_000
 
@@ -140,7 +141,7 @@ def pack_chunks_ordered(
 
     census = df.agg(
         freq_edges(F.col(doc_col), n_buckets).alias("__edges")
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     b = with_freq_bucket(
         df.crossJoin(F.broadcast(census)),
         F.col(doc_col),
@@ -445,7 +446,7 @@ def matched_controls(
     # and the census feeds both the local-scan and carry-in branches
     census = tagged.groupBy("bkt").agg(
         freq_edges("v", n_sub_buckets).alias("__edges")
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     sub = with_freq_bucket(
         tagged.join(census, "bkt"),
         F.col("v"),
@@ -680,7 +681,7 @@ def target_encode_oof(
     cells = base.groupBy("__cat", "__fold").agg(
         F.sum(F.when(F.col(target_col).isNotNull(), F.col(target_col)).otherwise(0.0)).alias("__s"),
         F.sum(F.when(F.col(target_col).isNotNull(), 1).otherwise(0)).alias("__n"),
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     cat_tot = cells.groupBy("__cat").agg(
         F.sum("__s").alias("__cs"), F.sum("__n").alias("__cn")
     )
@@ -753,13 +754,22 @@ def shuffle_shard_plan(
     result is IDENTICAL to the single-window formulation (the DuckDB
     oracle replays exactly that, so the equivalence is hash-checked,
     not argued).
+
+    ``n_buckets`` is realized as a count of leading hex chars, so the
+    effective bucket count is the next power of 16 AT OR ABOVE the
+    request (r12 advisor: ``round`` silently gave 256 for 1000 —
+    ~4x less parallelism than the docstring promised; ``ceil``
+    guarantees at least the requested slicing; positions are
+    identical either way, only task granularity moves).
     """
     import math
 
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     draw = F.md5(
         F.concat_ws("\x1f", F.lit(salt), F.col(id_col).cast("string"))
     )
-    chars = max(1, int(round(math.log(n_buckets, 16))))
+    chars = max(1, int(math.ceil(round(math.log(n_buckets, 16), 9))))
     base = df.select(
         "*",
         draw.alias("__draw"),

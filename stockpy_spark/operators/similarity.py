@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from stockpy_spark.operators.pinning import pin
 
 from stockpy_spark.functions.text import cosine_similarity
 
@@ -545,7 +546,7 @@ def semantic_dedup(
     # materialization Spark re-executes it per consumer (measured 3
     # duplicate subplans in the physical plan). localCheckpoint runs the
     # n*k pass once — same move as graph.py's frontier loop.
-    members = members.localCheckpoint(eager=True)
+    members = members.transform(pin)
     a = members.alias("a")
     b = members.alias("b")
     pruned = (
@@ -828,7 +829,7 @@ def kcenter_coreset(
     dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = df.select(
         F.col(id_col).alias("__id"), dvec.alias("__v")
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
 
     def dist_to(center: list[float]):
         c = F.array(*[F.lit(float(x)) for x in center])
@@ -849,7 +850,7 @@ def kcenter_coreset(
     chosen_ids = {seed["__id"]}
     state = base.select(
         "__id", "__v", dist_to(list(seed["__v"])).alias("__mind")
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
 
     for t in range(1, k):
         far_rows = (
@@ -869,7 +870,7 @@ def kcenter_coreset(
             "__id",
             "__v",
             F.least("__mind", dist_to(list(far["__v"]))).alias("__mind"),
-        ).localCheckpoint(eager=True)
+        ).transform(pin)
 
     spark = df.sparkSession
     return spark.createDataFrame(

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from stockpy_spark.operators.bucketing import freq_edges, with_freq_bucket
+from stockpy_spark.operators.pinning import pin
 
 
 def pareto_frontier_2d(
@@ -54,7 +55,7 @@ def pareto_frontier_2d(
     pts = (
         df.groupBy(max_col)
         .agg(F.min(min_col).alias(min_col))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     # bucket 0 holds the LARGEST x so bucket order matches scan order;
     # edges are EQUAL-FREQUENCY quantiles over the distinct x values
@@ -68,7 +69,7 @@ def pareto_frontier_2d(
     # feeds both the local prefix-min and offset branches
     bounds = pts.agg(
         freq_edges(max_col, n_buckets).alias("__edges")
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     bucketed = with_freq_bucket(
         pts.crossJoin(F.broadcast(bounds)),
         F.col(max_col),

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from stockpy_spark.operators.bucketing import freq_edges, with_freq_bucket
+from stockpy_spark.operators.pinning import pin
 
 
 def correlation_matrix(
@@ -408,13 +409,13 @@ def gini_by_group(
     # branches (edges census, local rank, per-bucket totals)
     runs = base.groupBy("grp", "x").agg(
         F.count(F.lit(1)).alias("c")
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     # eager checkpoint (group-cardinality rows): the bucketing.py
     # determinism rule — percentile_approx varies per materialization
     # and this census feeds both the local-rank and offset branches
     census = runs.groupBy("grp").agg(
         freq_edges("x", n_buckets).alias("__edges")
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     bucketed = with_freq_bucket(
         runs.join(census, "grp"),
         F.col("x"),
@@ -795,7 +796,7 @@ def spearman_corr_pairs(
     combo = (
         base.groupBy(*cols)
         .agg(F.count(F.lit(1)).alias("__w"))
-        .localCheckpoint(eager=True)
+        .transform(pin)
     )
     ranked = combo
     for c in cols:
@@ -815,7 +816,7 @@ def spearman_corr_pairs(
         # feeds both the local-cumsum and offset branches
         census = counts.agg(
             freq_edges("__v", n_buckets).alias("__edges")
-        ).localCheckpoint(eager=True)
+        ).transform(pin)
         bucketed = with_freq_bucket(
             counts.crossJoin(F.broadcast(census)),
             F.col("__v"),

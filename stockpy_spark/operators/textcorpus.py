@@ -30,10 +30,20 @@ def explode_lines(
     df: DataFrame, id_col: str, text_col: str, sep: str = "\n"
 ) -> DataFrame:
     """One row per (doc, position, line), line order preserved via
-    ``pos``. Narrow (generator expand, no shuffle)."""
+    ``pos``. Narrow (generator expand, no shuffle).
+
+    NULL text coalesces to '' FIRST: ``posexplode(split(NULL))``
+    yields zero rows, which would silently delete the document from
+    every downstream grouped rebuild — breaking the "returns EVERY
+    input document" contract of :func:`boilerplate_line_screen` and
+    :func:`dedup_lines_within_doc` (r12 advisor finding). A NULL-text
+    doc is one empty line, same as an empty-string doc.
+    """
     return df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+        ).alias("pos", "line"),
     )
 
 

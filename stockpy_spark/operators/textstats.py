@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from stockpy_spark.functions.text import tokenize
+from stockpy_spark.operators.pinning import pin
 
 
 def tfidf_terms(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -136,6 +137,7 @@ def lm_perplexity_scores(
     id_col: str,
     k: float = 0.5,
     dp: int = 6,
+    pin_counts: bool = True,
 ) -> DataFrame:
     """Bigram-language-model quality scoring, the CCNet-style corpus
     filter: train add-k-smoothed bigram statistics on the corpus, score
@@ -182,10 +184,14 @@ def lm_perplexity_scores(
     # corpus tokenize + both aggregates (the ReuseExchange sharing the
     # docstring's r6 rewrite counted on does not survive this shape at
     # runtime). Measured at the synthetic sf1: 16.48 s -> 6.80 s; the
-    # sf10 decade spot is in BASELINE.md §4.
-    c12 = per.groupBy("bg").agg(F.sum("m").alias("c12")).localCheckpoint(
-        eager=True
-    )
+    # sf10 decade spot is in BASELINE.md §4. EAGER side effect: the
+    # pin runs the count-table jobs AT PLAN-BUILD TIME (r12 advisor);
+    # pin_counts=False restores the lazy contract at the cost of the
+    # per-consumer recompute and the per-materialization determinism
+    # caveat (operators/pinning.py).
+    c12 = per.groupBy("bg").agg(F.sum("m").alias("c12"))
+    if pin_counts:
+        c12 = c12.transform(pin)
     c1 = (
         c12.select(
             F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
@@ -324,6 +330,7 @@ def pmi_collocations(
     min_count: int = 5,
     k: int = 50,
     dp: int = 6,
+    pin_counts: bool = True,
 ) -> DataFrame:
     """Top-k PMI collocations (pointwise mutual information of
     adjacent word pairs — the classic phrase/vocab-design statistic:
@@ -351,11 +358,11 @@ def pmi_collocations(
     # build replans the corpus tokenize + count. Same-session A/B:
     # sf1 5.45 s -> 4.48 s, sf10 53.31 s -> 36.68 s (the gap GROWS
     # with scale, which is what made the pin mandatory, not optional).
-    uni = (
-        toks.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("cw"))
-        .localCheckpoint(eager=True)
-    )
+    # Eager at plan-build; pin_counts=False restores laziness (see
+    # lm_perplexity_scores' note and operators/pinning.py).
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    if pin_counts:
+        uni = uni.transform(pin)
     big = (
         df.select(F.explode(word_ngrams(F.col(text_col), 2)).alias("xy"))
         .groupBy("xy")
@@ -517,6 +524,7 @@ def kn_perplexity_scores(
     id_col: str,
     discount: float = 0.75,
     dp: int = 6,
+    pin_counts: bool = True,
 ) -> DataFrame:
     """Interpolated Kneser-Ney bigram perplexity (Kneser & Ney 1995;
     Chen & Goodman 1999's interpolated form with a fixed discount) —
@@ -565,14 +573,17 @@ def kn_perplexity_scores(
             F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
             F.split_part(F.col("bg"), F.lit(" "), F.lit(2)).alias("w2"),
         )
-        # distinct-collapse checkpoint (the r12 dominance criterion):
-        # c12 is bigram-vocabulary-sized and fans out to FOUR consumers
-        # (ctx, cont, tot, the scoring join) — unpinned, each replans
-        # the corpus tokenize + both aggregates; measured at the
-        # synthetic sf1 the pin is 16.97 s -> 7.23 s, and the sf10
-        # decade ratio fell 20.0x -> 6.2x per 100x (BASELINE.md §4)
-        .localCheckpoint(eager=True)
     )
+    # distinct-collapse checkpoint (the r12 dominance criterion):
+    # c12 is bigram-vocabulary-sized and fans out to FOUR consumers
+    # (ctx, cont, tot, the scoring join) — unpinned, each replans
+    # the corpus tokenize + both aggregates; measured at the
+    # synthetic sf1 the pin is 16.97 s -> 7.23 s, and the sf10
+    # decade ratio fell 20.0x -> 6.2x per 100x (BASELINE.md §4).
+    # Eager at plan-build; pin_counts=False restores laziness (see
+    # lm_perplexity_scores' note and operators/pinning.py).
+    if pin_counts:
+        c12 = c12.transform(pin)
     ctx = c12.groupBy("w1").agg(
         F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1p1")
     )

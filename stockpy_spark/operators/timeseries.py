@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from stockpy_spark.operators.bucketing import freq_edges, with_freq_bucket
+from stockpy_spark.operators.pinning import pin
 
 
 def time_bucket(ts_col: str | Column, width_seconds: int) -> Column:
@@ -272,7 +273,7 @@ def interval_concurrency(
     # and this census feeds both the running-sum and offset branches
     census = net.groupBy(*keys).agg(
         freq_edges(v, n_buckets).alias("__edges")
-    ).localCheckpoint(eager=True)
+    ).transform(pin)
     # Keyed path: NO forced broadcast — census and offsets are sized
     # by key cardinality (one row per key / key x bucket), which for
     # per-user or per-host keys is a fact in disguise; a broadcast

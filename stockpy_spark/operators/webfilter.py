@@ -183,6 +183,14 @@ def url_canonicalize(
     shuffle, no UDF); the param sort is ``sort_array`` over the split
     pairs, bounded by the query-string length. Dedup-by-canonical is
     the caller's one groupBy/window on the new column.
+
+    Edge rules (r12 advisor): an input WITHOUT ``scheme://`` (relative
+    path, bare host, garbage) passes through verbatim — every extract
+    above keys off the scheme, so rewriting would emit ``:///...``;
+    callers that need those resolved do it against a base URL
+    upstream. An empty ``tracking_params`` means "drop only utm_*"
+    (``Column.isin()`` with zero values raises at plan build, so the
+    name test is skipped entirely).
     """
     u = F.col(url_col)
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
@@ -198,18 +206,26 @@ def url_canonicalize(
     stripped = F.regexp_replace(raw_path, r"/+$", "")
     path = F.when(stripped == "", F.lit("/")).otherwise(stripped)
     query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    if tracking_params:
+        _named = lambda p: F.element_at(F.split(p, "="), 1).isin(
+            *tracking_params
+        )
+    else:
+        _named = lambda p: F.lit(False)
     keep = F.filter(
         F.split(query, "&"),
-        lambda p: (p != "")
-        & ~p.startswith("utm_")
-        & ~F.element_at(F.split(p, "="), 1).isin(*tracking_params),
+        lambda p: (p != "") & ~p.startswith("utm_") & ~_named(p),
     )
     qjoined = F.array_join(F.sort_array(keep), "&")
-    canonical = F.concat(
-        scheme,
-        F.lit("://"),
-        host,
-        path,
-        F.when(qjoined == "", F.lit("")).otherwise(F.concat(F.lit("?"), qjoined)),
+    canonical = F.when(scheme == "", u).otherwise(
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            path,
+            F.when(qjoined == "", F.lit("")).otherwise(
+                F.concat(F.lit("?"), qjoined)
+            ),
+        )
     )
     return df.withColumn(out_col, canonical)

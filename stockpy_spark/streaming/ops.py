@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
+from stockpy_spark.operators.pinning import pin
 
 
 def windowed_agg(
@@ -981,7 +983,7 @@ def run_incremental_minhash_admitter(
         admitted = incremental_dedup_admit_keys(
             batch_df, standing_fps, standing_keys,
             text_col, id_col, num_hashes, bands, hash_fn,
-        ).localCheckpoint(eager=True)  # 3 consumers, compute once
+        ).transform(pin)  # 3 consumers, compute once
         admitted.withColumn("batch_id", F.lit(batch_id)).write.mode(
             "append"
         ).parquet(admitted_dir)
@@ -1099,10 +1101,14 @@ def run_psi_monitor(
     Same statistical treatment as the batch ops: equal-width bins from
     the reference min/max, out-of-range mass clamps into edge bins,
     EPS floor before the log, standard 0.2 alert. An EMPTY batch (no
-    non-null values) writes a NULL psi — undefined, not zero (the
-    r11 degenerate-input rule). The reference census and bin counts
-    are a bounded driver collect (n_bins rows — the codebook class);
-    an empty reference is a configuration error and raises.
+    non-null values) appends NOTHING — a PSI against nothing is
+    undefined, and an undefined reading is not an audit row (r12
+    advisor: the NULL-psi row the old behavior wrote had no oracle
+    counterpart, so any SF with an empty wave hash-mismatched; the
+    raw sink still shows the gap via the batch_id sequence). The
+    reference census and bin counts are a bounded driver collect
+    (n_bins rows — the codebook class); an empty reference is a
+    configuration error and raises.
 
     Exactly-once lands at READ time (the CM-sink pattern): foreachBatch
     is at-least-once, each batch's audit row is a deterministic
@@ -1144,9 +1150,11 @@ def run_psi_monitor(
 
     def feb(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
+        nn = batch_df.filter(v.isNotNull())
+        if nn.isEmpty():
+            return
         cur = (
-            batch_df.filter(v.isNotNull())
-            .select(bin_expr(v).alias("bin"))
+            nn.select(bin_expr(v).alias("bin"))
             .groupBy("bin")
             .agg(F.count(F.lit(1)).alias("n_cur"))
         )
@@ -1178,8 +1186,15 @@ def run_psi_monitor(
         .start()
     )
     q.awaitTermination()
+    try:
+        raw = spark.read.parquet(sink_dir)
+    except AnalysisException:
+        # Every wave was empty (or the stream had zero batches): the
+        # sink dir was never created. An empty audit is a valid audit.
+        raw = spark.createDataFrame(
+            [], "batch_id bigint, n_values bigint, psi double, is_alert boolean"
+        )
     return (
-        spark.read.parquet(sink_dir)
-        .dropDuplicates(["batch_id"])
+        raw.dropDuplicates(["batch_id"])
         .select("batch_id", "n_values", "psi", "is_alert")
     )

@@ -661,3 +661,27 @@ def test_psi_series_reference_week_zero_and_planted_drift(spark):
     assert abs(same.psi) < 0.01 and not same.is_alert
     assert shifted.psi > 0.2 and shifted.is_alert
     assert ref.n_values == same.n_values == shifted.n_values == 200
+
+
+def test_null_text_docs_survive_line_ops(spark):
+    """r12 advisor medium #2: posexplode(split(NULL)) yields zero rows,
+    so a NULL-text doc used to vanish from every grouped rebuild.
+    explode_lines now coalesces to '' — every input document comes
+    back from boilerplate_line_screen and dedup_lines_within_doc."""
+    from stockpy_spark.operators.textcorpus import (
+        boilerplate_line_screen,
+        dedup_lines_within_doc,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "real body text that is long enough to keep here"),
+         (2, None),
+         (3, "")],
+        "doc_id long, text string",
+    )
+    bp = {r.doc_id: r for r in boilerplate_line_screen(df, "doc_id", "text").collect()}
+    assert set(bp) == {1, 2, 3}
+    assert bp[2].text == "" and bp[2].n_lines == 1 and bp[2].n_kept == 0
+    dd = {r.doc_id: r for r in dedup_lines_within_doc(df, "doc_id", "text").collect()}
+    assert set(dd) == {1, 2, 3}
+    assert dd[2].text == "" and dd[2].n_dropped == 0

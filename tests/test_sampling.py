@@ -387,3 +387,51 @@ def test_pack_efficiency_report_hand_computed(spark):
     assert r.min_fill == 0.7
     assert r.waste_tokens == 3        # only the 7-token bin pads
     assert abs(r.pct_bins_ge_90 - round(2 / 3, 6)) < 1e-9
+
+
+def test_url_canonicalize_edge_inputs(spark):
+    """r12 advisor low: schemeless inputs pass through verbatim (no
+    ':///garbage'), and tracking_params=() is 'utm_* only', not a
+    plan-build crash."""
+    from stockpy_spark.operators.webfilter import url_canonicalize
+
+    cases = [
+        ("site.com/p/1?a=1", "site.com/p/1?a=1"),          # bare host
+        ("/relative/path?x=1", "/relative/path?x=1"),      # relative
+        ("not a url at all", "not a url at all"),          # garbage
+        ("HTTPS://Site.COM/p/?utm_x=1&b=2", "https://site.com/p?b=2"),
+    ]
+    df = spark.createDataFrame([(m,) for m, _ in cases], "url string")
+    got = {r.url: r.canonical_url for r in url_canonicalize(df, "url").collect()}
+    for messy, want in cases:
+        assert got[messy] == want, (messy, got[messy], want)
+    # empty tracking_params: utm_* still dropped, named params kept
+    got2 = {
+        r.url: r.canonical_url
+        for r in url_canonicalize(df, "url", tracking_params=()).collect()
+    }
+    assert got2["HTTPS://Site.COM/p/?utm_x=1&b=2"] == "https://site.com/p?b=2"
+    df2 = spark.createDataFrame(
+        [("https://h.com/x?fbclid=1&a=2",)], "url string"
+    )
+    r2 = url_canonicalize(df2, "url", tracking_params=()).collect()[0]
+    assert r2.canonical_url == "https://h.com/x?a=2&fbclid=1"  # fbclid kept
+
+
+def test_shuffle_shard_plan_bucket_rounding_and_validation(spark):
+    """r12 advisor low: n_buckets realizes as the next power of 16 AT
+    OR ABOVE the request (ceil, not round — 1000 used to give 256);
+    positions are identical across bucket counts; n_buckets < 1
+    raises."""
+    import pytest as _pytest
+
+    from stockpy_spark.operators.sampling import shuffle_shard_plan
+
+    df = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    a = {(r.doc_id, r.shard, r.position)
+         for r in shuffle_shard_plan(df, "doc_id", n_shards=4, n_buckets=16).collect()}
+    b = {(r.doc_id, r.shard, r.position)
+         for r in shuffle_shard_plan(df, "doc_id", n_shards=4, n_buckets=1000).collect()}
+    assert a == b  # bucket count is parallelism only, never positions
+    with _pytest.raises(ValueError):
+        shuffle_shard_plan(df, "doc_id", n_buckets=0)

@@ -1974,11 +1974,26 @@ class TestStreamPsiMonitor:
         ]
         out, _ = self._run(spark, tmp_path, batches, ref)
         rows = {r.batch_id: r for r in out.collect()}
-        assert set(rows) == {0, 1, 2}
+        # empty batch (all-NULL values): NO audit row — a PSI against
+        # nothing is undefined and an undefined reading is not a row
+        # (r12 advisor: the old NULL-psi row had no oracle
+        # counterpart); the gap stays visible in the batch_id sequence
+        assert set(rows) == {0, 1}
         assert abs(rows[0].psi) < 0.01 and not rows[0].is_alert
         assert rows[1].psi > 0.2 and rows[1].is_alert
-        # empty batch: psi undefined -> NULL, never 0 (r11 rule)
-        assert rows[2].n_values == 0 and rows[2].psi is None
+
+    def test_all_waves_empty_yields_empty_audit(self, spark, tmp_path):
+        """Zero non-null values in every wave: the sink dir is never
+        created and the final read must return an EMPTY audit with the
+        audit schema, not raise (r12 advisor)."""
+        ref = [(i, float(i % 10)) for i in range(50)]
+        out, _ = self._run(
+            spark, tmp_path, [[(1, None)], [(2, None)]], ref
+        )
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == [
+            "batch_id", "n_values", "psi", "is_alert",
+        ]
 
     def test_replayed_batch_collapses_at_read(self, spark, tmp_path):
         import glob as g
