@@ -894,6 +894,142 @@ def read_pointer_index(
     return spark.read.parquet(index_dir).dropDuplicates([id_col])
 
 
+def _adm_prefix(col):
+    """Partition key for the admission index: first 2 chars of the
+    (stringified) hash value — 256-way layout for md5 keys; the
+    xxhash64 kernel's BIGINT keys stringify to sign+digit prefixes
+    (~190 live values), same pruning mechanics. Any deterministic
+    function of the key works; this one makes the per-batch precise
+    check read only the directories the batch's SUSPECT keys land in."""
+    return F.substring(col.cast("string"), 1, 2)
+
+
+def _read_adm_bloom(spark, bloom_dir: str, before_batch: int) -> DataFrame | None:
+    """Fold the admission bloom's per-batch delta rows into one (word,
+    bits) bitmap, seeing only deltas appended by batches strictly
+    before ``before_batch`` (the admitter's replay rule). Returns None
+    when the sidecar does not exist (legacy pre-r13 state dirs — the
+    caller falls back to the unscreened precise path)."""
+    try:
+        raw = spark.read.parquet(bloom_dir)
+    except AnalysisException:
+        return None
+    return (
+        raw.where(F.col("batch_id") < before_batch)
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+
+
+def _adm_kcat():
+    """Bloom input for a band key: "band\\x1fbsig" (string-cast so both
+    hash kernels produce one shape)."""
+    return F.concat_ws(
+        "\x1f", F.col("band").cast("string"), F.col("bsig").cast("string")
+    )
+
+
+def _append_admission_index(
+    nfps: DataFrame,
+    nkeys: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    mode: str,
+    bloom_m_bits: int,
+    bloom_k: int,
+) -> None:
+    """One batch's key sets into the bounded state layout: bloom
+    deltas FIRST (the bloom ⊇ index invariant for later batches),
+    then the prefix-partitioned key sets."""
+    import os
+
+    from stockpy_spark.operators.sketches import bloom_build
+
+    bloom_build(
+        nfps, "__fp", bloom_m_bits, bloom_k, salt="admfp"
+    ).withColumn("batch_id", F.lit(batch_id)).write.mode(mode).parquet(
+        os.path.join(state_dir, "bloom_fps")
+    )
+    bloom_build(
+        nkeys.select(_adm_kcat().alias("__bk")), "__bk", bloom_m_bits,
+        bloom_k, salt="admbk",
+    ).withColumn("batch_id", F.lit(batch_id)).write.mode(mode).parquet(
+        os.path.join(state_dir, "bloom_keys")
+    )
+    # repartition BY the partition column before the partitioned write:
+    # without it every upstream task writes a file per prefix it holds
+    # (up to tasks x 256 tiny files PER BATCH — the small-file disease
+    # compaction exists to cure, self-inflicted); with it each prefix
+    # lands in exactly one task, so a batch appends <= 256 files.
+    nfps.withColumn("fpp", _adm_prefix(F.col("__fp"))).repartition(
+        F.col("fpp")
+    ).withColumn("batch_id", F.lit(batch_id)).write.mode(
+        mode
+    ).partitionBy("fpp").parquet(os.path.join(state_dir, "fps"))
+    nkeys.withColumn("kp", _adm_prefix(F.col("bsig"))).repartition(
+        F.col("kp")
+    ).withColumn("batch_id", F.lit(batch_id)).write.mode(
+        mode
+    ).partitionBy("kp").parquet(os.path.join(state_dir, "keys"))
+
+
+def seed_admission_state(
+    spark: SparkSession,
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    state_dir: str,
+    num_hashes: int = 12,
+    bands: int = 2,
+    hash_fn: str = "md5",
+    bloom_m_bits: int = 1 << 22,
+    bloom_k: int = 3,
+) -> None:
+    """Idempotent seed of the admitter's bounded state layout from a
+    standing corpus (batch_id = -1): prefix-partitioned fps/keys +
+    bloom sidecars + the completion marker (r11 advisor — the marker
+    is written LAST, and every write is overwrite-mode, so re-running
+    an interrupted seed converges). The admitter calls this lazily on
+    first use; ops tooling (and the growth probe) call it directly to
+    pre-build state."""
+    import json
+    import os
+
+    from stockpy_spark.operators.dedup import corpus_dedup_keys
+
+    seed_marker = os.path.join(state_dir, "_SEED_COMPLETE")
+    if os.path.isfile(seed_marker):
+        return
+    fps, keys = corpus_dedup_keys(
+        corpus, text_col, id_col, num_hashes, bands, hash_fn
+    )
+    _append_admission_index(
+        fps, keys, state_dir, -1, "overwrite", bloom_m_bits, bloom_k
+    )
+    os.makedirs(state_dir, exist_ok=True)
+    # the state MANIFEST: every parameter baked into the persisted
+    # index. num_hashes/bands/hash_fn were always state-lifetime
+    # (documented "like a salt"); the bloom geometry is too — a probe
+    # computed mod a different m_bits reads garbage bit positions,
+    # which means FALSE NEGATIVES, which means silent duplicate
+    # admissions (caught live by the r13 growth probe when its seed
+    # and drain disagreed on m_bits). The admitter ADOPTS the bloom
+    # geometry from here and RAISES on a semantic-parameter mismatch.
+    with open(os.path.join(state_dir, "_ADMITTER_META.json"), "w") as fh:
+        json.dump(
+            {
+                "num_hashes": num_hashes,
+                "bands": bands,
+                "hash_fn": hash_fn,
+                "bloom_m_bits": bloom_m_bits,
+                "bloom_k": bloom_k,
+            },
+            fh,
+        )
+    with open(seed_marker, "w") as fh:
+        fh.write("seeded")
+
+
 def run_incremental_minhash_admitter(
     spark: SparkSession,
     stream: DataFrame,
@@ -905,6 +1041,8 @@ def run_incremental_minhash_admitter(
     num_hashes: int = 12,
     bands: int = 2,
     hash_fn: str = "md5",
+    bloom_m_bits: int = 1 << 22,
+    bloom_k: int = 3,
 ) -> DataFrame:
     """Streaming/incremental MinHash-LSH admitter — the 11th streaming
     class: the batch ``incremental_dedup_admit`` semantics run
@@ -935,51 +1073,174 @@ def run_incremental_minhash_admitter(
     or "xxhash64" (the production kernel, ~3x on the signature
     stage). The state dirs are a pure function of the kernel — a
     state_dir seeded with one kernel MUST keep it for life (like a
-    salt); key-set schemas are identical either way."""
+    salt); key-set schemas are identical either way.
+
+    BOUNDED PER-BATCH COST (r12 verdict "What's wrong" #2 — the old
+    loop re-read and re-``distinct()``ed the FULL standing index every
+    micro-batch, an O(index) read + shuffle growing forever with
+    corpus age). Two structures kill that term without changing one
+    admitted row:
+
+    - **Bloom sidecars** (``{state}/bloom_fps``, ``{state}/bloom_keys``;
+      operators/sketches.bloom_build machinery): per batch, the key
+      sets of the ADMITTED docs append as sparse (word, bits,
+      batch_id) delta rows; reading folds deltas with ``bit_or``
+      (duplicate deltas from a replay are absorbed — OR is
+      idempotent) under the same ``batch_id < own`` rule. Each batch
+      bloom-screens its OWN keys first: a key the filter rejects is
+      GUARANTEED absent from the standing index (no false negatives)
+      and never touches it. Only the 'maybe' keys — true dups plus
+      the documented false-positive rate — go to the precise check.
+    - **Prefix-partitioned index layout**: fps/keys write
+      ``partitionBy`` the key's 2-char prefix (``fpp``/``kp``), so
+      the precise check reads ONLY the partitions the suspect keys
+      land in (a literal ``IN`` over collected suspect prefixes —
+      a bounded ≤256-row driver collect, the codebook class) and
+      semi-joins the broadcast suspect set map-side: no index
+      shuffle, no index-wide distinct, read volume proportional to
+      suspect evidence, not index age.
+
+    Mostly-novel traffic (the production case) therefore costs
+    ~O(batch) per batch regardless of index size; a batch that IS
+    heavily duplicated degrades gracefully toward the old full-scan
+    cost — the work scales with actual dup evidence. Correctness
+    never depends on the bloom: an over-approximate bloom (crash
+    between the bloom append and the index append, a replayed batch
+    seeing its own folded delta after compaction) only routes extra
+    keys to the precise check, whose ``batch_id < own`` filter is
+    the ground truth; the bloom append runs BEFORE the index appends
+    so later batches can never see an index key the bloom misses.
+    Size ``bloom_m_bits`` at ~10 bits per expected standing key (the
+    default 4 Mbit ≈ 500 KB broadcast covers ~400k keys at ~1% FP);
+    an undersized bloom degrades to more precise-path traffic, never
+    to a wrong admit. Legacy (pre-r13) state dirs have no sidecar and
+    no prefix partitions: the reader detects both and falls back to
+    the full-scan path for that state_dir's life."""
     import os
 
     from stockpy_spark.operators.dedup import (
         corpus_dedup_keys,
         incremental_dedup_admit_keys,
     )
+    from stockpy_spark.operators.sketches import bloom_screen
 
     fps_dir = os.path.join(state_dir, "fps")
     keys_dir = os.path.join(state_dir, "keys")
+    bloom_fps_dir = os.path.join(state_dir, "bloom_fps")
+    bloom_keys_dir = os.path.join(state_dir, "bloom_keys")
     admitted_dir = os.path.join(state_dir, "admitted")
-    # seed gate is a COMPLETION MARKER written after BOTH key-set
-    # writes (r11 advisor): gating on isdir(fps_dir) left a crash
-    # window between the two writes where fps existed but keys did
-    # not, and every restart then failed reading keys_dir until the
-    # state was wiped by hand. Both writes are mode("overwrite"), so
-    # re-running an interrupted seed is idempotent.
-    seed_marker = os.path.join(state_dir, "_SEED_COMPLETE")
-    if not os.path.isfile(seed_marker):  # idempotent seed: batch_id = -1
-        fps, keys = corpus_dedup_keys(
-            corpus, text_col, id_col, num_hashes, bands, hash_fn
-        )
-        fps.withColumn("batch_id", F.lit(-1)).write.mode(
-            "overwrite"
-        ).parquet(fps_dir)
-        keys.withColumn("batch_id", F.lit(-1)).write.mode(
-            "overwrite"
-        ).parquet(keys_dir)
-        os.makedirs(state_dir, exist_ok=True)
-        with open(seed_marker, "w") as fh:
-            fh.write("seeded")
+
+    seed_admission_state(
+        spark, corpus, text_col, id_col, state_dir,
+        num_hashes, bands, hash_fn, bloom_m_bits, bloom_k,
+    )
+
+    # honor the state manifest (see seed_admission_state): semantic
+    # parameters must match the seeded index; bloom geometry is
+    # ADOPTED from the manifest, because screening with a different
+    # m_bits/k than the persisted bitmaps were built with produces
+    # false NEGATIVES — silent duplicate admissions, not slow batches.
+    meta_path = os.path.join(state_dir, "_ADMITTER_META.json")
+    if os.path.isfile(meta_path):
+        import json
+
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        mismatched = {
+            k: (meta[k], v)
+            for k, v in (
+                ("num_hashes", num_hashes),
+                ("bands", bands),
+                ("hash_fn", hash_fn),
+            )
+            if meta.get(k) != v
+        }
+        if mismatched:
+            raise ValueError(
+                "run_incremental_minhash_admitter: state dir was seeded "
+                f"with different semantic parameters {mismatched} "
+                "(manifest value, call value) — these are state-lifetime, "
+                "like a salt; re-seed a fresh state_dir to change them"
+            )
+        bloom_m_bits = int(meta.get("bloom_m_bits", bloom_m_bits))
+        bloom_k = int(meta.get("bloom_k", bloom_k))
 
     def feb(batch_df: DataFrame, batch_id: int) -> None:
-        standing_fps = (
-            spark.read.parquet(fps_dir)
-            .where(F.col("batch_id") < batch_id)
-            .select("__fp")
-            .distinct()
+        bfps, bkeys = corpus_dedup_keys(
+            batch_df, text_col, id_col, num_hashes, bands, hash_fn
         )
-        standing_keys = (
-            spark.read.parquet(keys_dir)
-            .where(F.col("batch_id") < batch_id)
-            .select("band", "bsig")
-            .distinct()
-        )
+        fp_bloom = _read_adm_bloom(spark, bloom_fps_dir, batch_id)
+        key_bloom = _read_adm_bloom(spark, bloom_keys_dir, batch_id)
+        fps_raw = spark.read.parquet(fps_dir)
+        keys_raw = spark.read.parquet(keys_dir)
+        legacy = "fpp" not in fps_raw.columns or fp_bloom is None
+
+        if legacy:  # pre-r13 state layout: full precise path
+            standing_fps = (
+                fps_raw.where(F.col("batch_id") < batch_id)
+                .select("__fp").distinct()
+            )
+            standing_keys = (
+                keys_raw.where(F.col("batch_id") < batch_id)
+                .select("band", "bsig").distinct()
+            )
+        else:
+            # 1) bloom pre-screen the batch's own key sets: "maybe"
+            #    survivors are the only keys that can exist upstream.
+            sus_fp = (
+                bloom_screen(
+                    bfps, "__fp", fp_bloom, bloom_m_bits, bloom_k, "admfp"
+                )
+                .where(F.col("bloom_maybe") == 1)
+                .select("__fp")
+                .transform(pin)  # tiny; 2 consumers (prefixes + join)
+            )
+            sus_keys = (
+                bloom_screen(
+                    bkeys.withColumn("__bk", _adm_kcat()), "__bk", key_bloom,
+                    bloom_m_bits, bloom_k, "admbk",
+                )
+                .where(F.col("bloom_maybe") == 1)
+                .select("band", "bsig")
+                .transform(pin)
+            )
+            # 2) precise check, partition-pruned to suspect prefixes —
+            #    bounded driver collects (≤ distinct 2-char prefixes)
+            fp_pref = [
+                r.p for r in sus_fp.select(
+                    _adm_prefix(F.col("__fp")).alias("p")
+                ).distinct().collect()
+            ]
+            key_pref = [
+                r.p for r in sus_keys.select(
+                    _adm_prefix(F.col("bsig")).alias("p")
+                ).distinct().collect()
+            ]
+            if fp_pref:
+                standing_fps = (
+                    fps_raw.where(F.col("fpp").isin(fp_pref))
+                    .where(F.col("batch_id") < batch_id)
+                    .join(F.broadcast(sus_fp), "__fp", "semi")
+                    .select("__fp")
+                    .distinct()
+                )
+            else:
+                standing_fps = spark.createDataFrame(
+                    [], bfps.select("__fp").schema
+                )
+            if key_pref:
+                standing_keys = (
+                    keys_raw.where(F.col("kp").isin(key_pref))
+                    .where(F.col("batch_id") < batch_id)
+                    .join(F.broadcast(sus_keys), ["band", "bsig"], "semi")
+                    .select("band", "bsig")
+                    .distinct()
+                )
+            else:
+                standing_keys = spark.createDataFrame(
+                    [], bkeys.select("band", "bsig").schema
+                )
+
         admitted = incremental_dedup_admit_keys(
             batch_df, standing_fps, standing_keys,
             text_col, id_col, num_hashes, bands, hash_fn,
@@ -987,15 +1248,24 @@ def run_incremental_minhash_admitter(
         admitted.withColumn("batch_id", F.lit(batch_id)).write.mode(
             "append"
         ).parquet(admitted_dir)
+        if admitted.isEmpty():  # nothing admitted -> index unchanged;
+            return              # skip 4 no-op append jobs (pinned, so
+                                # isEmpty is a lookup, not a recompute)
         nfps, nkeys = corpus_dedup_keys(
             admitted, text_col, id_col, num_hashes, bands, hash_fn
         )
-        nfps.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(fps_dir)
-        nkeys.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(keys_dir)
+        if legacy:  # keep the legacy layout consistent for its life
+            nfps.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(fps_dir)
+            nkeys.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(keys_dir)
+        else:
+            _append_admission_index(
+                nfps, nkeys, state_dir, batch_id, "append",
+                bloom_m_bits, bloom_k,
+            )
 
     q = (
         stream.writeStream.foreachBatch(feb)
@@ -1038,14 +1308,23 @@ def compact_admission_index(
     repaired by simply re-running this helper, which restores the
     ``.old`` dir before compacting.
 
-    Returns {"fps": {"rows_before", "rows_after"}, "keys": {...}}.
+    The r13 bounded layout compacts the same way, preserving its two
+    structures: fps/keys keep their prefix partition column
+    (re-derived, ``partitionBy`` on rewrite), and the bloom sidecars
+    fold their per-batch delta rows into one ``bit_or`` bitmap at
+    ``batch_id = -1`` — safe under the quiesced-cadence contract (no
+    outstanding replays), and an over-approximate bloom only routes
+    extra keys to the precise check anyway. Legacy dirs (no partition
+    column, no sidecar) compact into their legacy shape.
+
+    Returns {"fps": {"rows_before", "rows_after"}, "keys": {...},
+    "bloom_fps": {...}, "bloom_keys": {...}} (bloom entries only when
+    the sidecars exist).
     """
     import os
     import shutil
 
-    report = {}
-    for sub, key_cols in (("fps", ["__fp"]), ("keys", ["band", "bsig"])):
-        d = os.path.join(state_dir, sub)
+    def _swap(d, write_fn):
         old, tmp = d + ".old", d + ".tmp"
         # crash repair: a previous compaction died mid-swap
         if not os.path.isdir(d) and os.path.isdir(old):
@@ -1053,29 +1332,73 @@ def compact_admission_index(
         if os.path.isdir(tmp):
             shutil.rmtree(tmp)
         if not os.path.isdir(d):
-            continue
+            return None
         df = spark.read.parquet(d)
         before = df.count()
-        compacted = df.groupBy(*key_cols).agg(
-            F.min("batch_id").alias("batch_id")
-        )
-        size = sum(
-            os.path.getsize(os.path.join(r, f))
-            for r, _, fs in os.walk(d)
-            for f in fs
-            if f.endswith(".parquet")
-        )
-        n_files = max(1, min(64, -(-size // target_file_bytes)))
-        compacted.repartition(int(n_files)).write.mode(
-            "overwrite"
-        ).parquet(tmp)
+        write_fn(df, tmp)
         after = spark.read.parquet(tmp).count()
         if os.path.isdir(old):
             shutil.rmtree(old)
         os.rename(d, old)
         os.rename(tmp, d)
         shutil.rmtree(old)
-        report[sub] = {"rows_before": before, "rows_after": after}
+        return {"rows_before": before, "rows_after": after}
+
+    def _dir_files(d):
+        n = max(
+            1,
+            min(
+                64,
+                -(
+                    -sum(
+                        os.path.getsize(os.path.join(r, f))
+                        for r, _, fs in os.walk(d)
+                        for f in fs
+                        if f.endswith(".parquet")
+                    )
+                    // target_file_bytes
+                ),
+            ),
+        )
+        return int(n)
+
+    report = {}
+    for sub, key_cols, part_col, part_src in (
+        ("fps", ["__fp"], "fpp", "__fp"),
+        ("keys", ["band", "bsig"], "kp", "bsig"),
+    ):
+        d = os.path.join(state_dir, sub)
+
+        def _write(df, tmp, key_cols=key_cols, part_col=part_col, part_src=part_src, d=d):
+            compacted = df.groupBy(*key_cols).agg(
+                F.min("batch_id").alias("batch_id")
+            )
+            n_files = _dir_files(d)
+            if part_col in df.columns:  # r13 prefix-partitioned layout
+                compacted.withColumn(
+                    part_col, _adm_prefix(F.col(part_src))
+                ).repartition(n_files).write.mode("overwrite").partitionBy(
+                    part_col
+                ).parquet(tmp)
+            else:  # legacy layout
+                compacted.repartition(n_files).write.mode(
+                    "overwrite"
+                ).parquet(tmp)
+
+        r = _swap(d, _write)
+        if r is not None:
+            report[sub] = r
+    for sub in ("bloom_fps", "bloom_keys"):
+        d = os.path.join(state_dir, sub)
+
+        def _write(df, tmp, d=d):
+            df.groupBy("word").agg(F.bit_or("bits").alias("bits")).withColumn(
+                "batch_id", F.lit(-1)
+            ).coalesce(1).write.mode("overwrite").parquet(tmp)
+
+        r = _swap(d, _write)
+        if r is not None:
+            report[sub] = r
     return report
 
 

@@ -1850,11 +1850,12 @@ def test_compact_admission_index_preserves_replay_semantics(spark, tmp_path):
     assert sorted(r["doc_id"] for r in first.collect()) == [11, 15]
 
     # inject replay garbage: re-append batch 0's index rows verbatim
-    for sub in ("fps", "keys"):
+    # (following the r13 prefix-partitioned layout, as a replay would)
+    for sub, part in (("fps", "fpp"), ("keys", "kp")):
         d = os.path.join(state, sub)
         spark.read.parquet(d).where(F.col("batch_id") == 0).write.mode(
             "append"
-        ).parquet(d)
+        ).partitionBy(part).parquet(d)
     pre_fps = spark.read.parquet(os.path.join(state, "fps")).count()
 
     report = compact_admission_index(spark, state)
@@ -2027,3 +2028,98 @@ class TestStreamPsiMonitor:
                 [[(1, 1.0)]],
                 [(1, None)],
             )
+
+
+def test_stream_minhash_admitter_legacy_state_dir_fallback(spark, tmp_path):
+    """A pre-r13 state dir (unpartitioned fps/keys, no bloom sidecars)
+    must keep working for its life: the admitter detects the legacy
+    layout, runs the full precise path, appends in the legacy shape,
+    and admits the identical set."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from stockpy_spark.operators.dedup import corpus_dedup_keys
+    from stockpy_spark.streaming.ops import run_incremental_minhash_admitter
+
+    corpus = spark.createDataFrame(
+        [(100, "alpha beta gamma")], "doc_id long, text string"
+    )
+    state = str(tmp_path / "state")
+    # hand-seed the OLD layout: flat parquet, batch_id=-1, marker file
+    fps, keys = corpus_dedup_keys(corpus, "text", "doc_id")
+    fps.withColumn("batch_id", F.lit(-1)).write.parquet(
+        os.path.join(state, "fps")
+    )
+    keys.withColumn("batch_id", F.lit(-1)).write.parquet(
+        os.path.join(state, "keys")
+    )
+    with open(os.path.join(state, "_SEED_COMPLETE"), "w") as fh:
+        fh.write("seeded")
+
+    rows = [
+        (11, "delta epsilon zeta"),   # fresh -> admitted
+        (13, "alpha beta gamma"),     # exact dup of corpus -> out
+        (14, "gamma beta alpha"),     # LSH dup of corpus -> out
+        (21, "delta epsilon zeta"),   # wave 1: exact dup of 11 -> out
+        (22, "novel second wave"),    # fresh -> admitted
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    landing = str(tmp_path / "landing")
+    _write_waves(spark, df, [[11, 13, 14], [21, 22]], landing)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    admitted = run_incremental_minhash_admitter(
+        spark, stream, corpus, "text", "doc_id", state,
+        str(tmp_path / "ckpt"),
+    )
+    assert sorted(r["doc_id"] for r in admitted.collect()) == [11, 22]
+    # appends stayed in the legacy shape: no partition col, no sidecar
+    fps_after = spark.read.parquet(os.path.join(state, "fps"))
+    assert "fpp" not in fps_after.columns
+    assert not os.path.isdir(os.path.join(state, "bloom_fps"))
+
+
+def test_stream_minhash_admitter_state_manifest_guard(spark, tmp_path):
+    """The state manifest (r13): semantic parameters are state-lifetime
+    — calling with different num_hashes/bands/hash_fn than the seeded
+    index raises; a different bloom geometry is silently ADOPTED from
+    the manifest (a mismatched m_bits would produce false negatives =
+    silent duplicate admissions, found live by the growth probe)."""
+    import pytest
+
+    from stockpy_spark.streaming.ops import run_incremental_minhash_admitter
+
+    corpus = spark.createDataFrame(
+        [(100, "alpha beta gamma")], "doc_id long, text string"
+    )
+    rows = [(11, "delta epsilon zeta"), (13, "alpha beta gamma")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    landing = str(tmp_path / "landing")
+    _write_waves(spark, df, [[11, 13]], landing)
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ckpt")
+    stream = lambda: (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    first = run_incremental_minhash_admitter(
+        spark, stream(), corpus, "text", "doc_id", state, ckpt,
+        bloom_m_bits=1 << 22,
+    )
+    assert sorted(r.doc_id for r in first.collect()) == [11]
+    # mismatched bloom geometry: adopted from manifest, same admission
+    again = run_incremental_minhash_admitter(
+        spark, stream(), corpus, "text", "doc_id", state, ckpt,
+        bloom_m_bits=1 << 18,
+    )
+    assert sorted(r.doc_id for r in again.collect()) == [11]
+    # mismatched SEMANTIC parameter: hard error
+    with pytest.raises(ValueError, match="state-lifetime"):
+        run_incremental_minhash_admitter(
+            spark, stream(), corpus, "text", "doc_id", state, ckpt,
+            num_hashes=24,
+        )
