@@ -111,7 +111,7 @@ def run_once(spark, corpus, wave_df, root, layout):
     # only the per-batch drain — exactly the O(index) term under test
     t0 = time.time()
     import os as _os
-    kw = {}
+    kw = {"full_scan_below_bytes": 0}  # force the screened mechanics
     mb = _os.environ.get("ADM_PROBE_M_BITS")
     if mb:
         kw["bloom_m_bits"] = int(mb)
