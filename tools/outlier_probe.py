@@ -162,12 +162,89 @@ def probe_concurrency(spark, n: int):
     return run
 
 
+def probe_pack(spark, n: int):
+    """pack_chunks_ordered (7th family member, r13 probe wiring): the
+    order axis is the (doc, chunk) id space — the adversarial input
+    is ONE doc id at 1e12, which floods an equal-width doc census's
+    top bucket. Output digest = order-insensitive hash-sum over every
+    (doc, chunk, seq_start, bin) row, so any single-row divergence
+    between bucket plans is caught without collecting n rows."""
+    from stockpy_spark.operators.sampling import pack_chunks_ordered
+
+    def run(outlier: bool, n_buckets: int = 256):
+        doc = (F.col("id") / F.lit(3)).cast("long").cast("double")
+        if outlier:
+            doc = F.when(F.col("id") < 3, F.lit(OUTLIER)).otherwise(doc)
+        df = base(spark, n).select(
+            doc.alias("doc"),
+            (F.col("id") % 3).alias("chunk"),
+            (F.pmod(F.xxhash64(F.col("id")), F.lit(90)) + 10).alias("tok"),
+        )
+        out = pack_chunks_ordered(df, "doc", "chunk", "tok", 4096, n_buckets)
+        dig = out.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(
+                F.pmod(
+                    F.xxhash64(
+                        F.col("doc").cast("string"), F.col("chunk"),
+                        F.col("seq_start"), F.col("bin"),
+                    ),
+                    F.lit(1_000_000_007),
+                )
+            ).alias("hashsum"),
+            F.max("seq_start").alias("max_start"),
+            F.max("bin").alias("max_bin"),
+        ).collect()[0]
+        return [tuple(dig)]
+
+    return run
+
+
+def probe_matched(spark, n: int):
+    """matched_controls sub-buckets (r13 probe wiring): the semantic
+    tolerance bucket is the caliper, so the adversarial input is the
+    docstring's own degeneration — EVERY value inside one tolerance
+    width (plus one 1e12 row), which without equal-frequency
+    sub-bucketing funnels the whole corpus through one window task.
+    Invariance: n_sub_buckets default vs 4 must match row for row."""
+    from stockpy_spark.operators.sampling import matched_controls
+
+    def run(outlier: bool, n_buckets: int = 32):
+        v = draw(F.col("id"), "mc") * 0.5  # all inside ONE tol bucket
+        if outlier:
+            v = with_outlier(v, OUTLIER)
+        pool = base(spark, n).select(F.col("id").alias("id"), v.alias("v"))
+        ev = base(spark, n // 4).select(
+            (F.col("id") + n).alias("id"),
+            (draw(F.col("id"), "me") * 0.5).alias("v"),
+        )
+        out = matched_controls(ev, pool, "id", "v", 1000.0, n_buckets)
+        dig = out.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(
+                F.pmod(
+                    F.xxhash64(
+                        F.col("eval_id"), F.col("control_id"),
+                        F.col("gap").cast("string"),
+                    ),
+                    F.lit(1_000_000_007),
+                )
+            ).alias("hashsum"),
+            F.count("control_id").alias("matched"),
+        ).collect()[0]
+        return [tuple(dig)]
+
+    return run
+
+
 PROBES = {
     "ks": probe_ks,
     "spearman": probe_spearman,
     "gini": probe_gini,
     "pareto": probe_pareto,
     "concurrency": probe_concurrency,
+    "pack": probe_pack,
+    "matched": probe_matched,
 }
 
 
