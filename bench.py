@@ -163,11 +163,20 @@ def calibrate(spark) -> float:
     the same 100k-key aggregate and top-k, ~10 s per sample.
     Normalized totals are therefore a NEW series from r11 (divide by
     a ~5x larger constant); the r11<->r10 conversion ratio and the
-    restated noise band live in BASELINE.md §5."""
+    restated noise band live in BASELINE.md §5.
+
+    r13 (judge item #4): the FIRST sample is a cold-JIT outlier —
+    measured structure on a quiet host: 10.67, then 6.93/6.69/6.29/
+    6.25/6.47/6.42/6.60 — the md5 codegen path JITs during sample 1
+    and never again. One discarded warmup sample before the median
+    of 3 removes that structural bias; the steady-state constant
+    (~6.3-6.9 quiet) is what the driver's 6.835 actually was — the
+    r12 "calibration spread postmortem" conclusion is that the 8-11
+    solo readings were builder-side host load, not driver anomaly."""
     from pyspark.sql import functions as F
 
     samples = []
-    for _ in range(3):
+    for i in range(4):
         t0 = time.time()
         (
             spark.range(120_000_000)
@@ -181,7 +190,8 @@ def calibrate(spark) -> float:
             .limit(10)
             .write.format("noop").mode("overwrite").save()
         )
-        samples.append(time.time() - t0)
+        if i > 0:  # sample 0 is the cold-JIT warmup, discarded
+            samples.append(time.time() - t0)
     return round(sorted(samples)[1], 3)
 
 

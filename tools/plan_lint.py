@@ -97,6 +97,7 @@ BNLJ_OK = {
     "emb_kmeans_summary": "k-row centroid codebook",
     "sim_ivf_topk": "k-row coarse-centroid codebook",
     "pack_chunks_ordered": "B-row quantile bucket-edge array",
+    "pipeline_data_release": "pack stage's B-row bucket-edge array (+ NB 1-row census)",
     # collected KB-state broadcast as one literal
     "dedup_bloom_screen": "1-row bloom word-map (m_bits ceiling-guarded)",
     # dense-grid construction: the cross IS the output shape
@@ -121,6 +122,7 @@ GLOBAL_WINDOW_OK = {
     "stats_spearman": "B-row per-column bucket totals",
     "pareto_frontier": "B-row bucket prefix-min offsets",
     "pack_chunks_ordered": "B-row bucket running-total offsets",
+    "pipeline_data_release": "pack stage's B-row bucket offset close",
     # rank attach AFTER a top-k limit (child is GlobalLimit k)
     "agg_top_movers": "row_number over the top-20 limited frame",
     "dq_key_skew": "row_number over the top-k limited frame",

@@ -68,6 +68,20 @@ def main() -> None:
             if name == "events"
             else spark.read.parquet(f"{src}/{name}.parquet")
         )
+        # COMPOSITION GUARD (r13): scaling an ALREADY-SCALED dir
+        # re-applies the same i*OFFSET shifts, and (i+j) sums collide —
+        # .scratch_sf10 built as scale_up(10, .scratch_sf1) had only
+        # 2.85M distinct o_orderkey in 15M orders rows, silently
+        # inflating every keyed join's fan-out ~5x and poisoning the
+        # sf10 decade ratios recorded in r11/r12. Always scale from
+        # the PRISTINE sf0.1 with the full factor.
+        mx = base.agg(F.max(F.col(keys[0]))).collect()[0][0]
+        if mx is not None and int(mx) >= OFFSET:
+            raise SystemExit(
+                f"scale_up: {name}.{keys[0]} max={mx} >= OFFSET={OFFSET} — "
+                f"'{src}' looks already scaled; re-run from the pristine "
+                "driver testdata (composed shifts collide on i+j sums)"
+            )
         copies = []
         for i in range(factor):
             c = base
