@@ -308,7 +308,7 @@ def release_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
 
 _NAV = "Subscribe | Home | Login"
 
-SQL_DATA_RELEASE = f"""
+_SQL_CHAIN = f"""
 WITH tk AS MATERIALIZED (
     SELECT doc_id, source,
            CASE WHEN text IS NULL OR trim(text) = '' THEN []
@@ -604,6 +604,9 @@ WITH tk AS MATERIALIZED (
            ) AS BIGINT) AS position
     FROM capd
 )
+"""
+
+SQL_DATA_RELEASE = _SQL_CHAIN + """
 SELECT doc_id, source, n_tokens, calibrated, shard, position,
        CAST(sum(n_tokens) OVER (ORDER BY shard, position
                 ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS seq_start,
@@ -612,6 +615,46 @@ SELECT doc_id, source, n_tokens, calibrated, shard, position,
 FROM sh
 """
 
+SQL_RELEASE_FUNNEL = _SQL_CHAIN + """
+SELECT * FROM (
+    SELECT '0_input' AS stage, CAST((SELECT count(*) FROM tk) AS BIGINT) AS n_docs
+    UNION ALL SELECT '1_clean', (SELECT count(*) FROM nrm)
+    UNION ALL SELECT '2_gopher_train', (SELECT count(*) FROM kd)
+    UNION ALL SELECT '3_nb_admit', (SELECT count(*) FROM adm6)
+    UNION ALL SELECT '4_url_dedup', (SELECT count(*) FROM ukeep)
+    UNION ALL SELECT '5_minhash_dedup', (SELECT count(*) FROM mkeep)
+    UNION ALL SELECT '6_exact_decon', (SELECT count(*) FROM c9)
+    UNION ALL SELECT '7_fuzzy_decon', (SELECT count(*) FROM c10)
+    UNION ALL SELECT '8_mixture_cap', (SELECT count(*) FROM capd)
+)
+"""
+
+def q_pipeline_release_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The release pipeline's AUDIT TRAIL: one row per stage with its
+    surviving doc count — the funnel table a data-release sign-off
+    reads next to the release itself. Reuses the capstone's stage
+    frames (the heavy ones are pinned, so each count is a lookup or a
+    narrow pass, not a chain re-run) and assembles the 9-row table on
+    the driver (codebook class). The oracle replays the ENTIRE chain
+    and re-counts every stage, so a drift that shifts a stage's
+    population reds this row even when the final release hash happens
+    to survive."""
+    stages = release_stage_frames(spark, sf_dir)
+    counts = [
+        ("0_input", stages["salted"].count()),
+        ("1_clean", stages["clean"].count()),
+        ("2_gopher_train", stages["train"].count()),
+        ("3_nb_admit", stages["admitted6"].count()),
+        ("4_url_dedup", stages["url_keep"].count()),
+        ("5_minhash_dedup", stages["mh_keep"].count()),
+        ("6_exact_decon", stages["c9"].count()),
+        ("7_fuzzy_decon", stages["c10"].count()),
+        ("8_mixture_cap", stages["capd"].count()),
+    ]
+    return spark.createDataFrame(counts, "stage string, n_docs bigint")
+
+
 R13_QUERIES: dict[str, tuple] = {
     "pipeline_data_release": (q_pipeline_data_release, SQL_DATA_RELEASE),
+    "pipeline_release_funnel": (q_pipeline_release_funnel, SQL_RELEASE_FUNNEL),
 }

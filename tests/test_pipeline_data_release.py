@@ -75,3 +75,18 @@ def test_release_pipeline_is_deterministic(spark, sf_dir):
     a = {tuple(r) for r in q_pipeline_data_release(spark, sf_dir).collect()}
     b = {tuple(r) for r in q_pipeline_data_release(spark, sf_dir).collect()}
     assert a == b
+
+
+def test_release_funnel_is_monotone_after_admission(spark, sf_dir):
+    """The funnel audit table: counts decrease monotonically through
+    the admission chain (nb -> url -> minhash -> exact -> fuzzy ->
+    cap), and the early stages preserve the corpus (clean == input)."""
+    from stockpy_spark.registry_r13 import q_pipeline_release_funnel
+
+    rows = {r.stage: r.n_docs for r in q_pipeline_release_funnel(spark, sf_dir).collect()}
+    assert rows["0_input"] == rows["1_clean"]  # transforms, not filters
+    chain = ["3_nb_admit", "4_url_dedup", "5_minhash_dedup",
+             "6_exact_decon", "7_fuzzy_decon", "8_mixture_cap"]
+    for a, b in zip(chain, chain[1:]):
+        assert rows[b] <= rows[a], (a, b, rows)
+    assert rows["8_mixture_cap"] > 0
