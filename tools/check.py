@@ -186,6 +186,18 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
     spark = get_spark("check")
+    # reliable-pin sweep support (r13): STOCKPY_PIN_MODE=reliable runs
+    # every census/count-table pin through a durable checkpoint() —
+    # the cluster mode of operators/pinning.py — which needs a
+    # checkpoint dir. Oracles must stay green in BOTH modes.
+    from stockpy_spark.operators.pinning import pin_mode
+
+    if pin_mode(spark) == "reliable":
+        import tempfile
+
+        ckdir = tempfile.mkdtemp(prefix="stockpy_reliable_pins_")
+        spark.sparkContext.setCheckpointDir(ckdir)
+        print(f"pin mode: reliable (checkpoint dir {ckdir})")
     failures = []
     checked = 0
     for name, fn in qs.items():
