@@ -901,3 +901,71 @@ FROM terms GROUP BY batch_id
 
 
 STREAM_QUERIES["stream_psi_monitor"] = (q_stream_psi_monitor, SQL_STREAM_PSI)
+
+
+def q_stream_shard_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous training-order assignment (streaming/ops.py
+    run_incremental_shard_positions — the 13th streaming class, the
+    streaming twin of sample_shard_shuffle): the stream docs
+    (doc_id % 5 == 0) arrive as THREE pinned-order waves (synthetic
+    mtimes force the file-source sequence); each wave's docs get their
+    md5-uniform shard and a position CONTINUING that shard's sequence
+    from earlier waves' per-shard count table (the KB-per-batch CDC
+    state — never an O(corpus) rescan). The oracle replays the
+    sequential semantics as ONE window: position = row_number over
+    (shard) ordered by (wave, draw, doc_id) — wave-major is exactly
+    what continuation means."""
+    import atexit
+    import glob as _glob
+    import shutil
+
+    from stockpy_spark.streaming.ops import run_incremental_shard_positions
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch_all = docs.where(F.col("doc_id") % 5 == 0).select("doc_id")
+    work = tempfile.mkdtemp(prefix="stockpy_stream_shardpos_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
+    landing = os.path.join(work, "landing")
+    os.makedirs(landing)
+    for w in range(3):
+        tmp = os.path.join(work, f"w{w}")
+        batch_all.where(
+            F.expr("(doc_id div 5) % 3") == w
+        ).coalesce(1).write.parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(landing, f"batch-{w}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_000_000_000 + w, 1_000_000_000 + w))
+    stream = (
+        spark.readStream.schema(batch_all.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    return run_incremental_shard_positions(
+        spark,
+        stream,
+        "doc_id",
+        os.path.join(work, "state"),
+        os.path.join(work, "ckpt"),
+    )
+
+
+SQL_STREAM_SHARDPOS = """
+WITH w AS (
+    SELECT doc_id, (doc_id // 5) % 3 AS wave,
+           md5('shard' || chr(31) || CAST(doc_id AS VARCHAR)) AS draw,
+           CAST(CAST(concat('0x', substr(md5('shard' || chr(31)
+                || CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) % 4
+                AS INTEGER) AS shard
+    FROM documents WHERE doc_id % 5 = 0
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (
+           PARTITION BY shard ORDER BY wave, draw, doc_id
+       ) AS BIGINT) AS position
+FROM w
+"""
+
+STREAM_QUERIES["stream_shard_positions"] = (
+    q_stream_shard_positions, SQL_STREAM_SHARDPOS,
+)

@@ -1442,6 +1442,110 @@ def compact_admission_index(
     return report
 
 
+def run_incremental_shard_positions(
+    spark: SparkSession,
+    stream: DataFrame,
+    id_col: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    n_shards: int = 4,
+    salt: str = "shard",
+) -> DataFrame:
+    """Continuous training-order assignment — the 13th streaming
+    class, and the streaming twin of ``sampling.shuffle_shard_plan``
+    (whose docstring's "incremental ingestion keeps its own admit
+    order" is exactly this operator): every arriving document gets a
+    ``shard`` (md5-uniform pure function of (salt, id)) and a 1-based
+    ``position`` that CONTINUES each shard's sequence across
+    micro-batches, so the training loader can consume a stable,
+    reproducible order while ingestion is still running. Within a
+    batch the order is the md5 draw (then id) — for a single batch
+    the assignment is IDENTICAL to the batch operator (pytest-pinned);
+    across batches it is arrival-ordered, the only order an
+    incremental assigner can promise.
+
+    Bounded per-batch state by CONSTRUCTION (no O(corpus) term to
+    bound after the fact, the lesson of the admitter rework): the
+    standing state the batch needs is one row per (batch, shard) — a
+    per-batch count table appended by each batch (n_shards rows), so
+    computing a batch's offsets reads KB per batch regardless of
+    corpus age. Assignments append to their own sink and are never
+    re-read by the hot path.
+
+    Crash safety, the CDC-sink construction: rows are batch_id-tagged;
+    a batch computes offsets from counts with ``batch_id < its own``,
+    so a REPLAYED batch sees exactly the pre-batch totals, re-emits
+    byte-identical assignments, and the duplicate appends collapse at
+    read time (``dropDuplicates([id])`` / counts are idempotent under
+    the < filter). Returns the deduplicated assignment table
+    (id, shard, position).
+    """
+    import os
+
+    counts_dir = os.path.join(state_dir, "counts")
+    assigned_dir = os.path.join(state_dir, "assigned")
+
+    draw = F.md5(
+        F.concat_ws("\x1f", F.lit(salt), F.col(id_col).cast("string"))
+    )
+    shard = (
+        F.conv(F.substring(draw, 1, 13), 16, 10).cast("long")
+        % F.lit(n_shards)
+    ).cast("int")
+
+    def feb(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql.window import Window
+
+        b = batch_df.select(
+            F.col(id_col), draw.alias("__draw"), shard.alias("shard")
+        )
+        try:
+            standing = (
+                spark.read.parquet(counts_dir)
+                .where(F.col("batch_id") < batch_id)
+                .groupBy("shard")
+                .agg(F.sum("n").alias("__off"))
+            )
+        except AnalysisException:  # first batch: no counts yet
+            standing = spark.createDataFrame([], "shard int, __off long")
+        w = Window.partitionBy("shard").orderBy("__draw", id_col)
+        assigned = (
+            b.join(F.broadcast(standing), "shard", "left")
+            .select(
+                id_col,
+                "shard",
+                (
+                    F.coalesce(F.col("__off"), F.lit(0))
+                    + F.row_number().over(w)
+                ).cast("long").alias("position"),
+            )
+            .transform(pin)  # 2 consumers (sink + counts), KB-per-batch
+        )
+        assigned.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(assigned_dir)
+        assigned.groupBy("shard").agg(
+            F.count(F.lit(1)).alias("n")
+        ).withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(counts_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(feb)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        raw = spark.read.parquet(assigned_dir)
+    except AnalysisException:  # zero-batch stream
+        return spark.createDataFrame(
+            [], f"{id_col} long, shard int, position long"
+        )
+    return raw.dropDuplicates([id_col]).select(id_col, "shard", "position")
+
+
 def run_psi_monitor(
     spark: SparkSession,
     stream: DataFrame,

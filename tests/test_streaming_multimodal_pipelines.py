@@ -2123,3 +2123,100 @@ def test_stream_minhash_admitter_state_manifest_guard(spark, tmp_path):
             spark, stream(), corpus, "text", "doc_id", state, ckpt,
             num_hashes=24,
         )
+
+
+def test_stream_shard_positions_continuation_and_batch_parity(spark, tmp_path):
+    """The 13th streaming class (run_incremental_shard_positions):
+    positions are contiguous 1..k per shard ACROSS waves (earlier
+    waves strictly before later ones within a shard), and a
+    single-wave run is IDENTICAL to the batch operator
+    shuffle_shard_plan — the twin contract."""
+    from stockpy_spark.operators.sampling import shuffle_shard_plan
+    from stockpy_spark.streaming.ops import run_incremental_shard_positions
+
+    df = spark.range(0, 60).withColumnRenamed("id", "doc_id")
+    # 3 waves of 20 in pinned order
+    landing = str(tmp_path / "landing")
+    _write_waves(spark, df, [list(range(0, 20)), list(range(20, 40)),
+                             list(range(40, 60))], landing)
+    stream = (
+        spark.readStream.schema("doc_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    out = run_incremental_shard_positions(
+        spark, stream, "doc_id", str(tmp_path / "st"), str(tmp_path / "ck")
+    ).collect()
+    assert len(out) == 60
+    per_shard = {}
+    for r in out:
+        per_shard.setdefault(r.shard, []).append((r.position, r.doc_id))
+    for shard, pos in per_shard.items():
+        ps = sorted(p for p, _ in pos)
+        assert ps == list(range(1, len(ps) + 1)), shard
+    # wave-major continuation: within a shard, every wave-0 doc's
+    # position precedes every wave-2 doc's
+    for shard, pos in per_shard.items():
+        w0 = [p for p, i in pos if i < 20]
+        w2 = [p for p, i in pos if i >= 40]
+        if w0 and w2:
+            assert max(w0) < min(w2), shard
+
+    # single-wave parity with the batch operator
+    landing2 = str(tmp_path / "landing2")
+    _write_waves(spark, df, [list(range(0, 60))], landing2)
+    stream2 = (
+        spark.readStream.schema("doc_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing2)
+    )
+    got = {
+        (r.doc_id, r.shard, r.position)
+        for r in run_incremental_shard_positions(
+            spark, stream2, "doc_id", str(tmp_path / "st2"), str(tmp_path / "ck2")
+        ).collect()
+    }
+    want = {
+        (r.doc_id, r.shard, r.position)
+        for r in shuffle_shard_plan(df, "doc_id", n_shards=4, n_buckets=16).collect()
+    }
+    assert got == want
+
+
+def test_stream_shard_positions_resume_is_idempotent(spark, tmp_path):
+    """Resuming the same checkpoint with no new files re-reads the
+    standing assignments unchanged; a later wave then continues each
+    shard's sequence from the standing counts."""
+    from stockpy_spark.streaming.ops import run_incremental_shard_positions
+
+    df = spark.range(0, 30).withColumnRenamed("id", "doc_id")
+    landing = str(tmp_path / "landing")
+    _write_waves(spark, df, [list(range(0, 15))], landing)
+    mk = lambda: (
+        spark.readStream.schema("doc_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    st, ck = str(tmp_path / "st"), str(tmp_path / "ck")
+    first = {
+        (r.doc_id, r.shard, r.position)
+        for r in run_incremental_shard_positions(spark, mk(), "doc_id", st, ck).collect()
+    }
+    again = {
+        (r.doc_id, r.shard, r.position)
+        for r in run_incremental_shard_positions(spark, mk(), "doc_id", st, ck).collect()
+    }
+    assert first == again
+    # second wave lands: old assignments byte-stable, new ones continue
+    import glob, os, shutil
+    tmp = os.path.join(str(tmp_path), "__w1")
+    df.where(F.col("doc_id") >= 15).coalesce(1).write.parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    dst = os.path.join(landing, "batch-1.parquet")
+    shutil.move(part, dst)
+    os.utime(dst, (1_000_000_100, 1_000_000_100))
+    both = {
+        (r.doc_id, r.shard, r.position)
+        for r in run_incremental_shard_positions(spark, mk(), "doc_id", st, ck).collect()
+    }
+    assert first <= both and len(both) == 30
