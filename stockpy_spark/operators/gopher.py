@@ -336,3 +336,114 @@ def gopher_quality_rules(
         "stop_hits",
         keep.cast("int").alias("keep"),
     )
+
+
+def gopher_repetition_profile_kernel(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 10),
+    dp: int = 6,
+) -> DataFrame:
+    """Arrow-batched twin of :func:`gopher_repetition_profile` —
+    identical output, different execution. The expression path's
+    per-position count pass is O(nt^2) per document AND every HOF is
+    CodegenFallback (interpreted per element — this operator has been
+    the corpus-worst CPU query since r11); the kernel computes the
+    same statistics per document in plain Python with a Counter
+    (O(nt) counting) inside one ``mapInPandas`` pass — Arrow-batched,
+    still a ZERO-shuffle narrow map with document-sized state.
+
+    Parity is exact by construction, not approximate: every
+    intermediate is integer arithmetic (token lengths, interval
+    unions, counts) and the final division is the same two exact
+    longs, rounded HALF_UP at ``dp`` via Decimal — bit-for-bit the
+    `BigDecimal.setScale(dp, HALF_UP)` Spark's ``round`` applies
+    (pinned by tests/test_r6c_ops.py's kernel-parity case over the
+    real corpus and the hand fixtures)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    id_type = df.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField(id_col, id_type),
+            StructField("n_tokens", LongType()),
+            StructField("total_chars", LongType()),
+        ]
+        + [StructField(f"top{n}_char_frac", DoubleType()) for n in top_ns]
+        + [StructField(f"dup{n}_char_frac", DoubleType()) for n in dup_ns]
+    )
+    cols = [f.name for f in out_schema.fields]
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+
+    def gen(batches):
+        from collections import Counter
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import pandas as pd
+
+        quantum = Decimal(1).scaleb(-dp)
+
+        def rnd(x: float) -> float:
+            return float(Decimal(x).quantize(quantum, rounding=ROUND_HALF_UP))
+
+        def coverage(starts, lens, n):
+            prev = 0
+            chars = 0
+            for s in starts:  # starts ascending by construction
+                lo = max(s, prev)
+                hi = s + n
+                if hi > lo:
+                    chars += sum(lens[lo:hi])
+                    prev = hi
+            return chars
+
+        for pdf in batches:
+            out = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = (
+                    text.strip().lower().split()
+                    if isinstance(text, str) and text.strip()
+                    else []
+                )
+                nt = len(toks)
+                lens = [len(t) for t in toks]
+                tot = sum(lens)
+                row = [did, nt, tot]
+                grams = {}
+                counts = {}
+                for n in all_ns:
+                    g = (
+                        [" ".join(toks[i : i + n]) for i in range(nt - n + 1)]
+                        if nt >= n
+                        else []
+                    )
+                    grams[n] = g
+                    counts[n] = Counter(g)
+                for n in top_ns:
+                    if nt < n or tot == 0:
+                        row.append(0.0)
+                        continue
+                    mx = max(counts[n].values())
+                    best = min(g for g, c in counts[n].items() if c == mx)
+                    starts = [i for i, g in enumerate(grams[n]) if g == best]
+                    row.append(rnd(coverage(starts, lens, n) / tot))
+                for n in dup_ns:
+                    if nt < n or tot == 0:
+                        row.append(0.0)
+                        continue
+                    cn = counts[n]
+                    starts = [
+                        i for i, g in enumerate(grams[n]) if cn[g] > 1
+                    ]
+                    row.append(rnd(coverage(starts, lens, n) / tot))
+                out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select(id_col, text_col).mapInPandas(gen, out_schema)
