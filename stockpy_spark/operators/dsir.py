@@ -62,6 +62,151 @@ def _bucket(gram: Column, n_buckets: int, salt: str) -> Column:
     )
 
 
+def _kernel_tokens_and_buckets(salt: str, n_buckets: int):
+    """Shared Python-side tokenize + bucket for the DSIR kernels —
+    bit-identical to the expression path: tokenization mirrors
+    functions.text.tokenize's Java semantics (space-only trim, ASCII
+    \\s split — see bigram_stats_kernel), bucketing mirrors
+    :func:`_bucket` (md5 over UTF-8 "salt\\x1fgram", first 13 hex
+    chars = 52 bits, mod n_buckets)."""
+    import re
+    from hashlib import md5
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    pre = (salt + "\x1f").encode("utf-8")
+
+    def tokens(text):
+        if not isinstance(text, str):
+            return []
+        if text.strip(" ") == "":
+            return []
+        return ws.split(text.lower().strip(" "))
+
+    def bucket(gram: str) -> int:
+        return int(md5(pre + gram.encode("utf-8")).hexdigest()[:13], 16) % n_buckets
+
+    return tokens, bucket
+
+
+def dsir_bucket_partials(
+    df: DataFrame,
+    text_col: str,
+    is_target: Column,
+    n_buckets: int,
+    salt: str,
+) -> DataFrame:
+    """Partition-level (``__tgt``, ``__b``, ``__cnt``) bucket-count
+    partials — the DISTRIBUTION-ESTIMATE input, Counter-combined per
+    partition (at most 2*n_buckets keys live per worker, so no flush
+    cap is needed), so the downstream ``groupBy(__b)`` shuffles
+    KBs regardless of corpus size. r14 probe (tools/dsir_probe.py):
+    the expression explode+bucket scan is interpreted-HOF-bound
+    (5.9 s vs a 3.1 s kernel at sf1 — the word_ngrams transform/
+    array_join lambdas, not the md5, which measured free), while a
+    per-DOC kernel feeding this aggregate loses Spark's map-side
+    combine and regresses (11.6 s) — hence this dedicated partial
+    mode for the stats branch only."""
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("__tgt", BooleanType()),
+            StructField("__b", LongType()),
+            StructField("__cnt", LongType()),
+        ]
+    )
+
+    def gen(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        tokens, bucket = _kernel_tokens_and_buckets(salt, n_buckets)
+        cnt: Counter = Counter()
+        for pdf in batches:
+            for tgt, text in zip(pdf["__tgt"], pdf["__txt"]):
+                toks = tokens(text)
+                if len(toks) < 2:
+                    continue  # stats excludes the null bucket anyway
+                t = bool(tgt)
+                for g in map(" ".join, zip(toks, toks[1:])):
+                    cnt[(t, bucket(g))] += 1
+        if cnt:
+            yield pd.DataFrame(
+                [(t, b, c) for (t, b), c in cnt.items()],
+                columns=["__tgt", "__b", "__cnt"],
+            )
+
+    return df.select(
+        is_target.alias("__tgt"), F.col(text_col).alias("__txt")
+    ).mapInPandas(gen, schema)
+
+
+def dsir_bucket_doc_counts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    is_target: Column,
+    n_buckets: int,
+    salt: str,
+    raw_only: bool = True,
+) -> DataFrame:
+    """Per-document (``__id``, ``__b``, ``__cnt``) bucket counts — the
+    SCORING-stream input (the per-doc weight sum needs doc identity).
+    Counter-reduced per doc, so a doc emits at most min(bigrams,
+    n_buckets) rows instead of one row per bigram instance; zero-bigram
+    docs emit a single (id, NULL, 0) row, the explode_outer contract,
+    so every raw doc reaches the final aggregate without a backfill
+    join. ``raw_only`` skips target docs before tokenizing — the
+    expression path pays the explode for both sides and filters after."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    id_type = df.schema[id_col].dataType
+    schema = StructType(
+        [
+            StructField("__id", id_type),
+            StructField("__b", LongType()),
+            StructField("__cnt", LongType()),
+        ]
+    )
+
+    def gen(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        tokens, bucket = _kernel_tokens_and_buckets(salt, n_buckets)
+        for pdf in batches:
+            id_o, b_o, c_o = [], [], []
+            for did, tgt, text in zip(pdf["__id"], pdf["__tgt"], pdf["__txt"]):
+                if raw_only and bool(tgt):
+                    continue
+                toks = tokens(text)
+                if len(toks) < 2:
+                    id_o.append(did)
+                    b_o.append(None)
+                    c_o.append(0)
+                    continue
+                for b, c in Counter(
+                    bucket(g) for g in map(" ".join, zip(toks, toks[1:]))
+                ).items():
+                    id_o.append(did)
+                    b_o.append(b)
+                    c_o.append(c)
+            yield pd.DataFrame({"__id": id_o, "__b": b_o, "__cnt": c_o})
+
+    return df.select(
+        F.col(id_col).alias("__id"),
+        is_target.alias("__tgt"),
+        F.col(text_col).alias("__txt"),
+    ).mapInPandas(gen, schema)
+
+
 def dsir_importance_weights(
     df: DataFrame,
     text_col: str,
@@ -70,6 +215,7 @@ def dsir_importance_weights(
     n_buckets: int = 1024,
     salt: str = "dsir",
     dp: int = 6,
+    use_kernel: bool = True,
 ) -> DataFrame:
     """(id, n_bigrams, log_weight, resample_key) for every RAW row of
     ``df`` (rows where ``is_target`` is false). ``log_weight`` is the
@@ -79,35 +225,53 @@ def dsir_importance_weights(
     without replacement (:func:`dsir_select_topk`). Docs with fewer
     than 2 tokens carry weight 0 (an empty product of ratios) but
     still draw a Gumbel key, so short docs are sampled at the prior."""
-    tagged = df.select(
-        F.col(id_col).alias("__id"),
-        is_target.alias("__tgt"),
-        F.col(text_col).alias("__txt"),
-    )
-    # explode_OUTER keeps zero-bigram docs as one null-gram row, so the
-    # per-doc aggregate below covers every raw doc and no corpus-sized
-    # re-join is needed to backfill them (the join-based first draft
-    # cost a SortMergeJoin + 2 extra shuffles for exactly those rows).
-    grams = tagged.select(
-        "__id",
-        "__tgt",
-        F.explode_outer(word_ngrams("__txt", 2)).alias("__gram"),
-    ).select(
-        "__id",
-        "__tgt",
-        F.when(
-            F.col("__gram").isNotNull(),
-            _bucket(F.col("__gram"), n_buckets, salt),
-        ).alias("__b"),
-    )
+    if use_kernel:
+        # r14 kernel path (tools/dsir_probe.py attribution): the
+        # explode+bucket scan was interpreted-HOF-bound — word_ngrams'
+        # transform/array_join lambdas, NOT the md5 or the aggregate —
+        # so both corpus scans move to Arrow kernels (1.9x on the scan
+        # stage). The stats branch takes partition-level partials
+        # (keeps the map-side combine); the scoring branch takes
+        # per-doc bucket counts (keeps doc identity, drops target
+        # docs before tokenizing). Bit-exact bucket/tokenize parity
+        # with the expression path is pytest-pinned.
+        stats = dsir_bucket_partials(
+            df, text_col, is_target, n_buckets, salt
+        ).groupBy("__b").agg(
+            F.sum(F.when(F.col("__tgt"), F.col("__cnt")).otherwise(0)).alias("__ct"),
+            F.sum(F.when(~F.col("__tgt"), F.col("__cnt")).otherwise(0)).alias("__cr"),
+        )
+    else:
+        tagged = df.select(
+            F.col(id_col).alias("__id"),
+            is_target.alias("__tgt"),
+            F.col(text_col).alias("__txt"),
+        )
+        # explode_OUTER keeps zero-bigram docs as one null-gram row, so
+        # the per-doc aggregate below covers every raw doc and no
+        # corpus-sized re-join is needed to backfill them (the
+        # join-based first draft cost a SortMergeJoin + 2 extra
+        # shuffles for exactly those rows).
+        grams = tagged.select(
+            "__id",
+            "__tgt",
+            F.explode_outer(word_ngrams("__txt", 2)).alias("__gram"),
+        ).select(
+            "__id",
+            "__tgt",
+            F.when(
+                F.col("__gram").isNotNull(),
+                _bucket(F.col("__gram"), n_buckets, salt),
+            ).alias("__b"),
+        )
 
-    # One pass estimates BOTH distributions: conditional counts per
-    # bucket (map-side combined; output is n_buckets rows). The null
-    # bucket (empty docs) is excluded from the models.
-    stats = grams.filter(F.col("__b").isNotNull()).groupBy("__b").agg(
-        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("__ct"),
-        F.sum(F.when(~F.col("__tgt"), 1).otherwise(0)).alias("__cr"),
-    )
+        # One pass estimates BOTH distributions: conditional counts per
+        # bucket (map-side combined; output is n_buckets rows). The
+        # null bucket (empty docs) is excluded from the models.
+        stats = grams.filter(F.col("__b").isNotNull()).groupBy("__b").agg(
+            F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("__ct"),
+            F.sum(F.when(~F.col("__tgt"), 1).otherwise(0)).alias("__cr"),
+        )
     # Grand totals: a keyless 1-row census, broadcast by construction.
     totals = stats.agg(
         F.sum("__ct").alias("__T"), F.sum("__cr").alias("__R")
@@ -130,20 +294,38 @@ def dsir_importance_weights(
     )
 
     gumbel = -F.log(-F.log(_hash_uniform(F.col("__id"), salt + "-g")))
-    return (
-        grams.filter(~F.col("__tgt"))
-        .join(F.broadcast(log_ratio), "__b", "left")
-        .groupBy("__id")
-        .agg(
-            F.count("__b").alias("__n"),  # count() skips the null row
-            F.coalesce(F.sum("__ld"), F.lit(0.0)).alias("__lw"),
+    if use_kernel:
+        scored = (
+            dsir_bucket_doc_counts(
+                df, text_col, id_col, is_target, n_buckets, salt
+            )
+            .join(F.broadcast(log_ratio), "__b", "left")
+            .groupBy("__id")
+            .agg(
+                # sum of per-bucket multiplicities == the instance count
+                F.sum("__cnt").alias("__n"),
+                # 0-cnt null-bucket row: 0 * NULL ld = NULL, summed to
+                # NULL, coalesced — the explode_outer contract
+                F.coalesce(
+                    F.sum(F.col("__cnt") * F.col("__ld")), F.lit(0.0)
+                ).alias("__lw"),
+            )
         )
-        .select(
-            F.col("__id").alias(id_col),
-            F.col("__n").cast("long").alias("n_bigrams"),
-            F.round("__lw", dp).alias("log_weight"),
-            F.round(F.col("__lw") + gumbel, dp).alias("resample_key"),
+    else:
+        scored = (
+            grams.filter(~F.col("__tgt"))
+            .join(F.broadcast(log_ratio), "__b", "left")
+            .groupBy("__id")
+            .agg(
+                F.count("__b").alias("__n"),  # count() skips the null row
+                F.coalesce(F.sum("__ld"), F.lit(0.0)).alias("__lw"),
+            )
         )
+    return scored.select(
+        F.col("__id").alias(id_col),
+        F.col("__n").cast("long").alias("n_bigrams"),
+        F.round("__lw", dp).alias("log_weight"),
+        F.round(F.col("__lw") + gumbel, dp).alias("resample_key"),
     )
 
 

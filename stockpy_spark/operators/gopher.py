@@ -383,15 +383,39 @@ def gopher_repetition_profile_kernel(
     all_ns = sorted(set(top_ns) | set(dup_ns))
 
     def gen(batches):
+        import re
         from collections import Counter
         from decimal import ROUND_HALF_UP, Decimal
 
         import pandas as pd
 
         quantum = Decimal(1).scaleb(-dp)
+        # Java-regex \s is ASCII-only ([ \t\n\x0b\f\r]) and Spark's
+        # trim strips ONLY ASCII space (0x20) — Python's .strip()/
+        # .split() are Unicode-whitespace (NBSP, thin space, \x1c-\x1f
+        # as separators) and would tokenize web text differently.
+        # After a space-only trim, leading/trailing \t etc. produce
+        # empty edge tokens under split's limit=-1 — exactly as the
+        # expression path counts them.
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+        def tokens(text):
+            if not isinstance(text, str):
+                return []
+            if text.strip(" ") == "":
+                return []  # the expression path's trim(col)=='' branch
+            return ws.split(text.lower().strip(" "))
 
         def rnd(x: float) -> float:
-            return float(Decimal(x).quantize(quantum, rounding=ROUND_HALF_UP))
+            # Spark round() goes through BigDecimal.valueOf(double) =
+            # the SHORTEST decimal repr (Double.toString); Decimal(x)
+            # on the raw float is the exact binary expansion, which
+            # disagrees HALF_UP at dp-digit ties (1/3200 = 0.0003125
+            # shortest, 0.000312499999...98 exact). repr() is Python's
+            # shortest round-trip repr — the BigDecimal.valueOf twin.
+            return float(
+                Decimal(repr(x)).quantize(quantum, rounding=ROUND_HALF_UP)
+            )
 
         def coverage(starts, lens, n):
             prev = 0
@@ -407,11 +431,7 @@ def gopher_repetition_profile_kernel(
         for pdf in batches:
             out = []
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                toks = (
-                    text.strip().lower().split()
-                    if isinstance(text, str) and text.strip()
-                    else []
-                )
+                toks = tokens(text)
                 nt = len(toks)
                 lens = [len(t) for t in toks]
                 tot = sum(lens)

@@ -131,6 +131,172 @@ def top_terms_per_doc(
     )
 
 
+def bigram_stats_kernel(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    emit_unigrams: bool = True,
+) -> DataFrame:
+    """Arrow-batched twin of the tokenize -> bigram-explode ->
+    ``groupBy(doc, bg)`` reduction that both perplexity scorers share
+    — the r13 gopher-kernel precedent applied to the corpus-slowest
+    pair (lm/kn were ~45 s each at sf10, the builder's own-attributed
+    per-row-CPU saturation class). One ``mapInPandas`` pass emits
+    (doc, bg, m, ug): for ``ug = 0``, ``bg`` is a space-joined word
+    bigram and ``m`` its multiplicity in the document (exactly the
+    expression path's ``per`` frame, Counter-reduced in O(tokens) per
+    doc with ZERO shuffle — the expression path shuffles the full
+    bigram instance stream to build the same rows); for ``ug = 1``,
+    ``bg`` is a distinct token of the doc and ``m`` its count, giving
+    lm_perplexity its vocabulary census from the SAME pass instead of
+    a second corpus tokenize.
+
+    Parity is exact by construction: tokenization mirrors
+    functions.text.tokenize's Java semantics (space-only trim — Spark
+    trim strips ASCII 0x20 only — then an ASCII-``\\s`` split that
+    keeps empty edge tokens under limit=-1; Python's Unicode
+    .strip()/.split() would treat NBSP/thin-space/\\x1c-\\x1f as
+    separators), bigrams are the same " "-joined adjacent pairs as
+    word_ngrams(col, 2), docs with < 2 tokens emit no bigram rows
+    (the explode contract), and every output is an integer or an
+    exact string — nothing to round."""
+    from pyspark.sql.types import (
+        ByteType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    id_type = df.schema[id_col].dataType
+    schema = StructType(
+        [
+            StructField("doc", id_type),
+            StructField("bg", StringType()),
+            StructField("m", LongType()),
+            StructField("ug", ByteType()),
+        ]
+    )
+
+    def gen(batches):
+        import re
+        from collections import Counter
+
+        import pandas as pd
+
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+        def tokens(text):
+            if not isinstance(text, str):
+                return []
+            if text.strip(" ") == "":
+                return []  # tokenize's trim(col)=='' empty-array branch
+            return ws.split(text.lower().strip(" "))
+
+        for pdf in batches:
+            doc_o, bg_o, m_o, ug_o = [], [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = tokens(text)
+                if len(toks) >= 2:
+                    for g, c in Counter(
+                        map(" ".join, zip(toks, toks[1:]))
+                    ).items():
+                        doc_o.append(did)
+                        bg_o.append(g)
+                        m_o.append(c)
+                        ug_o.append(0)
+                if emit_unigrams and toks:
+                    for t, c in Counter(toks).items():
+                        doc_o.append(did)
+                        bg_o.append(t)
+                        m_o.append(c)
+                        ug_o.append(1)
+            yield pd.DataFrame(
+                {"doc": doc_o, "bg": bg_o, "m": m_o, "ug": ug_o}
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(gen, schema)
+
+
+def bigram_count_partials(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    emit_unigrams: bool = True,
+    flush_keys: int = 2_000_000,
+) -> DataFrame:
+    """Partition-level pre-aggregated twin of
+    :func:`bigram_stats_kernel` for the COUNT-TABLE pass, where the
+    doc id is irrelevant: emits (ug, bg, m) partials where ``m`` sums
+    a gram's multiplicity across every document the Python worker has
+    seen since the last flush — the map-side combine the expression
+    path gets from Spark's hash aggregate, done in the Counter
+    itself. Downstream ``groupBy(ug, bg).sum(m)`` merges partials into
+    the exact global counts (integer sums — order-free), so the
+    shuffle input is near-vocabulary-scale instead of
+    per-document-scale. ``flush_keys`` caps the in-heap Counter (a
+    128 MB text split can hold ~10M distinct bigrams — an unbounded
+    dict would be GBs at 100 TB splits); each flush emits partials
+    and resets, trading a little dedup for bounded worker memory."""
+    from pyspark.sql.types import (
+        ByteType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("ug", ByteType()),
+            StructField("bg", StringType()),
+            StructField("m", LongType()),
+        ]
+    )
+
+    def gen(batches):
+        import re
+        from collections import Counter
+
+        import pandas as pd
+
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+        def tokens(text):
+            if not isinstance(text, str):
+                return []
+            if text.strip(" ") == "":
+                return []
+            return ws.split(text.lower().strip(" "))
+
+        bg_c: Counter = Counter()
+        ug_c: Counter = Counter()
+
+        def frame():
+            return pd.DataFrame(
+                {
+                    "ug": [0] * len(bg_c) + [1] * len(ug_c),
+                    "bg": list(bg_c.keys()) + list(ug_c.keys()),
+                    "m": list(bg_c.values()) + list(ug_c.values()),
+                }
+            )
+
+        for pdf in batches:
+            for text in pdf[text_col]:
+                toks = tokens(text)
+                if len(toks) >= 2:
+                    bg_c.update(map(" ".join, zip(toks, toks[1:])))
+                if emit_unigrams and toks:
+                    ug_c.update(toks)
+            if len(bg_c) + len(ug_c) >= flush_keys:
+                yield frame()
+                bg_c, ug_c = Counter(), Counter()
+        if bg_c or ug_c:
+            yield frame()
+
+    return df.select(F.col(text_col)).mapInPandas(gen, schema)
+
+
 def lm_perplexity_scores(
     df: DataFrame,
     text_col: str,
@@ -138,6 +304,7 @@ def lm_perplexity_scores(
     k: float = 0.5,
     dp: int = 6,
     pin_counts: bool = True,
+    use_kernel: bool = True,
 ) -> DataFrame:
     """Bigram-language-model quality scoring, the CCNet-style corpus
     filter: train add-k-smoothed bigram statistics on the corpus, score
@@ -172,26 +339,55 @@ def lm_perplexity_scores(
     """
     from stockpy_spark.functions.text import word_ngrams
 
-    big = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(word_ngrams(F.col(text_col), 2)).alias("bg"),
-    )
-    per = big.groupBy("doc", "bg").agg(F.count(F.lit(1)).alias("m"))
-    # distinct-collapse checkpoint (r12 dominance criterion, found by
-    # kn_perplexity_scores' decade spot and confirmed here by the same
-    # A/B): c12 is bigram-vocabulary-sized and feeds BOTH the context
-    # branch and the scoring join — unpinned, each consumer replans the
-    # corpus tokenize + both aggregates (the ReuseExchange sharing the
-    # docstring's r6 rewrite counted on does not survive this shape at
-    # runtime). Measured at the synthetic sf1: 16.48 s -> 6.80 s; the
-    # sf10 decade spot is in BASELINE.md §4. EAGER side effect: the
-    # pin runs the count-table jobs AT PLAN-BUILD TIME (r12 advisor);
-    # pin_counts=False restores the lazy contract at the cost of the
-    # per-consumer recompute and the per-materialization determinism
-    # caveat (operators/pinning.py).
-    c12 = per.groupBy("bg").agg(F.sum("m").alias("c12"))
-    if pin_counts:
-        c12 = c12.transform(pin)
+    if use_kernel:
+        # the r14 kernel path (see bigram_stats_kernel): TWO Arrow
+        # passes total. Pass 1 feeds ONE vocab-scale count table
+        # grouped by (ug, bg) — the bigram counts AND the unigram
+        # census from the same shuffle, so c12 and V split off a
+        # single pinned frame (V = the unigram row count: the table
+        # is grouped by token, so counting rows IS countDistinct).
+        # Pass 2 is the scoring stream, unigram rows not emitted.
+        # No instance-stream shuffle (the Counter reduces per doc),
+        # no interpreted HOFs. Bit-exact parity with the expression
+        # path is pytest-pinned (test_behavior_graph corpus+edges).
+        counts = bigram_count_partials(
+            df, text_col, id_col, emit_unigrams=True
+        ).groupBy("ug", "bg").agg(F.sum("m").alias("c12"))
+        if pin_counts:
+            counts = counts.transform(pin)
+        c12 = counts.where(F.col("ug") == 0).select("bg", "c12")
+        vocab = (
+            counts.where(F.col("ug") == 1)
+            .agg(F.count(F.lit(1)).alias("V"))
+        )
+        per = bigram_stats_kernel(
+            df, text_col, id_col, emit_unigrams=False
+        ).select("doc", "bg", "m")
+    else:
+        big = df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(word_ngrams(F.col(text_col), 2)).alias("bg"),
+        )
+        per = big.groupBy("doc", "bg").agg(F.count(F.lit(1)).alias("m"))
+        vocab = df.select(
+            F.explode(tokenize(F.lower(F.col(text_col)))).alias("w")
+        ).agg(F.countDistinct("w").alias("V"))
+        # distinct-collapse checkpoint (r12 dominance criterion, found
+        # by kn_perplexity_scores' decade spot and confirmed here by
+        # the same A/B): c12 is bigram-vocabulary-sized and feeds BOTH
+        # the context branch and the scoring join — unpinned, each
+        # consumer replans the corpus tokenize + both aggregates (the
+        # ReuseExchange sharing the docstring's r6 rewrite counted on
+        # does not survive this shape at runtime). Measured at the
+        # synthetic sf1: 16.48 s -> 6.80 s; the sf10 decade spot is in
+        # BASELINE.md §4. EAGER side effect: the pin runs the
+        # count-table jobs AT PLAN-BUILD TIME (r12 advisor);
+        # pin_counts=False restores the lazy contract at the cost of
+        # the per-consumer recompute and the per-materialization
+        # determinism caveat (operators/pinning.py).
+        c12 = per.groupBy("bg").agg(F.sum("m").alias("c12"))
+        if pin_counts:
+            c12 = c12.transform(pin)
     c1 = (
         c12.select(
             F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1"),
@@ -200,9 +396,6 @@ def lm_perplexity_scores(
         .groupBy("w1")
         .agg(F.sum("c12").alias("c1"))
     )
-    vocab = df.select(
-        F.explode(tokenize(F.lower(F.col(text_col)))).alias("w")
-    ).agg(F.countDistinct("w").alias("V"))
     scored = (
         per.join(c12, "bg")
         .withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
@@ -525,6 +718,7 @@ def kn_perplexity_scores(
     discount: float = 0.75,
     dp: int = 6,
     pin_counts: bool = True,
+    use_kernel: bool = True,
 ) -> DataFrame:
     """Interpolated Kneser-Ney bigram perplexity (Kneser & Ney 1995;
     Chen & Goodman 1999's interpolated form with a fixed discount) —
@@ -559,14 +753,32 @@ def kn_perplexity_scores(
     """
     from stockpy_spark.functions.text import word_ngrams
 
-    big = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(word_ngrams(F.col(text_col), 2)).alias("bg"),
-    )
-    per = big.groupBy("doc", "bg").agg(F.count(F.lit(1)).alias("m"))
+    if use_kernel:
+        # r14 kernel path — see bigram_stats_kernel: the Counter
+        # reduction replaces the bigram instance-stream shuffle and
+        # the interpreted word_ngrams HOFs; no unigram census needed
+        # here (every KN model table derives from c12). The count
+        # table aggregates partition-level PARTIALS (map-side combine
+        # done in the Counter — bigram_count_partials), so its shuffle
+        # is near-vocabulary-scale; the scoring stream keeps per-doc
+        # rows, the unit the final aggregate needs.
+        per = bigram_stats_kernel(
+            df, text_col, id_col, emit_unigrams=False
+        ).select("doc", "bg", "m")
+        c12_base = (
+            bigram_count_partials(df, text_col, id_col, emit_unigrams=False)
+            .groupBy("bg")
+            .agg(F.sum("m").alias("c12"))
+        )
+    else:
+        big = df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(word_ngrams(F.col(text_col), 2)).alias("bg"),
+        )
+        per = big.groupBy("doc", "bg").agg(F.count(F.lit(1)).alias("m"))
+        c12_base = per.groupBy("bg").agg(F.sum("m").alias("c12"))
     c12 = (
-        per.groupBy("bg")
-        .agg(F.sum("m").alias("c12"))
+        c12_base
         .select(
             "bg",
             "c12",

@@ -236,6 +236,91 @@ class TestLMPerplexity:
         assert out[0]["avg_logprob"] > out[9]["avg_logprob"]
 
 
+class TestBigramKernelParity:
+    """r14: lm/kn serve bigram_stats_kernel — the Arrow twin of the
+    tokenize -> bigram-explode -> groupBy(doc, bg) pass. Kernel and
+    expression paths must be BIT-IDENTICAL over the real corpus plus
+    the tokenizer edge fixtures (NBSP/thin-space are token chars under
+    Java \\s; leading tabs survive the space-only trim and make empty
+    edge tokens; 1-token and empty docs emit nothing)."""
+
+    EDGE = [
+        (900001, None),
+        (900002, ""),
+        (900003, "one"),
+        (900004, "  spaced   out   tokens  "),
+        (900005, "a b a b a b"),
+        (900006, "foo\xa0bar baz foo\xa0bar baz"),
+        (900007, "x y x y qq"),
+        (900008, "\tlead tab lead tab\t"),
+        (900009, " \xa0 "),
+        (900010, "UP low UP low MiXeD case"),
+    ]
+
+    def _both(self, spark, sf_dir, fn, value_cols):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        edge = spark.createDataFrame(self.EDGE, "doc_id long, text string")
+        both = docs.select("doc_id", "text").unionByName(edge)
+        a = sorted(
+            tuple(r)
+            for r in fn(both, "text", "doc_id", use_kernel=False).collect()
+        )
+        b = sorted(
+            tuple(r)
+            for r in fn(both, "text", "doc_id", use_kernel=True).collect()
+        )
+        return a, b
+
+    def test_lm_parity_bit_exact(self, spark, sf_dir):
+        from stockpy_spark.operators.textstats import lm_perplexity_scores
+
+        a, b = self._both(spark, sf_dir, lm_perplexity_scores, 4)
+        assert a == b
+
+    def test_kn_parity_bit_exact(self, spark, sf_dir):
+        from stockpy_spark.operators.textstats import kn_perplexity_scores
+
+        a, b = self._both(spark, sf_dir, kn_perplexity_scores, 4)
+        assert a == b
+
+    def test_kernel_frame_matches_expression_per_frame(self, spark):
+        """The kernel's (doc, bg, m) rows are EXACTLY the expression
+        path's groupBy(doc, bg) reduction, and its ug=1 rows carry the
+        per-doc token census (incl. the final token lm's V needs)."""
+        from pyspark.sql import functions as F
+
+        from stockpy_spark.functions.text import tokenize, word_ngrams
+        from stockpy_spark.operators.textstats import bigram_stats_kernel
+
+        df = spark.createDataFrame(self.EDGE, "doc_id long, text string")
+        kb = bigram_stats_kernel(df, "text", "doc_id").cache()
+        got_bg = sorted(
+            (r.doc, r.bg, r.m)
+            for r in kb.where("ug = 0").collect()
+        )
+        want_bg = sorted(
+            (r.doc, r.bg, r.m)
+            for r in df.select(
+                F.col("doc_id").alias("doc"),
+                F.explode(word_ngrams(F.col("text"), 2)).alias("bg"),
+            )
+            .groupBy("doc", "bg")
+            .agg(F.count(F.lit(1)).alias("m"))
+            .collect()
+        )
+        assert got_bg == want_bg
+        got_v = kb.where("ug = 1").agg(
+            F.countDistinct("bg").alias("V")
+        ).collect()[0].V
+        want_v = (
+            df.select(F.explode(tokenize(F.lower(F.col("text")))).alias("w"))
+            .agg(F.countDistinct("w").alias("V"))
+            .collect()[0]
+            .V
+        )
+        assert got_v == want_v
+
+
 class TestDecontamination:
     def test_planted_overlap(self, spark):
         from stockpy_spark.operators.textstats import ngram_contamination

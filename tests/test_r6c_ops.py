@@ -706,6 +706,24 @@ def test_gopher_repetition_kernel_parity_bit_exact(spark, sf_dir):
             (100003, "one"),
             (100004, "spam spam spam spam spam spam spam spam spam spam spam"),
             (100005, "b a b a c d e f g h i j k l m n o p q r"),
+            # r13 advisor: Java \s is ASCII-only — NBSP, thin space,
+            # and \x1c-\x1f are Unicode whitespace to Python's
+            # .split() but TOKEN CHARS to the expression path; \x1f
+            # is trim-stripped (<=0x20) but not a \s separator.
+            (100006, "foo bar foo bar foo bar baz qux"),
+            (100007, "a b a b a b a b a b x"),
+            (100008, "\x1fpad pad\x1c pad pad pad pad pad pad tail\x1f"),
+            (100009, " "),
+            # rounding tie: dup5 coverage/total = 10/32000 = 0.0003125,
+            # whose SHORTEST repr HALF_UPs to 0.000313 while the exact
+            # binary expansion (0.00031249999...) rounds DOWN -- the
+            # BigDecimal.valueOf vs Decimal(float) discrepancy.
+            (100010, " ".join(
+                list("abcde") + ["w" * 15995] + list("abcde") + ["v" * 15995]
+            )),
+            # trim is SPACE-ONLY: leading/trailing tabs survive it and
+            # split(limit=-1) then yields empty edge tokens
+            (100011, "\tfoo bar foo bar foo bar\t"),
         ],
         "doc_id long, text string",
     )

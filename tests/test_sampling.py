@@ -144,6 +144,47 @@ def test_dsir_weights_sign_structure_and_topk(spark):
     assert sorted((r["resample_key"] for r in top), reverse=True) == keys[:2]
 
 
+def test_dsir_kernel_parity_bit_exact(spark, sf_dir):
+    """r14: dsir_importance_weights serves the Arrow kernels
+    (dsir_bucket_partials for the stats branch, dsir_bucket_doc_counts
+    for scoring). Kernel and expression paths must be BIT-IDENTICAL
+    over the real corpus plus the tokenizer/bucket edge fixtures —
+    same md5 bucketing, same Java-\\s tokenization, zero-bigram docs
+    carried, per-bucket multiplicity sums replaying the per-instance
+    sums exactly after the dp=6 round."""
+    from pyspark.sql import functions as F
+
+    from stockpy_spark.operators.dsir import dsir_importance_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    edge = spark.createDataFrame(
+        [
+            (900001, None),
+            (900002, ""),
+            (900003, "solo"),
+            (900004, "nb\xa0sp stays one token nb\xa0sp stays"),
+            (900005, "\tedge tab edge tab\t"),
+            (900006, "rep rep rep rep rep rep rep rep"),
+        ],
+        "doc_id long, text string",
+    )
+    both = docs.select("doc_id", "text").unionByName(edge)
+    tgt = F.col("doc_id") % 10 == 0
+    a = sorted(
+        tuple(r)
+        for r in dsir_importance_weights(
+            both, "text", "doc_id", tgt, use_kernel=False
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in dsir_importance_weights(
+            both, "text", "doc_id", tgt, use_kernel=True
+        ).collect()
+    )
+    assert a == b
+
+
 def test_web_domain_filter_parse_block_and_cap(spark):
     """Pins the URL-filter stage (operators/webfilter.py): host/domain
     parsing (subdomain reduced to registrable domain, bare hosts pass

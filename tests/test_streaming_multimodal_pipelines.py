@@ -2183,6 +2183,60 @@ def test_stream_shard_positions_continuation_and_batch_parity(spark, tmp_path):
     assert got == want
 
 
+def test_stream_shard_positions_replayed_counts_do_not_shift_offsets(
+    spark, tmp_path
+):
+    """foreachBatch is at-least-once: a crash-replayed micro-batch
+    appends its (batch_id, shard, n) counts rows a SECOND time. The
+    offset computation must take one representative per (batch_id,
+    shard) — otherwise every later batch sums both copies, inflating
+    its positions and breaking the contiguous 1..k contract. Simulate
+    the replay by duplicating batch 0's counts file before wave 1."""
+    import glob as g
+    import os
+    import shutil
+
+    from stockpy_spark.streaming.ops import run_incremental_shard_positions
+
+    df = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    landing = str(tmp_path / "landing")
+    _write_waves(spark, df, [list(range(0, 20))], landing)
+    mk = lambda: (
+        spark.readStream.schema("doc_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    st, ck = str(tmp_path / "st"), str(tmp_path / "ck")
+    first = {
+        (r.doc_id, r.shard, r.position)
+        for r in run_incremental_shard_positions(
+            spark, mk(), "doc_id", st, ck
+        ).collect()
+    }
+    # at-least-once replay of batch 0's counts append: same rows, twice
+    counts_dir = os.path.join(st, "counts")
+    f = g.glob(os.path.join(counts_dir, "part-*.parquet"))[0]
+    shutil.copy(f, f.replace("part-", "part-replay-"))
+    # wave 1 lands; its offsets must see wave 0's counts ONCE
+    tmp = os.path.join(str(tmp_path), "__w1")
+    df.where(F.col("doc_id") >= 20).coalesce(1).write.parquet(tmp)
+    part = g.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    dst = os.path.join(landing, "batch-1.parquet")
+    shutil.move(part, dst)
+    os.utime(dst, (1_000_000_100, 1_000_000_100))
+    out = run_incremental_shard_positions(
+        spark, mk(), "doc_id", st, ck
+    ).collect()
+    assert len(out) == 40
+    got = {(r.doc_id, r.shard, r.position) for r in out}
+    assert first <= got  # standing assignments byte-stable
+    per_shard = {}
+    for r in out:
+        per_shard.setdefault(r.shard, []).append(r.position)
+    for shard, ps in per_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+
+
 def test_stream_shard_positions_resume_is_idempotent(spark, tmp_path):
     """Resuming the same checkpoint with no new files re-reads the
     standing assignments unchanged; a later wave then continues each
