@@ -140,6 +140,15 @@ HEADLINE = [
     # plan, BASELINE.md §4) — in the headline so the shuffle-byte row
     # tracks the census plan from now on.
     "stats_spearman",
+    # r14 SERIES BREAK (r13 judge item #8): the 49-query headline
+    # predates the r13 capstone era. Two additions so bench tracks
+    # what the repo now is: the 14-stage release pipeline (the
+    # composed end-to-end curation DAG) and the second kerneled
+    # perplexity scorer (lm was already a member). Totals from r14 on
+    # are a 51-query series — BASELINE.md records the break and the
+    # same-run old-series subtotal for continuity.
+    "pipeline_data_release",
+    "text_kn_perplexity",
 ]
 
 
@@ -197,7 +206,16 @@ def calibrate(spark) -> float:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("stockpy_spark_bench")
+    # the shuffle ledger sums stage metrics from the AppStatusStore,
+    # which EVICTS stages past spark.ui.retainedStages (default 1000).
+    # The r14 51-query headline crosses that limit (the 14-stage
+    # release pipeline alone adds dozens of stages x 2 runs), at which
+    # point the cumulative counters go BACKWARDS and per-query deltas
+    # turn negative. Retain enough stages for the whole run.
+    spark = get_spark(
+        "stockpy_spark_bench",
+        extra_conf={"spark.ui.retainedStages": "100000"},
+    )
     names = [n for n in HEADLINE if n in QUERIES]
 
     # warm the JVM/catalyst once (not timed): a lineitem action plus the

@@ -567,8 +567,47 @@ FROM seq WHERE prev_s IS NULL OR epoch_s - prev_s > 86400
 """
 
 
+def q_mm_video_frames(spark, sf_dir):
+    """MJPEG-in-AVI video frames under the fidelity-gate contract
+    (r14 — converts the 'video is a seam' line into shipped surface
+    with zero external libs): encode doc_id % 3 + 2 closed-form
+    frames as independent quality-100 JPEGs inside a real AVI RIFF
+    container (operators/multimodal.py encode_avi_mjpeg: avih/strh/
+    strf headers, word-aligned 00dc movi chunks, idx1 keyframe
+    index), STRUCTURALLY re-parse the container (RIFF chunk walk, no
+    fixed offsets; header frame-count/dims cross-checked against the
+    stream), JPEG-decode every 2nd frame (the video frame-sampling
+    shape), and gate max |decoded - source| <= 4 per channel (the
+    measured quality-100 bound is 2 — gate_jpeg_fidelity's lossy-
+    codec oracle pattern). The oracle states the sampled (doc_id,
+    frame_id, dims) grid arithmetically with a literal pass bit: a
+    chunk-walk bug, header inconsistency, or JPEG regression flips
+    rows or the bit and the driver goes red."""
+    from stockpy_spark.operators.multimodal import (
+        attach_avi_payload,
+        extract_video_frame_gates,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    assets = attach_avi_payload(docs, "doc_id")
+    return extract_video_frame_gates(assets, every_k=2)
+
+
+SQL_MM_VIDEO_FRAMES = """
+SELECT d.doc_id,
+       CAST(f.f AS INTEGER) AS frame_id,
+       CAST(d.doc_id % 8 + 4 AS INTEGER) AS width,
+       CAST(d.doc_id % 6 + 4 AS INTEGER) AS height,
+       1 AS gate_err_ok
+FROM documents d
+JOIN generate_series(0, 3) f(f)
+  ON f.f < d.doc_id % 3 + 2 AND f.f % 2 = 0
+"""
+
+
 R7_QUERIES: dict[str, tuple] = {
     "mm_gif_frames": (q_mm_gif_frames, SQL_MM_GIF_FRAMES),
+    "mm_video_frames": (q_mm_video_frames, SQL_MM_VIDEO_FRAMES),
     "semdedup_prune": (q_semdedup_prune, SQL_SEMDEDUP),
     "gate_kll_rollup": (q_gate_kll_rollup, SQL_GATE_KLL),
     "gate_theta_overlap": (q_gate_theta_overlap, SQL_GATE_THETA),

@@ -2274,3 +2274,108 @@ def test_stream_shard_positions_resume_is_idempotent(spark, tmp_path):
         for r in run_incremental_shard_positions(spark, mk(), "doc_id", st, ck).collect()
     }
     assert first <= both and len(both) == 30
+
+
+# --- MJPEG-in-AVI video container (round 14) --------------------------------
+
+def test_avi_mjpeg_roundtrip_and_fidelity():
+    """Container roundtrip over the dimension grid: frame count and
+    dims come back exactly; per-pixel error stays within the
+    quality-100 JPEG bound (<= 4, measured 2) on every frame."""
+    import numpy as np
+
+    from stockpy_spark.operators.multimodal import (
+        _fake_frame,
+        decode_avi_frames,
+        encode_avi_mjpeg,
+    )
+
+    for did in (0, 1, 5, 7, 17, 23, 100003):
+        frames = [_fake_frame(did, f) for f in range(did % 3 + 2)]
+        back = decode_avi_frames(encode_avi_mjpeg(frames))
+        assert len(back) == len(frames)
+        for a, b in zip(frames, back):
+            assert a.shape == b.shape
+            assert int(np.abs(a.astype(int) - b.astype(int)).max()) <= 4
+
+
+def test_avi_structural_errors_fail_loudly():
+    """The decoder is a structural parser, not an offset reader: a
+    non-AVI payload, a header/stream frame-count mismatch, and a
+    truncated movi list all raise instead of yielding a silently
+    short video."""
+    import struct
+
+    import pytest
+
+    from stockpy_spark.operators.multimodal import (
+        _fake_frame,
+        decode_avi_frames,
+        encode_avi_mjpeg,
+    )
+
+    with pytest.raises(ValueError, match="not a RIFF/AVI"):
+        decode_avi_frames(b"RIFX" + b"\x00" * 64)
+
+    avi = bytearray(encode_avi_mjpeg([_fake_frame(5, f) for f in range(3)]))
+    # corrupt the avih dwTotalFrames (header promises 4, stream has 3)
+    at = avi.find(b"avih") + 8
+    (n,) = struct.unpack_from("<I", avi, at + 16)
+    assert n == 3
+    struct.pack_into("<I", avi, at + 16, 4)
+    with pytest.raises(ValueError, match="header promises 4"):
+        decode_avi_frames(bytes(avi))
+
+    # truncate inside the movi list: the chunk walk stops early and the
+    # cross-check against the (restored) header count trips
+    struct.pack_into("<I", avi, at + 16, 3)
+    movi_at = bytes(avi).find(b"movi")
+    cut = bytes(avi)[: movi_at + 40]
+    with pytest.raises(Exception):
+        decode_avi_frames(cut + b"\x00" * 4)
+
+
+def test_avi_word_alignment_with_odd_jpeg_sizes():
+    """RIFF chunks are word-aligned: odd-sized JPEG payloads force the
+    pad byte on the write side and the aligned walk on the read side.
+    Find a doc whose encoded frames include an odd size so the path is
+    actually exercised."""
+    import numpy as np
+
+    from stockpy_spark.operators.jpeg import encode_jpeg
+    from stockpy_spark.operators.multimodal import (
+        _fake_frame,
+        decode_avi_frames,
+        encode_avi_mjpeg,
+    )
+
+    hit = None
+    for did in range(40):
+        frames = [_fake_frame(did, f) for f in range(did % 3 + 2)]
+        if any(len(encode_jpeg(f, quality=100)) % 2 for f in frames):
+            hit = (did, frames)
+            break
+    assert hit is not None, "no odd-sized JPEG in the first 40 docs"
+    did, frames = hit
+    back = decode_avi_frames(encode_avi_mjpeg(frames))
+    assert len(back) == len(frames)
+    for a, b in zip(frames, back):
+        assert int(np.abs(a.astype(int) - b.astype(int)).max()) <= 4
+
+
+def test_mm_video_frames_query_shape(spark):
+    """The registered query end-to-end at a tiny slice: every 2nd
+    frame of every doc present, closed-form dims, all gates green."""
+    from stockpy_spark.registry import QUERIES
+
+    out = QUERIES["mm_video_frames"](spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert rows and all(r.gate_err_ok == 1 for r in rows)
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.frame_id)
+        assert r.width == r.doc_id % 8 + 4
+        assert r.height == r.doc_id % 6 + 4
+    for did, fids in by_doc.items():
+        nf = did % 3 + 2
+        assert sorted(fids) == [f for f in range(nf) if f % 2 == 0], did
