@@ -1297,39 +1297,59 @@ def run_incremental_minhash_admitter(
                 .select("band", "bsig").distinct()
             )
         else:
-            fp_bloom = _read_adm_bloom(spark, bloom_fps_dir, batch_id)
-            key_bloom = _read_adm_bloom(spark, bloom_keys_dir, batch_id)
             # 1) bloom pre-screen the batch's own key sets: "maybe"
             #    survivors are the only keys that can exist upstream.
-            sus_fp = (
-                bloom_screen(
-                    bfps, "__fp", fp_bloom, bloom_m_bits, bloom_k, "admfp"
-                )
-                .where(F.col("bloom_maybe") == 1)
-                .select("__fp")
-                .transform(pin)  # tiny; 2 consumers (prefixes + join)
-            )
-            sus_keys = (
-                bloom_screen(
-                    bkeys.withColumn("__bk", _adm_kcat()), "__bk", key_bloom,
-                    bloom_m_bits, bloom_k, "admbk",
-                )
-                .where(F.col("bloom_maybe") == 1)
-                .select("band", "bsig")
-                .transform(pin)
-            )
             # 2) precise check, partition-pruned to suspect prefixes —
-            #    bounded driver collects (≤ distinct 2-char prefixes)
-            fp_pref = [
-                r.p for r in sus_fp.select(
-                    _adm_prefix(F.col("__fp")).alias("p")
-                ).distinct().collect()
-            ]
-            key_pref = [
-                r.p for r in sus_keys.select(
-                    _adm_prefix(F.col("bsig")).alias("p")
-                ).distinct().collect()
-            ]
+            #    bounded driver collects (≤ distinct 2-char prefixes).
+            # The fp branch and the band-key branch are INDEPENDENT
+            # (separate sidecars, separate key sets), so their eager
+            # pins + prefix collects run as two concurrent driver
+            # threads (r13 item #6, second cut: the screened DAG's
+            # fixed per-batch constant is job-count-bound, and these
+            # four jobs were strictly serial).
+            from concurrent.futures import ThreadPoolExecutor
+
+            def screen_fp():
+                fp_bloom = _read_adm_bloom(spark, bloom_fps_dir, batch_id)
+                sus = (
+                    bloom_screen(
+                        bfps, "__fp", fp_bloom, bloom_m_bits, bloom_k,
+                        "admfp",
+                    )
+                    .where(F.col("bloom_maybe") == 1)
+                    .select("__fp")
+                    .transform(pin)  # tiny; 2 consumers (prefixes + join)
+                )
+                pref = [
+                    r.p for r in sus.select(
+                        _adm_prefix(F.col("__fp")).alias("p")
+                    ).distinct().collect()
+                ]
+                return sus, pref
+
+            def screen_keys():
+                key_bloom = _read_adm_bloom(spark, bloom_keys_dir, batch_id)
+                sus = (
+                    bloom_screen(
+                        bkeys.withColumn("__bk", _adm_kcat()), "__bk",
+                        key_bloom, bloom_m_bits, bloom_k, "admbk",
+                    )
+                    .where(F.col("bloom_maybe") == 1)
+                    .select("band", "bsig")
+                    .transform(pin)
+                )
+                pref = [
+                    r.p for r in sus.select(
+                        _adm_prefix(F.col("bsig")).alias("p")
+                    ).distinct().collect()
+                ]
+                return sus, pref
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                f_fp = pool.submit(screen_fp)
+                f_keys = pool.submit(screen_keys)
+                sus_fp, fp_pref = f_fp.result()
+                sus_keys, key_pref = f_keys.result()
             if fp_pref:
                 standing_fps = (
                     fps_raw.where(F.col("fpp").isin(fp_pref))

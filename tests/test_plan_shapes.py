@@ -651,6 +651,12 @@ def test_headline_corpus_no_unbounded_nested_loops(spark):
         # construction (an agg with no grouping), broadcast onto the
         # distinct-value table to derive bucket ids
         "stats_spearman",
+        # r14 headline additions (mirrors tools/plan_lint.py BNLJ_OK):
+        # kn's 1-row distinct-bigram-total census; the release
+        # pipeline's pack-stage B-row bucket-edge array + NB 1-row
+        # census crosses
+        "text_kn_perplexity",
+        "pipeline_data_release",
     }
     offenders = {}
     for name in HEADLINE:

@@ -42,16 +42,14 @@ FACTOR = 10
 RATIO_LIMIT = 5.0
 NOISE_FLOOR_SEC = 1.0  # sub-second queries: absolute, not relative
 
-# Documented saturation-linear per-row-CPU queries (BASELINE.md §4):
-# once 32 local cores saturate, wall grows ~linearly with rows, so
-# 10x data honestly costs up to ~10x wall — the regression signal for
-# this class is SUPER-linear growth, not >5x. Measured r11 full-gate
-# ratio for gopher: 6.24 (its two-decade spot is 50.8x/100x, i.e.
-# ~7.1x per decade once saturated). On a real cluster these are
-# horizontal; locally the cores are the wall.
-PER_QUERY_LIMIT = {
-    "text_gopher_repetition": 9.0,
-}
+# Documented saturation-linear per-row-CPU exceptions used to live
+# here (text_gopher_repetition at 9.0 — its interpreted-HOF path
+# measured 6.24 in the r11 full gate). The r13/r14 Arrow kernels
+# cured the class: gopher now gates at 1.59, lm 1.45, kn 2.95, dsir
+# 1.45 (r14 full-gate run, BASELINE.md), so every query sits under
+# the common 5.0 limit and the exception list is EMPTY — a new entry
+# here needs a BASELINE.md attribution first.
+PER_QUERY_LIMIT: dict[str, float] = {}
 
 
 def _time_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
