@@ -2379,3 +2379,68 @@ def test_mm_video_frames_query_shape(spark):
     for did, fids in by_doc.items():
         nf = did % 3 + 2
         assert sorted(fids) == [f for f in range(nf) if f % 2 == 0], did
+
+
+def test_avi_walker_skips_foreign_chunks():
+    """Third-party AVIs carry chunks we did not write (JUNK padding,
+    LIST INFO metadata). The structural walk must skip them — at the
+    top level AND inside movi — and still recover every frame."""
+    import struct
+
+    import numpy as np
+
+    from stockpy_spark.operators.multimodal import (
+        _fake_frame,
+        decode_avi_frames,
+        encode_avi_mjpeg,
+    )
+
+    frames = [_fake_frame(7, f) for f in range(3)]
+    avi = encode_avi_mjpeg(frames)
+
+    def chunk(fourcc, data):
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    # splice a JUNK chunk between hdrl and movi, and a LIST INFO after
+    movi_at = avi.find(b"LIST", avi.find(b"movi") - 8)
+    junk = chunk(b"JUNK", b"\x07" * 33)  # odd size: exercises alignment
+    info = chunk(b"LIST", b"INFO" + chunk(b"ISFT", b"some-writer\x00"))
+    spliced = avi[:movi_at] + junk + avi[movi_at:] + info
+    # RIFF size covers everything after the first 8 bytes
+    spliced = (
+        spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    )
+    back = decode_avi_frames(spliced)
+    assert len(back) == 3
+    for a, b in zip(frames, back):
+        assert int(np.abs(a.astype(int) - b.astype(int)).max()) <= 4
+
+
+def test_avi_property_random_frames_roundtrip():
+    """Property over random content: ANY frame list (random dims,
+    random pixels — including high-frequency noise where the JPEG
+    error bound does not apply) must container-roundtrip structurally:
+    exact frame count, exact dims, a successful decode of every
+    frame. Deterministic seeds, no hypothesis dependency needed."""
+    import numpy as np
+
+    from stockpy_spark.operators.multimodal import (
+        decode_avi_frames,
+        encode_avi_mjpeg,
+    )
+
+    rng = np.random.default_rng(14)
+    for trial in range(12):
+        h = int(rng.integers(1, 17))
+        w = int(rng.integers(1, 17))
+        nf = int(rng.integers(1, 6))
+        frames = [
+            rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+            for _ in range(nf)
+        ]
+        back = decode_avi_frames(encode_avi_mjpeg(frames))
+        assert len(back) == nf, (trial, h, w, nf)
+        for fr in back:
+            assert fr.shape == (h, w, 3)
+            assert fr.dtype == np.uint8
