@@ -221,7 +221,6 @@ def bigram_stats_kernel(
 def bigram_count_partials(
     df: DataFrame,
     text_col: str,
-    id_col: str,
     emit_unigrams: bool = True,
     flush_keys: int = 2_000_000,
 ) -> DataFrame:
@@ -351,7 +350,7 @@ def lm_perplexity_scores(
         # no interpreted HOFs. Bit-exact parity with the expression
         # path is pytest-pinned (test_behavior_graph corpus+edges).
         counts = bigram_count_partials(
-            df, text_col, id_col, emit_unigrams=True
+            df, text_col, emit_unigrams=True
         ).groupBy("ug", "bg").agg(F.sum("m").alias("c12"))
         if pin_counts:
             counts = counts.transform(pin)
@@ -766,7 +765,7 @@ def kn_perplexity_scores(
             df, text_col, id_col, emit_unigrams=False
         ).select("doc", "bg", "m")
         c12_base = (
-            bigram_count_partials(df, text_col, id_col, emit_unigrams=False)
+            bigram_count_partials(df, text_col, emit_unigrams=False)
             .groupBy("bg")
             .agg(F.sum("m").alias("c12"))
         )
