@@ -797,13 +797,25 @@ def incremental_dedup_admit_keys(
     num_hashes: int = 12,
     bands: int = 2,
     hash_fn: str = "md5",
+    band_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """`incremental_dedup_admit` against a MATERIALIZED admission
     index (see corpus_dedup_keys) instead of the corpus text — the
     shape the streaming admitter and any real ingestion service run,
     where the standing corpus's key sets persist between arrivals and
     the text is never re-scanned. Stages and semantics are identical
-    to incremental_dedup_admit (which now delegates here)."""
+    to incremental_dedup_admit (which now delegates here).
+
+    ``band_sigs`` (r15 spine fusion): per-doc (doc, band, bsig)
+    signatures of the FULL batch, computed once by the caller (pinned,
+    so the minhash pass runs exactly once per batch instead of once
+    per consumer). Must be exactly ``_band_signatures(_minhash_wide(
+    batch, ...))`` with the same num_hashes/bands/hash_fn. A superset
+    of the stage-1 survivors' signatures is correct by construction:
+    every downstream use is restricted through s1/s2 id joins —
+    near_corpus_docs may contain stage-1-rejected ids, but those are
+    absent from s1, so the anti-join ignores them; bs2 semi-joins s2
+    ids, so bucket-min sees survivor rows only."""
     _, _, fp_fn = _hash_kernel(hash_fn)
     fp = fp_fn(F.col(text_col))
     w_fp = Window.partitionBy("__fp")
@@ -816,7 +828,7 @@ def incremental_dedup_admit_keys(
     )
 
     corp_keys = corpus_band_keys.select("band", "bsig").distinct()
-    bs_b = _band_signatures(
+    bs_b = band_sigs if band_sigs is not None else _band_signatures(
         _minhash_wide(s1, text_col, id_col, num_hashes, hash_fn),
         num_hashes,
         bands,

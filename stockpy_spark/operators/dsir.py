@@ -234,7 +234,14 @@ def dsir_importance_weights(
         # (keeps the map-side combine); the scoring branch takes
         # per-doc bucket counts (keeps doc identity, drops target
         # docs before tokenizing). Bit-exact bucket/tokenize parity
-        # with the expression path is pytest-pinned.
+        # with the expression path is pytest-pinned. The float weight
+        # branch is PARITY-BY-TEST, not by construction: the kernel
+        # sums cnt * ld where the expression path adds ld once per
+        # instance, and n*x vs n-fold addition is not IEEE-754
+        # identical in general — both paths are already order-
+        # nondeterministic under Spark aggregation, and the dp=6
+        # round absorbs the difference (a value landing exactly on a
+        # rounding boundary could in principle diverge; none has).
         stats = dsir_bucket_partials(
             df, text_col, is_target, n_buckets, salt
         ).groupBy("__b").agg(

@@ -159,7 +159,14 @@ def bigram_stats_kernel(
     separators), bigrams are the same " "-joined adjacent pairs as
     word_ngrams(col, 2), docs with < 2 tokens emit no bigram rows
     (the explode contract), and every output is an integer or an
-    exact string — nothing to round."""
+    exact string — nothing to round. Case folding: ASCII parity is
+    by construction; for non-ASCII Spark falls back to Java
+    String.toLowerCase() (JVM default locale) while Python uses
+    Unicode default case conversion — these agree (verified by the
+    İ/ẞ/final-sigma/ǅ parity fixture) except under a locale with
+    bespoke case rules (e.g. Turkish dotted/dotless I), where the
+    expression path itself shifts and the kernel keeps the
+    locale-independent answer."""
     from pyspark.sql.types import (
         ByteType,
         LongType,

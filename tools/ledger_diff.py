@@ -67,9 +67,15 @@ def main() -> int:
         cur = json.load(fh)
     base = load_baseline(args.baseline)
 
+    # shuffle_write_mb is a property of the PLAN (bit-identical across
+    # reruns and hosts) and gates hard; spill_mb is a property of
+    # executor MEMORY PRESSURE — the same plan can spill on a loaded
+    # host and not on a quiet one — so spill differences are reported
+    # as warnings, never exit-1 (r14 advisor).
     failures: list[str] = []
     moved: list[str] = []
-    for metric in ("shuffle_write_mb", "spill_mb"):
+    warnings: list[str] = []
+    for metric, hard in (("shuffle_write_mb", True), ("spill_mb", False)):
         b = base.get(metric, {})
         c = cur.get(metric, {})
         for q in sorted(set(b) | set(c)):
@@ -79,12 +85,18 @@ def main() -> int:
             line = f"{metric:>16}  {q:<28} {bv} -> {cv}"
             if q in touched:
                 moved.append(line)
-            else:
+            elif hard:
                 failures.append(line)
+            else:
+                warnings.append(line)
 
     if moved:
         print("intended moves (--touched):")
         for line in moved:
+            print("  " + line)
+    if warnings:
+        print("spill warnings (memory-pressure metric, not gated):")
+        for line in warnings:
             print("  " + line)
     if failures:
         print("UNTOUCHED-QUERY LEDGER CHANGES (plan regressions?):")
