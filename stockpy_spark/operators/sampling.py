@@ -100,6 +100,101 @@ def pack_sequences(
     ).drop("__cum")
 
 
+def pack_boundaries(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    n_shards: int = 8,
+    salt: str = "pack",
+) -> DataFrame:
+    """Per-sequence DOCUMENT BOUNDARY arrays for :func:`pack_sequences`
+    output — the loss-mask / attention-mask metadata every LLM trainer
+    needs next to a packed corpus (the EOD-boundary convention): with
+    multiple documents concatenated into one context window, the
+    trainer must reset attention (block-diagonal mask) and loss at
+    each document start, so the packed table has to carry WHERE the
+    documents begin inside each sequence.
+
+    Returns one row per (shard, bin) that has at least one document
+    STARTING in it: ``(shard, bin, n_docs, doc_starts, doc_ids,
+    lead_in_tokens, spill_tokens)`` where
+
+    - ``doc_starts[i]`` is the token offset WITHIN the bin's fixed
+      ``budget``-token window (``start_offset - bin * budget``) of the
+      i-th starting document, ascending;
+    - ``doc_ids[i]`` is that document's id (same order);
+    - ``lead_in_tokens = doc_starts[0]`` — tokens at the head of the
+      window still belonging to the PREVIOUS bin's spilling document
+      (mask them against the carried-over doc, or treat as padding);
+    - ``spill_tokens`` — tokens of the LAST document extending past
+      the window's end. Only the last doc can spill: any document
+      after a spilling one would start past the budget and therefore
+      in a later bin (the invariant the hand-computed tests pin). A
+      document longer than ``budget`` spans whole windows by itself;
+      those interior bins emit NO row here (they contain no document
+      start — the trainer sees them via the previous row's spill).
+
+    Boundaries are a PURE FUNCTION of the deterministic packing
+    (hash shard + id-order running sum), so the table replays
+    bit-identically cross-engine — same contract as pack_sequences.
+    Scale shape: identical to pack_sequences (one hash shuffle, one
+    per-shard window) plus a (shard, bin) groupBy whose per-group
+    state is bounded by the docs that fit a ``budget``-token window
+    — collect_list here can never exceed ~budget/min_doc_tokens
+    entries, the same bounded-bin argument as pack_materialize.
+    Ties (zero-token documents share their successor's start offset)
+    order by (offset, id) via the struct sort, total and replayable.
+    """
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum(F.col(token_col)).over(w) - F.col(token_col)).cast("long")
+    rows = (
+        df.withColumn(
+            "shard",
+            (_hash_bucket(F.col(id_col), salt) % F.lit(n_shards)).cast("long"),
+        )
+        .withColumn("__start", start)
+        .withColumn(
+            "bin", F.floor(F.col("__start") / F.lit(budget)).cast("long")
+        )
+        .withColumn(
+            "__off", (F.col("__start") - F.col("bin") * F.lit(budget)).cast("long")
+        )
+    )
+    sorted_docs = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("__off").alias("off"),
+                F.col(id_col).cast("long").alias("doc"),
+                F.col(token_col).cast("long").alias("n"),
+            )
+        )
+    )
+    last = F.element_at(F.col("__docs"), -1)
+    return (
+        rows.groupBy("shard", "bin")
+        .agg(sorted_docs.alias("__docs"))
+        .select(
+            "shard",
+            "bin",
+            F.size("__docs").alias("n_docs"),
+            F.transform(F.col("__docs"), lambda s: s["off"]).alias(
+                "doc_starts"
+            ),
+            F.transform(F.col("__docs"), lambda s: s["doc"]).alias("doc_ids"),
+            F.element_at(F.col("__docs"), 1)["off"].alias("lead_in_tokens"),
+            F.greatest(
+                F.lit(0).cast("long"),
+                (last["off"] + last["n"] - F.lit(budget)).cast("long"),
+            ).alias("spill_tokens"),
+        )
+    )
+
+
 def pack_chunks_ordered(
     df: DataFrame,
     doc_col: str,

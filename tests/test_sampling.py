@@ -476,3 +476,77 @@ def test_shuffle_shard_plan_bucket_rounding_and_validation(spark):
     assert a == b  # bucket count is parallelism only, never positions
     with _pytest.raises(ValueError):
         shuffle_shard_plan(df, "doc_id", n_buckets=0)
+
+
+def test_pack_boundaries_hand_computed_bin_edge_and_overbudget(spark):
+    """pack_boundaries against a hand-worked stream (n_shards=1 so the
+    id order IS the stream): d2 ends EXACTLY at the 2048 boundary
+    (spill 0, next bin starts clean), d4 (3000 tokens > budget) spills
+    1452 tokens into bin 2 (its lead_in), and the zero-token d6 ties
+    d7's start offset and sorts before it (the all-but-id-last-have-n=0
+    tie invariant)."""
+    from stockpy_spark.operators.sampling import pack_boundaries
+
+    rows = [(1, 1000), (2, 1048), (3, 500), (4, 3000), (5, 10), (6, 0), (7, 5)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    got = {
+        (r.shard, r.bin): r
+        for r in pack_boundaries(
+            df, "doc_id", "n_tokens", budget=2048, n_shards=1
+        ).collect()
+    }
+    assert set(got) == {(0, 0), (0, 1), (0, 2)}
+    b0 = got[(0, 0)]
+    assert (b0.n_docs, b0.doc_starts, b0.doc_ids) == (2, [0, 1000], [1, 2])
+    assert (b0.lead_in_tokens, b0.spill_tokens) == (0, 0)  # exact edge
+    b1 = got[(0, 1)]
+    assert (b1.n_docs, b1.doc_starts, b1.doc_ids) == (2, [0, 500], [3, 4])
+    assert (b1.lead_in_tokens, b1.spill_tokens) == (0, 1452)  # d4 over
+    b2 = got[(0, 2)]
+    assert (b2.n_docs, b2.doc_starts, b2.doc_ids) == (
+        3, [1452, 1462, 1462], [5, 6, 7],
+    )
+    assert (b2.lead_in_tokens, b2.spill_tokens) == (1452, 0)
+
+
+def test_pack_boundaries_interior_bins_of_giant_doc_emit_no_row(spark):
+    """A document spanning whole windows by itself: bins interior to it
+    carry no document start and therefore no row — the trainer sees
+    them through the previous row's spill_tokens."""
+    from stockpy_spark.operators.sampling import pack_boundaries
+
+    df = spark.createDataFrame(
+        [(1, 100), (2, 5000), (3, 50)], "doc_id long, n_tokens long"
+    )
+    got = {
+        (r.shard, r.bin): r
+        for r in pack_boundaries(
+            df, "doc_id", "n_tokens", budget=1000, n_shards=1
+        ).collect()
+    }
+    assert set(got) == {(0, 0), (0, 5)}  # bins 1-4 interior to d2
+    assert got[(0, 0)].spill_tokens == 4100  # 100 + 5000 - 1000
+    assert got[(0, 5)].doc_starts == [100]
+    assert got[(0, 5)].lead_in_tokens == 100
+
+
+def test_pack_boundaries_agrees_with_pack_sequences_assignment(spark, sf_dir):
+    """The (shard, bin) each doc starts in must match pack_sequences'
+    assignment exactly — same hash, same window, same floor."""
+    from stockpy_spark.functions.text import token_count
+    from stockpy_spark.operators.sampling import pack_boundaries
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    sized = docs.select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    packed = pack_sequences(sized, "doc_id", "n_tokens", budget=2048, n_shards=4)
+    want = {
+        (r.shard, r.bin): r.n
+        for r in packed.groupBy("shard", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    bounds = pack_boundaries(sized, "doc_id", "n_tokens", budget=2048, n_shards=4)
+    got = {(r.shard, r.bin): r.n_docs for r in bounds.collect()}
+    assert got == want
