@@ -589,6 +589,12 @@ def q_mm_video_frames(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # per-doc codec CPU: a single small parquet file yields ONE input
+    # split and serializes every encode+decode onto one core (the
+    # gopher-kernel lesson, registry_ext.py:1571); at real scale the
+    # scan has thousands of splits and this branch never fires.
+    if docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
     assets = attach_avi_payload(docs, "doc_id")
     return extract_video_frame_gates(assets, every_k=2)
 
