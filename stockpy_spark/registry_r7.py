@@ -35,6 +35,11 @@ def q_mm_gif_frames(spark, sf_dir):
     (transparent positions resolve to the frame-0 pattern), so a decoder
     that drops transparency or mishandles disposal 3 hash-mismatches."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # per-doc codec CPU on a single small parquet split serializes
+    # onto one core (the mm_video_frames/gopher lesson); the ~40 KB
+    # doc-id repartition is the declared ledger move for this fix.
+    if docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
     assets = attach_gif_anim_payload(docs, "doc_id")
     return extract_frame_features(assets, every_k=2)
 
