@@ -705,6 +705,33 @@ def _fake_pixels(doc_id: int) -> np.ndarray:
     return ((int(doc_id) * 31 + y * 17 + x * 7 + c * 5) % 256).astype(np.uint8)
 
 
+def _spread_small_input(df: DataFrame) -> DataFrame:
+    """Single-split guard for the payload generators: their cost is
+    per-row codec CPU, so a small parquet input read as ONE split
+    serializes the whole corpus onto one core regardless of cluster
+    width (the mm_video_frames/mm_gif_frames lesson — 11x and 3x
+    respectively at sf0.1). Spreading the tiny pre-payload id frame to
+    defaultParallelism costs a ~KB shuffle and buys full-width
+    encode/decode; inputs that already carry enough splits (the real
+    100 TB case) pass through untouched. Streaming frames skip the
+    probe — the micro-batch engine sizes their partitions."""
+    if df.isStreaming:
+        return df
+    # The .rdd probe is free on scan-only plans (partitioning is
+    # static), but under AQE it MATERIALIZES any shuffle stage already
+    # in the plan — a caller that pre-repartitioned would pay its
+    # shuffle twice (once for the probe job, once for the real run; the
+    # bench ledger caught exactly this as a 2x shuffle-byte entry). An
+    # input that already carries an explicit Repartition is spread by
+    # construction — skip the probe entirely.
+    if "Repartition" in df._jdf.queryExecution().analyzed().toString():
+        return df
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def _attach_image_payload(
     df: DataFrame, id_col: str, encoder, media_type: str
 ) -> DataFrame:
@@ -739,7 +766,7 @@ def _attach_image_payload(
                 }
             )
 
-    flat = df.select(id_col).mapInPandas(gen, gen_schema)
+    flat = _spread_small_input(df.select(id_col)).mapInPandas(gen, gen_schema)
     return flat.select(
         "doc_id",
         "payload",
@@ -837,7 +864,7 @@ def attach_gif_anim_payload(df: DataFrame, id_col: str) -> DataFrame:
                 }
             )
 
-    flat = df.select(id_col).mapInPandas(gen, gen_schema)
+    flat = _spread_small_input(df.select(id_col)).mapInPandas(gen, gen_schema)
     return flat.select(
         "doc_id",
         "payload",
@@ -1124,7 +1151,7 @@ def attach_wav_payload(df: DataFrame, id_col: str) -> DataFrame:
                 }
             )
 
-    flat = df.select(id_col).mapInPandas(gen, gen_schema)
+    flat = _spread_small_input(df.select(id_col)).mapInPandas(gen, gen_schema)
     return flat.select(
         "doc_id",
         "payload",
@@ -1664,7 +1691,7 @@ def attach_avi_payload(df: DataFrame, id_col: str) -> DataFrame:
                 }
             )
 
-    flat = df.select(id_col).mapInPandas(gen, gen_schema)
+    flat = _spread_small_input(df.select(id_col)).mapInPandas(gen, gen_schema)
     return flat.select(
         "doc_id",
         "payload",

@@ -38,7 +38,12 @@ _ALL = {**CORE_QUERIES, **EXT_QUERIES, **TPCH2_QUERIES, **HIVE_QUERIES, **TS_QUE
 # Huffman-LUT decoder + single-split repartition, gate_jpeg_fidelity
 # the same decoder, mm_gif_frames the single-split repartition — each
 # re-greened same-session via tools/check.py before entering), then
-# 29 r10-cohort members oldest-first. 16 + 5 + 29 = 50 exactly. The
+# 29 r10-cohort members oldest-first. 16 + 5 + 29 = 50 exactly.
+# Late-r15 addendum: the payload-generator single-split guard
+# (operators/multimodal.py _spread_small_input) touched three fill
+# members IN PLACE — mm_equalize_hist, mm_phash_dedup_cc,
+# mm_phash_neardup (plus gate_jpeg_fidelity, already in the touched
+# block) — each re-greened same-session at BOTH SFs + plan-linted. The
 # round's ONE new query (pack_boundary_masks — packed-sequence
 # document boundaries, landed with same-session check green at both
 # SFs) stages FIRST at position 51 per the landing rule: a new query
