@@ -45,6 +45,7 @@ PIL / torchaudio / pyav later changes only ``_decode_pixels`` /
 from __future__ import annotations
 
 import io
+import re
 import struct
 import wave
 import zlib
@@ -722,9 +723,14 @@ def _spread_small_input(df: DataFrame) -> DataFrame:
     # in the plan — a caller that pre-repartitioned would pay its
     # shuffle twice (once for the probe job, once for the real run; the
     # bench ledger caught exactly this as a 2x shuffle-byte entry). An
-    # input that already carries an explicit Repartition is spread by
-    # construction — skip the probe entirely.
-    if "Repartition" in df._jdf.queryExecution().analyzed().toString():
+    # input that already carries an explicit SHUFFLE repartition is
+    # spread by construction — skip the probe entirely. Match only the
+    # shuffle-carrying nodes (`Repartition N, true`, i.e. df.repartition,
+    # or RepartitionByExpression); a coalesce prints as
+    # `Repartition 1, false` and must NOT skip — it narrows the input,
+    # and with no shuffle in its plan the probe stays free anyway.
+    plan = df._jdf.queryExecution().analyzed().toString()
+    if re.search(r"Repartition \d+, true|RepartitionByExpression", plan):
         return df
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
