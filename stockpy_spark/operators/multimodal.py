@@ -58,6 +58,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from stockpy_spark.operators.spread import spread_small_input
+
 # metadata struct carried alongside every binary payload
 ASSET_META_SCHEMA = T.StructType(
     [
@@ -706,36 +708,15 @@ def _fake_pixels(doc_id: int) -> np.ndarray:
     return ((int(doc_id) * 31 + y * 17 + x * 7 + c * 5) % 256).astype(np.uint8)
 
 
-def _spread_small_input(df: DataFrame) -> DataFrame:
-    """Single-split guard for the payload generators: their cost is
-    per-row codec CPU, so a small parquet input read as ONE split
-    serializes the whole corpus onto one core regardless of cluster
-    width (the mm_video_frames/mm_gif_frames lesson — 11x and 3x
-    respectively at sf0.1). Spreading the tiny pre-payload id frame to
-    defaultParallelism costs a ~KB shuffle and buys full-width
-    encode/decode; inputs that already carry enough splits (the real
-    100 TB case) pass through untouched. Streaming frames skip the
-    probe — the micro-batch engine sizes their partitions."""
-    if df.isStreaming:
-        return df
-    # The .rdd probe is free on scan-only plans (partitioning is
-    # static), but under AQE it MATERIALIZES any shuffle stage already
-    # in the plan — a caller that pre-repartitioned would pay its
-    # shuffle twice (once for the probe job, once for the real run; the
-    # bench ledger caught exactly this as a 2x shuffle-byte entry). An
-    # input that already carries an explicit SHUFFLE repartition is
-    # spread by construction — skip the probe entirely. Match only the
-    # shuffle-carrying nodes (`Repartition N, true`, i.e. df.repartition,
-    # or RepartitionByExpression); a coalesce prints as
-    # `Repartition 1, false` and must NOT skip — it narrows the input,
-    # and with no shuffle in its plan the probe stays free anyway.
-    plan = df._jdf.queryExecution().analyzed().toString()
-    if re.search(r"Repartition \d+, true|RepartitionByExpression", plan):
-        return df
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism)
-    return df
+# Single-split guard for the payload generators (the r15
+# mm_video_frames/mm_gif_frames lesson — 11x and 3x at sf0.1): their
+# cost is per-row codec CPU, so a one-split input serializes the whole
+# corpus onto one core. Generalized in r16 to the whole CPU-dense
+# narrow-stage family and moved to operators/spread.py (which also
+# hardens the probe-skip: any shuffle-bearing plan is skipped, by
+# logical-node class walk rather than string match). The private name
+# stays importable for the r15 test pins.
+_spread_small_input = spread_small_input
 
 
 def _attach_image_payload(
