@@ -645,9 +645,14 @@ def q_decontaminate_eval(spark, sf_dir):
     """Screen a held-out eval split (doc_id % 10 == 0) against the
     training split for 5-gram overlap — the decontamination report a
     training run ships with."""
+    from stockpy_spark.operators.spread import spread_small_input
     from stockpy_spark.operators.textstats import ngram_contamination
 
-    docs = _t(spark, sf_dir, "documents")
+    # Both sides shingle-explode the docs scan (per-row CPU: 5-gram
+    # construction over every token); a single-split read serializes
+    # that onto one core — spread it first (measured 5.1 -> 1.5 s at
+    # sf0.1; no-op when the scan already carries >= core-count splits).
+    docs = spread_small_input(_t(spark, sf_dir, "documents"))
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     eval_df = docs.filter(F.col("doc_id") % 10 == 0)
     return ngram_contamination(corpus, eval_df, "text", "doc_id", n=5)
