@@ -32,6 +32,7 @@ multiple qualities and both subsampling modes.
 from __future__ import annotations
 
 import struct
+from array import array
 from functools import lru_cache
 
 import numpy as np
@@ -419,10 +420,10 @@ class _BitReader:
             self.pos += 1
 
 
-@lru_cache(maxsize=256)
+@lru_cache(maxsize=32)
 def _huff_decode_table(
     bits: tuple[int, ...], values: tuple[int, ...]
-) -> tuple[int, list[int]]:
+) -> tuple[int, "array"]:
     """Flat Huffman lookahead table: ``(maxlen, lut)`` where for any
     ``maxlen``-bit window ``p``, ``lut[p]`` is ``(symbol << 5) |
     code_length`` (or -1 for a prefix no code matches). One list index
@@ -432,7 +433,14 @@ def _huff_decode_table(
     the MCU math is noise at these frame sizes, so the table, not a
     vectorized IDCT, is the win). MJPEG streams re-declare the same
     tables every frame, so the lru_cache (keyed on the DHT contents)
-    makes the 2^maxlen build a once-per-process cost."""
+    makes the 2^maxlen build a once-per-process cost. The lut is an
+    ``array('i')``, not a list: a 16-bit table is 64Ki entries, and a
+    list of boxed ints holds ~36 bytes/entry (~2.3 MB) per cached
+    table versus 4 bytes/entry (256 KB) for the array — with varied
+    DHT inputs the worst-case cache residency per Python worker is
+    ~8 MB instead of ~600 MB (r15 advisor item; maxsize 32 still
+    covers the 4 tables a baseline JPEG declares, x several distinct
+    streams)."""
     entries: list[tuple[int, int, int]] = []
     code = 0
     k = 0
@@ -445,16 +453,16 @@ def _huff_decode_table(
             maxlen = length
         code <<= 1
     if maxlen == 0:  # declared-but-empty table: every lookup invalid
-        return 1, [-1, -1]
+        return 1, array("i", (-1, -1))
     lut = [-1] * (1 << maxlen)
     for length, code, sym in entries:
         span = 1 << (maxlen - length)
         start = code << (maxlen - length)
         lut[start : start + span] = [(sym << 5) | length] * span
-    return maxlen, lut
+    return maxlen, array("i", lut)
 
 
-def _read_symbol(br: _BitReader, table: tuple[int, list[int]]) -> int:
+def _read_symbol(br: _BitReader, table: tuple[int, "array"]) -> int:
     maxlen, lut = table
     packed = lut[br.peek(maxlen)]
     if packed < 0:

@@ -140,43 +140,44 @@ def boilerplate_line_screen(
     dropping documents is the caller's policy, this op is a transform
     plus the report that justifies it.
 
-    Scale shape: one narrow posexplode, per-line features as pure
-    expressions on the line string, ONE doc-keyed aggregate that
-    rebuilds the text via array_sort over (pos, line) structs
-    (collect_list order is nondeterministic, the sort makes it so) —
-    zero corpus-level state, one shuffle, task state = one document's
-    lines.
+    Scale shape: ZERO shuffles. Every rule reads one line in
+    isolation, so the whole screen is a higher-order ``filter`` over
+    the doc's own split-line array — the document never leaves its
+    scan partition. (Until r16 this was posexplode + a doc-keyed
+    rebuild aggregate: one full shuffle of the corpus TEXT just to
+    re-concatenate lines a narrow ``filter`` keeps in place — at
+    100 TB that exchange is the entire corpus crossing the network
+    for nothing. Guide §2.4; r16 measured the clean-chain pin of
+    pipeline_data_release dropping with the exchange.)
     """
     from stockpy_spark.functions.text import ENGLISH_STOPWORDS, tokenize
 
-    lines = explode_lines(df, id_col, text_col, sep)
-    toks = tokenize(F.col("line"))
-    n = F.size(toks)
-    stop_hits = F.size(
-        F.filter(toks, lambda t: F.lower(t).isin(*ENGLISH_STOPWORDS))
-    )
-    ratio = stop_hits / F.greatest(n, F.lit(1)).cast("double")
-    keep = (n >= min_tokens) & ~((ratio < min_stop) & (n < long_line))
-    flagged = lines.withColumn("__keep", keep)
-    return flagged.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(F.col("__keep"), F.struct("pos", "line"))
-                    )
-                ),
-                lambda s: s["line"],
-            ),
-            sep,
-        ).alias(text_col),
-        F.count(F.lit(1)).alias("n_lines"),
-        F.sum(F.col("__keep").cast("int")).alias("n_kept"),
+    def _keep(line):
+        toks = tokenize(line)
+        n = F.size(toks)
+        stop_hits = F.size(
+            F.filter(toks, lambda t: F.lower(t).isin(*ENGLISH_STOPWORDS))
+        )
+        ratio = stop_hits / F.greatest(n, F.lit(1)).cast("double")
+        return (n >= min_tokens) & ~((ratio < min_stop) & (n < long_line))
+
+    # df[text_col] (bound attribute), NOT F.col(text_col): the select
+    # below aliases its rebuilt text AS text_col, and Spark 3.4+
+    # lateral column alias resolution would re-bind an unbound name in
+    # the LATER select items to that alias — the counts would then be
+    # computed over the already-screened text (caught by test_r6c_ops
+    # when this was first written with F.col).
+    arr = F.split(F.coalesce(df[text_col], F.lit("")), sep)
+    kept = F.filter(arr, _keep)
+    n_lines = F.size(arr).cast("bigint")
+    n_kept = F.size(kept).cast("bigint")
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, sep).alias(text_col),
+        n_lines.alias("n_lines"),
+        n_kept.alias("n_kept"),
         F.round(
-            1.0
-            - F.sum(F.col("__keep").cast("int"))
-            / F.count(F.lit(1)).cast("double"),
-            6,
+            1.0 - n_kept / n_lines.cast("double"), 6
         ).alias("boiler_ratio"),
     )
 
@@ -200,27 +201,28 @@ def dedup_lines_within_doc(
     Blank lines are treated like any other line (a run of blanks
     collapses to one — the common template artifact).
 
-    Scale shape: one narrow posexplode, one (doc, line) min-pos
-    aggregate, one doc-keyed rebuild — two shuffles both keyed by the
-    document (no corpus-wide state, no window over anything bigger
-    than one document's lines).
+    Scale shape: ZERO shuffles. "Keep each line's first occurrence"
+    depends only on the document's OWN line array, so it is a
+    higher-order ``filter`` keeping position ``i`` exactly when
+    ``array_position`` (first index of that line) equals ``i`` — the
+    document never leaves its scan partition. (Until r16 this was
+    posexplode + a (doc, line) min-pos aggregate + a doc-keyed
+    rebuild: TWO full shuffles of the corpus text to recompute an
+    intra-row property — guide §2.4. ``array_position`` makes the
+    filter O(lines²) per doc on line COUNT, not bytes; web documents
+    have tens-to-hundreds of lines, and the quadratic term would need
+    ~10⁵ lines in ONE document to rival the per-byte cost the removed
+    exchanges paid on every document.)
     """
-    lines = explode_lines(df, id_col, text_col, sep)
-    firsts = lines.groupBy(id_col, "line").agg(F.min("pos").alias("pos"))
-    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_total"))
-    rebuilt = firsts.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                lambda s: s["line"],
-            ),
-            sep,
-        ).alias(text_col),
-        F.count(F.lit(1)).alias("n_lines"),
+    # df[text_col] (bound attribute), NOT F.col(text_col): see the
+    # lateral-column-alias note in boilerplate_line_screen.
+    arr = F.split(F.coalesce(df[text_col], F.lit("")), sep)
+    kept = F.filter(
+        arr, lambda x, i: F.array_position(arr, x) == (i + F.lit(1))
     )
-    return rebuilt.join(totals, id_col).select(
-        id_col,
-        text_col,
-        F.col("n_lines").cast("bigint").alias("n_lines"),
-        (F.col("n_total") - F.col("n_lines")).cast("bigint").alias("n_dropped"),
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, sep).alias(text_col),
+        F.size(kept).cast("bigint").alias("n_lines"),
+        (F.size(arr) - F.size(kept)).cast("bigint").alias("n_dropped"),
     )
