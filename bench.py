@@ -237,7 +237,19 @@ def main() -> None:
         reruns and hosts, so a cross-round diff flags a lost broadcast
         or lost partial aggregate directly, with no calibration
         division. Scala default args are fetched explicitly (py4j has
-        no default-arg support)."""
+        no default-arg support).
+
+        r16 measurement fix (declared in OPTIMIZATION_r16.md): the
+        AppStatusStore is fed ASYNCHRONOUSLY by the listener bus, so a
+        query's final stage metrics can post after the next bracketing
+        read — measured at r16 start as pipeline_dedup_cc's ledger
+        entry reading 1.21-1.22 MB in the full bench (late posts from
+        its own first, untimed run landing in the timed run's window)
+        vs a byte-identical 1.192 MB x4 in isolation, flagged by
+        ledger_diff as drift on an untouched query. Draining the bus
+        before each read makes the per-query attribution exact; plan
+        bytes themselves are unchanged."""
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
         store = spark.sparkContext._jsc.sc().statusStore()
         empty = spark.sparkContext._jvm.java.util.ArrayList()
         stages = store.stageList(
