@@ -737,6 +737,16 @@ def kde_grid(
     )
 
 
+#: Rank-table rows below which the per-column rank join broadcasts
+#: instead of re-shuffling the combo census (guide §3.1). 1M
+#: (value, rank) double pairs ≈ 16 MB framed — the same executor
+#: budget FRONTIER_BROADCAST_MAX (operators/graph.py) reasons from.
+#: The cardinality is read from the census job, so the decision is
+#: data-driven, not a local-mode constant: a genuinely continuous
+#: column exceeds it at any real scale and keeps the sort-merge join.
+RANK_BROADCAST_MAX = 1_000_000
+
+
 def spearman_corr_pairs(
     df: DataFrame, cols: list[str], dp: int = 6, n_buckets: int = 256
 ) -> DataFrame:
@@ -798,29 +808,60 @@ def spearman_corr_pairs(
         .agg(F.count(F.lit(1)).alias("__w"))
         .transform(pin)
     )
+    # equal-FREQUENCY edges over the distinct values (each distinct
+    # value weight 1 — the window rows ARE distinct values): the r11
+    # verdict's outlier finding — one sentinel value collapses a
+    # (min, max) width so every distinct value floors into bucket 0
+    # and the local cumsum degenerates to the single-task sort this
+    # bucketing exists to kill. Bucket id = branchless log2(B) binary
+    # search (operators/bucketing.py), not an O(B) per-row scan.
+    #
+    # r16 (guide §1.2 then §3.1): until r16 each column ran its OWN
+    # eager census pin — k sequential blocking jobs at plan-build
+    # time, each a percentile aggregate whose 1-row result then rode a
+    # crossJoin broadcast. All k censuses now compute in ONE job (the
+    # tagged union of the per-column count frames aggregates per tag)
+    # and the k-row result is COLLECTED: the edges embed as array
+    # literals (a k x (B-1)-double census is a codebook-class driver
+    # transfer, and a single materialization read once is strictly
+    # more deterministic than percentile re-execution), and the
+    # per-column distinct counts ride along for free — they drive the
+    # rank-table broadcast decision below.
+    tagged = None
+    for c in cols:
+        t = (
+            combo.groupBy(F.col(c).alias("__v"))
+            .agg(F.sum("__w").alias("__c"))
+            .select(F.lit(c).alias("__col"), "__v", "__c")
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    census_rows = (
+        []
+        if tagged is None
+        else tagged.groupBy("__col")
+        .agg(
+            freq_edges("__v", n_buckets).alias("__edges"),
+            F.count(F.lit(1)).alias("__nd"),
+        )
+        .collect()
+    )
+    censuses = {r["__col"]: (r["__edges"], r["__nd"]) for r in census_rows}
+
     ranked = combo
     for c in cols:
         counts = combo.groupBy(F.col(c).alias("__v")).agg(
             F.sum("__w").alias("__c")
         )
-        # equal-FREQUENCY edges over the distinct values (each distinct
-        # value weight 1 — the window rows ARE distinct values), still
-        # a 1-row broadcast census: the r11 verdict's outlier finding —
-        # one sentinel value collapses a (min, max) width so every
-        # distinct value floors into bucket 0 and the local cumsum
-        # degenerates to the single-task sort this bucketing exists to
-        # kill. Bucket id = branchless log2(B) binary search
-        # (operators/bucketing.py), not an O(B) per-row scan.
-        # eager checkpoint: the bucketing.py determinism rule —
-        # percentile_approx varies per materialization and this census
-        # feeds both the local-cumsum and offset branches
-        census = counts.agg(
-            freq_edges("__v", n_buckets).alias("__edges")
-        ).transform(pin)
+        edges, n_distinct = censuses.get(c, (None, 0))
+        edges_lit = (
+            F.array(*[F.lit(float(e)) for e in edges])
+            if edges
+            else F.array().cast("array<double>")
+        )
         bucketed = with_freq_bucket(
-            counts.crossJoin(F.broadcast(census)),
+            counts,
             F.col("__v"),
-            F.col("__edges"),
+            edges_lit,
             n_buckets,
             "__bkt",
         ).select("__v", "__c", "__bkt")
@@ -851,7 +892,21 @@ def spearman_corr_pairs(
                 + (F.col("__c") + 1) / F.lit(2.0)
             ).alias(f"__r_{c}"),
         )
-        ranked = ranked.join(cum, c)
+        # r16 (guide §3.1): these k joins each re-shuffled the FULL
+        # combo frame by a different key — for lineitem's
+        # (quantity, price, discount) that was 3 combo-scale sort-merge
+        # shuffles, ~37 MB of the corpus's ledger, when two of the
+        # three rank tables are 50 and 11 rows. A rank table is
+        # distinct-value-sized and its cardinality is ALREADY KNOWN
+        # from the census job, so broadcast it when it fits (the size
+        # estimate Spark lacks here: `cum` hangs below windows and a
+        # join, so the planner sees "unknown, assume big"). The big-
+        # distinct column (price at corpus scale) stays a sort-merge
+        # join — the one combo shuffle that is fundamentally required.
+        ranked = ranked.join(
+            F.broadcast(cum) if n_distinct <= RANK_BROADCAST_MAX else cum,
+            c,
+        )
     w = F.col("__w").cast("double")
     mom_exprs = [F.sum("__w").cast("double").alias("__n")]
     for c in cols:
