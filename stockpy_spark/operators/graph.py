@@ -62,6 +62,7 @@ def connected_components(
     dst: str,
     max_iter: int = 50,
     edges_within_vertices: bool = False,
+    jumps_per_round: int = 1,
 ) -> DataFrame:
     """Per-vertex component labels for an undirected graph.
 
@@ -104,10 +105,28 @@ def connected_components(
     """
     # materialize the (possibly expensive — an LSH or Jaccard pair
     # pipeline) edge derivation ONCE: without this the whole upstream
-    # pair computation re-executes in every propagation round
+    # pair computation re-executes in every propagation round.
+    # Symmetrization is an EXPLODE of both directions, not a
+    # self-union: a union's two branches each embed the full pair
+    # subtree, so the (expensive) emitter executed twice inside the
+    # pin_lazy materialization job — r16 measured two back-to-back
+    # single-task minhash stages at the head of pipeline_dedup_cc's
+    # first job, halved by this change (guide §2.4, duplicate
+    # subtrees).
     und = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src).alias("a"), F.col(dst).alias("b")
+                    ),
+                    F.struct(
+                        F.col(dst).alias("a"), F.col(src).alias("b")
+                    ),
+                )
+            ).alias("__e")
+        )
+        .select("__e.a", "__e.b")
         .transform(pin_lazy)
     )
     verts = vertices.select(F.col(vertex_col).alias("v"))
@@ -122,7 +141,17 @@ def connected_components(
     frontier = labels  # round 1: every endpoint announces its own label
     frontier_size = None  # unknown until the first round's count
 
+    # STOCKPY_CC_TRACE=1: per-round wall + frontier-size table on
+    # stderr (the admitter-trace pattern) — the empirical guide-§1 view
+    # of where an iterative query's eager loop spends its time.
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _trace = _os.environ.get("STOCKPY_CC_TRACE") == "1"
+
     for rnd in range(max_iter):
+        _t0 = _time.time() if _trace else 0.0
         sender = frontier.select(F.col("v").alias("fv"), "label")
         if big_graph and rnd > 0 and frontier_size <= FRONTIER_BROADCAST_MAX:
             # keeps the (big) edge frame scan shuffle-free; the label
@@ -142,26 +171,45 @@ def connected_components(
             ),
             F.col("label").alias("__old"),
         )
-        # pointer-jump (label <- label of label): composes each round's
-        # one-hop step into doubling reach, so a diameter-d chain
-        # converges in O(log d) rounds instead of d. The jump reads the
+        # pointer-jump (label <- label of label): composes the round's
+        # one-hop step into multiplied reach. The jumps read the
         # PREVIOUS round's materialized labels (not `stepped`, whose
-        # un-checkpointed plan would be evaluated twice by a self-join)
-        # — reach still doubles (2d+1 per round) and the join is
-        # endpoint-sized.
-        parents = labels.select(
-            F.col("v").alias("jv"), F.col("label").alias("jl")
-        )
-        new_labels = (
-            stepped.join(parents, stepped["label"] == F.col("jv"), "left")
-            .select(
-                "v",
-                F.least(
-                    F.col("label"), F.coalesce("jl", "label")
-                ).alias("label"),
-                "__old",
+        # un-checkpointed plan would be evaluated twice by a self-join).
+        # r16 (guide §2.4/§1.2): ONE jump per round gives reach
+        # r' = 2r + 1 (doubling); each ADDITIONAL jump through the same
+        # pinned state adds +r more (r' = (j+1)r + 1), because the
+        # previous state's pointers already have reach r — extra jumps
+        # are endpoint-scale joins inside the same per-round job, with
+        # no extra pin/probe/edge scan. MEASURED REFUSAL of a higher
+        # default: on a 64-chain jumps_per_round=3 cuts 7 rounds to 5
+        # exactly as the formula predicts, but on the star-edge dedup
+        # graph (pipeline_dedup_cc, sf0.1) rounds stay at 8 for
+        # j ∈ {1, 3, 6} — the labels a star emitter propagates are
+        # already bucket-root ids, so label chains have length ~1 and
+        # there is nothing to compress; convergence there is bound by
+        # the star-contracted graph's edge diameter, which only hops
+        # traverse. The default stays 1 (the classic doubling); raise
+        # it for chain-shaped graphs.
+        new_labels = stepped
+        for j in range(jumps_per_round):
+            parents = labels.select(
+                F.col("v").alias(f"__jv{j}"), F.col("label").alias(f"__jl{j}")
             )
-        ).transform(pin)
+            new_labels = (
+                new_labels.join(
+                    parents,
+                    new_labels["label"] == F.col(f"__jv{j}"),
+                    "left",
+                )
+                .select(
+                    "v",
+                    F.least(
+                        F.col("label"), F.coalesce(f"__jl{j}", "label")
+                    ).alias("label"),
+                    "__old",
+                )
+            )
+        new_labels = new_labels.transform(pin)
         # the frontier is a filter over the just-materialized checkpoint
         # — cheap to scan on each use, so it needs no checkpoint of its
         # own, and one count doubles as the convergence probe and the
@@ -173,6 +221,13 @@ def connected_components(
         frontier_size = frontier.count() if big_graph else (
             0 if frontier.isEmpty() else -1
         )
+        if _trace:
+            print(
+                f"cc round {rnd}: {_time.time() - _t0:.2f}s "
+                f"frontier={frontier_size}",
+                file=_sys.stderr,
+                flush=True,
+            )
         labels = new_labels.drop("__old")
         if frontier_size == 0:
             # singletons (vertices with no edges) keep their own id;
