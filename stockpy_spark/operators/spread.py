@@ -105,6 +105,23 @@ def spread_small_input(df: DataFrame) -> DataFrame:
     return df
 
 
+def probe_free_partitions(df: DataFrame) -> int | None:
+    """The input's partition count when probing it is FREE — i.e. the
+    plan carries no shuffle for the ``.rdd`` probe to materialize
+    under AQE (a pinned frame's leaf RDD scan, or narrow-over-scan) —
+    else None. Callers use this to derive data-proportional widths
+    (e.g. a bounded-batch delta write's task count) without ever
+    paying a throwaway job for the answer."""
+    if df.isStreaming:
+        return None
+    if _plan_has_shuffle(df) is not False:
+        return None
+    try:
+        return df.rdd.getNumPartitions()
+    except Exception:
+        return None
+
+
 def spread_pinned(df: DataFrame) -> DataFrame:
     """Width guard for a just-PINNED frame (operators/pinning.pin):
     after a localCheckpoint/checkpoint the plan is a leaf RDD scan, so
