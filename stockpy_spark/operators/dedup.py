@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from stockpy_spark.functions.text import fingerprint_md5, tokenize
+from stockpy_spark.operators.pinning import pin
 
 
 def exact_dedup_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -411,7 +412,19 @@ def minhash_dedup_assign(
     connected components (each iteration is 2 bounded hash shuffles).
     """
     wide = _minhash_wide(df, text_col, id_col, num_hashes, hash_fn)
-    band_sigs = _band_signatures(wide, num_hashes, bands, hash_fn)
+    # r16 (guide §2.4, duplicate subtrees): band_sigs feeds BOTH the
+    # bucket-min aggregate and the assignment join-back, and the join
+    # side carries no exchange for ReuseExchange to share (the
+    # bucket-min side partial-aggregates before its shuffle; the join
+    # side ships raw rows or broadcasts), so unpinned the
+    # tokenize+minhash CPU ran twice per iteration — the plan showed
+    # two full parquet scans. The pinned frame is the (doc, band,
+    # bsig) KEY set — the thing the module docstring says a 100 TB
+    # deployment indexes and materializes anyway (keys are a few
+    # percent of text bytes; reliable pin mode IS that durable write).
+    band_sigs = _band_signatures(wide, num_hashes, bands, hash_fn).transform(
+        pin
+    )
     labeled = band_sigs.withColumn("label", F.col("doc"))
     labels = None
     for _ in range(iterations):
