@@ -142,8 +142,11 @@ _D = np.cos((2 * _N[None, :] + 1) * _N[:, None] * np.pi / 16) / 2.0
 _D[0, :] *= 1.0 / np.sqrt(2.0)
 
 
+@lru_cache(maxsize=16)
 def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
-    """IJG quality scaling of the Annex-K tables (1..100)."""
+    """IJG quality scaling of the Annex-K tables (1..100). Cached (the
+    fixtures use a handful of qualities); callers treat the returned
+    arrays as read-only."""
     q = min(100, max(1, quality))
     scale = 5000 // q if q < 50 else 200 - 2 * q
     qt_l = np.clip((QT_LUMA * scale + 50) // 100, 1, 255)
@@ -167,38 +170,39 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     return np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
 
 
+def _edge_pad(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Pad ``plane`` to (ph, pw) by edge replication. Equivalent to
+    ``np.pad(..., mode="edge")`` (columns replicate the last column,
+    rows the last padded row, corners the corner value) but ~6x
+    cheaper — np.pad's generic machinery was ~25% of encode CPU on the
+    tiny always-unaligned fixture frames (r16 profile)."""
+    h, w = plane.shape
+    if (h, w) == (ph, pw):
+        return plane
+    pp = np.empty((ph, pw), dtype=plane.dtype)
+    pp[:h, :w] = plane
+    if pw > w:
+        pp[:h, w:] = plane[:, -1:]
+    if ph > h:
+        pp[h:, :] = pp[h - 1 : h, :]
+    return pp
+
+
 def _pad_to_blocks(plane: np.ndarray, bh: int, bw: int) -> np.ndarray:
     h, w = plane.shape
     ph = (h + bh - 1) // bh * bh
     pw = (w + bw - 1) // bw * bw
-    return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    return _edge_pad(plane, ph, pw)
 
 
-class _BitWriter:
-    def __init__(self) -> None:
-        self.out = bytearray()
-        self.acc = 0
-        self.nbits = 0
-
-    def write(self, value: int, length: int) -> None:
-        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
-        self.nbits += length
-        while self.nbits >= 8:
-            byte = (self.acc >> (self.nbits - 8)) & 0xFF
-            self.out.append(byte)
-            if byte == 0xFF:  # byte stuffing
-                self.out.append(0x00)
-            self.nbits -= 8
-        self.acc &= (1 << self.nbits) - 1
-
-    def flush(self) -> None:
-        if self.nbits:
-            pad = 8 - self.nbits
-            self.write((1 << pad) - 1, pad)  # 1-fill per spec
-
-
-def _huff_encode_table(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
-    """symbol -> (code, length) from a BITS/HUFFVAL spec."""
+@lru_cache(maxsize=8)
+def _huff_encode_table(
+    bits: tuple[int, ...], values: tuple[int, ...]
+) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) from a BITS/HUFFVAL spec. Cached: the
+    encoder only ever uses the four Annex-K tables, but rebuilt them
+    per encode_jpeg call — ~8% of encode CPU on the tiny-frame
+    fixtures (r16 profile)."""
     table: dict[int, tuple[int, int]] = {}
     code = 0
     k = 0
@@ -211,44 +215,73 @@ def _huff_encode_table(bits: list[int], values: list[int]) -> dict[int, tuple[in
     return table
 
 
-def _category(v: int) -> int:
-    return int(v).bit_length() if v > 0 else int(-v).bit_length()
-
-
-def _encode_block(bw: _BitWriter, coeffs: np.ndarray, pred: int,
-                  dc_tab: dict, ac_tab: dict) -> int:
-    """Entropy-encode one quantized zigzagged block; returns new DC pred."""
-    dc = int(coeffs[0])
+def _encode_scan_block(
+    out: bytearray, acc: int, nbits: int, coeffs: list, last_nz: int,
+    pred: int, dc_tab: dict, ac_tab: dict,
+) -> tuple[int, int, int]:
+    """Entropy-encode one quantized zigzagged block (a plain int list)
+    into ``out``, carrying the bit accumulator in locals. Returns
+    ``(acc, nbits, dc)``. The old per-call _BitWriter.write was ~40%
+    of encode CPU (843k calls / 1000 fixture payloads, r16 profile);
+    inlining the accumulator and fusing each (code, value-bits) pair
+    into one shift is bit-identical and removes the call overhead."""
+    dc = coeffs[0]
     diff = dc - pred
-    t = _category(diff)
+    t = diff.bit_length() if diff >= 0 else (-diff).bit_length()
     code, ln = dc_tab[t]
-    bw.write(code, ln)
     if t:
-        bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        code = (code << t) | (
+            (diff if diff >= 0 else diff + (1 << t) - 1) & ((1 << t) - 1)
+        )
+        ln += t
+    acc = (acc << ln) | code
+    nbits += ln
+    while nbits >= 8:
+        byte = (acc >> (nbits - 8)) & 0xFF
+        out.append(byte)
+        if byte == 0xFF:  # byte stuffing
+            out.append(0x00)
+        nbits -= 8
+    acc &= (1 << nbits) - 1
     run = 0
-    last_nz = 0
-    for i in range(63, 0, -1):
-        if coeffs[i]:
-            last_nz = i
-            break
+    zrl_code, zrl_ln = ac_tab[0xF0]
     for i in range(1, last_nz + 1):
-        v = int(coeffs[i])
+        v = coeffs[i]
         if v == 0:
             run += 1
             continue
         while run > 15:
-            code, ln = ac_tab[0xF0]  # ZRL
-            bw.write(code, ln)
+            acc = (acc << zrl_ln) | zrl_code  # ZRL
+            nbits += zrl_ln
             run -= 16
-        s = _category(v)
+        s = v.bit_length() if v > 0 else (-v).bit_length()
         code, ln = ac_tab[(run << 4) | s]
-        bw.write(code, ln)
-        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        code = (code << s) | (
+            (v if v >= 0 else v + (1 << s) - 1) & ((1 << s) - 1)
+        )
+        ln += s
+        acc = (acc << ln) | code
+        nbits += ln
+        while nbits >= 8:
+            byte = (acc >> (nbits - 8)) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+            nbits -= 8
+        acc &= (1 << nbits) - 1
         run = 0
     if last_nz < 63:
         code, ln = ac_tab[0x00]  # EOB
-        bw.write(code, ln)
-    return dc
+        acc = (acc << ln) | code
+        nbits += ln
+        while nbits >= 8:
+            byte = (acc >> (nbits - 8)) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+            nbits -= 8
+        acc &= (1 << nbits) - 1
+    return acc, nbits, dc
 
 
 def encode_jpeg(
@@ -278,60 +311,103 @@ def encode_jpeg(
         samp = [(1, 1), (1, 1), (1, 1)]
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
-    # pad each plane to its MCU-covered size
+    # pad each plane to its MCU-covered size (skip the np.pad when the
+    # plane is already block-aligned — 3 pads/encode of pure overhead
+    # on aligned fixtures, r16 profile)
     mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
     mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
-    padded = []
-    for p, (sx, sy) in zip(planes, samp):
-        ph, pw = mcus_y * 8 * sy, mcus_x * 8 * sx
-        pp = np.pad(
-            p,
-            ((0, max(0, ph - p.shape[0])), (0, max(0, pw - p.shape[1]))),
-            mode="edge",
-        )[:ph, :pw]
-        padded.append(pp)
+    padded = [
+        _edge_pad(p, mcus_y * 8 * sy, mcus_x * 8 * sx)
+        for p, (sx, sy) in zip(planes, samp)
+    ]
 
-    dc_l = _huff_encode_table(*HT_DC_LUMA)
-    ac_l = _huff_encode_table(*HT_AC_LUMA)
-    dc_c = _huff_encode_table(*HT_DC_CHROMA)
-    ac_c = _huff_encode_table(*HT_AC_CHROMA)
-    bw = _BitWriter()
-    preds = [0, 0, 0]
+    dc_l = _huff_encode_table(
+        tuple(HT_DC_LUMA[0]), tuple(HT_DC_LUMA[1])
+    )
+    ac_l = _huff_encode_table(
+        tuple(HT_AC_LUMA[0]), tuple(HT_AC_LUMA[1])
+    )
+    dc_c = _huff_encode_table(
+        tuple(HT_DC_CHROMA[0]), tuple(HT_DC_CHROMA[1])
+    )
+    ac_c = _huff_encode_table(
+        tuple(HT_AC_CHROMA[0]), tuple(HT_AC_CHROMA[1])
+    )
+
+    # Forward DCT + quantization for EVERY block of each plane in one
+    # batched matmul pass (r16: the per-block `_D @ block @ _D.T` plus
+    # flatten/fancy-index/rint/astype were ~7 small numpy calls per
+    # 8x8 block — pure dispatch overhead at fixture frame sizes). The
+    # batched einsum-free form applies the SAME per-slice dgemm to the
+    # SAME float64 operands, so quantized coefficients are
+    # bit-identical (pinned by the byte-equality parity sweep recorded
+    # in OPTIMIZATION_r16.md).
     qts = [qt_l, qt_c, qt_c]
+    zz_q: list[list] = []  # per component: list of 64-int coeff lists
+    last_nzs: list = []  # per component: per-block last nonzero index
+    nbx: list[int] = []  # per component: blocks per row
+    for ci, (p, (sx, sy)) in enumerate(zip(padded, samp)):
+        ph, pw = p.shape
+        by_n, bx_n = ph // 8, pw // 8
+        blocks = np.ascontiguousarray(
+            (p - 128.0).reshape(by_n, 8, bx_n, 8).transpose(0, 2, 1, 3)
+        ).reshape(-1, 8, 8)
+        dct = _D @ blocks @ _D.T
+        q = np.rint(
+            dct.reshape(-1, 64)[:, ZIGZAG] / qts[ci][ZIGZAG][None, :]
+        ).astype(np.int32)
+        nz = q[:, 1:] != 0
+        has = nz.any(axis=1)
+        last = np.where(has, 63 - np.argmax(nz[:, ::-1], axis=1), 0)
+        zz_q.append(q.tolist())
+        last_nzs.append(last.tolist())
+        nbx.append(bx_n)
+
+    out_scan = bytearray()
+    acc = 0
+    nbits = 0
+    preds = [0, 0, 0]
     mcu_count = 0
     rst = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                bw.flush()
-                bw.out += bytes([0xFF, 0xD0 + rst])
+                if nbits:  # 1-fill flush per spec (stuffing included)
+                    pad = 8 - nbits
+                    byte = ((acc << pad) | ((1 << pad) - 1)) & 0xFF
+                    out_scan.append(byte)
+                    if byte == 0xFF:
+                        out_scan.append(0x00)
+                    acc = 0
+                    nbits = 0
+                out_scan += bytes([0xFF, 0xD0 + rst])
                 rst = (rst + 1) % 8
                 preds = [0, 0, 0]
             mcu_count += 1
-            for ci, (p, (sx, sy)) in enumerate(zip(padded, samp)):
+            for ci, (sx, sy) in enumerate(samp):
                 for by in range(sy):
                     for bx in range(sx):
-                        y0 = (my * sy + by) * 8
-                        x0 = (mx * sx + bx) * 8
-                        block = p[y0:y0 + 8, x0:x0 + 8] - 128.0
-                        dct = _D @ block @ _D.T
-                        q = np.rint(
-                            dct.flatten()[ZIGZAG] / qts[ci][ZIGZAG]
-                        ).astype(np.int32)
-                        preds[ci] = _encode_block(
-                            bw, q, preds[ci],
+                        bidx = (my * sy + by) * nbx[ci] + (mx * sx + bx)
+                        acc, nbits, preds[ci] = _encode_scan_block(
+                            out_scan, acc, nbits,
+                            zz_q[ci][bidx], last_nzs[ci][bidx], preds[ci],
                             dc_l if ci == 0 else dc_c,
                             ac_l if ci == 0 else ac_c,
                         )
-    bw.flush()
+    if nbits:  # final flush, 1-fill per spec
+        pad = 8 - nbits
+        byte = ((acc << pad) | ((1 << pad) - 1)) & 0xFF
+        out_scan.append(byte)
+        if byte == 0xFF:
+            out_scan.append(0x00)
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xFFDB, bytes([0]) + bytes(int(x) for x in qt_l[ZIGZAG]))
-    out += seg(0xFFDB, bytes([1]) + bytes(int(x) for x in qt_c[ZIGZAG]))
+    out += seg(0xFFDB, bytes([0]) + qt_l[ZIGZAG].astype(np.uint8).tobytes())
+    out += seg(0xFFDB, bytes([1]) + qt_c[ZIGZAG].astype(np.uint8).tobytes())
     sof = bytearray(struct.pack(">BHHB", 8, h, w, 3))
     for cid, ((sx, sy), tq) in enumerate(zip(samp, [0, 1, 1]), start=1):
         sof += bytes([cid, (sx << 4) | sy, tq])
@@ -348,7 +424,7 @@ def encode_jpeg(
         sos += bytes([cid, (td << 4) | ta])
     sos += bytes([0, 63, 0])
     out += seg(0xFFDA, bytes(sos))
-    out += bw.out
+    out += out_scan
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -357,67 +433,40 @@ def encode_jpeg(
 # decoder
 # ---------------------------------------------------------------------------
 
-class _BitReader:
-    def __init__(self, data: bytes) -> None:
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.nbits = 0
+def _entropy_segments(data: bytes) -> list[bytes]:
+    """Split the entropy-coded stream at RST markers into UNSTUFFED
+    byte segments, stopping at the first non-RST marker (EOI etc.).
 
-    def _fill(self) -> None:
-        while self.nbits <= 24 and self.pos < len(self.data):
-            byte = self.data[self.pos]
-            if byte == 0xFF:
-                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0
-                if nxt == 0x00:  # stuffed
-                    self.pos += 2
-                else:  # marker (EOI / RSTn): stop feeding
-                    break
-            else:
-                self.pos += 1
-            self.acc = (self.acc << 8) | byte
-            self.nbits += 8
-
-    def read(self, n: int) -> int:
-        if n == 0:
-            return 0
-        self._fill()
-        while self.nbits < n:  # past end: spec says pad with 1s
-            self.acc = (self.acc << 8) | 0xFF
-            self.nbits += 8
-        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
-        self.nbits -= n
-        self.acc &= (1 << self.nbits) - 1
-        return v
-
-    def peek(self, n: int) -> int:
-        """``read`` without consuming. Padding semantics are identical
-        to read's: past-end bits arrive as 1s and STAY in the
-        accumulator, so a peek(maxlen) + skip(length) sequence leaves
-        exactly the state the old bit-by-bit symbol walk left (the
-        pad bytes it would have appended later are appended now, with
-        the same values — _fill can never feed real data after a pad,
-        because padding only happens once the data/marker end is
-        reached and _fill stops there permanently)."""
-        self._fill()
-        while self.nbits < n:
-            self.acc = (self.acc << 8) | 0xFF
-            self.nbits += 8
-        return (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
-
-    def skip(self, n: int) -> None:
-        self.nbits -= n
-        self.acc &= (1 << self.nbits) - 1
-
-    def align_to_marker(self) -> None:
-        """Skip to just past the next RST marker (restart interval)."""
-        self.acc = 0
-        self.nbits = 0
-        while self.pos + 1 < len(self.data):
-            if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
-                self.pos += 2
-                return
-            self.pos += 1
+    This replaces the old per-byte _BitReader._fill walk (~18% of
+    decode CPU at fixture frame sizes, r16 profile): marker boundaries
+    are found with C-speed ``bytes.find`` and 0xFF00 stuffing is
+    removed with one ``bytes.replace`` per segment, so the decode loop
+    can feed plain bytes. Semantics match the old reader exactly:
+    - a stuffed 0xFF00 feeds one 0xFF data byte;
+    - any 0xFF followed by a non-zero, non-RST byte ends the stream
+      (subsequent reads pad with 1s, spec F.2.2.5);
+    - a trailing lone 0xFF is fed as a data byte (the old reader's
+      past-end ``nxt = 0`` path treated it as stuffed);
+    - RST markers separate segments; the decoder resynchronizes by
+      moving to the next segment with a fresh accumulator."""
+    segs: list[bytes] = []
+    n = len(data)
+    start = 0
+    i = 0
+    while True:
+        j = data.find(b"\xff", i)
+        if j < 0 or j + 1 >= n:
+            segs.append(data[start:n].replace(b"\xff\x00", b"\xff"))
+            return segs
+        nxt = data[j + 1]
+        if nxt == 0x00:  # stuffed data byte
+            i = j + 2
+            continue
+        segs.append(data[start:j].replace(b"\xff\x00", b"\xff"))
+        if 0xD0 <= nxt <= 0xD7:  # RSTn: a new segment follows
+            start = i = j + 2
+            continue
+        return segs  # EOI / any other marker: stop
 
 
 @lru_cache(maxsize=32)
@@ -460,15 +509,6 @@ def _huff_decode_table(
         start = code << (maxlen - length)
         lut[start : start + span] = [(sym << 5) | length] * span
     return maxlen, array("i", lut)
-
-
-def _read_symbol(br: _BitReader, table: tuple[int, "array"]) -> int:
-    maxlen, lut = table
-    packed = lut[br.peek(maxlen)]
-    if packed < 0:
-        raise ValueError("corrupt JPEG entropy stream (no Huffman match in 16 bits)")
-    br.skip(packed & 0x1F)
-    return packed >> 5
 
 
 def _extend(v: int, t: int) -> int:
@@ -564,61 +604,147 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
 
 def _decode_scan(data, frame, scan, qts, dc_tabs, ac_tabs, restart_interval):
+    """Entropy-decode the scan, then dequantize + IDCT every block of
+    each component in ONE batched numpy pass.
+
+    r16 rework (guide §1.2 step 2 — per-task work): the old loop paid
+    ~6 Python method calls per Huffman symbol (peek/_fill/skip/read)
+    and ~6 small numpy dispatches per 8x8 block; at the fixture frame
+    sizes (a handful of blocks per frame) that overhead WAS the decode
+    cost (~80% per cProfile). The bit accumulator now lives in local
+    ints fed from pre-unstuffed segments (see _entropy_segments), the
+    coefficients accumulate in plain Python lists, and the dequant /
+    dezigzag / IDCT / plane placement happen once per component as
+    batched array ops. The batched ``_D.T @ blocks @ _D`` applies the
+    same per-slice dgemm to the same float64 operands as the old
+    per-block form, so decoded pixels are bit-identical (pinned by the
+    decode parity sweep in OPTIMIZATION_r16.md)."""
     h, w, comps = frame["h"], frame["w"], frame["comps"]
     hmax = max(c["sx"] for c in comps)
     vmax = max(c["sy"] for c in comps)
     mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
     mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
-    planes = [
-        np.zeros((mcus_y * 8 * c["sy"], mcus_x * 8 * c["sx"]), dtype=np.float64)
-        for c in comps
-    ]
+    ncomp = len(comps)
+    tabs = []
     for c in comps:
         if c["id"] not in scan:
             raise ValueError(f"component {c['id']} missing from scan header")
         td, ta = scan[c["id"]]
         if td not in dc_tabs or ta not in ac_tabs or c["tq"] not in qts:
             raise ValueError("scan references undeclared Huffman/quant table")
-    br = _BitReader(data)
-    preds = [0] * len(comps)
+        tabs.append((dc_tabs[td], ac_tabs[ta]))
+    coef: list[list[list[int]]] = [[] for _ in comps]
+    segs = _entropy_segments(data)
+    nsegs = len(segs)
+    seg_i = 0
+    buf = segs[0] if nsegs else b""
+    blen = len(buf)
+    pos = 0
+    acc = 0
+    nbits = 0
+    preds = [0] * ncomp
     mcu_count = 0
+    corrupt = "corrupt JPEG entropy stream (no Huffman match in 16 bits)"
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                br.align_to_marker()
-                preds = [0] * len(comps)
+                seg_i += 1
+                buf = segs[seg_i] if seg_i < nsegs else b""
+                blen = len(buf)
+                pos = 0
+                acc = 0
+                nbits = 0
+                preds = [0] * ncomp
             mcu_count += 1
-            for ci, c in enumerate(comps):
-                td, ta = scan[c["id"]]
-                dct, act = dc_tabs[td], ac_tabs[ta]
-                qt = qts[c["tq"]]
-                for by in range(c["sy"]):
-                    for bx in range(c["sx"]):
-                        zz = np.zeros(64, dtype=np.int32)
-                        t = _read_symbol(br, dct)
-                        diff = _extend(br.read(t), t) if t else 0
-                        preds[ci] += diff
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            sym = _read_symbol(br, act)
-                            if sym == 0x00:  # EOB
-                                break
-                            run, size = sym >> 4, sym & 0x0F
-                            if sym == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += run
-                            if k > 63:
-                                raise ValueError("AC run past block end")
-                            zz[k] = _extend(br.read(size), size)
-                            k += 1
-                        block = np.zeros(64, dtype=np.float64)
-                        block[ZIGZAG] = (zz * qt[ZIGZAG]).astype(np.float64)
-                        px = _D.T @ block.reshape(8, 8) @ _D + 128.0
-                        y0 = (my * c["sy"] + by) * 8
-                        x0 = (mx * c["sx"] + bx) * 8
-                        planes[ci][y0:y0 + 8, x0:x0 + 8] = px
+            for ci in range(ncomp):
+                c = comps[ci]
+                (dmax, dlut), (amax, alut) = tabs[ci]
+                blocks_here = c["sy"] * c["sx"]
+                append = coef[ci].append
+                for _ in range(blocks_here):
+                    zz = [0] * 64
+                    # --- DC coefficient ---
+                    while nbits < 16:  # enough for any code (maxlen<=16)
+                        if pos < blen:
+                            acc = (acc << 8) | buf[pos]
+                            pos += 1
+                        else:  # past end: spec says pad with 1s
+                            acc = (acc << 8) | 0xFF
+                        nbits += 8
+                    packed = dlut[(acc >> (nbits - dmax)) & ((1 << dmax) - 1)]
+                    if packed < 0:
+                        raise ValueError(corrupt)
+                    nbits -= packed & 0x1F
+                    t = packed >> 5
+                    if t:
+                        while nbits < t:
+                            if pos < blen:
+                                acc = (acc << 8) | buf[pos]
+                                pos += 1
+                            else:
+                                acc = (acc << 8) | 0xFF
+                            nbits += 8
+                        v = (acc >> (nbits - t)) & ((1 << t) - 1)
+                        nbits -= t
+                        preds[ci] += (
+                            v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+                        )
+                    zz[0] = preds[ci]
+                    acc &= (1 << nbits) - 1
+                    # --- AC coefficients ---
+                    k = 1
+                    while k < 64:
+                        while nbits < 16:
+                            if pos < blen:
+                                acc = (acc << 8) | buf[pos]
+                                pos += 1
+                            else:
+                                acc = (acc << 8) | 0xFF
+                            nbits += 8
+                        packed = alut[(acc >> (nbits - amax)) & ((1 << amax) - 1)]
+                        if packed < 0:
+                            raise ValueError(corrupt)
+                        nbits -= packed & 0x1F
+                        sym = packed >> 5
+                        if sym == 0x00:  # EOB
+                            break
+                        if sym == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        size = sym & 0x0F
+                        k += sym >> 4
+                        if k > 63:
+                            raise ValueError("AC run past block end")
+                        while nbits < size:
+                            if pos < blen:
+                                acc = (acc << 8) | buf[pos]
+                                pos += 1
+                            else:
+                                acc = (acc << 8) | 0xFF
+                            nbits += 8
+                        v = (acc >> (nbits - size)) & ((1 << size) - 1)
+                        nbits -= size
+                        zz[k] = (
+                            v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+                        )
+                        k += 1
+                    acc &= (1 << nbits) - 1
+                    append(zz)
+    # batched dequantize + dezigzag + IDCT + plane placement
+    planes = []
+    for ci, c in enumerate(comps):
+        sy, sx = c["sy"], c["sx"]
+        qt = qts[c["tq"]]
+        Z = np.asarray(coef[ci], dtype=np.int32)  # (n, 64) zigzag order
+        nat = np.zeros((Z.shape[0], 64), dtype=np.float64)
+        nat[:, ZIGZAG] = (Z * qt[ZIGZAG][None, :]).astype(np.float64)
+        px = _D.T @ nat.reshape(-1, 8, 8) @ _D + 128.0
+        # blocks arrived in (my, mx, by, bx) order; fold to the plane
+        planes.append(
+            px.reshape(mcus_y, mcus_x, sy, sx, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(mcus_y * sy * 8, mcus_x * sx * 8)
+        )
     # upsample to full resolution and crop
     full = []
     for c, p in zip(comps, planes):

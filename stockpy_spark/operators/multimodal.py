@@ -50,6 +50,7 @@ import struct
 import wave
 import zlib
 from collections.abc import Iterator
+from functools import lru_cache
 
 import numpy as np
 import pandas as pd
@@ -308,28 +309,31 @@ def _png_unfilter(raw: bytes, off: int, h: int, w: int) -> np.ndarray:
 def _lzw_encode_gif(indices: np.ndarray, min_code_size: int) -> bytes:
     """GIF-variant LZW over a palette-index stream: variable code width
     starting at ``min_code_size + 1`` bits, LSB-first bit packing, CLEAR
-    emitted up front and again whenever the 12-bit table fills."""
+    emitted up front and again whenever the 12-bit table fills.
+
+    r16: the bit accumulator is inlined (the emit closure was one call
+    per emitted code — ~15% of GIF encode CPU on the tiny fixture
+    frames) and the numpy index stream is converted once via
+    ``tolist()`` instead of boxing one np scalar per pixel. Output
+    bytes are identical (pinned by the GIF parity sweep recorded in
+    OPTIMIZATION_r16.md)."""
     clear = 1 << min_code_size
     eoi = clear + 1
     out = bytearray()
     acc = nacc = 0
-
-    def emit(code: int, width: int) -> None:
-        nonlocal acc, nacc
-        acc |= code << nacc
-        nacc += width
-        while nacc >= 8:
-            out.append(acc & 0xFF)
-            acc >>= 8
-            nacc -= 8
-
     width = min_code_size + 1
     table: dict[tuple[int, int], int] = {}
     next_code = eoi + 1
-    emit(clear, width)
+    # emit(clear, width)
+    acc |= clear << nacc
+    nacc += width
+    while nacc >= 8:
+        out.append(acc & 0xFF)
+        acc >>= 8
+        nacc -= 8
     cur = -1
-    for sym in indices:
-        sym = int(sym)
+    seq = indices.tolist() if hasattr(indices, "tolist") else indices
+    for sym in seq:
         if cur < 0:
             cur = sym
             continue
@@ -337,7 +341,13 @@ def _lzw_encode_gif(indices: np.ndarray, min_code_size: int) -> bytes:
         if key in table:
             cur = table[key]
             continue
-        emit(cur, width)
+        # emit(cur, width)
+        acc |= cur << nacc
+        nacc += width
+        while nacc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
         table[key] = next_code
         next_code += 1
         # widen AFTER the add so the next emitted code (which may be the
@@ -346,17 +356,42 @@ def _lzw_encode_gif(indices: np.ndarray, min_code_size: int) -> bytes:
         if next_code == (1 << width) + 1 and width < 12:
             width += 1
         if next_code == 4096:  # 12-bit table full: reset, like real encoders
-            emit(clear, width)
+            acc |= clear << nacc
+            nacc += width
+            while nacc >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nacc -= 8
             table.clear()
             next_code = eoi + 1
             width = min_code_size + 1
         cur = sym
     if cur >= 0:
-        emit(cur, width)
-    emit(eoi, width)
+        acc |= cur << nacc
+        nacc += width
+        while nacc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+    acc |= eoi << nacc
+    nacc += width
+    while nacc >= 8:
+        out.append(acc & 0xFF)
+        acc >>= 8
+        nacc -= 8
     if nacc:
         out.append(acc & 0xFF)
     return bytes(out)
+
+
+@lru_cache(maxsize=16)
+def _lzw_base_table(clear: int) -> tuple:
+    """The initial LZW string table for a given CLEAR code, cached —
+    the decoder rebuilt this ``clear + 2``-entry list on every CLEAR
+    (once per frame minimum), ~18% of GIF decode CPU at fixture frame
+    sizes (r16 profile). Returned as a tuple so the cache entry stays
+    immutable; callers materialize their mutable copy with list()."""
+    return tuple([bytes([i]) for i in range(clear)] + [None, None])
 
 
 def _lzw_decode_gif(data: bytes, min_code_size: int) -> list[int]:
@@ -365,13 +400,14 @@ def _lzw_decode_gif(data: bytes, min_code_size: int) -> list[int]:
     clear = 1 << min_code_size
     eoi = clear + 1
     width = min_code_size + 1
-    table: list[bytes | None] = [bytes([i]) for i in range(clear)] + [None, None]
+    table: list[bytes | None] = list(_lzw_base_table(clear))
     out: list[int] = []
     prev: bytes | None = None
     acc = nacc = pos = 0
+    dlen = len(data)
     while True:
         while nacc < width:
-            if pos >= len(data):
+            if pos >= dlen:
                 return out  # tolerant of streams that omit EOI
             acc |= data[pos] << nacc
             pos += 1
@@ -380,7 +416,7 @@ def _lzw_decode_gif(data: bytes, min_code_size: int) -> list[int]:
         acc >>= width
         nacc -= width
         if code == clear:
-            table = [bytes([i]) for i in range(clear)] + [None, None]
+            table = list(_lzw_base_table(clear))
             width = min_code_size + 1
             prev = None
             continue
@@ -398,6 +434,25 @@ def _lzw_decode_gif(data: bytes, min_code_size: int) -> list[int]:
             if len(table) == (1 << width) and width < 12:
                 width += 1
         prev = entry
+
+
+def _palette_unique(rows: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """``np.unique(rows, axis=0, return_inverse=True)`` for (n, 3)
+    uint8 RGB rows, via a packed uint32 key. The axis-unique path
+    (void-view sort + moveaxis machinery) was ~33% of the whole GIF
+    codec CPU at fixture frame sizes (r16 profile); the scalar unique
+    is ~6x cheaper. Packing r<<16 | g<<8 | b sorts identically to the
+    row-lexicographic order axis-unique uses, so colors AND inverse
+    are element-identical (pinned by the GIF parity sweep in
+    OPTIMIZATION_r16.md)."""
+    r32 = rows.astype(np.uint32)
+    packed = (r32[:, 0] << 16) | (r32[:, 1] << 8) | r32[:, 2]
+    upacked, inverse = np.unique(packed, return_inverse=True)
+    colors = np.empty((upacked.shape[0], 3), dtype=np.uint8)
+    colors[:, 0] = upacked >> 16
+    colors[:, 1] = (upacked >> 8) & 0xFF
+    colors[:, 2] = upacked & 0xFF
+    return colors, inverse
 
 
 GIF_SIGNATURES = (b"GIF87a", b"GIF89a")
@@ -428,7 +483,7 @@ def encode_gif(pixels: np.ndarray, interlace: bool = False) -> bytes:
     ``interlace=True`` writes the four-pass interlaced row order with
     the image-descriptor flag set."""
     h, w, _ = pixels.shape
-    colors, inverse = np.unique(pixels.reshape(-1, 3), axis=0, return_inverse=True)
+    colors, inverse = _palette_unique(pixels.reshape(-1, 3))
     n = len(colors)
     if n > 256:
         raise ValueError(f"GIF needs a <=256-color palette, image has {n}")
@@ -542,9 +597,7 @@ def encode_gif_animated(
     # Netscape looping application extension (loop forever)
     out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
     for fr, mask, disposal in zip(frames, transparent_masks, disposals):
-        colors, inverse = np.unique(
-            fr.reshape(-1, 3), axis=0, return_inverse=True
-        )
+        colors, inverse = _palette_unique(fr.reshape(-1, 3))
         n = len(colors)
         trans_idx = None
         if mask is not None and mask.any():

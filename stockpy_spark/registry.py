@@ -29,88 +29,57 @@ except ImportError:  # extensions land incrementally
 _ALL = {**CORE_QUERIES, **EXT_QUERIES, **TPCH2_QUERIES, **HIVE_QUERIES, **TS_QUERIES, **GRAPH_QUERIES, **STREAM_QUERIES, **R6_QUERIES, **R6B_QUERIES, **R6C_QUERIES, **R6D_QUERIES, **R6E_QUERIES, **R7_QUERIES, **R13_QUERIES, **R15_QUERIES}
 
 # The driver's correctness gate checks the FIRST 50 queries in dict
-# insertion order. Round-15 rotation (r14 verdict item #1, the staged
-# split applied): the 16 r09-cohort leftovers LEAD (split_train_test ..
-# w5_sessionize — after r14 they were the only queries whose newest
-# driver-green row was 6 rounds old), then the 5 queries whose CODE
-# changed this round (stream_minhash_admit + dedup_incremental carry
-# the admitter spine fusion / band_sigs reuse, mm_video_frames the
-# Huffman-LUT decoder + single-split repartition, gate_jpeg_fidelity
-# the same decoder, mm_gif_frames the single-split repartition — each
-# re-greened same-session via tools/check.py before entering), then
-# 29 r10-cohort members oldest-first. 16 + 5 + 29 = 50 exactly.
-# Late-r15 addendum: the payload-generator single-split guard
-# (operators/multimodal.py _spread_small_input) touched three fill
-# members IN PLACE — mm_equalize_hist, mm_phash_dedup_cc,
-# mm_phash_neardup (plus gate_jpeg_fidelity, already in the touched
-# block) — each re-greened same-session at BOTH SFs + plan-linted. The
-# round's ONE new query (pack_boundary_masks — packed-sequence
-# document boundaries, landed with same-session check green at both
-# SFs) stages FIRST at position 51 per the landing rule: a new query
-# enters the WINDOW only in the round after its landing round.
+# insertion order. Round-16 rotation (r15 verdict item #1, the staged
+# split applied): pack_boundary_masks LEADS (the round-15 landing, the
+# only never-driver-checked query), then stats_kde_grid (the fill row
+# the r15 touched-block displaced), then the 21 queries whose OPERATOR
+# CODE moved in this optimization round — the admitter/dedup spine
+# (stream_minhash_admit, dedup_incremental, dedup_minhash_assign,
+# pipeline_clean_corpus, pipeline_data_release: subtree pins + bounded
+# delta width), the zero-shuffle line-op family (text_boilerplate,
+# text_line_dedup_intra, corpus_line_dedup), the spread-guard/codec
+# family (decontaminate_eval, mm_video_frames + gate_jpeg_fidelity on
+# the rewritten JPEG kernel, mm_gif_frames + mm_equalize_hist +
+# mm_decode_gif on the rewritten GIF kernel, mm_phash_neardup), the CC
+# consumers (pipeline_dedup_cc, graph_dedup_components,
+# mm_phash_dedup_cc, pipeline_image_dedup: explode symmetrization +
+# probe-on-pin), stats_spearman (census fusion + rank broadcast) and
+# sample_dsir_weights (census pin) — every one re-greened same-session
+# via tools/check.py before entering — then 27 oldest-green fill
+# members in their standing freshest-last order. 2 + 21 + 27 = 50.
 #
-# Round-16 STAGING (positions 51+): pack_boundary_masks leads (the
-# only never-driver-checked query), then stats_kde_grid (displaced
-# from this window's fill when mm_gif_frames entered as touched),
-# then any query whose code changes in r16, then everything else
-# freshest-last (the remaining r10 leftovers, r11, r12, r13, then the
-# r14-window cohort whose greens are newest), and the five rows-only
-# queries (no SQL oracle by design) pinned PERMANENTLY at the end so
-# the driver never burns a sampled slot on a guaranteed no_oracle
-# row.
+# Round-17 STAGING (positions 51+): no new query landed in r16, so
+# nothing is window-due by the landing rule; lead with any query whose
+# code changes in r17 (re-greened same session), then the standing
+# freshest-last fill (the r10-r14 cohorts in list order, then the 41
+# r15-window members rotated out this round, whose driver greens are
+# newest), and the five rows-only queries (no SQL oracle by design)
+# pinned PERMANENTLY at the end so the driver never burns a sampled
+# slot on a guaranteed no_oracle row.
 DRIVER_PRIORITY = [
-    "split_train_test",
-    "stream_cdc_upsert",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality_score",
-    "text_redact_pii",
-    "text_repetition",
-    "text_rolling_fingerprint",
-    "text_tfidf",
-    "text_token_count",
-    "ts_bucket_rollup",
-    "ts_gap_fill_locf",
-    "ts_hopping_rollup",
-    "ts_rollup_two_level",
-    "ts_seasonal_outliers",
-    "w5_sessionize",
+    "pack_boundary_masks",
+    "stats_kde_grid",
     "stream_minhash_admit",
     "dedup_incremental",
     "mm_video_frames",
     "gate_jpeg_fidelity",
     "mm_gif_frames",
-    "a11_percentiles",
-    "a12_grouping_sets",
-    "a13_conditional_agg",
-    "f10_string_funcs",
-    "f11_date_funcs",
-    "f8_math_funcs",
-    "gate_approx_distinct_err",
-    "graph_label_prop",
-    "j6_salted_join",
-    "mm_blob_pointer_read",
     "mm_equalize_hist",
     "mm_phash_dedup_cc",
     "mm_phash_neardup",
-    "p10_unpivot",
     "pipeline_image_dedup",
-    "q10_returned_revenue",
-    "q13_custdist",
-    "q15_scalar_subquery",
-    "q17_small_qty",
-    "q22_idle_rich_customers",
-    "q4_priority_exists",
-    "q5_multi_join",
-    "q6_forecast_revenue",
-    "sample_kcenter_coreset",
-    "set2_intersect",
-    "set3_except",
-    "sketch_cm_counts",
-    "split_group_guard",
-    "stats_cuped",
-    "pack_boundary_masks",
-    "stats_kde_grid",
+    "mm_decode_gif",
+    "corpus_line_dedup",
+    "decontaminate_eval",
+    "stats_spearman",
+    "dedup_minhash_assign",
+    "text_boilerplate",
+    "text_line_dedup_intra",
+    "pipeline_data_release",
+    "sample_dsir_weights",
+    "graph_dedup_components",
+    "pipeline_clean_corpus",
+    "pipeline_dedup_cc",
     "stream_blob_ingest",
     "stream_cm_merge",
     "stream_late_accounting",
@@ -144,7 +113,6 @@ DRIVER_PRIORITY = [
     "j3_inner_join_agg",
     "j4_semi_join",
     "j5_anti_join",
-    "mm_decode_gif",
     "p1_conditional_cast",
     "p8_p9_dropna_cast",
     "pipeline_training_prep",
@@ -170,8 +138,6 @@ DRIVER_PRIORITY = [
     "agg_top_movers",
     "basket_rules",
     "cohort_retention_weekly",
-    "corpus_line_dedup",
-    "decontaminate_eval",
     "dedup_containment",
     "dq_benford_prices",
     "dq_constraint_suite",
@@ -202,7 +168,6 @@ DRIVER_PRIORITY = [
     "stats_cat_association",
     "stats_corr_matrix",
     "stats_gini_revenue",
-    "stats_spearman",
     "stats_welch_ttest",
     "stream_dedup_keys",
     "stream_join_attribution",
@@ -221,7 +186,6 @@ DRIVER_PRIORITY = [
     "dedup_embedding_cosine",
     "dedup_exact_docs",
     "dedup_exact_stats",
-    "dedup_minhash_assign",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
@@ -259,8 +223,6 @@ DRIVER_PRIORITY = [
     "sample_score_calibration",
     "sample_shard_shuffle",
     "stream_psi_monitor",
-    "text_boilerplate",
-    "text_line_dedup_intra",
     "text_nb_quality",
     "text_normalize",
     "web_url_canonical",
@@ -276,13 +238,11 @@ DRIVER_PRIORITY = [
     "set1_union_by_name",
     "sim_cosine_topk",
     "stats_ols2",
-    "pipeline_data_release",
     "pipeline_release_funnel",
     "stream_shard_positions",
     "text_kn_perplexity",
     "text_lm_perplexity",
     "text_gopher_repetition",
-    "sample_dsir_weights",
     "asof_purchase_view",
     "dp_event_counts",
     "dq_snapshot_diff",
@@ -294,15 +254,12 @@ DRIVER_PRIORITY = [
     "gate_embedding_lsh_recall",
     "gate_heavy_hitters",
     "gate_ivf_recall",
-    "graph_dedup_components",
     "merge_incremental_upsert",
     "mm_decode_features",
     "mm_decode_wav",
     "mm_resize_pixels",
     "pack_context_bins",
     "pack_materialize",
-    "pipeline_clean_corpus",
-    "pipeline_dedup_cc",
     "q12_late_shipments",
     "q7_volume_shipping",
     "q9_product_profit",
@@ -311,12 +268,54 @@ DRIVER_PRIORITY = [
     "rj3_promo_overlap",
     "sample_hash_docs",
     "sample_stratified",
+    "split_train_test",
+    "stream_cdc_upsert",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality_score",
+    "text_redact_pii",
+    "text_repetition",
+    "text_rolling_fingerprint",
+    "text_tfidf",
+    "text_token_count",
+    "ts_bucket_rollup",
+    "ts_gap_fill_locf",
+    "ts_hopping_rollup",
+    "ts_rollup_two_level",
+    "ts_seasonal_outliers",
+    "w5_sessionize",
+    "a11_percentiles",
+    "a12_grouping_sets",
+    "a13_conditional_agg",
+    "f10_string_funcs",
+    "f11_date_funcs",
+    "f8_math_funcs",
+    "gate_approx_distinct_err",
+    "graph_label_prop",
+    "j6_salted_join",
+    "mm_blob_pointer_read",
+    "p10_unpivot",
+    "q10_returned_revenue",
+    "q13_custdist",
+    "q15_scalar_subquery",
+    "q17_small_qty",
+    "q22_idle_rich_customers",
+    "q4_priority_exists",
+    "q5_multi_join",
+    "q6_forecast_revenue",
+    "sample_kcenter_coreset",
+    "set2_intersect",
+    "set3_except",
+    "sketch_cm_counts",
+    "split_group_guard",
+    "stats_cuped",
     "text_bpe_merges",
     "dedup_embedding_lsh",
     "sim_ann_lsh",
     "sim_ivf_topk",
     "approx_distinct_users",
 ]
+
 
 _ORDERED = {name: _ALL[name] for name in DRIVER_PRIORITY if name in _ALL}
 _ORDERED.update({name: spec for name, spec in _ALL.items() if name not in _ORDERED})

@@ -98,3 +98,34 @@ def test_decodes_third_party_jpegs(path):
     px = decode_jpeg(open(path, "rb").read())
     assert px.ndim == 3 and px.shape[2] == 3 and px.size > 0
     assert px.dtype == np.uint8
+
+
+def test_entropy_segments_semantics():
+    """Unit pin of the r16 pre-unstuffed segment scan that replaced the
+    per-byte _BitReader fill: stuffing removal, RST splitting, stop at
+    the first non-RST marker, and the lone-trailing-0xFF data-byte
+    rule must all match the old reader's bit-for-bit semantics (the
+    full-stream equivalence is pinned by the roundtrip tests above)."""
+    from stockpy_spark.operators.jpeg import _entropy_segments
+
+    # stuffed 0xFF00 feeds a single 0xFF data byte
+    assert _entropy_segments(b"\x12\xff\x00\x34") == [b"\x12\xff\x34"]
+    # RST markers split segments (and are consumed)
+    assert _entropy_segments(b"\x01\x02\xff\xd0\x03\x04") == [
+        b"\x01\x02",
+        b"\x03\x04",
+    ]
+    # EOI (or any non-RST marker) ends the stream; bytes beyond are dropped
+    assert _entropy_segments(b"\x01\xff\xd9\x02\x03") == [b"\x01"]
+    # 0xFF followed by 0xFF is a marker stop, not data
+    assert _entropy_segments(b"\x01\xff\xff\x00") == [b"\x01"]
+    # a lone trailing 0xFF is a data byte (the old reader's nxt=0 path)
+    assert _entropy_segments(b"\x01\x02\xff") == [b"\x01\x02\xff"]
+    # consecutive RSTs produce an empty middle segment (decoder pads 1s)
+    assert _entropy_segments(b"\x01\xff\xd0\xff\xd1\x02") == [
+        b"\x01",
+        b"",
+        b"\x02",
+    ]
+    # stuffing directly before a marker
+    assert _entropy_segments(b"\xff\x00\xff\xd9") == [b"\xff"]

@@ -2444,3 +2444,36 @@ def test_avi_property_random_frames_roundtrip():
         for fr in back:
             assert fr.shape == (h, w, 3)
             assert fr.dtype == np.uint8
+
+
+def test_palette_unique_matches_axis_unique():
+    """Unit pin of the r16 packed-uint32 palette builder: colors AND
+    inverse must equal np.unique(axis=0, return_inverse=True) exactly
+    (the packed r<<16|g<<8|b key sorts row-lexicographically, so the
+    encoded GIF bytes are unchanged — the parity evidence lives in
+    OPTIMIZATION_r16.md; this test keeps the equivalence executable)."""
+    import numpy as np
+
+    from stockpy_spark.operators.multimodal import _fake_pixels, _palette_unique
+
+    rng = np.random.default_rng(23)
+    cases = [_fake_pixels(i).reshape(-1, 3) for i in (0, 7, 499)]
+    cases.append(np.full((40, 3), 9, np.uint8))  # single color
+    cases.append(rng.integers(0, 256, (1, 3)).astype(np.uint8))  # one pixel
+    for _ in range(20):
+        n = int(rng.integers(1, 400))
+        cases.append(rng.integers(0, 256, (n, 3)).astype(np.uint8))
+    # boundary values that would collide if packing dropped bits
+    cases.append(
+        np.array(
+            [[255, 0, 0], [0, 255, 0], [0, 0, 255], [255, 255, 255],
+             [0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]],
+            np.uint8,
+        )
+    )
+    for rows in cases:
+        want_c, want_i = np.unique(rows, axis=0, return_inverse=True)
+        got_c, got_i = _palette_unique(rows)
+        assert got_c.dtype == np.uint8
+        assert np.array_equal(got_c, want_c)
+        assert np.array_equal(np.asarray(got_i).ravel(), np.asarray(want_i).ravel())

@@ -138,8 +138,13 @@ def canon_rows(cols: list[str], rows: list[tuple]) -> tuple[str, int]:
 
 def keys_at_rev(rev: str) -> set[str]:
     """Registry query keys at a git revision, extracted textually from
-    the stockpy_spark/registry*.py dict literals (every entry is
-    ``"name": (q_fn, SQL_or_None)``) — no import of old code needed."""
+    the stockpy_spark/registry*.py sources — no import of old code
+    needed. Two registration spellings exist: dict-literal entries
+    (``"name": (q_fn, SQL_or_None)``) and subscript assignment
+    (``QUERIES["name"] = (...)``, used by two registry_stream
+    late-additions); the r16 fix matches both — the literal-only regex
+    made those two names look perpetually new, so every --new-since
+    run burned ~20 s re-checking queries that landed rounds ago."""
     import re
     import subprocess
 
@@ -148,7 +153,10 @@ def keys_at_rev(rev: str) -> set[str]:
         ["git", "ls-tree", "-r", "--name-only", rev, "stockpy_spark/"],
         capture_output=True, text=True, cwd=repo, check=True,
     ).stdout.split()
-    pat = re.compile(r'^\s*"([a-z0-9_]+)"\s*:\s*\(', re.M)
+    pats = (
+        re.compile(r'^\s*"([a-z0-9_]+)"\s*:\s*\(', re.M),
+        re.compile(r'\[\s*"([a-z0-9_]+)"\s*\]\s*=\s*\(', re.M),
+    )
     keys: set[str] = set()
     for path in ls:
         if "registry" not in os.path.basename(path):
@@ -157,7 +165,8 @@ def keys_at_rev(rev: str) -> set[str]:
             ["git", "show", f"{rev}:{path}"],
             capture_output=True, text=True, cwd=repo, check=True,
         ).stdout
-        keys.update(pat.findall(src))
+        for pat in pats:
+            keys.update(pat.findall(src))
     return keys
 
 
