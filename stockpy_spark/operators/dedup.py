@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from stockpy_spark.functions.text import fingerprint_md5, tokenize
-from stockpy_spark.operators.pinning import pin
+from stockpy_spark.operators.pinning import pin, pin_literal
 
 
 def exact_dedup_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -397,9 +397,19 @@ def minhash_dedup_assign(
     bands: int = 6,
     iterations: int = 1,
     hash_fn: str = "md5",
+    bounded_docs: int | None = None,
 ) -> DataFrame:
     """(doc_id, keeper_id, is_dup): map every document to a cluster
     representative via LSH buckets — WITHOUT enumerating pairs.
+
+    ``bounded_docs``: callers that KNOW ``df`` is bounded (e.g. the
+    release pipeline dedups a ``limit(128)``-derived admitted set)
+    pass the bound so the band-signature key frame pins as a
+    driver-literal LocalRelation (pinning.pin_literal) instead of a
+    checkpoint — the bucket-min/join-back plan then broadcasts
+    statically with no leaf-scan stages. Falls back to the checkpoint
+    pin if the bound is ever exceeded; default None keeps the
+    corpus-scale checkpoint path.
 
     This is the 100 TB dedup path. Pair enumeration (minhash_lsh_pairs)
     is quadratic in duplicate-cluster size: a 1M-doc boilerplate cluster
@@ -423,7 +433,9 @@ def minhash_dedup_assign(
     # deployment indexes and materializes anyway (keys are a few
     # percent of text bytes; reliable pin mode IS that durable write).
     band_sigs = _band_signatures(wide, num_hashes, bands, hash_fn).transform(
-        pin
+        (lambda d: pin_literal(d, bounded_docs * bands))
+        if bounded_docs is not None
+        else pin
     )
     labeled = band_sigs.withColumn("label", F.col("doc"))
     labels = None

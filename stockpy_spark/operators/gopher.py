@@ -261,11 +261,86 @@ def gopher_quality_rules(
     whitespace tokens of the raw text (newlines included in ``\\s``).
     Every input row gets an output row; empty/NULL docs score 0 on
     every fraction and fail ``keep`` on the min-words gate."""
+    feats, keep = _gopher_gate(
+        df.select(F.col(id_col).alias("__id"), F.col(text_col)),
+        text_col,
+        ["__id"],
+        min_words, max_words, min_mean_word_len, max_mean_word_len,
+        max_bullet_frac, max_ellipsis_frac, min_alpha_frac,
+        max_symbol_ratio, min_stop_hits, dp,
+    )
+    return feats.select(
+        F.col("__id").alias(id_col),
+        "n_lines",
+        "n_words",
+        "bullet_line_frac",
+        "ellipsis_line_frac",
+        "alpha_word_frac",
+        "symbol_word_ratio",
+        "mean_word_len",
+        "stop_hits",
+        keep.cast("int").alias("keep"),
+    )
+
+
+def gopher_keep_filter(
+    df: DataFrame,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    max_symbol_ratio: float = 0.1,
+    min_stop_hits: int = 2,
+    dp: int = 6,
+) -> DataFrame:
+    """``df`` filtered to the rows :func:`gopher_quality_rules` would
+    flag ``keep == 1`` — same gates, built by the SAME expression
+    builder (bit-identical by construction), applied as a narrow
+    filter instead of computing a (id, keep) frame and equi-joining it
+    back onto the very frame it came from. The rule battery is
+    zero-shuffle, so for the "keep the survivors of this frame" use
+    (the release pipeline's Gopher stage) the join formulation pays
+    two data-sized exchanges for nothing (guide §2.4). Caller columns
+    must not collide with the gate's internals (``__txt``/``__lines``/
+    ``__words`` and the feature names); column order is preserved."""
+    feats, keep = _gopher_gate(
+        df, text_col, list(df.columns),
+        min_words, max_words, min_mean_word_len, max_mean_word_len,
+        max_bullet_frac, max_ellipsis_frac, min_alpha_frac,
+        max_symbol_ratio, min_stop_hits, dp,
+    )
+    return feats.where(keep).select(*df.columns)
+
+
+def _gopher_gate(
+    df: DataFrame,
+    text_col: str,
+    carry: list,
+    min_words: int,
+    max_words: int,
+    min_mean_word_len: float,
+    max_mean_word_len: float,
+    max_bullet_frac: float,
+    max_ellipsis_frac: float,
+    min_alpha_frac: float,
+    max_symbol_ratio: float,
+    min_stop_hits: int,
+    dp: int,
+) -> tuple:
+    """Shared staged builder for the Gopher gate: returns ``(feats,
+    keep)`` where ``feats`` carries the ``carry`` columns plus the
+    eight feature columns and ``keep`` is the boolean gate over them.
+    Both public entry points above delegate here so the filter and
+    the feature-frame forms can never drift apart."""
     base = df.select(
-        F.col(id_col).alias("__id"),
+        *[F.col(c) for c in carry],
         F.coalesce(F.col(text_col), F.lit("")).alias("__txt"),
     ).select(
-        "__id",
+        *[F.col(c) for c in carry],
         "__txt",
         F.when(
             F.trim("__txt") == "", F.array().cast("array<string>")
@@ -303,7 +378,7 @@ def gopher_quality_rules(
     )
 
     feats = base.select(
-        "__id",
+        *[F.col(c) for c in carry],
         nl.cast("long").alias("n_lines"),
         nw.cast("long").alias("n_words"),
         F.round(bullet / safe_nl, dp).alias("bullet_line_frac"),
@@ -324,18 +399,7 @@ def gopher_quality_rules(
         & (F.col("symbol_word_ratio") <= max_symbol_ratio)
         & (F.col("stop_hits") >= min_stop_hits)
     )
-    return feats.select(
-        F.col("__id").alias(id_col),
-        "n_lines",
-        "n_words",
-        "bullet_line_frac",
-        "ellipsis_line_frac",
-        "alpha_word_frac",
-        "symbol_word_ratio",
-        "mean_word_len",
-        "stop_hits",
-        keep.cast("int").alias("keep"),
-    )
+    return feats, keep
 
 
 def gopher_repetition_profile_kernel(

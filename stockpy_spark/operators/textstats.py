@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from stockpy_spark.functions.text import tokenize
-from stockpy_spark.operators.pinning import pin
+from stockpy_spark.operators.pinning import pin, pin_literal_with_rows
 
 
 def tfidf_terms(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -661,31 +661,94 @@ def nb_quality_classifier(
         ).alias("__b"),
     )
 
+    # r17 (guide §3.3 + §2.4): labels used to be attached to the
+    # TOKEN-INSTANCE stream (`grams.join(lab)` — one join row per
+    # token); joining at DOC level and exploding after moves the same
+    # attachment to doc-sized rows, and only labeled docs are
+    # tokenized on the training side. The trained cell table is
+    # BOUNDED at n_buckets rows by construction, so it pins as a
+    # driver-literal LocalRelation (pinning.pin_literal_with_rows):
+    # the weight broadcast then builds from plan literals — no
+    # shuffle-stage jobs, no leaf scans — and the token grand totals
+    # fold in as exact-int literals (integer sums of the SAME cell
+    # values the old census aggregated; an empty cell table keeps the
+    # old NULL-total semantics). The checkpoint fallback keeps a
+    # Spark-side census derivation for un-collectable cases.
+    labeled = df.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__ltxt")
+    ).join(lab, "__id")
+    lgrams = labeled.select(
+        "__y",
+        F.explode_outer(tokenize(F.lower(F.col("__ltxt")))).alias("__tok"),
+    ).select(
+        "__y",
+        F.when(
+            F.col("__tok").isNotNull(),
+            _bucket(F.col("__tok"), n_buckets, salt),
+        ).alias("__b"),
+    )
     cells = (
-        grams.join(lab, "__id")
-        .filter(F.col("__b").isNotNull())
+        lgrams.filter(F.col("__b").isNotNull())
         .groupBy("__b")
         .agg(
             F.sum(F.when(F.col("__y") == 1, 1).otherwise(0)).alias("__n1"),
             F.sum(F.when(F.col("__y") == 0, 1).otherwise(0)).alias("__n0"),
         )
     )
-    census = cells.agg(
-        F.sum("__n1").alias("__t1"), F.sum("__n0").alias("__t0")
-    ).crossJoin(
-        lab.agg(
-            F.sum(F.when(F.col("__y") == 1, 1).otherwise(0)).alias("__d1"),
-            F.sum(F.when(F.col("__y") == 0, 1).otherwise(0)).alias("__d0"),
-        )
+    cells, _cells_pdf = pin_literal_with_rows(cells, n_buckets)
+    doc_census = lab.agg(
+        F.sum(F.when(F.col("__y") == 1, 1).otherwise(0)).alias("__d1"),
+        F.sum(F.when(F.col("__y") == 0, 1).otherwise(0)).alias("__d0"),
     )
     a, b = F.lit(float(alpha)), F.lit(float(n_buckets))
-    weights = cells.crossJoin(F.broadcast(census)).select(
-        "__b",
-        (
-            F.log((F.col("__n1") + a) / (F.col("__t1") + a * b))
-            - F.log((F.col("__n0") + a) / (F.col("__t0") + a * b))
-        ).alias("__w"),
-    )
+    lits = None
+    if _cells_pdf is not None:
+        # the doc census is one row by construction (a global agg):
+        # collecting it too makes the ENTIRE model literal — the
+        # weight table derives from a LocalRelation with literal
+        # totals (no census broadcast job), and prior/w0 inline as
+        # literals in the final projection (no 1-row crossJoin). The
+        # values are the SAME longs the old crossJoin carried (pandas
+        # sums of the collected cells are exact integer sums; an
+        # empty frame keeps SQL's NULL-sum semantics), and every
+        # double is still computed by the same JVM expressions.
+        try:
+            _dc = doc_census.toPandas()
+            _dv = lambda c: (
+                None if len(_dc) == 0 or _dc[c].isna().iloc[0]
+                else int(_dc[c].iloc[0])
+            )
+            lits = {
+                "__t1": int(_cells_pdf["__n1"].sum()) if len(_cells_pdf) else None,
+                "__t0": int(_cells_pdf["__n0"].sum()) if len(_cells_pdf) else None,
+                "__d1": _dv("__d1"),
+                "__d0": _dv("__d0"),
+            }
+        except Exception:
+            lits = None
+    if lits is not None:
+        cen = {k: F.lit(v).cast("long") for k, v in lits.items()}
+    else:
+        census = cells.agg(
+            F.sum("__n1").alias("__t1"), F.sum("__n0").alias("__t0")
+        ).crossJoin(doc_census)
+        cen = {k: F.col(k) for k in ("__t1", "__t0", "__d1", "__d0")}
+    if lits is not None:
+        weights = cells.select(
+            "__b",
+            (
+                F.log((F.col("__n1") + a) / (cen["__t1"] + a * b))
+                - F.log((F.col("__n0") + a) / (cen["__t0"] + a * b))
+            ).alias("__w"),
+        )
+    else:
+        weights = cells.crossJoin(F.broadcast(census)).select(
+            "__b",
+            (
+                F.log((F.col("__n1") + a) / (cen["__t1"] + a * b))
+                - F.log((F.col("__n0") + a) / (cen["__t0"] + a * b))
+            ).alias("__w"),
+        )
 
     per_doc = (
         grams.join(F.broadcast(weights), "__b", "left")
@@ -706,10 +769,14 @@ def nb_quality_classifier(
             ).alias("__miss"),
         )
     )
-    prior = F.log((F.col("__d1") + a) / (F.col("__d0") + a))
-    w0 = F.log(a / (F.col("__t1") + a * b)) - F.log(a / (F.col("__t0") + a * b))
+    prior = F.log((cen["__d1"] + a) / (cen["__d0"] + a))
+    w0 = F.log(a / (cen["__t1"] + a * b)) - F.log(a / (cen["__t0"] + a * b))
     score = F.round(prior + F.col("__raw") + F.col("__miss") * w0, dp)
-    return per_doc.crossJoin(F.broadcast(census)).select(
+    scored_src = (
+        per_doc if lits is not None
+        else per_doc.crossJoin(F.broadcast(census))
+    )
+    return scored_src.select(
         F.col("__id").alias(id_col),
         F.col("__nt").cast("bigint").alias("n_tokens"),
         score.alias("nb_score"),

@@ -47,7 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from stockpy_spark.operators.pinning import pin
+from stockpy_spark.operators.pinning import pin, pin_literal
 from stockpy_spark.registry_ext import _STOP_SQL, _t
 
 
@@ -70,7 +70,7 @@ def release_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
         _minhash_wide,
         minhash_dedup_assign,
     )
-    from stockpy_spark.operators.gopher import gopher_quality_rules
+    from stockpy_spark.operators.gopher import gopher_keep_filter
     from stockpy_spark.operators.sampling import (
         pack_chunks_ordered,
         shuffle_shard_plan,
@@ -151,12 +151,15 @@ def release_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
     )
 
     # --- gopher gate (thresholds sized to this corpus' doc lengths) ---
-    gq = gopher_quality_rules(
-        clean, "ctext", "doc_id",
+    # r17 (guide §2.4): the gate is zero-shuffle narrow, so attaching
+    # it by joining gopher_quality_rules' (doc_id, keep) frame back
+    # onto `clean` paid a data-sized self-equi-join for a filter; the
+    # shared-builder filter form applies the bit-identical gates in
+    # place. Every consumer of `train` replays a narrow filter over
+    # the pinned clean blocks instead of a sort-merge join.
+    train = gopher_keep_filter(
+        clean, "ctext",
         min_words=20, max_mean_word_len=12.0, min_alpha_frac=0.6,
-    )
-    train = clean.join(
-        gq.where(F.col("keep") == 1).select("doc_id"), "doc_id"
     ).where(d % 10 != 0)
     evalc = clean.where(d % 10 == 0)
 
@@ -174,11 +177,17 @@ def release_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
         "doc_id", (qf["stopword_ratio"] >= 0.10).cast("int").alias("label")
     )
     nb = nb_quality_classifier(train, "ctext", "doc_id", seed)
+    # r17: the four admitted-set-scale pins below are BOUNDED at 128
+    # rows by this limit (everything downstream only shrinks), so they
+    # pin as driver-literal LocalRelations (pin_literal docstring —
+    # joins against them plan as static broadcasts with zero build
+    # jobs / scan stages, vs the checkpoint pins' sort-merge + leaf
+    # scans). Falls back to the checkpoint pin if the bound breaks.
     admitted6 = (
         nb.orderBy(F.desc("nb_score"), F.asc("doc_id"))
         .limit(128)
         .select("doc_id")
-        .transform(pin)  # KB doc-id set; 2 consumers
+        .transform(lambda d: pin_literal(d, 128))  # KB doc-id set; 2 consumers
     )
 
     # --- canonical-URL dedup ------------------------------------------
@@ -215,11 +224,17 @@ def release_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
     )
 
     # --- MinHash-LSH dedup within survivors ---------------------------
-    surv = train.join(url_keep, "doc_id")
-    mh = minhash_dedup_assign(surv, "ctext", "doc_id", num_hashes=12, bands=2)
+    # r17: url_keep/mh/dirty_* are bounded (<=128 rows, derived
+    # from the limit-128 admitted set) — explicit broadcast hints
+    # replace sort-merge planning against unknown-size subtrees
+    # (guide §3.1: use the bound the planner cannot see).
+    surv = train.join(F.broadcast(url_keep), "doc_id")
+    mh = minhash_dedup_assign(
+        surv, "ctext", "doc_id", num_hashes=12, bands=2, bounded_docs=128
+    )
     mh_keep = surv.join(
-        mh.filter(~F.col("is_dup")).select("doc_id"), "doc_id"
-    ).transform(pin)  # admitted-set-scale; feeds 3 downstream stages
+        F.broadcast(mh.filter(~F.col("is_dup")).select("doc_id")), "doc_id"
+    ).transform(lambda d: pin_literal(d, 128))  # <=128 rows; 3 consumers
 
     # --- exact 5-gram decontamination vs the eval split ---------------
     esh = (
@@ -232,7 +247,9 @@ def release_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
         F.explode(F.array_distinct(word_ngrams(F.col("ctext"), 5))).alias("sh"),
     )
     dirty_exact = tsh.join(esh, "sh", "semi").select("doc_id").distinct()
-    c9 = mh_keep.join(dirty_exact, "doc_id", "anti").transform(pin)
+    c9 = mh_keep.join(F.broadcast(dirty_exact), "doc_id", "anti").transform(
+        lambda d: pin_literal(d, 128)
+    )
 
     # --- fuzzy MinHash decontamination vs the eval split --------------
     both = c9.select("doc_id", "ctext").unionByName(
@@ -244,7 +261,7 @@ def release_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
     bse = bs.join(evids, "doc", "semi")
     bst = bs.join(evids, "doc", "anti")
     cand = (
-        bst.alias("t")
+        F.broadcast(bst.alias("t"))
         .join(
             bse.alias("e"),
             (F.col("t.band") == F.col("e.band"))
@@ -265,7 +282,9 @@ def release_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
     dirty_fuzzy = ej.where(F.col("ej") >= 0.5).select(
         F.col("td").alias("doc_id")
     ).distinct()
-    c10 = c9.join(dirty_fuzzy, "doc_id", "anti").transform(pin)
+    c10 = c9.join(F.broadcast(dirty_fuzzy), "doc_id", "anti").transform(
+        lambda d: pin_literal(d, 128)
+    )
 
     # --- calibration -> mixture cap -> shard shuffle -> packing -------
     sized = c10.select(
