@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
-from stockpy_spark.operators.pinning import pin
+from stockpy_spark.operators.pinning import pin, pin_literal
 
 EPS = 1e-6  # standard PSI zero-bin floor
 
@@ -176,11 +176,13 @@ def ks_2samp(
     # eager checkpoint pins the SKETCHED edges — the bucketing.py
     # determinism rule: percentile_approx varies per materialization
     # and this census feeds both the local-cumsum and offset branches
+    # r17: one row by construction — literal-pin (pin_literal) so the
+    # edges/totals embed in the plan; same determinism, one less job.
     census = per_v.agg(
         freq_edges("v", n_buckets).alias("edges"),
         F.sum("c_ref").alias("n_ref"),
         F.sum("c_cur").alias("n_cur"),
-    ).transform(pin)
+    ).transform(lambda d: pin_literal(d, 1))
     bucketed = with_freq_bucket(
         per_v.crossJoin(F.broadcast(census)),
         F.col("v"),

@@ -36,6 +36,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from stockpy_spark.functions.text import word_ngrams
+from stockpy_spark.operators.pinning import pin_lazy, pin_literal_with_rows
 from stockpy_spark.operators.privacy import _hash_uniform
 
 
@@ -155,6 +156,7 @@ def dsir_bucket_doc_counts(
     n_buckets: int,
     salt: str,
     raw_only: bool = True,
+    tag_target: bool = False,
 ) -> DataFrame:
     """Per-document (``__id``, ``__b``, ``__cnt``) bucket counts — the
     SCORING-stream input (the per-doc weight sum needs doc identity).
@@ -163,13 +165,25 @@ def dsir_bucket_doc_counts(
     docs emit a single (id, NULL, 0) row, the explode_outer contract,
     so every raw doc reaches the final aggregate without a backfill
     join. ``raw_only`` skips target docs before tokenizing — the
-    expression path pays the explode for both sides and filters after."""
-    from pyspark.sql.types import LongType, StructField, StructType
+    expression path pays the explode for both sides and filters after.
+    ``tag_target`` (r17) additionally emits the ``__tgt`` flag per row
+    so ONE pass can feed both the distribution estimate (group the
+    tagged rows by bucket) and the scoring stream (filter the raw
+    rows) — callers pass ``raw_only=False`` with it; the per-doc
+    Counter rows partial-aggregate to the same KB bucket shuffle the
+    partials kernel produced."""
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StructField,
+        StructType,
+    )
 
     id_type = df.schema[id_col].dataType
     schema = StructType(
-        [
-            StructField("__id", id_type),
+        [StructField("__id", id_type)]
+        + ([StructField("__tgt", BooleanType())] if tag_target else [])
+        + [
             StructField("__b", LongType()),
             StructField("__cnt", LongType()),
         ]
@@ -182,13 +196,15 @@ def dsir_bucket_doc_counts(
 
         tokens, bucket = _kernel_tokens_and_buckets(salt, n_buckets)
         for pdf in batches:
-            id_o, b_o, c_o = [], [], []
+            id_o, t_o, b_o, c_o = [], [], [], []
             for did, tgt, text in zip(pdf["__id"], pdf["__tgt"], pdf["__txt"]):
-                if raw_only and bool(tgt):
+                t = bool(tgt)
+                if raw_only and t:
                     continue
                 toks = tokens(text)
                 if len(toks) < 2:
                     id_o.append(did)
+                    t_o.append(t)
                     b_o.append(None)
                     c_o.append(0)
                     continue
@@ -196,9 +212,15 @@ def dsir_bucket_doc_counts(
                     bucket(g) for g in map(" ".join, zip(toks, toks[1:]))
                 ).items():
                     id_o.append(did)
+                    t_o.append(t)
                     b_o.append(b)
                     c_o.append(c)
-            yield pd.DataFrame({"__id": id_o, "__b": b_o, "__cnt": c_o})
+            out = {"__id": id_o}
+            if tag_target:
+                out["__tgt"] = t_o
+            out["__b"] = b_o
+            out["__cnt"] = c_o
+            yield pd.DataFrame(out)
 
     return df.select(
         F.col(id_col).alias("__id"),
@@ -242,9 +264,24 @@ def dsir_importance_weights(
         # nondeterministic under Spark aggregation, and the dp=6
         # round absorbs the difference (a value landing exactly on a
         # rounding boundary could in principle diverge; none has).
-        stats = dsir_bucket_partials(
-            df, text_col, is_target, n_buckets, salt
-        ).groupBy("__b").agg(
+        # r17 (guide §1.2: the corpus was tokenized TWICE — once by the
+        # partials kernel for the distribution estimate, once by the
+        # doc-counts kernel for scoring; and the r16 eager census pin
+        # was a blocking plan-build job that cost more than it saved
+        # at bench scale). ONE tagged doc-counts pass now feeds both:
+        # the per-doc (id, tgt, bucket, cnt) frame is lazily pinned
+        # (its plan is narrow — no shuffle — so the lazy pin costs
+        # nothing at build; the census collect below is the
+        # materializing action and every later branch reads the
+        # persisted blocks), the distribution estimate is an integer
+        # re-aggregation of the SAME per-doc counts the partials
+        # kernel Counter-combined (identical sums), and the scoring
+        # stream is the raw-row filter of the same frame.
+        doc_counts = dsir_bucket_doc_counts(
+            df, text_col, id_col, is_target, n_buckets, salt,
+            raw_only=False, tag_target=True,
+        ).transform(pin_lazy)
+        stats = doc_counts.filter(F.col("__b").isNotNull()).groupBy("__b").agg(
             F.sum(F.when(F.col("__tgt"), F.col("__cnt")).otherwise(0)).alias("__ct"),
             F.sum(F.when(~F.col("__tgt"), F.col("__cnt")).otherwise(0)).alias("__cr"),
         )
@@ -279,43 +316,59 @@ def dsir_importance_weights(
             F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("__ct"),
             F.sum(F.when(~F.col("__tgt"), 1).otherwise(0)).alias("__cr"),
         )
-    # r16 (guide §2.4, duplicate subtrees): ``stats`` is an
-    # n_buckets-row census consumed by BOTH ``totals`` and
-    # ``log_ratio`` — unpinned, the full corpus bucket pass (an Arrow
-    # kernel scan of every document) replayed once per consumer, so
-    # the plan carried THREE corpus scans where the module docstring
-    # promises two (score + estimate). Pinning the KB census restores
-    # the promised shape; measured 3.40 -> 2.51 s min at sf0.1.
-    from stockpy_spark.operators.pinning import pin
-
-    stats = stats.transform(pin)
-    # Grand totals: a keyless 1-row census, broadcast by construction.
-    totals = stats.agg(
-        F.sum("__ct").alias("__T"), F.sum("__cr").alias("__R")
-    )
-    log_ratio = (
-        stats.crossJoin(F.broadcast(totals))
-        .select(
+    # r16 pinned the n_buckets-row census (guide §2.4 — unpinned, the
+    # corpus bucket pass replayed once per consumer); r17 upgrades the
+    # pin to a driver-literal (pinning.pin_literal_with_rows): the
+    # census is BOUNDED at n_buckets rows, so it embeds as a
+    # LocalRelation, the grand totals fold in as exact-int literals
+    # (integer sums of the same census rows the old 1-row totals
+    # aggregate computed, NULL kept for an empty census), and the
+    # log-ratio broadcast builds driver-side with zero jobs. The
+    # checkpoint fallback keeps the Spark-side totals derivation.
+    stats, _stats_pdf = pin_literal_with_rows(stats, n_buckets)
+    if _stats_pdf is not None:
+        _T = int(_stats_pdf["__ct"].sum()) if len(_stats_pdf) else None
+        _R = int(_stats_pdf["__cr"].sum()) if len(_stats_pdf) else None
+        log_ratio = stats.select(
             "__b",
             (
                 F.log(
                     (F.col("__ct") + 1).cast("double")
-                    / (F.col("__T") + n_buckets).cast("double")
+                    / (F.lit(_T).cast("long") + n_buckets).cast("double")
                 )
                 - F.log(
                     (F.col("__cr") + 1).cast("double")
-                    / (F.col("__R") + n_buckets).cast("double")
+                    / (F.lit(_R).cast("long") + n_buckets).cast("double")
                 )
             ).alias("__ld"),
         )
-    )
+    else:
+        # Grand totals: a keyless 1-row census, broadcast by construction.
+        totals = stats.agg(
+            F.sum("__ct").alias("__T"), F.sum("__cr").alias("__R")
+        )
+        log_ratio = (
+            stats.crossJoin(F.broadcast(totals))
+            .select(
+                "__b",
+                (
+                    F.log(
+                        (F.col("__ct") + 1).cast("double")
+                        / (F.col("__T") + n_buckets).cast("double")
+                    )
+                    - F.log(
+                        (F.col("__cr") + 1).cast("double")
+                        / (F.col("__R") + n_buckets).cast("double")
+                    )
+                ).alias("__ld"),
+            )
+        )
 
     gumbel = -F.log(-F.log(_hash_uniform(F.col("__id"), salt + "-g")))
     if use_kernel:
         scored = (
-            dsir_bucket_doc_counts(
-                df, text_col, id_col, is_target, n_buckets, salt
-            )
+            doc_counts.filter(~F.col("__tgt"))
+            .drop("__tgt")
             .join(F.broadcast(log_ratio), "__b", "left")
             .groupBy("__id")
             .agg(

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from stockpy_spark.operators.bucketing import freq_edges, with_freq_bucket
-from stockpy_spark.operators.pinning import pin
+from stockpy_spark.operators.pinning import pin, pin_literal
 
 
 def pareto_frontier_2d(
@@ -67,9 +67,11 @@ def pareto_frontier_2d(
     # eager checkpoint: the bucketing.py determinism rule —
     # percentile_approx varies per materialization and this census
     # feeds both the local prefix-min and offset branches
+    # r17: one row by construction — literal-pin (pin_literal) so the
+    # edges embed in the plan; same determinism, one less job + scan.
     bounds = pts.agg(
         freq_edges(max_col, n_buckets).alias("__edges")
-    ).transform(pin)
+    ).transform(lambda d: pin_literal(d, 1))
     bucketed = with_freq_bucket(
         pts.crossJoin(F.broadcast(bounds)),
         F.col(max_col),

@@ -746,6 +746,14 @@ def kde_grid(
 #: column exceeds it at any real scale and keeps the sort-merge join.
 RANK_BROADCAST_MAX = 1_000_000
 
+#: Rank tables at or below this many distinct values embed as plan
+#: literals (see the r17 block in spearman_corr_pairs) — KB-scale in
+#: the task binary (10k rows x 16 B = 160 KB). Between this and
+#: RANK_BROADCAST_MAX the table still broadcasts; above, it sort-
+#: merges. All three tiers are decided from the census's measured
+#: cardinality, not a local-mode constant.
+RANK_LITERAL_MAX = 10_000
+
 
 def spearman_corr_pairs(
     df: DataFrame, cols: list[str], dp: int = 6, n_buckets: int = 256
@@ -847,8 +855,78 @@ def spearman_corr_pairs(
     )
     censuses = {r["__col"]: (r["__edges"], r["__nd"]) for r in census_rows}
 
+    # r17 (guide §1.2 + pinning.pin_literal): a rank table is
+    # distinct-value-sized, and the census already told us each
+    # column's cardinality — for a LOW-cardinality column (lineitem's
+    # quantity: 50, discount: 11; the decision is data-driven, the
+    # same at any SF) the whole avg-rank derivation is exact integer
+    # arithmetic plus a final +(c+1)/2.0, so ONE batched collect of
+    # the small columns' count tables replaces, per column, the
+    # count exchange + bucketed window + offset window + broadcast
+    # build with a plan-literal LocalRelation join. The Python ranks
+    # are bit-identical by construction: cum-below is an exact int
+    # (< 2^53), (c+1)/2.0 is an exact half, and the closing
+    # double-add matches the JVM's left-associated (off + lt) + half.
+    # Columns with NaN values or a failed literal path fall back to
+    # the bucketed derivation unchanged.
+    lit_rank_tables: dict = {}
+    small = [
+        c for c in cols
+        if 0 < censuses.get(c, (None, 0))[1] <= RANK_LITERAL_MAX
+    ]
+    if small:
+        try:
+            t2 = None
+            for c in small:
+                t = (
+                    combo.groupBy(F.col(c).alias("__v"))
+                    .agg(F.sum("__w").alias("__c"))
+                    .select(F.lit(c).alias("__col"), "__v", "__c")
+                )
+                t2 = t if t2 is None else t2.unionByName(t)
+            cpdf = t2.toPandas()
+            import pandas as pd
+
+            from pyspark.sql.types import (
+                DoubleType,
+                StructField,
+                StructType,
+            )
+
+            for c in small:
+                sub = cpdf[cpdf["__col"] == c]
+                vals = [float(v) for v in sub["__v"]]
+                cnts = [int(x) for x in sub["__c"]]
+                if any(v != v for v in vals):  # NaN: Spark-path only
+                    continue
+                order = sorted(range(len(vals)), key=lambda i: vals[i])
+                below = 0
+                vcol, rcol = [], []
+                for i in order:
+                    vcol.append(vals[i])
+                    rcol.append(float(below) + (cnts[i] + 1) / 2.0)
+                    below += cnts[i]
+                lit_df = df.sparkSession.createDataFrame(
+                    pd.DataFrame({c: vcol, f"__r_{c}": rcol}),
+                    schema=StructType(
+                        [
+                            StructField(c, DoubleType()),
+                            StructField(f"__r_{c}", DoubleType()),
+                        ]
+                    ),
+                )
+                if "LocalRelation" in (
+                    lit_df._jdf.queryExecution().optimizedPlan().toString()
+                ):
+                    lit_rank_tables[c] = lit_df
+        except Exception:
+            lit_rank_tables = {}
+
     ranked = combo
     for c in cols:
+        if c in lit_rank_tables:
+            ranked = ranked.join(F.broadcast(lit_rank_tables[c]), c)
+            continue
         counts = combo.groupBy(F.col(c).alias("__v")).agg(
             F.sum("__w").alias("__c")
         )

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from stockpy_spark.operators.bucketing import freq_edges, with_freq_bucket
-from stockpy_spark.operators.pinning import pin
+from stockpy_spark.operators.pinning import pin, pin_literal
 
 
 def time_bucket(ts_col: str | Column, width_seconds: int) -> Column:
@@ -271,9 +271,16 @@ def interval_concurrency(
     # eager checkpoint (key-cardinality rows): the bucketing.py
     # determinism rule — percentile_approx varies per materialization
     # and this census feeds both the running-sum and offset branches
+    # r17: key-cardinality census — literal-pin while it is plan-
+    # literal-sized (~256 KB of edge doubles; the cap scales inversely
+    # with n_buckets so the byte bound, not a row count, is the
+    # invariant). Small-key callers (event_type: ~5 rows) get a
+    # LocalRelation the bucket join broadcasts statically; a per-user
+    # key blows the cap and degrades to the checkpoint pin unchanged.
+    _lit_cap = max(1, 32_768 // max(1, n_buckets))
     census = net.groupBy(*keys).agg(
         freq_edges(v, n_buckets).alias("__edges")
-    ).transform(pin)
+    ).transform(lambda d: pin_literal(d, _lit_cap))
     # Keyed path: NO forced broadcast — census and offsets are sized
     # by key cardinality (one row per key / key x bucket), which for
     # per-user or per-host keys is a fact in disguise; a broadcast

@@ -707,11 +707,28 @@ def test_spearman_rank_cumsum_is_bucketed_not_global(spark):
     partition by the range bucket — a partition-less window over the
     value axis one-task-sorts the corpus when the column is
     continuous (distinct ~ rows). The only allowed partition-less
-    window is the n_buckets-row offset closure (KB frame)."""
+    window is the n_buckets-row offset closure (KB frame).
+
+    r17: columns at or below RANK_LITERAL_MAX distinct values rank
+    via plan-literal tables — no value window AT ALL (the strongest
+    form of the contract). The bucketed-window shape now applies to
+    columns ABOVE the literal tier, exercised here by forcing the
+    tier off; both shapes must stay free of a partition-less window
+    over the value axis."""
+    import stockpy_spark.operators.stats as stats_mod
     from stockpy_spark.operators.stats import spearman_corr_pairs
 
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    # default tiers: at this SF both columns are literal-ranked —
+    # no windowspecdefinition over the raw value anywhere
     p = plan(spearman_corr_pairs(li, ["l_extendedprice", "l_quantity"]))
+    assert "windowspecdefinition(__v#" not in p
+    prev = stats_mod.RANK_LITERAL_MAX
+    stats_mod.RANK_LITERAL_MAX = 0
+    try:
+        p = plan(spearman_corr_pairs(li, ["l_extendedprice", "l_quantity"]))
+    finally:
+        stats_mod.RANK_LITERAL_MAX = prev
     # a window ORDERED on the raw value with no partition column
     # would print windowspecdefinition(__v#... first
     assert "windowspecdefinition(__v#" not in p
