@@ -92,22 +92,78 @@ def word_jaccard_pairs(
                 "Use minhash_lsh_star_edges / minhash_dedup_assign at corpus "
                 "scale, or pass max_docs=None for a bounded candidate set."
             )
-    toks = _distinct_tokens(df, text_col, id_col)
-    sizes = toks.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = toks.alias("a"), toks.alias("b")
-    inter = (
-        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # r17 (guide §2.3/§3.2 applied to the self-join): EXACT prefix
+    # filtering (Bayardo et al. 2007 "Scaling Up All Pairs Similarity
+    # Search"; Chaudhuri et al. 2006) replaces the full inverted-index
+    # self-join. Under any global token order, J(A,B) >= t implies
+    # |A ∩ B| >= ceil(t*|A|), so A and B must share a token among each
+    # set's FIRST |X| - ceil(t*|X|) + 1 tokens — candidate pairs come
+    # from joining only those prefix tokens, and ordering tokens by
+    # ascending document frequency puts the RAREST tokens in the
+    # prefix: the df(stopword)^2 blowup of the old full self-join
+    # (every pair of docs sharing "the" was a join row) is gone while
+    # the result stays exact — candidates are verified with the true
+    # intersection of the full distinct-token sets (array_intersect of
+    # the same element sets the old per-token count aggregated), and
+    # the final jaccard/round/filter is unchanged. Because the output
+    # filter admits round(j, 6) >= threshold (a raw j up to 5e-7 BELOW
+    # t), pruning uses t_eff = t - 1e-6: strictly longer prefixes and
+    # a looser size bound, i.e. a candidate SUPERSET. Still quadratic
+    # in genuine near-dup cluster size (those pairs ARE the output) —
+    # verify-tier, but no longer quadratic in stopword frequency.
+    tok_sets = df.select(
+        F.col(id_col).alias("doc"),
+        F.array_sort(
+            F.array_distinct(tokenize(F.lower(F.col(text_col))))
+        ).alias("ts"),
+    ).filter(F.size("ts") > 0)
+    toks = tok_sets.select(
+        "doc", F.size("ts").alias("sz"), F.explode("ts").alias("tok")
     )
-    # no broadcast hints: sizes has one row per doc and grows with the
-    # corpus; AQE broadcasts it while small, shuffles at scale
-    sa = sizes.select(F.col("doc").alias("d1"), F.col("sz").alias("sz1"))
-    sb = sizes.select(F.col("doc").alias("d2"), F.col("sz").alias("sz2"))
-    return (
-        inter.join(sa, "d1")
+    t_eff = max(0.0, float(threshold) - 1e-6)
+    # global rarity order: (document frequency asc, token asc) — total
+    # and deterministic; no broadcast hint on the df table (vocabulary
+    # grows with the corpus; AQE broadcasts while it fits)
+    tdf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = toks.join(tdf, "tok").withColumn(
+        "__r",
+        F.row_number().over(
+            Window.partitionBy("doc").orderBy(F.asc("__df"), F.asc("tok"))
+        ),
+    )
+    prefix = ranked.filter(
+        F.col("__r")
+        <= F.col("sz") - F.ceil(F.lit(t_eff) * F.col("sz")) + 1
+    ).select("doc", "sz", "tok")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc") < F.col("b.doc"))
+            & (
+                F.least(F.col("a.sz"), F.col("b.sz"))
+                >= F.lit(t_eff) * F.greatest(F.col("a.sz"), F.col("b.sz"))
+            ),
+        )
+        .select(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+        .distinct()
+    )
+    sa = tok_sets.select(F.col("doc").alias("d1"), F.col("ts").alias("__ta"))
+    sb = tok_sets.select(F.col("doc").alias("d2"), F.col("ts").alias("__tb"))
+    verified = (
+        cand.join(sa, "d1")
         .join(sb, "d2")
-        .withColumn(
+        .select(
+            "d1",
+            "d2",
+            F.size(F.array_intersect("__ta", "__tb")).alias("inter"),
+            F.size("__ta").alias("sz1"),
+            F.size("__tb").alias("sz2"),
+        )
+    )
+    return (
+        verified.withColumn(
             "jaccard",
             F.round(
                 F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter")), 6
