@@ -19,6 +19,37 @@ from pyspark.errors import AnalysisException
 from stockpy_spark.operators.pinning import pin
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def fresh_stream_width(spark: SparkSession, width: int | None = None):
+    """Clamp ``spark.sql.shuffle.partitions`` while STARTING a stream
+    whose checkpoint is fresh (guide §2.2 applied to streaming state).
+
+    A stateful streaming query freezes its state-store partition count
+    from this conf at FIRST start — it is recorded in the checkpoint's
+    offset metadata and ignored on every later start — and each
+    micro-batch then pays one state-store instance per partition
+    (restore + commit + snapshot/maintenance files). The session
+    default is sized for BATCH data shuffles (4x cores), which hands a
+    KB-state stream ~128 near-empty state instances per batch:
+    measured on stream_late_accounting at local[32], 719 tasks / 61 s
+    for a six-row, three-batch stream. The clamp defaults to
+    ``defaultParallelism`` — core-proportional at any scale, not a
+    local-mode constant; callers whose state key cardinality warrants
+    more width pass it explicitly. Resumed checkpoints are unaffected
+    by construction, and the previous session value is restored on
+    exit (the started query keeps the width it captured)."""
+    w = int(width or spark.sparkContext.defaultParallelism)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(w))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def windowed_agg(
     stream: DataFrame,
     ts: str,
@@ -200,13 +231,14 @@ def run_to_memory(result: DataFrame, name: str, output_mode: str = "append"):
     """Drive a streaming frame to completion into an in-memory table
     (test/smoke harness): returns the stopped query; read results with
     spark.table(name)."""
-    q = (
-        result.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
+    with fresh_stream_width(result.sparkSession):
+        q = (
+            result.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
     q.processAllAvailable()
     q.stop()
     return q
@@ -311,13 +343,14 @@ def run_foreach_batch_to_parquet(
             ledger[p] = {"batch": batch_id, "state": "done"}
         _store(ledger)
 
-    q = (
-        result.writeStream.outputMode(output_mode)
-        .foreachBatch(sink)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
+    with fresh_stream_width(result.sparkSession):
+        q = (
+            result.writeStream.outputMode(output_mode)
+            .foreachBatch(sink)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination()
     return q
 
@@ -347,13 +380,14 @@ def run_update_upsert_log_to_parquet(
             .parquet(path)
         )
 
-    q = (
-        result.writeStream.outputMode("update")
-        .foreachBatch(sink)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
+    with fresh_stream_width(result.sparkSession):
+        q = (
+            result.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination()
     return q
 
@@ -633,14 +667,15 @@ def run_cdc_merge_to_parquet(
             if os.path.realpath(stale) != current:
                 shutil.rmtree(stale, ignore_errors=True)
 
-    (
-        updates.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    with fresh_stream_width(updates.sparkSession):
+        q = (
+            updates.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination()
 
 
 def run_windowed_late_accounting(
@@ -817,12 +852,13 @@ def run_cm_grid_accumulate(
             "append"
         ).parquet(sink_dir)
 
-    q = (
-        stream.writeStream.foreachBatch(feb)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
+    with fresh_stream_width(stream.sparkSession):
+        q = (
+            stream.writeStream.foreachBatch(feb)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination()
     return merged_cm_grid(spark, sink_dir)
 
@@ -875,12 +911,13 @@ def run_blob_shard_ingest(
         idx = pack_blob_shards(batch_df, id_col, shard_dir, n_shards)
         idx.write.mode("append").parquet(index_dir)
 
-    q = (
-        stream.writeStream.foreachBatch(feb)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
+    with fresh_stream_width(stream.sparkSession):
+        q = (
+            stream.writeStream.foreachBatch(feb)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination()
     return read_pointer_index(spark, index_dir, id_col)
 
@@ -1528,12 +1565,13 @@ def run_incremental_minhash_admitter(
         if _trace:
             _emit_adm_trace(batch_id, _marks)
 
-    q = (
-        stream.writeStream.foreachBatch(feb)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
+    with fresh_stream_width(stream.sparkSession):
+        q = (
+            stream.writeStream.foreachBatch(feb)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination()
     if not _fs_isdir(spark, admitted_dir):  # zero-batch stream
         return spark.createDataFrame([], stream.schema)
@@ -1772,12 +1810,13 @@ def run_incremental_shard_positions(
             "append"
         ).parquet(counts_dir)
 
-    q = (
-        stream.writeStream.foreachBatch(feb)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
+    with fresh_stream_width(stream.sparkSession):
+        q = (
+            stream.writeStream.foreachBatch(feb)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination()
     try:
         raw = spark.read.parquet(assigned_dir)
@@ -1888,12 +1927,13 @@ def run_psi_monitor(
         ).withColumn("batch_id", F.lit(batch_id).cast("bigint"))
         row.write.mode("append").parquet(sink_dir)
 
-    q = (
-        stream.writeStream.foreachBatch(feb)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
+    with fresh_stream_width(stream.sparkSession):
+        q = (
+            stream.writeStream.foreachBatch(feb)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination()
     try:
         raw = spark.read.parquet(sink_dir)
