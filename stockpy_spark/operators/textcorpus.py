@@ -117,6 +117,7 @@ def boilerplate_line_screen(
     min_tokens: int = 4,
     min_stop: float = 0.05,
     long_line: int = 30,
+    carry: list | None = None,
 ) -> DataFrame:
     """Per-line boilerplate removal — the jusText-style HEURISTIC
     sibling of :func:`remove_frequent_lines`: that rule needs corpus
@@ -173,6 +174,10 @@ def boilerplate_line_screen(
     n_kept = F.size(kept).cast("bigint")
     return df.select(
         F.col(id_col),
+        # r17 ``carry``: pass-through columns, so callers cleaning a
+        # frame that carries metadata (the release pipeline's
+        # ``source``) need no re-attach self-join afterwards
+        *[F.col(c) for c in (carry or [])],
         F.array_join(kept, sep).alias(text_col),
         n_lines.alias("n_lines"),
         n_kept.alias("n_kept"),
@@ -187,6 +192,7 @@ def dedup_lines_within_doc(
     id_col: str,
     text_col: str,
     sep: str = "\n",
+    carry: list | None = None,
 ) -> DataFrame:
     """Intra-document repeated-line removal — the WITHIN-doc member of
     the line-cleaning trio (corpus frequency rule, per-line shape
@@ -222,6 +228,7 @@ def dedup_lines_within_doc(
     )
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in (carry or [])],  # r17: see boilerplate_line_screen
         F.array_join(kept, sep).alias(text_col),
         F.size(kept).cast("bigint").alias("n_lines"),
         (F.size(arr) - F.size(kept)).cast("bigint").alias("n_dropped"),

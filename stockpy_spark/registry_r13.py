@@ -132,8 +132,15 @@ def release_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
     )
 
     # --- line dedup -> boilerplate -> normalize -----------------------
-    dd = dedup_lines_within_doc(salted, "doc_id", "text")
-    bp = boilerplate_line_screen(dd.select("doc_id", "text"), "doc_id", "text")
+    # r17 (guide §2.4): `source` rides THROUGH the narrow line ops
+    # (their new ``carry`` param) instead of being re-attached by a
+    # doc_id self-join below — that join was the clean pin's entire
+    # shuffle (0.84 MB at sf0.1, corpus-metadata-sized at 100 TB).
+    dd = dedup_lines_within_doc(salted, "doc_id", "text", carry=["source"])
+    bp = boilerplate_line_screen(
+        dd.select("doc_id", "source", "text"), "doc_id", "text",
+        carry=["source"],
+    )
     # The cleaned corpus is the pipeline's inter-stage boundary and
     # EIGHT downstream consumers read it (gopher, NB seed+train, both
     # dedups, both decontaminations, sizing); unpinned, each consumer
@@ -145,8 +152,7 @@ def release_stage_frames(spark: SparkSession, sf_dir: str) -> dict:
     # the repo, justified by the pipeline-stage semantics rather than
     # the census dominance criterion.
     clean = (
-        bp.select("doc_id", normalize_text("text").alias("ctext"))
-        .join(salted.select("doc_id", "source"), "doc_id")
+        bp.select("doc_id", normalize_text("text").alias("ctext"), "source")
         .transform(pin)
     )
 
